@@ -1,13 +1,82 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 (plus the training-data
+  * additions) is a named batch query here; each name with an `oracleSql`
+  * entry is hash-checked against DuckDB on the same parquet tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The `/series` avg query (SURVEY §7 phase 0): one real aggregation
+    * end-to-end over the events table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    SeriesOps.seriesAvg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 A3 + §2.3 P5/P6 — read-API /series surface
+    "series_avg" -> (SeriesOps.seriesAvg _),
+    "series_sum" -> (SeriesOps.seriesSum _),
+    "series_count" -> (SeriesOps.seriesCount _),
+    "series_p95" -> (SeriesOps.seriesP95 _),
+    "series_filtered" -> (SeriesOps.seriesFiltered _),
+    // §2.4 A1/A2, §2.5 W1, §2.6 O1 — windowed KPIs
+    "kpi_tumbling" -> (KpiOps.kpiTumbling _),
+    "kpi_sliding" -> (KpiOps.kpiSliding _),
+    "kpi_lookup" -> (KpiOps.kpiLookup _),
+    // §2.4 A6-A8, §2.7 T4-T9 — anomaly detection (batch analog)
+    "anomaly_score" -> (AnomalyOps.anomalyScore _),
+    "anomaly_alerts" -> (AnomalyOps.anomalyAlerts _),
+    "alerts_filter" -> (AnomalyOps.alertsFilter _),
+    "alerts_stats" -> (AnomalyOps.alertsStats _),
+    "alert_cooldown" -> (AnomalyOps.alertCooldown _),
+    "events_last_hour" -> (AnomalyOps.eventsLastHour _),
+    // §2.3 P1/P2, §2.8 F6/F7/F11 — parse/serialize
+    "event_parse_json" -> (MiscOps.eventParseJson _),
+    "event_json_envelope" -> (MiscOps.eventJsonEnvelope _),
+    "events_dedup" -> (MiscOps.eventsDedup _),
+    "distinct_users" -> (MiscOps.distinctUsers _),
+    "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
+    // OLAP / joins (additive; bench workload)
+    "q1_pricing" -> (OlapOps.q1Pricing _),
+    "q3_shipping" -> (OlapOps.q3Shipping _),
+    "q5_local_supplier" -> (OlapOps.q5LocalSupplier _),
+    "top_customers" -> (OlapOps.topCustomers _),
+    "supplier_parts" -> (OlapOps.supplierParts _),
+    // training-data pipeline: dedup family
+    "dedup_exact" -> (DedupOps.dedupExact _),
+    "minhash_signatures" -> (DedupOps.minhashSignatures _),
+    "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh _),
+    "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
+    "simhash_signatures" -> (DedupOps.simhashSignatures _),
+    // training-data pipeline: text analysis
+    "text_tokens" -> (TextOps.textTokens _),
+    "text_quality" -> (TextOps.textQuality _),
+    "text_langid" -> (TextOps.textLangId _),
+    "text_fingerprint" -> (TextOps.textFingerprint _),
+    // training-data pipeline: similarity search
+    "ann_topk" -> (VectorOps.annTopK _),
+    "ann_lsh_bucketed" -> (VectorOps.annLshBucketed _),
+    "embed_near_dup" -> (VectorOps.embedNearDup _),
+    "label_centroids" -> (VectorOps.labelCentroids _),
+    // training-data pipeline: multimodal plumbing (stub decode)
+    "media_meta" -> (MultimodalOps.mediaMeta _),
+    "frame_sample" -> (MultimodalOps.frameSample _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. `approx_distinct_users` is intentionally
+    * omitted (engine-specific HLL sketch → rows-only check).
+    */
+  def oracleSql: Map[String, String] =
+    (SeriesOps.oracles ++ KpiOps.oracles ++ AnomalyOps.oracles ++
+      MiscOps.oracles ++ OlapOps.oracles ++ DedupOps.oracles ++
+      TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles)
+      .map { case (k, v) => k -> graft.functions.Rounding.fixSql(v) }
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{floor, lit}
+
+/** Cross-engine deterministic rounding.
+  *
+  * Spark's `round()` (and Java's `%.2f`) round the *shortest decimal
+  * representation* of a double (BigDecimal.valueOf semantics), while
+  * DuckDB rounds the *binary* value — so values whose decimal expansion
+  * lands exactly on a half at the cut digit (common here: inputs are
+  * 2-decimal prices/metrics, and means over n≤100 samples produce short
+  * decimal expansions) disagree between the engines.
+  *
+  * `floor(x * 10^p + 0.5) / 10^p` is pure double arithmetic: identical
+  * operand bits → identical result bits on both engines, always. All
+  * oracle-facing query output uses this form; [[fixSql]] rewrites
+  * `round(expr, p)` in oracle SQL to the same formula so authors can keep
+  * writing readable `round(...)`.
+  */
+object Rounding {
+
+  /** Deterministic replacement for `functions.round` — import this to
+    * shadow the Spark builtin in operator code.
+    */
+  def round(c: Column, p: Int): Column = {
+    val s = math.pow(10, p)
+    floor(c * lit(s) + lit(0.5)) / lit(s)
+  }
+
+  /** Rewrite every `round(expr, p)` in a SQL string into the
+    * floor-formula (balanced-parenthesis aware, innermost-first).
+    */
+  def fixSql(sql: String): String = {
+    val marker = "round("
+    val idx = sql.toLowerCase.indexOf(marker)
+    if (idx < 0) return sql
+    var depth = 1
+    var i = idx + marker.length
+    var lastTopComma = -1
+    while (depth > 0 && i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 1 => lastTopComma = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(depth == 0 && lastTopComma > 0, s"unparseable round() in: $sql")
+    val exprPart = fixSql(sql.substring(idx + marker.length, lastTopComma).trim)
+    val p = sql.substring(lastTopComma + 1, i - 1).trim.toInt
+    val repl = s"floor(($exprPart) * 1e$p + 0.5) / 1e$p"
+    fixSql(sql.substring(0, idx) + repl + sql.substring(i))
+  }
+}

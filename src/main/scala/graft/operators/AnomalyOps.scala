@@ -1,0 +1,341 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
+
+/** Batch analog of the reference anomaly-detection job (SURVEY §2.4
+  * A6-A8, §2.7 T4-T9): per-source rolling statistics over the last 100
+  * events (ring buffer, `AnomalyDetectionJob.java:178-251`), z-score
+  * (population stddev) and MAD detectors with threshold 3.0, warm-up
+  * gate of 10 events, severity classification and anomaly-type tag.
+  *
+  * Re-expressed Spark-first as analytic window functions over
+  * `Window.partitionBy(event_type).orderBy(ts, event_id).rowsBetween(-99, 0)`
+  * — the exact batch equivalent of the keyed 100-deep ring buffer. The
+  * streaming form with identical semantics lives in
+  * [[graft.streaming.AnomalyProcessor]] (ValueState per key, SURVEY T3).
+  *
+  * Median/MAD have no built-in frame aggregate in Spark; we collect the
+  * frame (bounded: ≤100 doubles) and compute both with *native* Catalyst
+  * array expressions (`sort_array`/`element_at`/`transform`) — no UDF, so
+  * the whole pipeline stays codegen/optimizer-visible.
+  *
+  * Scale: one shuffle on event_type (the window partition key), then a
+  * linear in-partition pass; frame buffers are O(100) regardless of data
+  * size. Skewed sources would skew partitions — at cluster scale, salt the
+  * partition key or sub-partition by time range first.
+  */
+object AnomalyOps {
+
+  private val ZThreshold = 3.0
+  private val MadThreshold = 3.0
+  private val MinSamples = 10
+
+  /** Median of a sorted array, reference semantics: midpoint for odd n,
+    * average of the two middles for even n (`AnomalyDetectionJob.java:215-227`).
+    * 1-based element_at; (n+1) div 2 and n div 2 + 1 coincide for odd n.
+    */
+  private def medianOfSorted(sorted: Column, n: Column): Column =
+    (element_at(sorted, ((n + 1) / lit(2)).cast("int")) +
+      element_at(sorted, (n / lit(2)).cast("int") + 1)) / 2.0
+
+  /** Full anomaly scoring: z-score + MAD + severity + type per event.
+    *
+    * Plan-shape note: the rolling buffer (`collect_list` over the frame)
+    * and every fold/sort over it are evaluated as *window-operator
+    * outputs* — `first(expr)` over a degenerate current-row frame on the
+    * same partitioning/ordering. All three WindowExec stages share one
+    * shuffle + sort, each heavy array expression is evaluated exactly once
+    * per row, and downstream filters (alerts/stats/cooldown) cannot be
+    * substituted through a window boundary — without this, Catalyst's
+    * predicate pushdown inlines the non-codegen higher-order-function
+    * trees into every consumer and re-evaluates the 100-element folds
+    * many times per row (measured 45× slowdown on the alert queries).
+    */
+  def anomalyScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-99, 0)
+    // degenerate frame on the same spec: evaluates once per row, yields an
+    // attribute, adds no shuffle or sort
+    val cur = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(0, 0)
+    def once(c: Column): Column = first(c).over(cur)
+
+    val scored = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("buf", collect_list(col("value")).over(w))
+      .withColumn("n_samples", size(col("buf")).cast("long"))
+      // reference RollingStats: mean = sum/n, stddev = sqrt(max(0, sumSq/n - mean^2))
+      // (population variance, AnomalyDetectionJob.java:191-213)
+      .withColumn("mean_value",
+                  once(aggregate(col("buf"), lit(0.0), (acc, x) => acc + x) /
+                    col("n_samples")))
+      .withColumn("sum_sq",
+                  once(aggregate(col("buf"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("median_value",
+                  once(medianOfSorted(sort_array(col("buf")), col("n_samples"))))
+      .withColumn(
+        "stddev_value",
+        sqrt(greatest(
+          lit(0.0),
+          col("sum_sq") / col("n_samples")
+            - col("mean_value") * col("mean_value"))))
+      .withColumn(
+        "mad_value",
+        once(medianOfSorted(
+          sort_array(transform(col("buf"), x => abs(x - col("median_value")))),
+          col("n_samples"))))
+      .withColumn(
+        "z_score",
+        round(when(col("stddev_value") > 0,
+                   (col("value") - col("mean_value")) / col("stddev_value"))
+                .otherwise(0.0),
+              4))
+      .withColumn(
+        "mad_score",
+        round(when(col("mad_value") > 0,
+                   abs(col("value") - col("median_value")) / col("mad_value"))
+                .otherwise(0.0),
+              4))
+
+    scored
+      .filter(col("n_samples") >= MinSamples) // warm-up gate (T4)
+      .withColumn("z_anomaly", abs(col("z_score")) > ZThreshold)
+      .withColumn("mad_anomaly", col("mad_score") > MadThreshold)
+      .withColumn("is_anomaly", col("z_anomaly") || col("mad_anomaly"))
+      // severity classifier, AnomalyDetectionJob.java:327-337 (T7)
+      .withColumn(
+        "severity",
+        when(col("is_anomaly") && (abs(col("z_score")) > 4 || col("mad_score") > 4),
+             "critical")
+          .when(col("is_anomaly") && (abs(col("z_score")) > 3.5 || col("mad_score") > 3.5),
+                "warning")
+          .otherwise("info"))
+      // anomaly type: z-score takes precedence (AnomalyDetectionJob.java:344, T8)
+      .withColumn("anomaly_type",
+                  when(col("z_anomaly"), "z-score")
+                    .when(col("mad_anomaly"), "mad")
+                    .otherwise("normal"))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("ts"),
+        col("value"),
+        col("n_samples"),
+        round(col("mean_value"), 4).as("mean_value"),
+        round(col("stddev_value"), 4).as("stddev_value"),
+        round(col("median_value"), 4).as("median_value"),
+        round(col("mad_value"), 4).as("mad_value"),
+        col("z_score"),
+        col("mad_score"),
+        col("is_anomaly"),
+        col("severity"),
+        col("anomaly_type")
+      )
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+  }
+
+  /** Anomalies only, with the reference's alert fields: thresholds,
+    * formatted description (`String.format`,
+    * `AnomalyDetectionJob.java:339-366` T9/F8). The alertId UUID is
+    * replaced by the deterministic event_id so the oracle can hash-match.
+    */
+  def anomalyAlerts(spark: SparkSession, dir: String): DataFrame =
+    anomalyScore(spark, dir)
+      .filter(col("is_anomaly"))
+      .withColumn(
+        "description",
+        format_string(
+          "Anomaly detected in %s: value=%.2f, mean=%.2f, z-score=%.2f, mad-score=%.2f",
+          col("event_type"),
+          // re-round every %.2f argument with the deterministic floor
+          // formula: a double that is exactly a 2-decimal value prints
+          // identically under Java's and C's %.2f (no tie can exist)
+          round(col("value"), 2),
+          round(col("mean_value"), 2),
+          round(col("z_score"), 2),
+          round(col("mad_score"), 2)
+        ))
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+              col("z_score"), col("mad_score"), col("severity"),
+              col("anomaly_type"), col("description"))
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+
+  /** `GET /alerts?since&severity` — conjunctive filters, newest-first,
+    * limit 1000 (read-api/main.py:372-431, P5/P6/O2).
+    */
+  def alertsFilter(spark: SparkSession, dir: String): DataFrame =
+    anomalyScore(spark, dir)
+      .filter(col("is_anomaly") &&
+        col("severity") === "critical" &&
+        col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+              col("z_score"), col("mad_score"), col("severity"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1000)
+
+  /** `GET /alerts/stats` — per-severity totals / last-hour counts over the
+    * trailing 24 h (alert-service/main.py:457-487, A4/A5). "Now" is
+    * anchored to max(ts) in the data for determinism (SURVEY §7 phase 1).
+    */
+  def alertsStats(spark: SparkSession, dir: String): DataFrame = {
+    val alerts = anomalyScore(spark, dir).filter(col("is_anomaly"))
+    val mx = alerts.agg(max(col("ts")).as("max_ts"))
+    alerts
+      .crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
+      .groupBy(col("severity"))
+      .agg(
+        count(lit(1)).as("total_alerts"),
+        count(when(col("ts") >= col("max_ts") - expr("INTERVAL 1 HOUR"), 1))
+          .as("last_hour_alerts"))
+      .orderBy(col("severity"))
+  }
+
+  /** Cooldown dedup, batch analog (T10): per (source, severity), compare
+    * with the previous alert time via `lag` and keep alerts ≥5 min apart.
+    * (The exact chained-cooldown semantics — gap since last *fired*, not
+    * last seen — is stateful; [[graft.streaming.CooldownProcessor]]
+    * implements it; this lag form is the documented batch approximation,
+    * SURVEY §2.7 T10.)
+    */
+  def alertCooldown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"), col("severity"))
+      .orderBy(col("ts"), col("event_id"))
+    anomalyScore(spark, dir)
+      .filter(col("is_anomaly"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "fired",
+        col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >= 300))
+      .filter(col("fired"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("severity"))
+      .orderBy(col("event_type"), col("severity"), col("ts"), col("event_id"))
+  }
+
+  /** `events_last_hour` view analog (01-init-timescaledb.sql:68-84, P7/O4):
+    * trailing window anchored at max(ts).
+    */
+  def eventsLastHour(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mx = ev.agg(max(col("ts")).as("max_ts"))
+    ev.crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              col("value"))
+      .orderBy(col("ts").desc, col("event_id"))
+  }
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  /** Scored CTE shared by the anomaly oracles — must mirror
+    * [[anomalyScore]] bit-for-bit (same fold order over the frame buffer,
+    * same rounding).
+    */
+  private val scoredSql =
+    s"""WITH e AS (${Tables.eventsSql}),
+       |buf AS (
+       |  SELECT event_id, event_type, ts, value,
+       |         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+       |                           ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS buf
+       |  FROM e
+       |),
+       |stats AS (
+       |  -- list_reduce left-folds in buffer order: bit-exact match for
+       |  -- Spark's aggregate(buf, 0.0, (acc, x) -> acc + x)
+       |  SELECT *, CAST(len(buf) AS BIGINT) AS n_samples,
+       |         list_reduce(buf, (a, b) -> a + b) / len(buf) AS mean_value,
+       |         sqrt(greatest(0.0, list_reduce(list_transform(buf, x -> x * x), (a, b) -> a + b) / len(buf)
+       |                            - (list_reduce(buf, (a, b) -> a + b) / len(buf)) * (list_reduce(buf, (a, b) -> a + b) / len(buf)))) AS stddev_value,
+       |         (list_sort(buf)[CAST((len(buf) + 1) // 2 AS INT)]
+       |          + list_sort(buf)[CAST(len(buf) // 2 AS INT) + 1]) / 2.0 AS median_value
+       |  FROM buf
+       |),
+       |mads AS (
+       |  SELECT *,
+       |         (list_sort(list_transform(buf, x -> abs(x - median_value)))[CAST((len(buf) + 1) // 2 AS INT)]
+       |          + list_sort(list_transform(buf, x -> abs(x - median_value)))[CAST(len(buf) // 2 AS INT) + 1]) / 2.0 AS mad_value
+       |  FROM stats
+       |),
+       |scored AS (
+       |  SELECT event_id, event_type, ts, value, n_samples,
+       |         mean_value, stddev_value, median_value, mad_value,
+       |         round(CASE WHEN stddev_value > 0 THEN (value - mean_value) / stddev_value ELSE 0.0 END, 4) AS z_score,
+       |         round(CASE WHEN mad_value > 0 THEN abs(value - median_value) / mad_value ELSE 0.0 END, 4) AS mad_score
+       |  FROM mads WHERE n_samples >= $MinSamples
+       |),
+       |flagged AS (
+       |  SELECT *,
+       |         abs(z_score) > $ZThreshold AS z_anomaly,
+       |         mad_score > $MadThreshold AS mad_anomaly,
+       |         (abs(z_score) > $ZThreshold OR mad_score > $MadThreshold) AS is_anomaly
+       |  FROM scored
+       |),
+       |final AS (
+       |  SELECT event_id, event_type, ts, value, n_samples,
+       |         round(mean_value, 4) AS mean_value,
+       |         round(stddev_value, 4) AS stddev_value,
+       |         round(median_value, 4) AS median_value,
+       |         round(mad_value, 4) AS mad_value,
+       |         z_score, mad_score, is_anomaly,
+       |         CASE WHEN is_anomaly AND (abs(z_score) > 4 OR mad_score > 4) THEN 'critical'
+       |              WHEN is_anomaly AND (abs(z_score) > 3.5 OR mad_score > 3.5) THEN 'warning'
+       |              ELSE 'info' END AS severity,
+       |         CASE WHEN z_anomaly THEN 'z-score'
+       |              WHEN mad_anomaly THEN 'mad'
+       |              ELSE 'normal' END AS anomaly_type
+       |  FROM flagged
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "anomaly_score" ->
+      s"$scoredSql SELECT * FROM final ORDER BY event_type, ts, event_id",
+    "anomaly_alerts" ->
+      s"""$scoredSql
+         |SELECT event_id, event_type, ts, value, z_score, mad_score, severity, anomaly_type,
+         |       printf('Anomaly detected in %s: value=%.2f, mean=%.2f, z-score=%.2f, mad-score=%.2f',
+         |              event_type, round(value, 2), round(mean_value, 2),
+         |              round(z_score, 2), round(mad_score, 2)) AS description
+         |FROM final WHERE is_anomaly ORDER BY event_type, ts, event_id""".stripMargin,
+    "alerts_filter" ->
+      s"""$scoredSql
+         |SELECT event_id, event_type, ts, value, z_score, mad_score, severity
+         |FROM final
+         |WHERE is_anomaly AND severity = 'critical' AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+         |ORDER BY ts DESC, event_id DESC LIMIT 1000""".stripMargin,
+    "alerts_stats" ->
+      s"""$scoredSql, alerts AS (SELECT * FROM final WHERE is_anomaly),
+         |mx AS (SELECT max(ts) AS max_ts FROM alerts)
+         |SELECT severity, count(*) AS total_alerts,
+         |       count(*) FILTER (WHERE ts >= max_ts - INTERVAL 1 HOUR) AS last_hour_alerts
+         |FROM alerts, mx
+         |WHERE ts >= max_ts - INTERVAL 24 HOUR
+         |GROUP BY severity ORDER BY severity""".stripMargin,
+    "alert_cooldown" ->
+      s"""$scoredSql, alerts AS (SELECT * FROM final WHERE is_anomaly),
+         |lagged AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY event_type, severity ORDER BY ts, event_id) AS prev_ts
+         |  FROM alerts
+         |)
+         |SELECT event_id, event_type, ts, severity
+         |FROM lagged
+         |WHERE prev_ts IS NULL
+         |   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) >= 300
+         |ORDER BY event_type, severity, ts, event_id""".stripMargin,
+    "events_last_hour" ->
+      s"""WITH e AS (${Tables.eventsSql}), mx AS (SELECT max(ts) AS max_ts FROM e)
+         |SELECT event_id, ts, user_id, event_type, value
+         |FROM e, mx WHERE ts >= max_ts - INTERVAL 1 HOUR
+         |ORDER BY ts DESC, event_id""".stripMargin
+  )
+}

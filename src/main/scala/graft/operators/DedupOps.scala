@@ -1,0 +1,286 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash-groupBy), MinHash+LSH banding, n-gram Jaccard, and SimHash.
+  *
+  * Scale-first design: every stage is a pure map or a single keyed
+  * shuffle. MinHash follows the standard shingle → k min-hashes → band →
+  * bucket-join pipeline (Broder '97; the LSH banding analysis in Mining of
+  * Massive Datasets ch.3): candidate generation never compares all pairs —
+  * the self-join is on (band_index, band_hash) buckets only, so cost is
+  * proportional to bucket collisions, not |docs|². At 100 TB the bucket
+  * join is the one shuffle; skewed buckets (boilerplate-heavy corpora)
+  * would be salted or capped (`spark.sql.adaptive.skewJoin`).
+  *
+  * Portability note: min-hash functions are `min(md5(seed || '|' ||
+  * shingle))` over lexicographic hex strings — a valid min-wise hash
+  * family that DuckDB computes byte-identically, which makes the whole
+  * pipeline oracle-checkable end to end.
+  */
+object DedupOps {
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+  private val JaccardThreshold = 0.5
+
+  /** Normalized text + word-3-gram shingle set (distinct). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .withColumn("tokens", split(col("norm"), " "))
+      .withColumn(
+        "shingles",
+        when(
+          size(col("tokens")) >= 3,
+          array_distinct(transform(
+            sequence(lit(1), size(col("tokens")) - 2),
+            i =>
+              concat_ws(" ",
+                        element_at(col("tokens"), i),
+                        element_at(col("tokens"), i + 1),
+                        element_at(col("tokens"), i + 2))
+          ))
+        ).otherwise(array(col("norm"))))
+
+  /** Exact dedup: hash-groupBy on normalized content; emits the canonical
+    * (min) doc_id per content hash plus the duplicate count. One shuffle
+    * on the 128-bit hash — the standard exact-dedup pass at corpus scale.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .groupBy(md5(col("norm")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+           count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** MinHash signatures (k=16) per document — the per-doc map stage. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .withColumn(
+        "sig",
+        transform(
+          sequence(lit(0), lit(NumHashes - 1)),
+          i =>
+            array_min(
+              transform(col("shingles"),
+                        s => md5(concat(i.cast("string"), lit("|"), s))))))
+      .select(col("doc_id"), col("sig"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard
+    * over the shingle sets. bands=4 × rows=4 over k=16.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = shingled(spark, dir)
+      .withColumn(
+        "sig",
+        transform(
+          sequence(lit(0), lit(NumHashes - 1)),
+          i =>
+            array_min(
+              transform(col("shingles"),
+                        s => md5(concat(i.cast("string"), lit("|"), s))))))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+
+    val bands = sigs
+      .select(col("doc_id"), col("shingles"), col("sig"),
+              explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .withColumn(
+        "band_hash",
+        md5(concat_ws(
+          "|",
+          (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), col("band") * RowsPerBand + r + 1)): _*)))
+
+    val left = bands.select(col("band"), col("band_hash"),
+                            col("doc_id").as("doc1"),
+                            col("shingles").as("s1"))
+    val right = bands.select(col("band"), col("band_hash"),
+                             col("doc_id").as("doc2"),
+                             col("shingles").as("s2"))
+
+    left
+      .join(right,
+            Seq("band", "band_hash"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), col("s1"), col("s2"))
+      .distinct()
+      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        round(col("n_common").cast("double") /
+                (size(col("s1")) + size(col("s2")) - col("n_common")),
+              6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc1"), col("doc2"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Exact n-gram Jaccard within a blocking key (same source) — the
+    * verify-everything variant for modest blocks; LSH above is the scale
+    * path when no natural blocking exists.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), col("source"), col("shingles"))
+    val left = sh.select(col("source"), col("doc_id").as("doc1"),
+                         col("shingles").as("s1"))
+    val right = sh.select(col("source"), col("doc_id").as("doc2"),
+                          col("shingles").as("s2"))
+    left
+      .join(right, "source")
+      .filter(col("doc1") < col("doc2"))
+      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        round(col("n_common").cast("double") /
+                (size(col("s1")) + size(col("s2")) - col("n_common")),
+              6))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("source"), col("doc1"), col("doc2"), col("n_common"),
+              col("jaccard"))
+      .orderBy(col("source"), col("doc1"), col("doc2"))
+  }
+
+  /** The 64 SimHash vote contributions (+1/−1 per bit) of one token hash:
+    * bit j lives in hex nibble j/4 of the md5 prefix, at in-nibble
+    * position j%4 (MSB first). Implemented with arithmetic shifts
+    * (floor-div by powers of two) so DuckDB reproduces it exactly.
+    */
+  private def tokenVotes(h: Column): Column =
+    transform(
+      sequence(lit(0), lit(63)),
+      j => {
+        val nib = conv(substr(h, (j / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
+        val bit = floor(nib / pow(lit(2.0), (lit(3) - pmod(j, lit(4))).cast("double")))
+          .cast("int") % 2
+        bit * 2 - 1
+      }
+    )
+
+  /** 64-bit SimHash per document from md5-derived token-hash bits with
+    * term-frequency weights (Charikar, STOC '02). Pure per-row array math
+    * — an elementwise integer fold over the token list, no shuffle until
+    * the presentation sort; integer votes make the result
+    * accumulation-order independent (exact at any parallelism).
+    */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .withColumn("tokens", split(col("norm"), " "))
+      .withColumn(
+        "votes",
+        aggregate(col("tokens"),
+                  array_repeat(lit(0), 64),
+                  (acc, t) => zip_with(acc, tokenVotes(md5(t)), (a, b) => a + b)))
+      .withColumn("bits",
+                  transform(col("votes"), v => when(v > 0, 1).otherwise(0)))
+      .withColumn(
+        "simhash",
+        array_join(
+          transform(
+            sequence(lit(0), lit(15)),
+            n =>
+              lower(conv(
+                (element_at(col("bits"), n * 4 + 1) * 8 +
+                  element_at(col("bits"), n * 4 + 2) * 4 +
+                  element_at(col("bits"), n * 4 + 3) * 2 +
+                  element_at(col("bits"), n * 4 + 4)).cast("string"),
+                10, 16))
+          ),
+          ""
+        ))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val shingleSql =
+    """WITH n AS (SELECT doc_id, source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+      |tok AS (SELECT doc_id, source, norm, string_split(norm, ' ') AS tokens FROM n),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN len(tokens) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(tokens) - 1),
+      |                     i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))
+      |              ELSE [norm] END AS shingles
+      |  FROM tok
+      |)""".stripMargin
+
+  private def sigSql(k: Int): String =
+    s"""sig AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(range(0, $k),
+       |           i -> list_aggregate(list_transform(shingles, s -> md5(i || '|' || s)), 'min')) AS sig
+       |  FROM sh
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT md5(norm) AS content_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "minhash_signatures" ->
+      s"""$shingleSql, ${sigSql(NumHashes)}
+         |SELECT doc_id, sig FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""$shingleSql, ${sigSql(NumHashes)},
+         |bands AS (
+         |  SELECT doc_id, shingles, b,
+         |         md5(sig[4 * b + 1] || '|' || sig[4 * b + 2] || '|' || sig[4 * b + 3] || '|' || sig[4 * b + 4]) AS band_hash
+         |  FROM sig, UNNEST([0, 1, 2, 3]) t(b)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |),
+         |scored AS (
+         |  SELECT doc1, doc2,
+         |         CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_common,
+         |         round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |               / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))), 6) AS jaccard
+         |  FROM cand JOIN sh x ON cand.doc1 = x.doc_id JOIN sh y ON cand.doc2 = y.doc_id
+         |)
+         |SELECT * FROM scored WHERE jaccard >= $JaccardThreshold ORDER BY doc1, doc2""".stripMargin,
+    "simhash_signatures" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
+        |tb AS (SELECT doc_id, md5(t.token) AS h FROM tok, UNNEST(tokens) t(token)),
+        |bitv AS (
+        |  SELECT doc_id, r.j,
+        |         (CAST(floor((strpos('0123456789abcdef', substr(h, CAST(r.j // 4 AS INT) + 1, 1)) - 1)
+        |                     / (2 ** (3 - r.j % 4))) AS INT) % 2) * 2 - 1 AS vote
+        |  FROM tb, UNNEST(range(0, 64)) r(j)
+        |),
+        |votes AS (SELECT doc_id, j, sum(vote) AS v FROM bitv GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS b FROM votes),
+        |nibs AS (
+        |  SELECT doc_id, j // 4 AS ni,
+        |         CAST(sum(b * (2 ** (3 - j % 4))) AS INT) AS nv
+        |  FROM bits GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |       string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY ni) AS simhash
+        |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$shingleSql
+         |SELECT a.source AS source, a.doc_id AS doc1, b.doc_id AS doc2,
+         |       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+         |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |      / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+         |ORDER BY 1, 2, 3""".stripMargin
+  )
+}

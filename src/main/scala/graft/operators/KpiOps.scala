@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
+
+/** The reference aggregation job's windowed KPIs (SURVEY §2.4 A1/A2,
+  * §2.5 W1): per (source, window) count / sum / avg / error_count /
+  * error_rate and *exact nearest-rank-floor* percentiles —
+  * `sorted.get((int)(size*q))`, index-based, NOT interpolated
+  * (reference `EventAggregationJob.java:197-266`, percentile at
+  * `:247-253`). Window bounds are emitted correctly (the reference's
+  * always-zero windowStart/windowEnd is a known bug we fix, SURVEY §2.12).
+  *
+  * Scale notes: `groupBy(source, window(...))` is one shuffle keyed by
+  * (source, window); Spark performs partial aggregation map-side for the
+  * algebraic aggregates. The exact percentile needs the full value list
+  * per group (`collect_list`) — correct-by-definition but memory-bound by
+  * the largest (source, window) group, which is bounded here by window
+  * length × per-source rate, not by table size, so it scales with the
+  * stream rate, not the dataset. For unbounded groups switch to
+  * `percentile_approx` (documented deviation, SURVEY §7 phase 2).
+  */
+object KpiOps {
+
+  /** Exact nearest-rank-floor percentile over a sorted collected list:
+    * element_at is 1-based, the reference's (int)(size*q) is 0-based.
+    */
+  private def exactPercentile(sorted: Column, n: Column, q: Double): Column =
+    element_at(sorted, (floor(n * lit(q))).cast("int") + 1)
+
+  /** Tumbling 1-minute KPI windows per event_type. */
+  def kpiTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsWithStatus(spark, dir)
+    ev.groupBy(col("event_type"), window(col("ts"), "1 minute").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value"),
+        count(when(col("status") === "error", 1)).as("error_count"),
+        sort_array(collect_list(col("value"))).as("sorted_values")
+      )
+      .withColumn("error_rate", round(col("error_count") / col("n_events"), 6))
+      .withColumn("p95_value",
+                  exactPercentile(col("sorted_values"), col("n_events"), 0.95))
+      .withColumn("p99_value",
+                  exactPercentile(col("sorted_values"), col("n_events"), 0.99))
+      .select(
+        col("event_type"),
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("n_events"),
+        col("sum_value"),
+        col("avg_value"),
+        col("error_count"),
+        col("error_rate"),
+        col("p95_value"),
+        col("p99_value")
+      )
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** Sliding 1-minute windows every 10 s — the reference's
+    * `SlidingEventTimeWindows.of(1 min, 10 s)` keyed by source
+    * (`EventAggregationJob.java:79-82`). Spark's `window(ts, "1 minute",
+    * "10 seconds")` expands each event into its 6 covering panes before
+    * the aggregate — same dataflow Flink's pane assignment performs.
+    */
+  def kpiSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsWithStatus(spark, dir)
+    ev.groupBy(col("event_type"),
+               window(col("ts"), "1 minute", "10 seconds").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value"),
+        count(when(col("status") === "error", 1)).as("error_count")
+      )
+      .withColumn("error_rate", round(col("error_count") / col("n_events"), 6))
+      .select(
+        col("event_type"),
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("n_events"),
+        col("sum_value"),
+        col("avg_value"),
+        col("error_count"),
+        col("error_rate")
+      )
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** `GET /kpi?source=…&window=1m` — newest-first, limit 100
+    * (read-api/main.py:228-291, SURVEY §2.6 O1). Spark plans
+    * orderBy+limit as TakeOrderedAndProject (distributed top-k — no full
+    * sort at scale).
+    */
+  def kpiLookup(spark: SparkSession, dir: String): DataFrame =
+    kpiTumbling(spark, dir)
+      .filter(col("event_type") === "click")
+      .orderBy(col("window_start").desc)
+      .limit(100)
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val ev =
+    s"(SELECT e.*, ${Tables.statusSql} AS status FROM (${Tables.eventsSql}) e)"
+
+  /** Tumbling 1-min windows are epoch-aligned, so window_start ≡
+    * date_trunc('minute', ts).
+    */
+  private val tumblingSql =
+    s"""SELECT event_type,
+       |       date_trunc('minute', ts) AS window_start,
+       |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+       |       count(*) AS n_events,
+       |       round(sum(value), 4) AS sum_value,
+       |       round(avg(value), 6) AS avg_value,
+       |       count(*) FILTER (WHERE status = 'error') AS error_count,
+       |       round(CAST(count(*) FILTER (WHERE status = 'error') AS DOUBLE) / count(*), 6) AS error_rate,
+       |       list_sort(list(value))[CAST(floor(count(*) * 0.95) AS INT) + 1] AS p95_value,
+       |       list_sort(list(value))[CAST(floor(count(*) * 0.99) AS INT) + 1] AS p99_value
+       |FROM $ev ee
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "kpi_tumbling" -> s"SELECT * FROM ($tumblingSql) t ORDER BY event_type, window_start",
+    "kpi_lookup" ->
+      s"""SELECT * FROM ($tumblingSql) t WHERE event_type = 'click'
+         |ORDER BY window_start DESC LIMIT 100""".stripMargin,
+    // Sliding panes: each event belongs to the 6 10s-aligned windows
+    // [start, start+60s) with start ∈ {floor(ts/10s)*10s - k*10s, k=0..5}.
+    "kpi_sliding" ->
+      s"""WITH x AS (
+         |  SELECT event_type, value, status,
+         |         TIMESTAMP '1970-01-01 00:00:00'
+         |           + (CAST(floor(epoch(ts) / 10) AS BIGINT) * 10 - k * 10) * INTERVAL 1 SECOND
+         |           AS window_start
+         |  FROM $ev ee, UNNEST([0, 1, 2, 3, 4, 5]) AS t(k)
+         |)
+         |SELECT event_type, window_start,
+         |       window_start + INTERVAL 1 MINUTE AS window_end,
+         |       count(*) AS n_events,
+         |       round(sum(value), 4) AS sum_value,
+         |       round(avg(value), 6) AS avg_value,
+         |       count(*) FILTER (WHERE status = 'error') AS error_count,
+         |       round(CAST(count(*) FILTER (WHERE status = 'error') AS DOUBLE) / count(*), 6) AS error_rate
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

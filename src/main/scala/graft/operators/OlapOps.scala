@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
+
+/** General OLAP queries over the TPC-H-ish star schema. The reference has
+  * no joins at all (SURVEY §2.11); these are the additive capabilities a
+  * standalone analytics engine needs, and they double as the scale/bench
+  * workload: multi-way joins with explicit broadcast of dimensions,
+  * partial aggregation, and top-k.
+  *
+  * Scale notes: fact tables (lineitem/orders) are shuffled at most once
+  * per query; every dimension (region/nation/customer/supplier) is
+  * broadcast — at SF100k customer outgrows broadcast and AQE converts it
+  * to a shuffled hash join automatically, which is why we *hint* rather
+  * than hard-code a strategy. Filters sit directly on scans so parquet
+  * row-group pruning applies (`PushedFilters` in `.explain`).
+  */
+object OlapOps {
+
+  /** TPC-H Q1 shape: pricing summary over lineitem (pure scan + agg,
+    * map-side partial aggregation; the canonical scan-throughput probe).
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 shape: shipping priority — customer ⋈ orders ⋈ lineitem,
+    * top-10 revenue. customer is broadcast (small side); orders⋈lineitem
+    * shuffles on orderkey once.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: local-supplier revenue per nation — 6-way join with
+    * every dimension broadcast; single fact shuffle.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    Tables
+      .lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-10 customers by order value, with broadcast name lookup. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("total_spent"),
+           count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.customer(spark, dir)),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name"),
+              col("total_spent"), col("n_orders"))
+      .orderBy(col("total_spent").desc, col("custkey"))
+      .limit(10)
+
+  /** Parts-per-supplier semi-join shape via distinct aggregation over
+    * lineitem (exact count-distinct: two-phase hash aggregate).
+    */
+  def supplierParts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+           round(sum(col("l_quantity")), 4).as("total_qty"))
+      .orderBy(col("l_suppkey"))
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_extendedprice), 6) AS avg_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top_customers" ->
+      """SELECT o_custkey AS custkey, c_name,
+        |       round(sum(o_totalprice), 4) AS total_spent,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY total_spent DESC, custkey LIMIT 10""".stripMargin,
+    "supplier_parts" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        |       round(sum(l_quantity), 4) AS total_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

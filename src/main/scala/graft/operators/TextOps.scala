@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: token counting, quality scoring, stopword-based
+  * language ID, and document fingerprinting. All computed with native
+  * Catalyst expressions (split/transform/filter/md5) — no UDFs, so the
+  * whole pass stays inside whole-stage codegen and is embarrassingly
+  * parallel (pure map, no shuffle except the final presentation sort).
+  */
+object TextOps {
+
+  private val Stopwords =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
+
+  /** Whitespace tokens of the trimmed text. */
+  private def tokensCol: Column = split(trim(col("text")), "\\s+")
+
+  /** Token statistics per document (token counting: whitespace + length
+    * accounting; a BPE-ish subword estimate via chars/4, the common
+    * published heuristic for byte-pair-encoded corpora).
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("tokens", tokensCol)
+      .select(
+        col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        length(col("text")).as("n_chars_text"),
+        (floor(length(col("text")) / 4)).cast("long").as("n_subwords_est"),
+        round(
+          aggregate(transform(col("tokens"), t => length(t).cast("double")),
+                    lit(0.0), (acc, x) => acc + x) /
+            greatest(size(col("tokens")), lit(1)),
+          6).as("avg_token_len")
+      )
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: stopword ratio, unique-token ratio, mean token
+    * length — the length/stopword-ratio heuristics used by published
+    * web-corpus filters (C4/Gopher-style rules).
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables
+      .documents(spark, dir)
+      .withColumn("tokens", tokensCol)
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .withColumn(
+        "n_stopwords",
+        size(filter(col("tokens"), t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("n_unique", size(array_distinct(col("tokens"))).cast("long"))
+      .withColumn("stopword_ratio",
+                  round(col("n_stopwords").cast("double") / col("n_tokens"), 6))
+      .withColumn("unique_ratio",
+                  round(col("n_unique").cast("double") / col("n_tokens"), 6))
+      .withColumn(
+        "quality_score",
+        round(
+          when(col("n_tokens") >= 10, lit(0.5)).otherwise(lit(0.0))
+            + when(col("stopword_ratio").between(0.05, 0.6), lit(0.25))
+              .otherwise(lit(0.0))
+            + col("unique_ratio") * 0.25,
+          6))
+      .select(col("doc_id"), col("n_tokens"), col("n_stopwords"), col("n_unique"),
+              col("stopword_ratio"), col("unique_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: English marker-token ratio (n-gram/stopword
+    * scoring). Predicts 'en' when markers exceed 5% of tokens, else
+    * 'other' — deterministic, so oracle-checkable; accuracy vs the `lang`
+    * label is a separate judged metric, not correctness.
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = array(Stopwords.map(lit): _*)
+    Tables
+      .documents(spark, dir)
+      .withColumn("tokens", tokensCol)
+      .withColumn(
+        "en_ratio",
+        round(size(filter(col("tokens"), t => array_contains(markers, t)))
+                .cast("double") /
+                greatest(size(col("tokens")), lit(1)),
+              6))
+      .withColumn("pred_lang",
+                  when(col("en_ratio") > 0.05, "en").otherwise("other"))
+      .select(col("doc_id"), col("lang").as("label_lang"), col("en_ratio"),
+              col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: (a) exact content hash of the
+    * whitespace-normalized lowercased text; (b) order-insensitive
+    * bag-of-words hash (sorted distinct tokens) — the cheap first stage of
+    * a dedup cascade.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("content_hash"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("norm"), " ")))))
+          .as("bag_hash")
+      )
+      .orderBy(col("doc_id"))
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val stopList = Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tokens FROM documents)
+        |SELECT doc_id,
+        |       len(tokens) AS n_tokens,
+        |       length(text) AS n_chars_text,
+        |       CAST(floor(length(text) / 4) AS BIGINT) AS n_subwords_est,
+        |       round(list_reduce(list_transform(tokens, t -> CAST(length(t) AS DOUBLE)), (a, b) -> a + b)
+        |             / greatest(len(tokens), 1), 6) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(tokens, t -> t IN $stopList)) AS BIGINT) AS n_stopwords,
+         |         CAST(len(list_distinct(tokens)) AS BIGINT) AS n_unique
+         |  FROM t
+         |),
+         |r AS (
+         |  SELECT *, round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+         |            round(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS unique_ratio
+         |  FROM s
+         |)
+         |SELECT doc_id, n_tokens, n_stopwords, n_unique, stopword_ratio, unique_ratio,
+         |       round((CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
+         |             + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END)
+         |             + unique_ratio * 0.25, 6) AS quality_score
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang AS label_lang,
+         |         round(CAST(len(list_filter(tokens, t -> t IN $stopList)) AS DOUBLE)
+         |               / greatest(len(tokens), 1), 6) AS en_ratio
+         |  FROM t
+         |)
+         |SELECT doc_id, label_lang, en_ratio,
+         |       CASE WHEN en_ratio > 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id,
+        |       md5(norm) AS content_hash,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS bag_hash
+        |FROM n ORDER BY doc_id""".stripMargin
+  )
+}

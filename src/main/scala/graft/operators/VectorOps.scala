@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Dot products and norms are computed with native higher-order Catalyst
+  * expressions (`zip_with` + left-fold `aggregate`) after a float→double
+  * cast — a deterministic sequential summation that DuckDB's `list_reduce`
+  * reproduces bit-for-bit, keeping every score oracle-checkable.
+  *
+  * Scale path: brute-force top-k broadcasts the (small) query set against
+  * the full candidate table — one pass, no shuffle of the big side, and
+  * `row_number` top-k runs per-query-partition. The bucketed variant
+  * (sign-bit LSH over the leading dimensions, i.e. random-hyperplane
+  * hashing with axis-aligned planes) is the 100 TB path: candidates are
+  * co-shuffled by bucket so each query compares against its bucket only.
+  */
+object VectorOps {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(c: Column): Column =
+    sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Brute-force cosine top-10 neighbors for query vectors (vec_id < 20)
+    * against all other vectors — the exact ANN baseline.
+    */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = emb
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = emb
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+                  round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"),
+              col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sign-bit bucket code over the first 8 dimensions — a deterministic
+    * random-hyperplane LSH (axis-aligned planes), giving 256 buckets.
+    */
+  private def bucketCode(v: Column): Column =
+    array_join(
+      transform(slice(v, 1, 8), x => when(x >= 0, "1").otherwise("0")), "")
+
+  /** LSH-bucketed ANN: top-5 cosine neighbors within the same sign-bucket.
+    * The scale variant: candidates co-partitioned by bucket, so the join
+    * fan-out is |bucket|², not |table|².
+    */
+  def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", bucketCode(col("v")))
+    val left = emb.select(col("bucket"), col("vec_id").as("query_id"),
+                          col("v").as("qv"), col("nrm").as("qn"))
+    val scored = emb
+      .join(left, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+                  round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+              col("cosine"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within buckets (≥ 0.9). */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", bucketCode(col("v")))
+    val right = emb.select(col("bucket"), col("vec_id").as("vec2"),
+                           col("v").as("v2"), col("nrm").as("n2"))
+    emb
+      .join(right, Seq("bucket"))
+      .filter(col("vec_id") < col("vec2"))
+      .withColumn("cosine",
+                  round(dot(col("v"), col("v2")) / (col("nrm") * col("n2")), 6))
+      .filter(col("cosine") >= 0.3)
+      .select(col("vec_id").as("vec1"), col("vec2"), col("cosine"))
+      .orderBy(col("vec1"), col("vec2"))
+  }
+
+  /** Per-label centroid statistics — the aggregation building block of an
+    * IVF coarse quantizer (here over the given labels; k-means iterations
+    * would repeat this agg with assignments recomputed).
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+           round(avg(norm(col("v"))), 6).as("avg_norm"))
+      .orderBy(col("label"))
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  /** Shared CTE: double-cast vectors + norms via the same left fold. */
+  private val embSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |),
+      |en AS (
+      |  SELECT *, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm,
+      |         array_to_string(list_transform(v[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      |  FROM e
+      |)""".stripMargin
+
+  private val dotSql =
+    "list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]), (a, b) -> a + b)"
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" ->
+      s"""$embSql
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cosine,
+         |         CAST(row_number() OVER (PARTITION BY q.vec_id
+         |                ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS BIGINT) AS rank
+         |  FROM en q JOIN en c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20
+         |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_bucketed" ->
+      s"""$embSql
+         |SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cosine,
+         |         CAST(row_number() OVER (PARTITION BY q.vec_id
+         |                ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS BIGINT) AS rank
+         |  FROM en q JOIN en c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "embed_near_dup" ->
+      s"""$embSql
+         |SELECT q.vec_id AS vec1, c.vec_id AS vec2,
+         |       round($dotSql / (q.nrm * c.nrm), 6) AS cosine
+         |FROM en q JOIN en c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+         |WHERE round($dotSql / (q.nrm * c.nrm), 6) >= 0.3
+         |ORDER BY vec1, vec2""".stripMargin,
+    "label_centroids" ->
+      s"""$embSql
+         |SELECT label, count(*) AS n_vectors, round(avg(nrm), 6) AS avg_norm
+         |FROM en GROUP BY label ORDER BY label""".stripMargin
+  )
+}
