@@ -70,6 +70,7 @@ object AnomalyOps {
 
     val scored = Tables
       .events(spark, dir)
+      .filter(col("value") > 0) // P3 validity filter (AnomalyDetectionJob.java:81-83)
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
       .withColumn("buf", collect_list(col("value")).over(w))
       .withColumn("n_samples", size(col("buf")).cast("long"))
@@ -243,7 +244,7 @@ object AnomalyOps {
     * same rounding).
     */
   private val scoredSql =
-    s"""WITH e AS (${Tables.eventsSql}),
+    s"""WITH e AS (SELECT * FROM (${Tables.eventsSql}) ee WHERE value > 0),
        |buf AS (
        |  SELECT event_id, event_type, ts, value,
        |         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming wrappers (SURVEY §7 phase 4): the two reference
+  * Flink jobs re-expressed as incremental queries over the SAME column
+  * expressions the batch analogs use (`readStream → withWatermark →
+  * groupBy(window) / flatMapGroupsWithState → writeStream`).
+  *
+  * - Watermark: 10 s bounded out-of-orderness, event time from the
+  *   payload (T1, `EventAggregationJob.java:68-71`); rows older than the
+  *   watermark are dropped — Flink's default late-data behavior (T2).
+  * - Output mode `update` ≡ Flink's per-pane emission on watermark.
+  * - Checkpointing (T11): every sink takes a `checkpointLocation`;
+  *   Structured Streaming's WAL + state store give exactly-once batches
+  *   (the reference's 30 s checkpoint interval maps to the trigger).
+  *
+  * Sources: a file (parquet) source stands in for the Kafka topic — the
+  * container has no Kafka broker or connector jar. [[kafkaSourceOptions]]
+  * documents the exact production wiring; swapping `format("parquet")` for
+  * `format("kafka")` + these options is the only change.
+  */
+object EventPipeline {
+
+  /** Event schema for the streaming file source (explicit — never
+    * inferred; SURVEY §1.3).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)
+  ))
+
+  /** Production Kafka source options (S1/S2): subscribe `events.v1`,
+    * start at latest — `.readStream.format("kafka").options(this)` then
+    * `from_json(CAST(value AS STRING), schema)`.
+    */
+  def kafkaSourceOptions(bootstrap: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> "events.v1",
+    "startingOffsets" -> "latest",
+    "maxOffsetsPerTrigger" -> "100000"
+  )
+
+  /** File-based event stream: each parquet file dropped into `dir` is a
+    * micro-batch (the test/dev stand-in for the Kafka topic).
+    */
+  def readEventFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Sliding-window KPI aggregation (W1/A1): 1-minute windows every 10 s
+    * keyed by event_type, with the derived status error rate — the same
+    * expressions as the batch KpiOps, made incremental by the watermark.
+    */
+  def slidingKpi(events: DataFrame): DataFrame =
+    events
+      .withColumn("status",
+                  when(col("value") >= 100, "error")
+                    .when(col("value") >= 75, "warning")
+                    .otherwise("ok"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("event_type"),
+               window(col("ts"), "1 minute", "10 seconds").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"),
+        count(when(col("status") === "error", 1)).as("error_count")
+      )
+      .select(col("event_type"), col("w.start").as("window_start"),
+              col("w.end").as("window_end"), col("n_events"),
+              col("sum_value"), col("avg_value"), col("error_count"))
+
+  /** Streaming dedup on the event id within the watermark horizon —
+    * `dropDuplicatesWithinWatermark` bounds state by event time (the
+    * streaming form of MiscOps.eventsDedup).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Keyed stateful anomaly detection (T3): groupByKey(event_type) →
+    * flatMapGroupsWithState(AnomalyProcessor.detect). Update-mode output,
+    * no timeout (state lives for the key's lifetime, like Flink
+    * ValueState).
+    */
+  def anomalyStream(spark: SparkSession, events: DataFrame): Dataset[AnomalyAlert] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              col("value"))
+      .as[Event]
+      .filter(_.value > 0) // P3 validity filter
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        AnomalyProcessor.detect)
+  }
+
+  /** Second keyed stage: cooldown gate per (source, severity) (T10). */
+  def cooldownStream(
+      spark: SparkSession,
+      alerts: Dataset[AnomalyAlert]): Dataset[CooldownProcessor.FiredAlert] = {
+    import spark.implicits._
+    alerts
+      .filter(_.is_anomaly) // P4 anomaly-only filter
+      .groupByKey(a => (a.event_type, a.severity))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        CooldownProcessor.gate)
+  }
+
+  /** Kafka-envelope projection (K1-K4): aggregate/alert record → JSON
+    * `value` with the Redis-style key (F6/F11) — write with
+    * `.writeStream.format("kafka")` in production, parquet here.
+    */
+  def toKafkaEnvelope(kpi: DataFrame): DataFrame =
+    kpi.select(
+      concat_ws(":", lit("agg"), col("event_type"), lit("1m"),
+                date_format(col("window_start"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .as("key"),
+      to_json(struct(col("event_type"), col("window_start"),
+                     col("window_end"), col("n_events"), col("sum_value"),
+                     col("avg_value"), col("error_count"))).as("value"))
+
+  /** Hot/cold store sink (K5 + §4 caching row): foreachBatch upsert into
+    * parquet — the gap-closing writer the reference implies but never
+    * ships (SURVEY §2.2 note).
+    */
+  def startKpiSink(
+      kpi: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    kpi.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.{ExactPercentile, Rounding}
+import org.apache.spark.sql.functions.col
+import scala.util.Random
+
+/** Unit specs for the custom function surface: the exact nearest-rank
+  * percentile Aggregator (SURVEY §2.4 A2 / §2.10) and the deterministic
+  * cross-engine rounding helpers.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  test("ExactPercentile matches the reference nearest-rank-floor definition") {
+    val session = spark
+    import session.implicits._
+    val rnd = new Random(7)
+    for (n <- Seq(1, 2, 10, 99, 100)) {
+      val xs = List.fill(n)(rnd.nextDouble() * 500)
+      val ds = xs.toDF("v")
+      val got95 = ds.agg(ExactPercentile.p95(col("v"))).as[Double].head()
+      val got99 = ds.agg(ExactPercentile.p99(col("v"))).as[Double].head()
+      val sorted = xs.sorted
+      assert(got95 == sorted((n * 0.95).toInt), s"p95 n=$n")
+      assert(got99 == sorted((n * 0.99).toInt), s"p99 n=$n")
+    }
+  }
+
+  test("ExactPercentile merges partial buffers across partitions") {
+    val session = spark
+    import session.implicits._
+    val xs = (1 to 1000).map(_.toDouble)
+    val got = spark.sparkContext
+      .parallelize(xs, 8)
+      .toDF("v")
+      .agg(ExactPercentile.p95(col("v")))
+      .as[Double]
+      .head()
+    assert(got == xs.sorted.apply((1000 * 0.95).toInt))
+  }
+
+  test("Rounding.fixSql rewrites nested round() calls") {
+    val in = "SELECT round(avg(x), 6) AS a, round(round(y, 4) / z, 2) AS b FROM t"
+    val out = Rounding.fixSql(in)
+    assert(!out.toLowerCase.contains("round("))
+    assert(out.contains("floor((avg(x)) * 1e6 + 0.5) / 1e6"))
+    assert(out.contains("floor((floor((y) * 1e4 + 0.5) / 1e4 / z) * 1e2 + 0.5) / 1e2"))
+  }
+
+  test("Rounding.round matches scalar floor formula in Spark") {
+    val session = spark
+    import session.implicits._
+    val xs = Seq(29.63125, -3.14155, 6.395, 0.0, 123.456789)
+    val got = xs.toDF("x")
+      .select(Rounding.round(col("x"), 4))
+      .as[Double]
+      .collect()
+      .toSeq
+    val want = xs.map(x => math.floor(x * 1e4 + 0.5) / 1e4)
+    assert(got == want)
+  }
+}

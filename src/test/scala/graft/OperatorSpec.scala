@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Targeted semantic specs per operator family over tiny frames / the
+  * sf0.001 fixture — complements the DuckDB oracle gate (which checks
+  * engine parity) with checks of the *intended* semantics.
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("kpi tumbling: exact nearest-rank percentiles and error rate") {
+    val session = spark
+    import session.implicits._
+    val df = KpiOps.kpiTumbling(spark, sf("sf0.001"))
+    val row = df.orderBy(desc("n_events")).head()
+    val n = row.getAs[Long]("n_events")
+    assert(row.getAs[Long]("error_count") <= n)
+    val er = row.getAs[Double]("error_rate")
+    assert(er >= 0 && er <= 1)
+    assert(row.getAs[Double]("p99_value") >= row.getAs[Double]("p95_value"))
+    // windows are exactly one minute
+    assert(
+      row.getAs[java.sql.Timestamp]("window_end").getTime -
+        row.getAs[java.sql.Timestamp]("window_start").getTime == 60000L)
+  }
+
+  test("sliding windows produce exactly 6 panes per event") {
+    val total = KpiOps
+      .kpiSliding(spark, sf("sf0.001"))
+      .agg(sum("n_events"))
+      .head()
+      .getLong(0)
+    val events = Tables.events(spark, sf("sf0.001")).count()
+    assert(total == events * 6)
+  }
+
+  test("anomaly severity classification is consistent with scores") {
+    val df = AnomalyOps.anomalyScore(spark, sf("sf0.001"))
+    val bad = df
+      .filter(
+        (col("severity") === "critical" &&
+          !(abs(col("z_score")) > 4 || col("mad_score") > 4)) ||
+          (col("severity") =!= "info" && !col("is_anomaly")) ||
+          (col("anomaly_type") === "normal" && col("is_anomaly")))
+      .count()
+    assert(bad == 0)
+    // warm-up gate: nothing with fewer than 10 samples
+    assert(df.filter(col("n_samples") < 10).count() == 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val session = spark
+    import session.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow") // 1 word of 13 differs
+    val far = "completely different content with nothing shared at all here now"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("mh").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.dedupMinhashLsh(spark, dir)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs hash identically, different docs differ") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("sh").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sig = DedupOps.simhashSignatures(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    assert(sig(1L).matches("[0-9a-f]{16}"))
+  }
+
+  test("ann_topk returns correctly ranked non-self neighbors") {
+    val df = VectorOps.annTopK(spark, sf("sf0.001"))
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // per query: ranks are 1..k and cosine non-increasing along rank
+    val perQuery = df
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+           max("rank").as("maxr"),
+           min("cosine").as("mn"),
+           max("cosine").as("mx"),
+           first("cosine").as("f"))
+    assert(perQuery.filter(col("k") =!= col("maxr")).count() == 0)
+    val rows = df.orderBy("query_id", "rank").collect()
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0).getLong(0) == w(1).getLong(0))
+        assert(w(0).getDouble(2) >= w(1).getDouble(2))
+    }
+  }
+
+  test("multimodal stub decode: schema and deterministic values") {
+    val df = MultimodalOps.mediaMeta(spark, sf("sf0.001"))
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height", "n_frames", "checksum_first"))
+    val r = df.head()
+    val n = r.getAs[Long]("n_bytes")
+    assert(r.getAs[Int]("width") == ((n * 7) % 640 + 16).toInt)
+    assert(r.getAs[Int]("n_frames") == (n % 24 + 1).toInt)
+  }
+
+  test("q1 aggregates are internally consistent") {
+    val df = OlapOps.q1Pricing(spark, sf("sf0.001"))
+    val r = df.head()
+    assert(r.getAs[Double]("sum_base_price") > 0)
+    assert(r.getAs[Double]("avg_disc") >= 0 && r.getAs[Double]("avg_disc") < 1)
+    val total = df.agg(sum("count_order")).head().getLong(0)
+    val filtered = Tables.lineitem(spark, sf("sf0.001"))
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .count()
+    assert(total == filtered)
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.AnomalyOps
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming ↔ batch parity (SURVEY §7 hard part 6): the
+  * flatMapGroupsWithState anomaly processor fed the sf0.001 events in
+  * event-time order must produce exactly the batch analog's
+  * (window-function) scores — same rolling buffers, same thresholds,
+  * same severities. Also exercises the sliding-window KPI stream with
+  * watermark advancement and late-data drop (T1/T2/W1).
+  */
+class StreamingParitySpec extends SparkSpec {
+
+  test("streaming anomaly processor matches the batch window analog") {
+    val session = spark
+    import session.implicits._
+
+    // all events in event-time order, split across 3 micro-batches
+    val events = Tables
+      .events(spark, sf("sf0.001"))
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    val input = MemoryStream[Event](spark, 2)
+    val alerts = EventPipeline.anomalyStream(spark, input.toDF())
+    val q = alerts.writeStream
+      .format("memory")
+      .queryName("alerts_parity")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      events.grouped(400).foreach { batch =>
+        input.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark
+      .table("alerts_parity")
+      .as[AnomalyAlert]
+      .collect()
+      .map(a => (a.event_id, a.n_samples, a.z_score, a.mad_score, a.severity,
+                 a.anomaly_type))
+      .toSet
+
+    val batchAnalog = AnomalyOps
+      .anomalyScore(spark, sf("sf0.001"))
+      .selectExpr("event_id", "n_samples", "z_score", "mad_score", "severity",
+                  "anomaly_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+                 r.getString(4), r.getString(5)))
+      .toSet
+
+    assert(streamed.size == batchAnalog.size)
+    assert(streamed == batchAnalog)
+  }
+
+  test("sliding-window KPI stream aggregates and drops late data") {
+    val session = spark
+    import session.implicits._
+
+    def ev(id: Long, t: String, typ: String, v: Double): Event =
+      Event(id, Timestamp.valueOf(t), 1L, typ, v)
+
+    val input = MemoryStream[Event](spark, 2)
+    val kpi = EventPipeline.slidingKpi(input.toDF())
+    val q = kpi.writeStream
+      .format("memory")
+      .queryName("kpi_stream")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:00:05", "web", 10.0),
+        ev(2, "2024-01-01 00:00:15", "web", 110.0))
+      q.processAllAvailable()
+      // advance watermark far past the first windows…
+      input.addData(ev(3, "2024-01-01 00:10:00", "web", 50.0))
+      q.processAllAvailable()
+      // …then a very late event: must be dropped from closed windows
+      input.addData(ev(4, "2024-01-01 00:00:20", "web", 999.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark
+      .table("kpi_stream")
+      .selectExpr("window_start", "n_events", "sum_value", "error_count")
+      .as[(Timestamp, Long, Double, Long)]
+      .collect()
+
+    // pane [00:00:00,00:01:00) saw events 1+2 (error: value>=100); the
+    // late event 4 (999.0) must not appear in any emitted pane update
+    val pane0 = rows
+      .filter(_._1 == Timestamp.valueOf("2024-01-01 00:00:00"))
+      .maxBy(_._2)
+    assert(pane0._2 == 2 && pane0._3 == 120.0 && pane0._4 == 1)
+    assert(!rows.exists(_._3 >= 999.0), "late event leaked into a pane")
+
+    // event 1 at :05 belongs to exactly 6 sliding panes (starts :59:10…:00:00)
+    val panesWithEvent1 = rows.map(_._1).distinct
+      .count(ws => {
+        val s = ws.getTime
+        val t = Timestamp.valueOf("2024-01-01 00:00:05").getTime
+        t >= s && t < s + 60000
+      })
+    assert(panesWithEvent1 == 6)
+  }
+
+  test("cooldown processor enforces chained per-key suppression") {
+    val session = spark
+    import session.implicits._
+
+    def alert(id: Long, t: String): AnomalyAlert =
+      AnomalyAlert(id, "web", Timestamp.valueOf(t), 200.0, 50, 50, 5, 50, 3,
+                   5.0, 5.0, is_anomaly = true, "critical", "z-score")
+
+    val input = MemoryStream[AnomalyAlert](spark, 2)
+    val fired = EventPipeline.cooldownStream(spark, input.toDS())
+    val q = fired.writeStream
+      .format("memory")
+      .queryName("fired_alerts")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      input.addData(
+        alert(1, "2024-01-01 00:00:00"), // fires
+        alert(2, "2024-01-01 00:03:00"), // suppressed (3 min < 5 min)
+        alert(3, "2024-01-01 00:06:00"), // suppressed: 6 min after #1? NO —
+        // chained semantics: last FIRED is #1 at 00:00, 6 min ≥ 5 min → fires
+        alert(4, "2024-01-01 00:08:00")  // 2 min after #3 fired → suppressed
+      )
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("fired_alerts").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
+}
