@@ -44,56 +44,35 @@ object AnomalyOps {
 
   /** Full anomaly scoring: z-score + MAD + severity + type per event.
     *
-    * Plan-shape note: the rolling buffer (`collect_list` over the frame)
-    * and every fold/sort over it are evaluated as *window-operator
-    * outputs* — `first(expr)` over a degenerate current-row frame on the
-    * same partitioning/ordering. All three WindowExec stages share one
-    * shuffle + sort, each heavy array expression is evaluated exactly once
-    * per row, and downstream filters (alerts/stats/cooldown) cannot be
-    * substituted through a window boundary — without this, Catalyst's
-    * predicate pushdown inlines the non-codegen higher-order-function
-    * trees into every consumer and re-evaluates the 100-element folds
-    * many times per row (measured 45× slowdown on the alert queries).
+    * Plan-shape note: the whole rolling-statistics bundle is ONE custom
+    * Catalyst window aggregate ([[graft.functions.RollingStatsAgg]]):
+    * each frame is traversed once with primitive arrays, the result is a
+    * struct *attribute*, and every downstream consumer (alert filters,
+    * stats, cooldown) references cheap struct fields. The earlier
+    * higher-order-function formulation was correct but interpreted —
+    * and Catalyst's predicate pushdown substituted the non-codegen fold
+    * trees into every consumer, re-evaluating the 100-element folds many
+    * times per row (measured 45× slowdown on the alert queries).
     */
   def anomalyScore(spark: SparkSession, dir: String): DataFrame = {
     val w = Window
       .partitionBy(col("event_type"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-99, 0)
-    // degenerate frame on the same spec: evaluates once per row, yields an
-    // attribute, adds no shuffle or sort
-    val cur = Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(0, 0)
-    def once(c: Column): Column = first(c).over(cur)
 
     val scored = Tables
       .events(spark, dir)
       .filter(col("value") > 0) // P3 validity filter (AnomalyDetectionJob.java:81-83)
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-      .withColumn("buf", collect_list(col("value")).over(w))
-      .withColumn("n_samples", size(col("buf")).cast("long"))
-      // reference RollingStats: mean = sum/n, stddev = sqrt(max(0, sumSq/n - mean^2))
-      // (population variance, AnomalyDetectionJob.java:191-213)
-      .withColumn("mean_value",
-                  once(aggregate(col("buf"), lit(0.0), (acc, x) => acc + x) /
-                    col("n_samples")))
-      .withColumn("sum_sq",
-                  once(aggregate(col("buf"), lit(0.0), (acc, x) => acc + x * x)))
-      .withColumn("median_value",
-                  once(medianOfSorted(sort_array(col("buf")), col("n_samples"))))
-      .withColumn(
-        "stddev_value",
-        sqrt(greatest(
-          lit(0.0),
-          col("sum_sq") / col("n_samples")
-            - col("mean_value") * col("mean_value"))))
-      .withColumn(
-        "mad_value",
-        once(medianOfSorted(
-          sort_array(transform(col("buf"), x => abs(x - col("median_value")))),
-          col("n_samples"))))
+      // reference RollingStats semantics in one pass: mean = sum/n,
+      // stddev = sqrt(max(0, sumSq/n - mean^2)) (population variance,
+      // AnomalyDetectionJob.java:191-213), midpoint median, MAD
+      .withColumn("st", graft.functions.RollingStatsAgg(col("value")).over(w))
+      .withColumn("n_samples", col("st.n"))
+      .withColumn("mean_value", col("st.mean"))
+      .withColumn("stddev_value", col("st.stddev"))
+      .withColumn("median_value", col("st.median"))
+      .withColumn("mad_value", col("st.mad"))
       .withColumn(
         "z_score",
         round(when(col("stddev_value") > 0,
@@ -189,7 +168,10 @@ object AnomalyOps {
     */
   def alertsStats(spark: SparkSession, dir: String): DataFrame = {
     val alerts = anomalyScore(spark, dir).filter(col("is_anomaly"))
-    val mx = alerts.agg(max(col("ts")).as("max_ts"))
+    // "now" anchor from the raw events table (one cheap column scan) —
+    // anchoring on alerts.max(ts) would execute the whole scoring
+    // pipeline a second time just to find the clock
+    val mx = Tables.events(spark, dir).agg(max(col("ts")).as("max_ts"))
     alerts
       .crossJoin(broadcast(mx))
       .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
@@ -316,7 +298,7 @@ object AnomalyOps {
          |ORDER BY ts DESC, event_id DESC LIMIT 1000""".stripMargin,
     "alerts_stats" ->
       s"""$scoredSql, alerts AS (SELECT * FROM final WHERE is_anomaly),
-         |mx AS (SELECT max(ts) AS max_ts FROM alerts)
+         |mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
          |SELECT severity, count(*) AS total_alerts,
          |       count(*) FILTER (WHERE ts >= max_ts - INTERVAL 1 HOUR) AS last_hour_alerts
          |FROM alerts, mx

@@ -29,25 +29,14 @@ object DedupOps {
   private val RowsPerBand = NumHashes / Bands
   private val JaccardThreshold = 0.5
 
-  /** Normalized text + word-3-gram shingle set (distinct). */
+  /** Normalized text + word-3-gram shingle set (distinct) — native
+    * expression ([[graft.functions.ShinglesExpr]]); see there for why not
+    * built-in higher-order functions.
+    */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
-      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-      .withColumn("tokens", split(col("norm"), " "))
-      .withColumn(
-        "shingles",
-        when(
-          size(col("tokens")) >= 3,
-          array_distinct(transform(
-            sequence(lit(1), size(col("tokens")) - 2),
-            i =>
-              concat_ws(" ",
-                        element_at(col("tokens"), i),
-                        element_at(col("tokens"), i + 1),
-                        element_at(col("tokens"), i + 2))
-          ))
-        ).otherwise(array(col("norm"))))
+      .withColumn("shingles", graft.functions.TextExprs.wordShingles(col("text"), 3))
 
   /** Exact dedup: hash-groupBy on normalized content; emits the canonical
     * (min) doc_id per content hash plus the duplicate count. One shuffle
@@ -62,38 +51,34 @@ object DedupOps {
            count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
 
-  /** MinHash signatures (k=16) per document — the per-doc map stage. */
+  /** MinHash signatures (k=16) per document — the per-doc map stage
+    * (native one-pass expression, [[graft.functions.MinHashSigExpr]]).
+    */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     shingled(spark, dir)
-      .withColumn(
-        "sig",
-        transform(
-          sequence(lit(0), lit(NumHashes - 1)),
-          i =>
-            array_min(
-              transform(col("shingles"),
-                        s => md5(concat(i.cast("string"), lit("|"), s))))))
+      .withColumn("sig",
+                  graft.functions.TextExprs.minhashSignature(col("shingles"),
+                                                             NumHashes))
       .select(col("doc_id"), col("sig"))
       .orderBy(col("doc_id"))
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard
     * over the shingle sets. bands=4 × rows=4 over k=16.
+    *
+    * Shape: the expensive signature pass (16 min-hashes × |shingles| md5s
+    * per doc) runs ONCE; buckets come from a groupBy on (band,
+    * band_hash) with in-bucket pair expansion — not a self-join, which
+    * would re-execute the signature pipeline for both sides. Candidate
+    * verification joins back to the (cheap) shingle sets only.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = shingled(spark, dir)
-      .withColumn(
-        "sig",
-        transform(
-          sequence(lit(0), lit(NumHashes - 1)),
-          i =>
-            array_min(
-              transform(col("shingles"),
-                        s => md5(concat(i.cast("string"), lit("|"), s))))))
-      .select(col("doc_id"), col("shingles"), col("sig"))
-
-    val bands = sigs
-      .select(col("doc_id"), col("shingles"), col("sig"),
-              explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+    val bands = shingled(spark, dir)
+      .withColumn("sig",
+                  graft.functions.TextExprs.minhashSignature(col("shingles"),
+                                                             NumHashes))
+      .select(col("doc_id"),
+              explode(sequence(lit(0), lit(Bands - 1))).as("band"),
+              col("sig"))
       .withColumn(
         "band_hash",
         md5(concat_ws(
@@ -101,53 +86,66 @@ object DedupOps {
           (0 until RowsPerBand).map(r =>
             element_at(col("sig"), col("band") * RowsPerBand + r + 1)): _*)))
 
-    val left = bands.select(col("band"), col("band_hash"),
-                            col("doc_id").as("doc1"),
-                            col("shingles").as("s1"))
-    val right = bands.select(col("band"), col("band_hash"),
-                             col("doc_id").as("doc2"),
-                             col("shingles").as("s2"))
-
-    left
-      .join(right,
-            Seq("band", "band_hash"))
-      .filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"), col("s1"), col("s2"))
+    // bucket → sorted member list → all in-bucket pairs (i < j)
+    val candidates = bands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ds")) - 1),
+        i =>
+          transform(sequence(i + 1, size(col("ds"))),
+                    j =>
+                      struct(element_at(col("ds"), i).as("doc1"),
+                             element_at(col("ds"), j).as("doc2")))))).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
-      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))).cast("long"))
-      .withColumn(
-        "jaccard",
-        round(col("n_common").cast("double") /
-                (size(col("s1")) + size(col("s2")) - col("n_common")),
-              6))
+
+    val sh = shingled(spark, dir).select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("s1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("s2")), "doc2")
+      .select(
+        col("doc1"), col("doc2"),
+        size(array_intersect(col("s1"), col("s2"))).cast("long").as("n_common"),
+        (size(col("s1")) + size(col("s2"))).as("n_total"))
+      .select(
+        col("doc1"), col("doc2"), col("n_common"),
+        round(col("n_common").cast("double") / (col("n_total") - col("n_common")),
+              6).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc1"), col("doc2"), col("n_common"), col("jaccard"))
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  /** Exact n-gram Jaccard within a blocking key (same source) — the
-    * verify-everything variant for modest blocks; LSH above is the scale
-    * path when no natural blocking exists.
+  /** Exact n-gram Jaccard within a blocking key (same source), computed
+    * the shuffle-native way: explode distinct shingles, join on (source,
+    * shingle), count matches per pair — intersection size as a single
+    * keyed aggregation instead of per-pair array intersections (which
+    * at 100 TB would mean quadratic array traffic per block; this shape
+    * is one shuffle on the shingle key + one on the pair key).
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-      .select(col("doc_id"), col("source"), col("shingles"))
-    val left = sh.select(col("source"), col("doc_id").as("doc1"),
-                         col("shingles").as("s1"))
-    val right = sh.select(col("source"), col("doc_id").as("doc2"),
-                          col("shingles").as("s2"))
-    left
-      .join(right, "source")
+      .select(col("doc_id"), col("source"), col("shingles"),
+              size(col("shingles")).as("n_sh"))
+    val ex = sh.select(col("source"), col("doc_id"), col("n_sh"),
+                       explode(col("shingles")).as("shingle"))
+    val pairs = ex
+      .select(col("source"), col("shingle"), col("doc_id").as("doc1"),
+              col("n_sh").as("n1"))
+      .join(ex.select(col("source"), col("shingle"), col("doc_id").as("doc2"),
+                      col("n_sh").as("n2")),
+            Seq("source", "shingle"))
       .filter(col("doc1") < col("doc2"))
-      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))).cast("long"))
-      .withColumn(
-        "jaccard",
+      .groupBy(col("source"), col("doc1"), col("doc2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .select(
+        col("source"), col("doc1"), col("doc2"), col("n_common"),
         round(col("n_common").cast("double") /
-                (size(col("s1")) + size(col("s2")) - col("n_common")),
-              6))
+                (col("n1") + col("n2") - col("n_common")),
+              6).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .select(col("source"), col("doc1"), col("doc2"), col("n_common"),
-              col("jaccard"))
       .orderBy(col("source"), col("doc1"), col("doc2"))
   }
 
