@@ -30,6 +30,7 @@ object SparkEntry {
     "kpi_tumbling" -> (KpiOps.kpiTumbling _),
     "kpi_sliding" -> (KpiOps.kpiSliding _),
     "kpi_lookup" -> (KpiOps.kpiLookup _),
+    "kpi_udaf_p95" -> (KpiOps.kpiUdafP95 _),
     // §2.4 A6-A8, §2.7 T4-T9 — anomaly detection (batch analog)
     "anomaly_score" -> (AnomalyOps.anomalyScore _),
     "anomaly_alerts" -> (AnomalyOps.anomalyAlerts _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "simhash_signatures" -> (DedupOps.simhashSignatures _),
+    "simhash_pairs" -> (DedupOps.simhashPairs _),
     // training-data pipeline: text analysis
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),

@@ -33,6 +33,32 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Events restricted to a time range, with the predicate applied to the
+    * RAW nanosecond long before the µs conversion — `timestamp_micros(ts
+    * div 1000)` is opaque to parquet filter pushdown, so filtering after
+    * conversion reads every row group; this form pushes
+    * `GreaterThanOrEqual/LessThanOrEqual(ts, …)` into the scan and prunes
+    * row groups by min/max stats (the 100 TB path for time-sliced reads).
+    */
+  def eventsTimeRange(spark: SparkSession,
+                      dir: String,
+                      fromIso: String,
+                      toIso: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def ns(iso: String): Long =
+      java.time.LocalDateTime
+        .parse(iso.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli * 1000000L
+    // bounds chosen so the raw-ns compare is EXACTLY equivalent to the
+    // µs-truncated BETWEEN: floor(ns/1000) ∈ [from_µs, to_µs] ⟺
+    // ns ∈ [from_µs·1000, to_µs·1000 + 999]
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .filter(col("ts") >= ns(fromIso) && col("ts") <= ns(toIso) + 999L)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** The reference flattens each event to typed fields and derives a
     * status from the metric (`event_producer.py:59-69` correlates status
     * with metric magnitude). We mirror that as a deterministic rule so the

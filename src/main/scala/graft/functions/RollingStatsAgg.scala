@@ -54,8 +54,12 @@ case class RollingStatsAggExpr(
     ArrayBuffer.empty[Double]
 
   override def update(buffer: ArrayBuffer[Double], input: InternalRow): ArrayBuffer[Double] = {
-    val v = child.eval(input)
-    if (v != null) buffer += v.asInstanceOf[Double]
+    child.eval(input) match {
+      case null =>
+      case d: Double => buffer += d
+      case d: org.apache.spark.sql.types.Decimal => buffer += d.toDouble
+      case n: java.lang.Number => buffer += n.doubleValue()
+    }
     buffer
   }
 

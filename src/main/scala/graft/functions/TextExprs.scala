@@ -33,6 +33,13 @@ case class ShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression
     with CodegenFallback {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles expects a string column, got ${child.dataType}")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def prettyName: String = "word_shingles"
@@ -81,6 +88,15 @@ case class ShinglesExpr(child: Expression, n: Int)
 case class MinHashSigExpr(child: Expression, k: Int)
     extends UnaryExpression
     with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature expects array<string>, got $other")
+    }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

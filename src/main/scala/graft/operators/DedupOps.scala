@@ -172,6 +172,61 @@ object DedupOps {
     * accumulation-order independent (exact at any parallelism).
     */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    simhashFrame(spark, dir)
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs via banded Hamming search: the 64-bit
+    * signature splits into 4×16-bit bands; by pigeonhole, any pair with
+    * Hamming distance ≤ 3 shares at least one exact band, so bucketing on
+    * (band, 4-hex-char prefix) finds all such pairs without an all-pairs
+    * scan (Manku et al., WWW '07). Hamming distance is recomputed
+    * exactly on candidates via per-nibble XOR popcounts.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashFrame(spark, dir).select(col("doc_id"), col("simhash"))
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(sequence(lit(0), lit(3))).as("band"),
+      col("simhash"))
+      .withColumn("prefix", substr(col("simhash"), col("band") * 4 + 1, lit(4)))
+    val candidates = bands
+      .groupBy(col("band"), col("prefix"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ds")) - 1),
+        i =>
+          transform(sequence(i + 1, size(col("ds"))),
+                    j =>
+                      struct(element_at(col("ds"), i).as("doc1"),
+                             element_at(col("ds"), j).as("doc2")))))).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .distinct()
+
+    def nib(h: Column, i: Column): Column =
+      conv(substr(h, i, lit(1)), 16, 10).cast("int")
+    def popcount4(x: Column): Column =
+      x % 2 + (x / 4).cast("int") % 2 + (x / 2).cast("int") % 2 +
+        (x / 8).cast("int") % 2
+
+    candidates
+      .join(sigs.select(col("doc_id").as("doc1"), col("simhash").as("h1")), "doc1")
+      .join(sigs.select(col("doc_id").as("doc2"), col("simhash").as("h2")), "doc2")
+      .withColumn(
+        "hamming",
+        aggregate(
+          transform(sequence(lit(1), lit(16)),
+                    i => popcount4(nib(col("h1"), i).bitwiseXOR(nib(col("h2"), i)))),
+          lit(0),
+          (acc, x) => acc + x).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Shared simhash computation (doc_id, simhash), no presentation sort. */
+  private def simhashFrame(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
       .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
@@ -198,8 +253,6 @@ object DedupOps {
           ),
           ""
         ))
-      .select(col("doc_id"), col("simhash"))
-      .orderBy(col("doc_id"))
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -270,6 +323,51 @@ object DedupOps {
         |SELECT doc_id,
         |       string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY ni) AS simhash
         |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "simhash_pairs" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
+        |tb AS (SELECT doc_id, md5(t.token) AS h FROM tok, UNNEST(tokens) t(token)),
+        |bitv AS (
+        |  SELECT doc_id, r.j,
+        |         (CAST(floor((strpos('0123456789abcdef', substr(h, CAST(r.j // 4 AS INT) + 1, 1)) - 1)
+        |                     / (2 ** (3 - r.j % 4))) AS INT) % 2) * 2 - 1 AS vote
+        |  FROM tb, UNNEST(range(0, 64)) r(j)
+        |),
+        |votes AS (SELECT doc_id, j, sum(vote) AS v FROM bitv GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS b FROM votes),
+        |nibs AS (
+        |  SELECT doc_id, j // 4 AS ni,
+        |         CAST(sum(b * (2 ** (3 - j % 4))) AS INT) AS nv
+        |  FROM bits GROUP BY 1, 2
+        |),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY ni) AS simhash
+        |  FROM nibs GROUP BY doc_id
+        |),
+        |bands AS (
+        |  SELECT doc_id, b.band, substr(simhash, b.band * 4 + 1, 4) AS prefix
+        |  FROM sigs, UNNEST([0, 1, 2, 3]) b(band)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+        |  FROM bands a JOIN bands c ON a.band = c.band AND a.prefix = c.prefix AND a.doc_id < c.doc_id
+        |),
+        |nx AS (
+        |  SELECT cand.doc1, cand.doc2,
+        |         xor(strpos('0123456789abcdef', substr(x.simhash, i.i, 1)) - 1,
+        |             strpos('0123456789abcdef', substr(y.simhash, i.i, 1)) - 1) AS v
+        |  FROM cand
+        |  JOIN sigs x ON cand.doc1 = x.doc_id
+        |  JOIN sigs y ON cand.doc2 = y.doc_id,
+        |       UNNEST(range(1, 17)) i(i)
+        |),
+        |ham AS (
+        |  SELECT doc1, doc2,
+        |         CAST(sum(v % 2 + (v // 2) % 2 + (v // 4) % 2 + (v // 8) % 2) AS BIGINT) AS hamming
+        |  FROM nx GROUP BY doc1, doc2
+        |)
+        |SELECT doc1, doc2, hamming FROM ham WHERE hamming <= 3 ORDER BY doc1, doc2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$shingleSql
          |SELECT a.source AS source, a.doc_id AS doc1, b.doc_id AS doc2,

@@ -102,6 +102,19 @@ object KpiOps {
       .orderBy(col("window_start").desc)
       .limit(100)
 
+  /** Whole-period per-source p95 through the reusable UDAF form
+    * ([[graft.functions.ExactPercentile]], §2.10) — same nearest-rank
+    * semantics as the inlined expression variant, demonstrated as a
+    * single mergeable column function.
+    */
+  def kpiUdafP95(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.functions.ExactPercentile.p95(col("value")).as("p95_value"))
+      .orderBy(col("event_type"))
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val ev =
@@ -126,6 +139,10 @@ object KpiOps {
 
   val oracles: Map[String, String] = Map(
     "kpi_tumbling" -> s"SELECT * FROM ($tumblingSql) t ORDER BY event_type, window_start",
+    "kpi_udaf_p95" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |       list_sort(list(value))[CAST(floor(count(*) * 0.95) AS INT) + 1] AS p95_value
+         |FROM (${Tables.eventsSql}) e GROUP BY 1 ORDER BY 1""".stripMargin,
     "kpi_lookup" ->
       s"""SELECT * FROM ($tumblingSql) t WHERE event_type = 'click'
          |ORDER BY window_start DESC LIMIT 100""".stripMargin,

@@ -57,11 +57,8 @@ object SeriesOps {
     */
   def seriesFiltered(spark: SparkSession, dir: String): DataFrame =
     Tables
-      .events(spark, dir)
-      .filter(
-        col("ts").between(lit("2024-01-05 00:00:00").cast("timestamp"),
-                          lit("2024-01-10 00:00:00").cast("timestamp")) &&
-          col("event_type").isin("click", "purchase"))
+      .eventsTimeRange(spark, dir, "2024-01-05 00:00:00", "2024-01-10 00:00:00")
+      .filter(col("event_type").isin("click", "purchase"))
       .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
       .agg(round(avg(col("value")), 6).as("avg_value"),
            count(lit(1)).as("n_events"))

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{MinHashSigExpr, RollingStatsAggExpr, ShinglesExpr}
+
+/** SQL-surface registration for the engine's custom Catalyst
+  * expressions, via the standard `SparkSessionExtensions` hook:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * After which plain SQL can use:
+  *   - `word_shingles(text, 3)`        — distinct word-n-gram shingles
+  *   - `minhash_signature(shingles, 16)` — k-way MinHash signature
+  *   - `rolling_stats(value) OVER (...)` — (n, mean, stddev, median, mad)
+  *
+  * No custom optimizer `Rule`s or `SparkStrategy`s are injected: SURVEY
+  * §4's conclusion stands — everything the reference computes plans well
+  * under stock Catalyst; our extension points are expressions only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$name expects a literal int argument, got: $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("word_shingles"),
+       new ExpressionInfo(classOf[ShinglesExpr].getName, "word_shingles"),
+       (args: Seq[Expression]) =>
+         ShinglesExpr(args.head,
+                      if (args.size > 1) intLit(args(1), "word_shingles") else 3)))
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_signature"),
+       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_signature"),
+       (args: Seq[Expression]) =>
+         MinHashSigExpr(args.head,
+                        if (args.size > 1) intLit(args(1), "minhash_signature")
+                        else 16)))
+    ext.injectFunction(
+      (FunctionIdentifier("rolling_stats"),
+       new ExpressionInfo(classOf[RollingStatsAggExpr].getName, "rolling_stats"),
+       (args: Seq[Expression]) =>
+         RollingStatsAggExpr(args.head).toAggregateExpression()))
+  }
+}

@@ -87,6 +87,26 @@ class OperatorSpec extends SparkSpec {
     assert(sig(1L).matches("[0-9a-f]{16}"))
   }
 
+  test("simhash_pairs finds planted duplicates at hamming 0") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated words entirely separate vocabulary cluster apart far")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("shp").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.simhashPairs(spark, dir)
+      .select("doc1", "doc2", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => (p._1 == 3L || p._2 == 3L) && p._3 == 0L))
+  }
+
   test("ann_topk returns correctly ranked non-self neighbors") {
     val df = VectorOps.annTopK(spark, sf("sf0.001"))
     assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0)
