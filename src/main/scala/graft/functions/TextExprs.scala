@@ -159,7 +159,122 @@ case class MinHashSigExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of whitespace-normalized lowercased text as 16 hex
+  * chars (Charikar '02): per token, the first 64 bits of md5 vote
+  * (+1/−1) per position weighted by term frequency; positive sums set the
+  * bit. Bit j is read from md5 hex nibble j/4 at in-nibble position j%4
+  * (MSB first) — byte-identical to the higher-order-function formulation
+  * over `split(lower(trim(text)), '\s+')` and to the DuckDB oracle.
+  */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects a string column, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = input
+      .asInstanceOf[UTF8String]
+      .trim()
+      .toLowerCase
+      .toString
+      .split("\\s+")
+    val votes = new Array[Int](64)
+    val md = MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < tokens.length) {
+      md.reset()
+      val d = md.digest(tokens(t).getBytes("UTF-8"))
+      var j = 0
+      while (j < 64) {
+        val b = d(j >> 3) & 0xff
+        val nib = if ((j & 7) < 4) (b >> 4) & 0xf else b & 0xf
+        val bit = (nib >> (3 - (j & 3))) & 1
+        votes(j) += (bit << 1) - 1
+        j += 1
+      }
+      t += 1
+    }
+    val digits = "0123456789abcdef"
+    val sb = new java.lang.StringBuilder(16)
+    var n = 0
+    while (n < 16) {
+      var nv = 0
+      var k = 0
+      while (k < 4) {
+        nv = (nv << 1) | (if (votes(n * 4 + k) > 0) 1 else 0)
+        k += 1
+      }
+      sb.append(digits(nv))
+      n += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two equal-length hex-string hashes (e.g.
+  * SimHash signatures): total differing bits across all nibbles.
+  */
+case class HammingHexExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hamming_hex expects two string columns, got ${left.dataType}, ${right.dataType}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "hamming_hex"
+
+  private def nibble(c: Byte): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else 0
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].getBytes
+    val b = r.asInstanceOf[UTF8String].getBytes
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var dist = 0
+    while (i < n) {
+      dist += Integer.bitCount(nibble(a(i)) ^ nibble(b(i)))
+      i += 1
+    }
+    dist.toLong
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): HammingHexExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExprs {
+
+  def simhash64(c: Column): Column =
+    GraftSqlBridge.toCol(SimHashExpr(GraftSqlBridge.toExpr(c)))
+
+  def hammingHex(a: Column, b: Column): Column =
+    GraftSqlBridge.toCol(
+      HammingHexExpr(GraftSqlBridge.toExpr(a), GraftSqlBridge.toExpr(b)))
   def wordShingles(c: Column, n: Int): Column =
     GraftSqlBridge.toCol(ShinglesExpr(GraftSqlBridge.toExpr(c), n))
 

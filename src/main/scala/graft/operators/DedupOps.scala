@@ -149,22 +149,6 @@ object DedupOps {
       .orderBy(col("source"), col("doc1"), col("doc2"))
   }
 
-  /** The 64 SimHash vote contributions (+1/−1 per bit) of one token hash:
-    * bit j lives in hex nibble j/4 of the md5 prefix, at in-nibble
-    * position j%4 (MSB first). Implemented with arithmetic shifts
-    * (floor-div by powers of two) so DuckDB reproduces it exactly.
-    */
-  private def tokenVotes(h: Column): Column =
-    transform(
-      sequence(lit(0), lit(63)),
-      j => {
-        val nib = conv(substr(h, (j / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
-        val bit = floor(nib / pow(lit(2.0), (lit(3) - pmod(j, lit(4))).cast("double")))
-          .cast("int") % 2
-        bit * 2 - 1
-      }
-    )
-
   /** 64-bit SimHash per document from md5-derived token-hash bits with
     * term-frequency weights (Charikar, STOC '02). Pure per-row array math
     * — an elementwise integer fold over the token list, no shuffle until
@@ -204,55 +188,23 @@ object DedupOps {
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
 
-    def nib(h: Column, i: Column): Column =
-      conv(substr(h, i, lit(1)), 16, 10).cast("int")
-    def popcount4(x: Column): Column =
-      x % 2 + (x / 4).cast("int") % 2 + (x / 2).cast("int") % 2 +
-        (x / 8).cast("int") % 2
-
     candidates
       .join(sigs.select(col("doc_id").as("doc1"), col("simhash").as("h1")), "doc1")
       .join(sigs.select(col("doc_id").as("doc2"), col("simhash").as("h2")), "doc2")
-      .withColumn(
-        "hamming",
-        aggregate(
-          transform(sequence(lit(1), lit(16)),
-                    i => popcount4(nib(col("h1"), i).bitwiseXOR(nib(col("h2"), i)))),
-          lit(0),
-          (acc, x) => acc + x).cast("long"))
+      .withColumn("hamming",
+                  graft.functions.TextExprs.hammingHex(col("h1"), col("h2")))
       .filter(col("hamming") <= 3)
       .select(col("doc1"), col("doc2"), col("hamming"))
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  /** Shared simhash computation (doc_id, simhash), no presentation sort. */
+  /** Shared simhash computation (doc_id, simhash), no presentation sort —
+    * native one-pass expression ([[graft.functions.SimHashExpr]]).
+    */
   private def simhashFrame(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
-      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-      .withColumn("tokens", split(col("norm"), " "))
-      .withColumn(
-        "votes",
-        aggregate(col("tokens"),
-                  array_repeat(lit(0), 64),
-                  (acc, t) => zip_with(acc, tokenVotes(md5(t)), (a, b) => a + b)))
-      .withColumn("bits",
-                  transform(col("votes"), v => when(v > 0, 1).otherwise(0)))
-      .withColumn(
-        "simhash",
-        array_join(
-          transform(
-            sequence(lit(0), lit(15)),
-            n =>
-              lower(conv(
-                (element_at(col("bits"), n * 4 + 1) * 8 +
-                  element_at(col("bits"), n * 4 + 2) * 4 +
-                  element_at(col("bits"), n * 4 + 3) * 2 +
-                  element_at(col("bits"), n * 4 + 4)).cast("string"),
-                10, 16))
-          ),
-          ""
-        ))
+      .withColumn("simhash", graft.functions.TextExprs.simhash64(col("text")))
 
   // ---- DuckDB oracles ----------------------------------------------------
 

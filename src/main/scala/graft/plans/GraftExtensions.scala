@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{MinHashSigExpr, RollingStatsAggExpr, ShinglesExpr}
+import graft.functions.{HammingHexExpr, MinHashSigExpr, RollingStatsAggExpr, ShinglesExpr, SimHashExpr}
 
 /** SQL-surface registration for the engine's custom Catalyst
   * expressions, via the standard `SparkSessionExtensions` hook:
@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
          MinHashSigExpr(args.head,
                         if (args.size > 1) intLit(args(1), "minhash_signature")
                         else 16)))
+    ext.injectFunction(
+      (FunctionIdentifier("simhash64"),
+       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+       (args: Seq[Expression]) => SimHashExpr(args.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("hamming_hex"),
+       new ExpressionInfo(classOf[HammingHexExpr].getName, "hamming_hex"),
+       (args: Seq[Expression]) => HammingHexExpr(args.head, args(1))))
     ext.injectFunction(
       (FunctionIdentifier("rolling_stats"),
        new ExpressionInfo(classOf[RollingStatsAggExpr].getName, "rolling_stats"),
