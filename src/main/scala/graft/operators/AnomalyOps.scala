@@ -206,6 +206,39 @@ object AnomalyOps {
       .orderBy(col("event_type"), col("severity"), col("ts"), col("event_id"))
   }
 
+  /** Alert routing rules — the reference alert-service's in-memory rule
+    * list (`alert-service/main.py:60-77`): (rule_id, enabled,
+    * severity_threshold, sources it applies to — empty ⇒ all, notify
+    * channel). Static config, expressed as a broadcastable table.
+    */
+  def alertRules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, true, "critical", Seq.empty[String], "email"),
+      (2L, true, "critical", Seq("click", "purchase"), "webhook"),
+      (3L, true, "warning", Seq("error"), "slack"),
+      (4L, false, "warning", Seq.empty[String], "email")
+    ).toDF("rule_id", "enabled", "severity_threshold", "rule_sources", "channel")
+  }
+
+  /** Rule predicate routing (P8, `alert-service/main.py:179-187`):
+    * `enabled && (sources empty ∨ source ∈ sources) && severity ==
+    * threshold`, evaluated as a broadcast join of the (tiny) rules table
+    * against the alert stream — the join-with-rules re-expression SURVEY
+    * §2.3 calls for instead of the reference's per-alert Python loop.
+    */
+  def alertRouting(spark: SparkSession, dir: String): DataFrame =
+    anomalyScore(spark, dir)
+      .filter(col("is_anomaly"))
+      .join(
+        broadcast(alertRules(spark).filter(col("enabled"))),
+        col("severity") === col("severity_threshold") &&
+          (size(col("rule_sources")) === 0 ||
+            array_contains(col("rule_sources"), col("event_type"))))
+      .select(col("event_id"), col("event_type"), col("ts"), col("severity"),
+              col("rule_id"), col("channel"))
+      .orderBy(col("event_id"), col("rule_id"))
+
   /** `events_last_hour` view analog (01-init-timescaledb.sql:68-84, P7/O4):
     * trailing window anchored at max(ts).
     */
@@ -315,6 +348,19 @@ object AnomalyOps {
          |WHERE prev_ts IS NULL
          |   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) >= 300
          |ORDER BY event_type, severity, ts, event_id""".stripMargin,
+    "alert_routing" ->
+      s"""$scoredSql, rules(rule_id, enabled, severity_threshold, rule_sources, channel) AS (
+         |  VALUES (CAST(1 AS BIGINT), true, 'critical', CAST([] AS VARCHAR[]), 'email'),
+         |         (CAST(2 AS BIGINT), true, 'critical', ['click', 'purchase'], 'webhook'),
+         |         (CAST(3 AS BIGINT), true, 'warning', ['error'], 'slack'),
+         |         (CAST(4 AS BIGINT), false, 'warning', CAST([] AS VARCHAR[]), 'email')
+         |)
+         |SELECT event_id, event_type, ts, severity, rule_id, channel
+         |FROM final JOIN rules
+         |  ON enabled AND severity = severity_threshold
+         |     AND (len(rule_sources) = 0 OR list_contains(rule_sources, event_type))
+         |WHERE is_anomaly
+         |ORDER BY event_id, rule_id""".stripMargin,
     "events_last_hour" ->
       s"""WITH e AS (${Tables.eventsSql}), mx AS (SELECT max(ts) AS max_ts FROM e)
          |SELECT event_id, ts, user_id, event_type, value

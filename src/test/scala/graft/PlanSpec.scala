@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape guards: the properties that matter at cluster
+  * scale must survive refactors — filters reaching the parquet scan,
+  * dimensions broadcast, top-k planned as TakeOrderedAndProject, and the
+  * raw-ns pushdown for time-sliced event reads.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q3/q5 join dimensions are broadcast, not shuffled") {
+    val q3 = planOf(OlapOps.q3Shipping(spark, sf("sf0.01")))
+    assert(q3.contains("BroadcastHashJoin"))
+    val q5 = planOf(OlapOps.q5LocalSupplier(spark, sf("sf0.01")))
+    assert(q5.contains("BroadcastHashJoin"))
+    assert(!q5.contains("SortMergeJoin"))
+  }
+
+  test("order-by + limit plans as distributed top-k") {
+    assert(planOf(KpiOps.kpiLookup(spark, sf("sf0.01")))
+      .contains("TakeOrderedAndProject"))
+    assert(planOf(OlapOps.topCustomers(spark, sf("sf0.01")))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension predicates push into the parquet scan") {
+    val p = planOf(KpiOps.kpiLookup(spark, sf("sf0.01")))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,click)"))
+  }
+
+  test("time-range reads push raw-ns bounds into the scan") {
+    val p = planOf(
+      Tables.eventsTimeRange(spark, sf("sf0.01"),
+                             "2024-01-05 00:00:00", "2024-01-10 00:00:00"))
+    assert(p.contains("GreaterThanOrEqual(ts,") &&
+      p.contains("LessThanOrEqual(ts,"))
+    // and the same rows as filtering after conversion
+    val pushed = Tables
+      .eventsTimeRange(spark, sf("sf0.01"),
+                       "2024-01-05 00:00:00", "2024-01-10 00:00:00")
+      .count()
+    val naive = Tables
+      .events(spark, sf("sf0.01"))
+      .filter(col("ts").between(lit("2024-01-05 00:00:00").cast("timestamp"),
+                                lit("2024-01-10 00:00:00").cast("timestamp")))
+      .count()
+    assert(pushed == naive)
+  }
+
+  test("column pruning reaches the scan (narrow ReadSchema)") {
+    val p = planOf(SeriesOps.seriesAvg(spark, sf("sf0.01")))
+    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"))
+  }
+
+  test("alert routing broadcasts the rules table") {
+    val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // routing semantics: every routed alert matches an enabled rule
+    val bad = AnomalyOps
+      .alertRouting(spark, sf("sf0.001"))
+      .join(AnomalyOps.alertRules(spark), "rule_id")
+      .filter(!col("enabled") || col("severity") =!= col("severity_threshold"))
+      .count()
+    assert(bad == 0)
+  }
+}
