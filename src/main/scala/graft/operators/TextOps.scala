@@ -20,9 +20,16 @@ object TextOps {
   /** Whitespace tokens of the trimmed text. */
   private def tokensCol: Column = split(trim(col("text")), "\\s+")
 
-  /** Token statistics per document (token counting: whitespace + length
-    * accounting; a BPE-ish subword estimate via chars/4, the common
-    * published heuristic for byte-pair-encoded corpora).
+  /** GPT-2-style pre-tokenizer pieces (letter runs / digit runs /
+    * punctuation runs, each with optional leading space) — the "BPE-ish
+    * regex" count; a real BPE merges within these pieces, so this is the
+    * upper bound a byte-pair tokenizer starts from.
+    */
+  private val BpePieceRegex = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Token statistics per document: whitespace tokens, BPE-ish regex
+    * pieces, and the chars/4 subword estimate commonly published for
+    * byte-pair-encoded corpora.
     */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -31,6 +38,8 @@ object TextOps {
       .select(
         col("doc_id"),
         size(col("tokens")).as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(BpePieceRegex), lit(0)))
+          .as("n_bpe_pieces"),
         length(col("text")).as("n_chars_text"),
         (floor(length(col("text")) / 4)).cast("long").as("n_subwords_est"),
         round(
@@ -121,6 +130,7 @@ object TextOps {
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tokens FROM documents)
         |SELECT doc_id,
         |       len(tokens) AS n_tokens,
+        |       len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe_pieces,
         |       length(text) AS n_chars_text,
         |       CAST(floor(length(text) / 4) AS BIGINT) AS n_subwords_est,
         |       round(list_reduce(list_transform(tokens, t -> CAST(length(t) AS DOUBLE)), (a, b) -> a + b)
