@@ -41,6 +41,7 @@ object SparkEntry {
     "events_last_hour" -> (AnomalyOps.eventsLastHour _),
     // §2.3 P1/P2, §2.8 F6/F7/F11 — parse/serialize
     "event_parse_json" -> (MiscOps.eventParseJson _),
+    "event_nested_parse" -> (MiscOps.eventNestedParse _),
     "event_json_envelope" -> (MiscOps.eventJsonEnvelope _),
     "events_dedup" -> (MiscOps.eventsDedup _),
     "distinct_users" -> (MiscOps.distinctUsers _),
@@ -66,6 +67,7 @@ object SparkEntry {
     // training-data pipeline: similarity search
     "ann_topk" -> (VectorOps.annTopK _),
     "ann_lsh_bucketed" -> (VectorOps.annLshBucketed _),
+    "ann_ivf" -> (VectorOps.annIvf _),
     "embed_near_dup" -> (VectorOps.embedNearDup _),
     "label_centroids" -> (VectorOps.labelCentroids _),
     // training-data pipeline: multimodal plumbing (stub decode)

@@ -26,6 +26,75 @@ object MiscOps {
               col("value"), col("parsed.k").as("props_k"))
       .orderBy(col("event_id"))
 
+  /** The reference's full nested event schema (§1.2): top-level fields +
+    * an `attributes` struct of the common keys. Parsed with an explicit
+    * StructType — never inferSchema.
+    */
+  val nestedEventSchema: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("source", StringType),
+    StructField("timestamp", StringType),
+    StructField(
+      "attributes",
+      StructType(Seq(
+        StructField("user_id", StringType),
+        StructField("metric", DoubleType),
+        StructField("status", StringType),
+        StructField("session_id", StringType),
+        StructField("region", StringType)
+      )))
+  ))
+
+  /** End-to-end P1 machinery on the reference's nested shape: build the
+    * raw JSON event (`event_producer.py:47-103` layout), parse with the
+    * explicit StructType (PERMISSIVE → corrupt rows become null and are
+    * filtered, P2), extract typed nested fields, and read the
+    * `attributes` object a second time as the open `MapType(String,
+    * String)` remainder (SURVEY §1.3 JSONB mapping). A deliberately
+    * malformed record is unioned in to prove the null-on-corrupt path.
+    */
+  def eventNestedParse(spark: SparkSession, dir: String): DataFrame = {
+    val regions = array(lit("us-east"), lit("us-west"), lit("eu-west"), lit("ap-south"))
+    val raw = Tables
+      .eventsWithStatus(spark, dir)
+      .select(to_json(struct(
+        col("event_id").cast("string").as("event_id"),
+        col("event_type").as("source"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
+        struct(
+          concat(lit("user_"), col("user_id")).as("user_id"),
+          col("value").as("metric"),
+          col("status"),
+          substring(md5(col("event_id").cast("string")), 1, 8).as("session_id"),
+          element_at(regions,
+                     (conv(substring(md5(col("event_id").cast("string")), 1, 1), 16, 10)
+                       .cast("int") % 4) + 1).as("region")
+        ).as("attributes")
+      )).as("raw"))
+      .union(spark.range(1).select(lit("{not json").as("raw"))) // corrupt row
+
+    raw
+      .withColumn("e", from_json(col("raw"), nestedEventSchema))
+      // P2: malformed → null struct (PERMISSIVE) → dropped
+      .filter(col("e").isNotNull && col("e.event_id").isNotNull)
+      .withColumn("attr_map",
+                  from_json(get_json_object(col("raw"), "$.attributes"),
+                            MapType(StringType, StringType)))
+      .select(
+        col("e.event_id").cast("long").as("event_id"),
+        col("e.source").as("source"),
+        to_timestamp(col("e.timestamp")).as("ts"),
+        col("e.attributes.user_id").as("user_id"),
+        col("e.attributes.metric").as("metric"),
+        col("e.attributes.status").as("status"),
+        col("e.attributes.session_id").as("session_id"),
+        col("e.attributes.region").as("region"),
+        size(col("attr_map")).as("n_attr_keys"),
+        col("attr_map").getItem("status").as("status_from_map")
+      )
+      .orderBy(col("event_id"))
+  }
+
   /** JSON serialize (F6): aggregate record → JSON envelope string, the
     * shape the reference's Kafka sinks emit
     * (`EventAggregationJob.java:269-321`), plus the Redis-style composite
@@ -88,6 +157,22 @@ object MiscOps {
       s"""SELECT event_id, ts, user_id, event_type, value,
          |       CAST(json_extract(props, '$$.k') AS BIGINT) AS props_k
          |FROM $ev e WHERE json_valid(props) ORDER BY event_id""".stripMargin,
+    // the oracle reproduces the post-parse values directly from the base
+    // table (the JSON round-trip is the identity on them); the corrupt
+    // row is dropped by the engine's PERMISSIVE null filter
+    "event_nested_parse" ->
+      s"""SELECT event_id,
+         |       event_type AS source,
+         |       ts,
+         |       'user_' || user_id AS user_id,
+         |       value AS metric,
+         |       ${Tables.statusSql} AS status,
+         |       substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS session_id,
+         |       ['us-east', 'us-west', 'eu-west', 'ap-south']
+         |         [(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) % 4 + 1] AS region,
+         |       5 AS n_attr_keys,
+         |       ${Tables.statusSql} AS status_from_map
+         |FROM $ev e ORDER BY event_id""".stripMargin,
     "event_json_envelope" ->
       s"""SELECT 'agg:' || event_type || ':1m:' || strftime(window_start, '%Y-%m-%dT%H:%M:%SZ') AS redis_key,
          |       event_type, window_start, n_events, sum_value

@@ -108,6 +108,64 @@ object VectorOps {
       .orderBy(col("vec1"), col("vec2"))
   }
 
+  /** IVF (inverted-file) ANN: coarse cells are per-label centroids
+    * (elementwise mean — one k-means M-step over the given labels);
+    * every vector is assigned to its nearest cell, queries probe their
+    * own cell only, and exact cosine top-5 runs within the cell. The
+    * centroid table is tiny and broadcast; assignment is a single
+    * map-side pass — the standard IVF shape at 100 TB (cells ≫ this
+    * demo's 10, probes > 1 in production; the dataflow is identical).
+    *
+    * Determinism: centroids are rounded to 6 dp before any distance, so
+    * both engines measure against identical cell centers; cell argmin
+    * ties break on label, rank ties on neighbor id.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+    val centroids = Tables
+      .embeddings(spark, dir)
+      .select(col("label"), posexplode(asDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .getField("c").as("centroid"))
+
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+                lit(0.0), (acc, x) => acc + x)
+
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("d2"), 6), col("label"))
+    val assigned = emb
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("v"), col("centroid")))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("cell"), col("v"), col("nrm"))
+
+    val queries = assigned
+      .filter(col("vec_id") < 20)
+      .select(col("cell"), col("vec_id").as("query_id"),
+              col("v").as("qv"), col("nrm").as("qn"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned
+      .join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+                  round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+              col("cosine"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-label centroid statistics — the aggregation building block of an
     * IVF coarse quantizer (here over the given labels; k-means iterations
     * would repeat this agg with assignments recomputed).
@@ -165,6 +223,32 @@ object VectorOps {
          |FROM en q JOIN en c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
          |WHERE round($dotSql / (q.nrm * c.nrm), 6) >= 0.3
          |ORDER BY vec1, vec2""".stripMargin,
+    "ann_ivf" ->
+      s"""$embSql,
+         |cent AS (
+         |  SELECT label, r.pos, floor((avg(v[r.pos])) * 1e6 + 0.5) / 1e6 AS c
+         |  FROM e, UNNEST(range(1, len(v) + 1)) r(pos)
+         |  GROUP BY label, r.pos
+         |),
+         |cents AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+         |assigned AS (
+         |  SELECT vec_id, label AS cell, v, nrm FROM (
+         |    SELECT en.vec_id, cents.label, en.v, en.nrm,
+         |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+         |             floor((list_reduce(list_transform(range(1, len(en.v) + 1),
+         |                    i -> (en.v[i] - cents.centroid[i]) * (en.v[i] - cents.centroid[i])), (a, b) -> a + b)) * 1e6 + 0.5) / 1e6,
+         |             cents.label) AS rn
+         |    FROM en, cents
+         |  ) WHERE rn = 1
+         |)
+         |SELECT query_id, neighbor_id, cell, cosine, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cosine,
+         |         CAST(row_number() OVER (PARTITION BY q.vec_id
+         |                ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS BIGINT) AS rank
+         |  FROM assigned q JOIN assigned c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "label_centroids" ->
       s"""$embSql
          |SELECT label, count(*) AS n_vectors, round(avg(nrm), 6) AS avg_norm
