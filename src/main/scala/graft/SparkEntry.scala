@@ -64,6 +64,7 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality _),
     "text_langid" -> (TextOps.textLangId _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    "text_winnow" -> (TextOps.textWinnow _),
     // training-data pipeline: similarity search
     "ann_topk" -> (VectorOps.annTopK _),
     "ann_lsh_bucketed" -> (VectorOps.annLshBucketed _),

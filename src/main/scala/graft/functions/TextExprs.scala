@@ -267,7 +267,90 @@ case class HammingHexExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+  * '03): a Rabin-Karp polynomial rolling hash over character `k`-grams of
+  * the normalized text, then the minimum hash of every `w`-wide window of
+  * consecutive k-gram hashes (rightmost minimum on ties), distinct and
+  * sorted. Guarantees every shared substring of length ≥ k+w−1 yields a
+  * shared fingerprint — the rolling-hash dedup primitive.
+  *
+  * Hash is exact integer math (base 257 mod 1e9+7), so an oracle can
+  * reproduce it in SQL; the rolling update `h·B + c − c₀·Bᵏ (mod M)`
+  * equals the windowed power sum `Σ cⱼ·B^(k−1−j) mod M` the oracle
+  * computes directly.
+  */
+case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints expects a string column, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "winnow_fingerprints"
+
+  private val B = 257L
+  private val M = 1000000007L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input
+      .asInstanceOf[UTF8String]
+      .trim()
+      .toLowerCase
+      .toString
+      .replaceAll("\\s+", " ")
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // rolling k-gram hashes
+    var bk = 1L // B^k mod M
+    var i = 0
+    while (i < k) { bk = bk * B % M; i += 1 }
+    val hashes = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < n) {
+      h = (h * B + s.charAt(i)) % M
+      if (i >= k) h = (h - s.charAt(i - k) * bk % M + M * 2) % M
+      if (i >= k - 1) hashes(i - k + 1) = h
+      i += 1
+    }
+    // winnowing: min of each w-window of hashes, rightmost min on ties
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (hashes.length <= w) {
+      var mi = 0
+      i = 1
+      while (i < hashes.length) { if (hashes(i) <= hashes(mi)) mi = i; i += 1 }
+      selected.add(hashes(mi))
+    } else {
+      var start = 0
+      while (start + w <= hashes.length) {
+        var mi = start
+        i = start + 1
+        while (i < start + w) { if (hashes(i) <= hashes(mi)) mi = i; i += 1 }
+        selected.add(hashes(mi))
+        start += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintExpr =
+    copy(child = newChild)
+}
+
 object TextExprs {
+
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.toCol(WinnowFingerprintExpr(GraftSqlBridge.toExpr(c), k, w))
 
   def simhash64(c: Column): Column =
     GraftSqlBridge.toCol(SimHashExpr(GraftSqlBridge.toExpr(c)))

@@ -121,11 +121,58 @@ object TextOps {
       )
       .orderBy(col("doc_id"))
 
+  /** Rolling-hash winnowing fingerprints (k=8 char-grams, window w=4) —
+    * see [[graft.functions.WinnowFingerprintExpr]]; any shared substring
+    * of ≥ 11 chars between two documents yields a shared fingerprint.
+    */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("fingerprints",
+                  graft.functions.TextExprs.winnowFingerprints(col("text"), 8, 4))
+      .select(col("doc_id"), col("fingerprints"),
+              size(col("fingerprints")).as("n_fingerprints"))
+      .orderBy(col("doc_id"))
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** k-gram power-sum form of the rolling hash for the oracle:
+    * hash(i) = Σ_j ascii(m[i+j]) · 257^(k−1−j) mod 1e9+7 — term products
+    * stay < 1.3e11 and the 8-term sum < 2^63, so int64 SQL arithmetic is
+    * exact.
+    */
+  private val winnowHashSql: String = {
+    val M = 1000000007L
+    val pows = (0 until 8).map { j =>
+      var p = 1L
+      (0 until (7 - j)).foreach(_ => p = p * 257L % M)
+      p
+    }
+    pows.zipWithIndex
+      .map { case (p, j) => s"CAST(ascii(substr(m, p.i + $j, 1)) AS BIGINT) * $p" }
+      .mkString("(", " + ", s") % $M")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_winnow" ->
+      s"""WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS m FROM documents),
+         |h AS (
+         |  SELECT doc_id, p.i AS pos, length(m) - 7 AS nh,
+         |         $winnowHashSql AS hv
+         |  FROM n, UNNEST(range(1, length(m) - 6)) p(i)
+         |),
+         |wmin AS (
+         |  SELECT doc_id, pos, nh,
+         |         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM h
+         |),
+         |sel AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= nh - 3)
+         |SELECT doc_id, list_sort(list(fp)) AS fingerprints,
+         |       CAST(count(*) AS INT) AS n_fingerprints
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tokens FROM documents)
         |SELECT doc_id,

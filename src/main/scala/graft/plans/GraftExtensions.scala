@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{HammingHexExpr, MinHashSigExpr, RollingStatsAggExpr, ShinglesExpr, SimHashExpr}
+import graft.functions.{HammingHexExpr, MinHashSigExpr, RollingStatsAggExpr, ShinglesExpr, SimHashExpr, WinnowFingerprintExpr}
 
 /** SQL-surface registration for the engine's custom Catalyst
   * expressions, via the standard `SparkSessionExtensions` hook:
@@ -56,6 +56,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("hamming_hex"),
        new ExpressionInfo(classOf[HammingHexExpr].getName, "hamming_hex"),
        (args: Seq[Expression]) => HammingHexExpr(args.head, args(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("winnow_fingerprints"),
+       new ExpressionInfo(classOf[WinnowFingerprintExpr].getName,
+                          "winnow_fingerprints"),
+       (args: Seq[Expression]) =>
+         WinnowFingerprintExpr(
+           args.head,
+           if (args.size > 1) intLit(args(1), "winnow_fingerprints") else 8,
+           if (args.size > 2) intLit(args(2), "winnow_fingerprints") else 4)))
     ext.injectFunction(
       (FunctionIdentifier("rolling_stats"),
        new ExpressionInfo(classOf[RollingStatsAggExpr].getName, "rolling_stats"),

@@ -107,6 +107,29 @@ class OperatorSpec extends SparkSpec {
     assert(!pairs.exists(p => (p._1 == 3L || p._2 == 3L) && p._3 == 0L))
   }
 
+  test("winnowing: shared long substring implies shared fingerprint") {
+    val session = spark
+    import session.implicits._
+    val shared = "this exact passage is copied verbatim between the two documents"
+    val docs = Seq(
+      (1L, s"first document begins here $shared and then ends its own way"),
+      (2L, s"a different opening precedes $shared followed by other words"),
+      (3L, "entirely unrelated content with no overlap whatsoever present")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("wn").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = TextOps.textWinnow(spark, dir)
+      .select("doc_id", "fingerprints")
+      .as[(Long, Seq[Long])].collect().toMap
+    val common12 = fp(1L).toSet.intersect(fp(2L).toSet)
+    assert(common12.nonEmpty, "copied passage must share fingerprints")
+    val common13 = fp(1L).toSet.intersect(fp(3L).toSet)
+    assert(common13.size < common12.size)
+  }
+
   test("ann_topk returns correctly ranked non-self neighbors") {
     val df = VectorOps.annTopK(spark, sf("sf0.001"))
     assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0)
