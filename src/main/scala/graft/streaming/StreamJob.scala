@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** End-to-end runnable of the full reference pipeline (SURVEY §3.1-3.2)
+  * as one Structured Streaming job graph:
+  *
+  *   events (file source ≙ Kafka `events.v1`)
+  *     ├─ watermark → sliding 1m/10s KPI agg → kafka-envelope → hot store
+  *     └─ keyed rolling-stats anomaly detection → alerts
+  *          └─ cooldown gate → fired notifications (cold store)
+  *
+  * Runs with `Trigger.AvailableNow` so it drains the input and stops —
+  * the batch-verifiable form of the always-on job; swap the trigger for
+  * `ProcessingTime("30 seconds")` and the source for Kafka options and
+  * this is the production deployment, unchanged.
+  *
+  * Usage: `runMain graft.streaming.StreamJob [sfDir] [outDir]`
+  */
+object StreamJob {
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+    // stage the ns-timestamp parquet as a µs-typed streaming input dir
+    val stageDir = s"$outDir/staged_events"
+    graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(stageDir)
+
+    val events = spark.readStream
+      .schema(EventPipeline.eventSchema)
+      .parquet(stageDir)
+
+    val kpiQuery = EventPipeline
+      .toKafkaEnvelope(EventPipeline.slidingKpi(events))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_kpi")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/hot_aggregates")
+        ()
+      }
+      .start()
+
+    val alerts = EventPipeline.anomalyStream(spark, events)
+    val alertQuery = alerts
+      .filter(col("is_anomaly"))
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_alerts")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/alerts")
+        ()
+      }
+      .start()
+
+    kpiQuery.awaitTermination()
+    alertQuery.awaitTermination()
+
+    // Second job, exactly the reference topology: the alert service
+    // consumes the anomaly job's output topic (`alerts.v1` ≙ the alerts
+    // store written above) in its own streaming query — Spark also
+    // requires stateful stages in update mode to live in separate
+    // queries, so the two-job split is structural, not incidental.
+    val session = spark
+    import session.implicits._
+    val alertsIn = spark.readStream
+      .schema(spark.read.parquet(s"$outDir/alerts").schema)
+      .parquet(s"$outDir/alerts")
+      .as[AnomalyAlert]
+    val firedQuery = EventPipeline
+      .cooldownStream(spark, alertsIn)
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_fired")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/fired_alerts")
+        ()
+      }
+      .start()
+    firedQuery.awaitTermination()
+
+    Map(
+      "hot_aggregates" -> spark.read.parquet(s"$outDir/hot_aggregates").count(),
+      "alerts" -> spark.read.parquet(s"$outDir/alerts").count(),
+      "fired_alerts" -> spark.read.parquet(s"$outDir/fired_alerts").count()
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      Files.createTempDirectory("graft_stream").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counts = run(spark, sfDir, outDir)
+    println(counts.map { case (k, v) => s"$k=$v" }.mkString("STREAMJOB ", " ", s" out=$outDir"))
+    spark.stop()
+  }
+}

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import graft.operators.AnomalyOps
 import graft.streaming._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming ↔ batch parity (SURVEY §7 hard part 6): the
@@ -111,6 +112,38 @@ class StreamingParitySpec extends SparkSpec {
         t >= s && t < s + 60000
       })
     assert(panesWithEvent1 == 6)
+  }
+
+  test("StreamJob end-to-end: sliding KPI panes match the batch query") {
+    val session = spark
+    import session.implicits._
+    val out = java.nio.file.Files.createTempDirectory("sj").toString
+    val counts = streaming.StreamJob.run(spark, sf("sf0.001"), out)
+    assert(counts("alerts") > 0 && counts("fired_alerts") > 0)
+
+    // final pane values from the hot store == batch sliding KPI query
+    // (update mode re-emits growing panes; counts are monotone, so the
+    // max update per key is the final value)
+    val streamed = spark.read.parquet(s"$out/hot_aggregates")
+      .select("key", "value").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val batch = graft.operators.KpiOps.kpiSliding(spark, sf("sf0.001"))
+    val batchPanes = batch
+      .select(concat_ws(":", lit("agg"), col("event_type"), lit("1m"),
+                        date_format(col("window_start"),
+                                    "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("key"),
+              col("n_events"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed.keySet == batchPanes.keySet)
+    // spot-check pane counts embedded in the JSON envelopes
+    val parsed = streamed.view.mapValues { jsons =>
+      jsons.flatMap(j =>
+        """"n_events":(\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong))
+        .maxOption
+    }.toMap
+    batchPanes.foreach { case (k, n) =>
+      assert(parsed(k).contains(n), s"pane $k: ${parsed(k)} vs $n")
+    }
   }
 
   test("cooldown processor enforces chained per-key suppression") {
