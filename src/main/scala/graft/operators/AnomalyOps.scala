@@ -123,6 +123,88 @@ object AnomalyOps {
       .orderBy(col("event_type"), col("ts"), col("event_id"))
   }
 
+  /** [[anomalyScore]] on the custom whole-operator plan
+    * ([[graft.plans.RollingStatsPlan]] → RollingStatsExec): one
+    * streaming pass with a true ring buffer instead of WindowExec's
+    * per-row frame re-accumulation. Identical output (bit-exact same
+    * arithmetic); registered via `experimental.extraStrategies` so it
+    * works on any session without extension wiring.
+    */
+  def anomalyScoreFast(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.plans.{RollingStatsPlan, RollingStatsStrategy}
+    if (!spark.experimental.extraStrategies.contains(RollingStatsStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RollingStatsStrategy
+
+    val base = Tables
+      .events(spark, dir)
+      .filter(col("value") > 0)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val child = GraftSqlBridge.logicalPlan(base)
+    val resolve = child.output.map(a => a.name -> a).toMap
+    val plan = RollingStatsPlan(
+      partitionKey = resolve("event_type"),
+      orderKeys = Seq(
+        org.apache.spark.sql.catalyst.expressions.SortOrder(
+          resolve("ts"), org.apache.spark.sql.catalyst.expressions.Ascending),
+        org.apache.spark.sql.catalyst.expressions.SortOrder(
+          resolve("event_id"), org.apache.spark.sql.catalyst.expressions.Ascending)),
+      value = resolve("value"),
+      windowSize = 100,
+      statsAttr = RollingStatsPlan.newStatsAttr("st"),
+      child = child
+    )
+    scoreFromStats(GraftSqlBridge.ofRows(spark, plan))
+  }
+
+  /** Shared scoring tail over a frame with a `st` stats struct column. */
+  private def scoreFromStats(withStats: DataFrame): DataFrame =
+    withStats
+      .withColumn("n_samples", col("st.n"))
+      .withColumn("mean_value", col("st.mean"))
+      .withColumn("stddev_value", col("st.stddev"))
+      .withColumn("median_value", col("st.median"))
+      .withColumn("mad_value", col("st.mad"))
+      .withColumn(
+        "z_score",
+        round(when(col("stddev_value") > 0,
+                   (col("value") - col("mean_value")) / col("stddev_value"))
+                .otherwise(0.0),
+              4))
+      .withColumn(
+        "mad_score",
+        round(when(col("mad_value") > 0,
+                   abs(col("value") - col("median_value")) / col("mad_value"))
+                .otherwise(0.0),
+              4))
+      .filter(col("n_samples") >= MinSamples)
+      .withColumn("z_anomaly", abs(col("z_score")) > ZThreshold)
+      .withColumn("mad_anomaly", col("mad_score") > MadThreshold)
+      .withColumn("is_anomaly", col("z_anomaly") || col("mad_anomaly"))
+      .withColumn(
+        "severity",
+        when(col("is_anomaly") && (abs(col("z_score")) > 4 || col("mad_score") > 4),
+             "critical")
+          .when(col("is_anomaly") && (abs(col("z_score")) > 3.5 || col("mad_score") > 3.5),
+                "warning")
+          .otherwise("info"))
+      .withColumn("anomaly_type",
+                  when(col("z_anomaly"), "z-score")
+                    .when(col("mad_anomaly"), "mad")
+                    .otherwise("normal"))
+      .select(
+        col("event_id"), col("event_type"), col("ts"), col("value"),
+        col("n_samples"),
+        round(col("mean_value"), 4).as("mean_value"),
+        round(col("stddev_value"), 4).as("stddev_value"),
+        round(col("median_value"), 4).as("median_value"),
+        round(col("mad_value"), 4).as("mad_value"),
+        col("z_score"), col("mad_score"), col("is_anomaly"), col("severity"),
+        col("anomaly_type")
+      )
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+
   /** Anomalies only, with the reference's alert fields: thresholds,
     * formatted description (`String.format`,
     * `AnomalyDetectionJob.java:339-366` T9/F8). The alertId UUID is
@@ -315,6 +397,8 @@ object AnomalyOps {
 
   val oracles: Map[String, String] = Map(
     "anomaly_score" ->
+      s"$scoredSql SELECT * FROM final ORDER BY event_type, ts, event_id",
+    "anomaly_score_fast" ->
       s"$scoredSql SELECT * FROM final ORDER BY event_type, ts, event_id",
     "anomaly_alerts" ->
       s"""$scoredSql
