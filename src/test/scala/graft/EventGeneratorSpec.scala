@@ -30,6 +30,53 @@ class EventGeneratorSpec extends SparkSpec {
     assert(errHigh > 0.2 && errLow < 0.1, s"high=$errHigh low=$errLow")
   }
 
+  test("rate-source streaming generator emits well-formed events") {
+    val q = EventGenerator
+      .rateEvents(spark, rowsPerSecond = 500)
+      .writeStream
+      .format("memory")
+      .queryName("gen_stream")
+      .outputMode("append")
+      .start()
+    try {
+      Thread.sleep(2500)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("gen_stream")
+    assert(rows.count() > 0)
+    assert(rows.columns.toSet ==
+      Set("event_id", "ts", "source", "metric", "status", "user_id"))
+    import org.apache.spark.sql.functions.col
+    assert(rows.filter(col("metric") < 0).count() == 0)
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Event, EventPipeline}
+    val input = MemoryStream[Event](spark, 2)
+    val q = EventPipeline
+      .dedupedEvents(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      def ev(id: Long, t: String, v: Double) =
+        Event(id, java.sql.Timestamp.valueOf(t), 1L, "web", v)
+      input.addData(
+        ev(1, "2024-01-01 00:00:01", 1.0),
+        ev(1, "2024-01-01 00:00:02", 2.0), // duplicate id within watermark
+        ev(2, "2024-01-01 00:00:03", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("draws are deterministic across re-execution (restart-stable)") {
     val a = EventGenerator.batchEvents(spark, 100, "2024-01-01 00:00:00")
       .orderBy("event_id").collect().map(_.toString).toSeq
