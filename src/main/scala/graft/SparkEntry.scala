@@ -33,7 +33,7 @@ object SparkEntry {
     "kpi_udaf_p95" -> (KpiOps.kpiUdafP95 _),
     // §2.4 A6-A8, §2.7 T4-T9 — anomaly detection (batch analog)
     "anomaly_score" -> (AnomalyOps.anomalyScore _),
-    "anomaly_score_fast" -> (AnomalyOps.anomalyScoreFast _),
+    "anomaly_score_window" -> (AnomalyOps.anomalyScoreWindow _),
     "anomaly_alerts" -> (AnomalyOps.anomalyAlerts _),
     "alerts_filter" -> (AnomalyOps.alertsFilter _),
     "alerts_stats" -> (AnomalyOps.alertsStats _),

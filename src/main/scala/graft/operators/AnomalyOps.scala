@@ -42,7 +42,9 @@ object AnomalyOps {
     (element_at(sorted, ((n + 1) / lit(2)).cast("int")) +
       element_at(sorted, (n / lit(2)).cast("int") + 1)) / 2.0
 
-  /** Full anomaly scoring: z-score + MAD + severity + type per event.
+  /** Declarative (stock-Catalyst) formulation of [[anomalyScore]] —
+    * kept as a named cross-check query; the default path below uses the
+    * custom whole-operator plan, which is bit-identical and ~40% faster.
     *
     * Plan-shape note: the whole rolling-statistics bundle is ONE custom
     * Catalyst window aggregate ([[graft.functions.RollingStatsAgg]]):
@@ -54,7 +56,7 @@ object AnomalyOps {
     * trees into every consumer, re-evaluating the 100-element folds many
     * times per row (measured 45× slowdown on the alert queries).
     */
-  def anomalyScore(spark: SparkSession, dir: String): DataFrame = {
+  def anomalyScoreWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = Window
       .partitionBy(col("event_type"))
       .orderBy(col("ts"), col("event_id"))
@@ -123,14 +125,16 @@ object AnomalyOps {
       .orderBy(col("event_type"), col("ts"), col("event_id"))
   }
 
-  /** [[anomalyScore]] on the custom whole-operator plan
+  /** Full anomaly scoring: z-score + MAD + severity + type per event —
+    * the default path, planned through the custom whole-operator stack
     * ([[graft.plans.RollingStatsPlan]] → RollingStatsExec): one
-    * streaming pass with a true ring buffer instead of WindowExec's
-    * per-row frame re-accumulation. Identical output (bit-exact same
-    * arithmetic); registered via `experimental.extraStrategies` so it
-    * works on any session without extension wiring.
+    * streaming pass with a per-key ring buffer instead of WindowExec's
+    * per-row frame re-accumulation. Bit-identical to
+    * [[anomalyScoreWindow]] (asserted in CustomPlanSpec and by both
+    * sharing one DuckDB oracle); registered via
+    * `experimental.extraStrategies` so it works on any session.
     */
-  def anomalyScoreFast(spark: SparkSession, dir: String): DataFrame = {
+  def anomalyScore(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import graft.plans.{RollingStatsPlan, RollingStatsStrategy}
     if (!spark.experimental.extraStrategies.contains(RollingStatsStrategy))
@@ -398,7 +402,7 @@ object AnomalyOps {
   val oracles: Map[String, String] = Map(
     "anomaly_score" ->
       s"$scoredSql SELECT * FROM final ORDER BY event_type, ts, event_id",
-    "anomaly_score_fast" ->
+    "anomaly_score_window" ->
       s"$scoredSql SELECT * FROM final ORDER BY event_type, ts, event_id",
     "anomaly_alerts" ->
       s"""$scoredSql

@@ -8,8 +8,8 @@ import graft.operators.AnomalyOps
   */
 class CustomPlanSpec extends SparkSpec {
 
-  test("anomalyScoreFast plans through RollingStatsExec") {
-    val df = AnomalyOps.anomalyScoreFast(spark, sf("sf0.001"))
+  test("anomalyScore plans through RollingStatsExec") {
+    val df = AnomalyOps.anomalyScore(spark, sf("sf0.001"))
     df.collect() // finalize the adaptive plan
     // SparkPlan.nodeName strips the Exec suffix: renders as "RollingStats"
     val plan = df.queryExecution.executedPlan.toString
@@ -18,8 +18,8 @@ class CustomPlanSpec extends SparkSpec {
   }
 
   test("custom operator output is identical to the WindowExec analog") {
-    val fast = AnomalyOps.anomalyScoreFast(spark, sf("sf0.001")).collect()
-    val slow = AnomalyOps.anomalyScore(spark, sf("sf0.001")).collect()
+    val fast = AnomalyOps.anomalyScore(spark, sf("sf0.001")).collect()
+    val slow = AnomalyOps.anomalyScoreWindow(spark, sf("sf0.001")).collect()
     assert(fast.length == slow.length)
     fast.zip(slow).foreach { case (a, b) => assert(a == b) }
   }
@@ -29,7 +29,7 @@ class CustomPlanSpec extends SparkSpec {
     import session.implicits._
     // two keys forced into one shuffle partition: the second key's first
     // row must see n_samples=1, not a carried-over buffer
-    val fast = AnomalyOps.anomalyScoreFast(spark, sf("sf0.001"))
+    val fast = AnomalyOps.anomalyScore(spark, sf("sf0.001"))
     val firstPerKey = fast
       .groupBy("event_type")
       .agg(org.apache.spark.sql.functions.min("n_samples").as("min_n"))
