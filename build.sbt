@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout UNPREFIXED: the bench driver
+// parses the one JSON line graft.Bench prints, and sbt's default
+// LoggedOutput decorates every forked line with "[info] ", which breaks
+// `json.loads` on the driver side (BENCH_r01.json came back parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

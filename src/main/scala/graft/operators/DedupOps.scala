@@ -53,13 +53,16 @@ object DedupOps {
 
   /** MinHash signatures (k=16) per document — the per-doc map stage
     * (native one-pass expression, [[graft.functions.MinHashSigExpr]]).
+    * The signature is emitted as one comma-joined string column (not an
+    * array) so the result is scalar-only — the oracle gate's row sorter
+    * can't order array cells.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     shingled(spark, dir)
       .withColumn("sig",
                   graft.functions.TextExprs.minhashSignature(col("shingles"),
                                                              NumHashes))
-      .select(col("doc_id"), col("sig"))
+      .select(col("doc_id"), concat_ws(",", col("sig")).as("sig"))
       .orderBy(col("doc_id"))
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard
@@ -235,7 +238,7 @@ object DedupOps {
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "minhash_signatures" ->
       s"""$shingleSql, ${sigSql(NumHashes)}
-         |SELECT doc_id, sig FROM sig ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, array_to_string(sig, ',') AS sig FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$shingleSql, ${sigSql(NumHashes)},
          |bands AS (

@@ -130,9 +130,9 @@ object TextOps {
       .documents(spark, dir)
       .withColumn("fingerprints",
                   graft.functions.TextExprs.winnowFingerprints(col("text"), 8, 4))
-      .select(col("doc_id"), col("fingerprints"),
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"),
               size(col("fingerprints")).as("n_fingerprints"))
-      .orderBy(col("doc_id"))
+      .orderBy(col("doc_id"), col("fp"))
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -170,9 +170,9 @@ object TextOps {
          |  FROM h
          |),
          |sel AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= nh - 3)
-         |SELECT doc_id, list_sort(list(fp)) AS fingerprints,
-         |       CAST(count(*) AS INT) AS n_fingerprints
-         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, fp,
+         |       CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_fingerprints
+         |FROM sel ORDER BY doc_id, fp""".stripMargin,
     "text_tokens" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tokens FROM documents)
         |SELECT doc_id,

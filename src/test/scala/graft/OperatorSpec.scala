@@ -122,7 +122,7 @@ class OperatorSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("wn").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val fp = TextOps.textWinnow(spark, dir)
-      .select("doc_id", "fingerprints")
+      .groupBy("doc_id").agg(collect_set(col("fp")).as("fps"))
       .as[(Long, Seq[Long])].collect().toMap
     val common12 = fp(1L).toSet.intersect(fp(2L).toSet)
     assert(common12.nonEmpty, "copied passage must share fingerprints")
