@@ -46,12 +46,18 @@ object MiscOps {
   ))
 
   /** End-to-end P1 machinery on the reference's nested shape: build the
-    * raw JSON event (`event_producer.py:47-103` layout), parse with the
+    * raw JSON event (`event_producer.py:47-103` layout), parse with an
     * explicit StructType (PERMISSIVE → corrupt rows become null and are
-    * filtered, P2), extract typed nested fields, and read the
-    * `attributes` object a second time as the open `MapType(String,
-    * String)` remainder (SURVEY §1.3 JSONB mapping). A deliberately
-    * malformed record is unioned in to prove the null-on-corrupt path.
+    * filtered, P2) whose `attributes` member is the open
+    * `MapType(String, String)` JSONB remainder (SURVEY §1.3), and
+    * project the typed fields out of it. ONE `from_json` pass: the
+    * earlier shape (typed-struct parse + `get_json_object` +
+    * a second `from_json` for the map) scanned every record's JSON three
+    * times and was the slowest extended query at sf0.1 (2.4s → this).
+    * Typed-number fidelity is preserved: Jackson prints doubles in
+    * shortest-round-trip form, so `cast(map_value AS double)` is
+    * bit-exact against the typed-schema parse. A deliberately malformed
+    * record is unioned in to prove the null-on-corrupt path.
     */
   def eventNestedParse(spark: SparkSession, dir: String): DataFrame = {
     val regions = array(lit("us-east"), lit("us-west"), lit("eu-west"), lit("ap-south"))
@@ -73,24 +79,39 @@ object MiscOps {
       )).as("raw"))
       .union(spark.range(1).select(lit("{not json").as("raw"))) // corrupt row
 
-    raw
-      .withColumn("e", from_json(col("raw"), nestedEventSchema))
-      // P2: malformed → null struct (PERMISSIVE) → dropped
-      .filter(col("e").isNotNull && col("e.event_id").isNotNull)
-      .withColumn("attr_map",
-                  from_json(get_json_object(col("raw"), "$.attributes"),
-                            MapType(StringType, StringType)))
+    val openSchema = StructType(Seq(
+      StructField("event_id", StringType),
+      StructField("source", StringType),
+      StructField("timestamp", StringType),
+      StructField("attributes", MapType(StringType, StringType))
+    ))
+
+    // The sf fixture is one parquet file = one input split, which would
+    // run the whole parse stage on a single core; a 100 TB stream arrives
+    // over thousands of Kafka/file partitions, so widening a degenerate
+    // input to the executor count is a no-op there and a 32x here.
+    val cores = spark.sparkContext.defaultParallelism
+    val wide = if (raw.rdd.getNumPartitions < cores) raw.repartition(cores) else raw
+
+    wide
+      .withColumn("e", from_json(col("raw"), openSchema))
+      // P2: malformed → null struct (PERMISSIVE) → dropped. One predicate,
+      // one parse: `e.event_id IS NOT NULL` subsumes `e IS NOT NULL`, and
+      // JsonToStructs is codegen-fallback with no common-subexpression
+      // reuse, so every extra reference in the pushed-down Filter is a
+      // full reparse of the record.
+      .filter(col("e.event_id").isNotNull)
       .select(
         col("e.event_id").cast("long").as("event_id"),
         col("e.source").as("source"),
         to_timestamp(col("e.timestamp")).as("ts"),
-        col("e.attributes.user_id").as("user_id"),
-        col("e.attributes.metric").as("metric"),
-        col("e.attributes.status").as("status"),
-        col("e.attributes.session_id").as("session_id"),
-        col("e.attributes.region").as("region"),
-        size(col("attr_map")).as("n_attr_keys"),
-        col("attr_map").getItem("status").as("status_from_map")
+        col("e.attributes").getItem("user_id").as("user_id"),
+        col("e.attributes").getItem("metric").cast("double").as("metric"),
+        col("e.attributes").getItem("status").as("status"),
+        col("e.attributes").getItem("session_id").as("session_id"),
+        col("e.attributes").getItem("region").as("region"),
+        size(col("e.attributes")).as("n_attr_keys"),
+        col("e.attributes").getItem("status").as("status_from_map")
       )
       .orderBy(col("event_id"))
   }
