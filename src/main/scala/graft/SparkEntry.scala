@@ -74,7 +74,9 @@ object SparkEntry {
     "label_centroids" -> (VectorOps.labelCentroids _),
     // training-data pipeline: multimodal plumbing (stub decode)
     "media_meta" -> (MultimodalOps.mediaMeta _),
-    "frame_sample" -> (MultimodalOps.frameSample _)
+    "frame_sample" -> (MultimodalOps.frameSample _),
+    "image_resize" -> (MultimodalOps.imageResize _),
+    "audio_features" -> (MultimodalOps.audioFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

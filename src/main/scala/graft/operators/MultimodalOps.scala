@@ -77,6 +77,60 @@ object MultimodalOps {
               col("width"), col("height"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Resize/letterbox planning (the stage between decode and tensor
+    * batch): fit each image into a 224x224 box preserving aspect ratio —
+    * integer-exact scaled dims (floor, min 1px) and centered padding.
+    * Pure column arithmetic over the typed metadata, so the planner stage
+    * costs one map over the (small) meta table, never touches payloads,
+    * and pushes down to the scan at 100 TB.
+    */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    // floor() on both engines (a bare cast would truncate in Spark but
+    // ROUND in DuckDB); 224.0*w/h is the same two IEEE ops on each side.
+    val box = 224.0
+    val fitW = floor(least(lit(box), lit(box) * col("width") / col("height")))
+    val fitH = floor(least(lit(box), lit(box) * col("height") / col("width")))
+    mediaMeta(spark, dir)
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        greatest(fitW, lit(1L)).as("out_width"),
+        greatest(fitH, lit(1L)).as("out_height"))
+      .withColumn("pad_left", floor((lit(box) - col("out_width")) / 2.0))
+      .withColumn("pad_top", floor((lit(box) - col("out_height")) / 2.0))
+      .orderBy(col("doc_id"))
+  }
+
+  case class AudioWindow(doc_id: Long, window_idx: Long, n_samples: Long,
+                         energy: Long, peak: Int)
+
+  /** Windowed "audio" feature extraction over the raw payload bytes:
+    * per 256-byte window, sample count, energy (byte-value sum) and peak.
+    * Same `mapPartitions` batch shape as [[mediaMeta]] — a real DSP
+    * feature (RMS/MFCC) replaces the loop body; the fan-out
+    * (one row per window, bounded by payload size) and the per-partition
+    * codec-init point are what the plan contributes.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    payloads(spark, dir)
+      .as[PayloadRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          r.payload.grouped(256).zipWithIndex.map { case (chunk, i) =>
+            AudioWindow(
+              doc_id = r.doc_id,
+              window_idx = i.toLong,
+              n_samples = chunk.length.toLong,
+              energy = chunk.foldLeft(0L)((a, b) => a + (b & 0xff)),
+              peak = chunk.foldLeft(0)((a, b) => math.max(a, b & 0xff)))
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("window_idx"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
   // The stub decode is pure arithmetic on byte length, so the oracle can
   // reproduce it exactly in SQL.
@@ -102,6 +156,29 @@ object MultimodalOps {
         |             CAST((n * 13) % 480 + 16 AS INT) AS height FROM p)
         |SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx, width, height
         |FROM m, UNNEST(range(0, n_frames, 8)) f(frame_idx)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "image_resize" ->
+      """WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |m AS (SELECT doc_id, CAST((n * 7) % 640 + 16 AS INT) AS width,
+        |             CAST((n * 13) % 480 + 16 AS INT) AS height FROM p),
+        |r AS (
+        |  SELECT doc_id, width, height,
+        |         greatest(CAST(floor(least(224.0, 224.0 * width / height)) AS BIGINT), 1) AS out_width,
+        |         greatest(CAST(floor(least(224.0, 224.0 * height / width)) AS BIGINT), 1) AS out_height
+        |  FROM m)
+        |SELECT doc_id, width, height, out_width, out_height,
+        |       CAST(floor((224.0 - out_width) / 2.0) AS BIGINT) AS pad_left,
+        |       CAST(floor((224.0 - out_height) / 2.0) AS BIGINT) AS pad_top
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "audio_features" ->
+      // all-ASCII texts (see media_meta note): ascii(char) == payload byte
+      """WITH b AS (
+        |  SELECT doc_id, CAST((p.i - 1) // 256 AS BIGINT) AS window_idx,
+        |         ascii(substr(text, CAST(p.i AS INT), 1)) AS v
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) p(i)
+        |)
+        |SELECT doc_id, window_idx, CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(v) AS BIGINT) AS energy, CAST(max(v) AS INT) AS peak
+        |FROM b GROUP BY doc_id, window_idx ORDER BY doc_id, window_idx""".stripMargin
   )
 }

@@ -159,6 +159,39 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Int]("n_frames") == (n % 24 + 1).toInt)
   }
 
+  test("image resize plan preserves aspect ratio inside the 224 box") {
+    val df = MultimodalOps.imageResize(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width").toLong, r.getAs[Int]("height").toLong)
+      val (ow, oh) = (r.getAs[Long]("out_width"), r.getAs[Long]("out_height"))
+      assert(ow <= 224 && oh <= 224 && (ow == 224 || oh == 224))
+      // floor(224*min(w,h)/max(w,h)) on the short side
+      val short = math.floor(224.0 * math.min(w, h) / math.max(w, h)).toLong
+      assert(math.min(ow, oh) == math.max(short, 1L))
+      assert(r.getAs[Long]("pad_left") == (224 - ow) / 2)
+    }
+  }
+
+  test("audio window features sum back to the payload total") {
+    val session = spark
+    import session.implicits._
+    val feats = MultimodalOps.audioFeatures(spark, sf("sf0.001"))
+    // per doc: sum(n_samples) == payload byte count; peak <= 127 (ASCII)
+    val perDoc = feats.groupBy("doc_id")
+      .agg(sum("n_samples").as("n"), max("peak").as("p"))
+      .join(MultimodalOps.payloads(spark, sf("sf0.001"))
+              .select(col("doc_id"), length(col("payload")).as("len")),
+            "doc_id")
+    assert(perDoc.filter(col("n") =!= col("len")).count() == 0)
+    assert(perDoc.filter(col("p") > 127).count() == 0)
+    // windows are dense 0..k per doc
+    val w = feats.filter(col("doc_id") === feats.head().getLong(0))
+      .select("window_idx").as[Long].collect()
+    assert(w.toSeq == (0L until w.length).toSeq)
+  }
+
   test("q1 aggregates are internally consistent") {
     val df = OlapOps.q1Pricing(spark, sf("sf0.001"))
     val r = df.head()
