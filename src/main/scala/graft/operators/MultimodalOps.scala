@@ -80,9 +80,10 @@ object MultimodalOps {
   /** Resize/letterbox planning (the stage between decode and tensor
     * batch): fit each image into a 224x224 box preserving aspect ratio —
     * integer-exact scaled dims (floor, min 1px) and centered padding.
-    * Pure column arithmetic over the typed metadata, so the planner stage
-    * costs one map over the (small) meta table, never touches payloads,
-    * and pushes down to the scan at 100 TB.
+    * Pure column arithmetic over the typed metadata: the planning stage
+    * itself adds no payload access on top of the decode that produced the
+    * metadata, so against a pre-decoded meta table at 100 TB it is a
+    * narrow column scan.
     */
   def imageResize(spark: SparkSession, dir: String): DataFrame = {
     // floor() on both engines (a bare cast would truncate in Spark but

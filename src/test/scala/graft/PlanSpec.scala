@@ -58,6 +58,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"))
   }
 
+  test("minhash signature is computed once, before the band explode") {
+    // regression guard for the interpreted-expression duplication class:
+    // one signature pass per document, carried through Generate as an
+    // attribute — never re-derived per band/element_at reference
+    val op = DedupOps.dedupMinhashLsh(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    assert("minhash_signature".r.findAllIn(op).length == 1)
+  }
+
+  test("nested-event parse evaluates from_json at most twice") {
+    // JsonToStructs is codegen-fallback (no subexpression reuse): every
+    // surviving reference in the optimized plan is a full reparse
+    val op = MiscOps.eventNestedParse(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    assert("from_json".r.findAllIn(op).length <= 2)
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
