@@ -134,7 +134,17 @@ object AnomalyOps {
     * sharing one DuckDB oracle); registered via
     * `experimental.extraStrategies` so it works on any session.
     */
-  def anomalyScore(spark: SparkSession, dir: String): DataFrame = {
+  def anomalyScore(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir)
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+
+  /** The scored frame WITHOUT the presentation sort — what every
+    * downstream alert query consumes. Only `anomaly_score` itself pays
+    * the global range-partition sort; filters/windows/aggregates over
+    * this frame re-use the rolling-stats pass's hash partitioning
+    * directly (one exchange for the whole family).
+    */
+  private def scored(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import graft.plans.{RollingStatsPlan, RollingStatsStrategy}
     if (!spark.experimental.extraStrategies.contains(RollingStatsStrategy))
@@ -207,7 +217,6 @@ object AnomalyOps {
         col("z_score"), col("mad_score"), col("is_anomaly"), col("severity"),
         col("anomaly_type")
       )
-      .orderBy(col("event_type"), col("ts"), col("event_id"))
 
   /** Anomalies only, with the reference's alert fields: thresholds,
     * formatted description (`String.format`,
@@ -215,7 +224,7 @@ object AnomalyOps {
     * replaced by the deterministic event_id so the oracle can hash-match.
     */
   def anomalyAlerts(spark: SparkSession, dir: String): DataFrame =
-    anomalyScore(spark, dir)
+    scored(spark, dir)
       .filter(col("is_anomaly"))
       .withColumn(
         "description",
@@ -239,7 +248,7 @@ object AnomalyOps {
     * limit 1000 (read-api/main.py:372-431, P5/P6/O2).
     */
   def alertsFilter(spark: SparkSession, dir: String): DataFrame =
-    anomalyScore(spark, dir)
+    scored(spark, dir)
       .filter(col("is_anomaly") &&
         col("severity") === "critical" &&
         col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
@@ -253,7 +262,7 @@ object AnomalyOps {
     * anchored to max(ts) in the data for determinism (SURVEY §7 phase 1).
     */
   def alertsStats(spark: SparkSession, dir: String): DataFrame = {
-    val alerts = anomalyScore(spark, dir).filter(col("is_anomaly"))
+    val alerts = scored(spark, dir).filter(col("is_anomaly"))
     // "now" anchor from the raw events table (one cheap column scan) —
     // anchoring on alerts.max(ts) would execute the whole scoring
     // pipeline a second time just to find the clock
@@ -280,7 +289,7 @@ object AnomalyOps {
     val w = Window
       .partitionBy(col("event_type"), col("severity"))
       .orderBy(col("ts"), col("event_id"))
-    anomalyScore(spark, dir)
+    scored(spark, dir)
       .filter(col("is_anomaly"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn(
@@ -314,7 +323,7 @@ object AnomalyOps {
     * §2.3 calls for instead of the reference's per-alert Python loop.
     */
   def alertRouting(spark: SparkSession, dir: String): DataFrame =
-    anomalyScore(spark, dir)
+    scored(spark, dir)
       .filter(col("is_anomaly"))
       .join(
         broadcast(alertRules(spark).filter(col("enabled"))),
