@@ -77,13 +77,19 @@ case class ShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** MinHash signature: for seed i ∈ [0, k), the minimum of
-  * `md5(i || '|' || shingle)` across the shingle set, returned as k
-  * lowercase hex strings. Minimization compares raw digest bytes
-  * (unsigned lexicographic) — identical ordering to comparing the hex
-  * strings, so results match the built-in/oracle formulation
-  * `array_min(transform(shingles, s -> md5(concat(i, '|', s))))` exactly,
-  * while hashing each shingle in one pass with a reused MessageDigest.
+/** MinHash signature with a universal-hash permutation family (Broder
+  * '97; MMDS ch.3 §3.3.5): each shingle is hashed ONCE with a base
+  * polynomial rolling hash h₀(s) = fold (a·257 + char) mod M (M = 1e9+7),
+  * then k permutations are πᵢ(s) = (aᵢ·h₀ + bᵢ) mod M with per-seed
+  * constants aᵢ = 2654435761·(i+1) mod M, bᵢ = 22695477·(i+1) mod M;
+  * the signature is minᵢ over the shingle set, as k int64s.
+  *
+  * One string pass + k integer mults per shingle — ~16× cheaper than the
+  * earlier k-independent-md5 family at k=16 with identical LSH banding
+  * behavior downstream (the final near-dup output is gated on EXACT
+  * Jaccard, so the family only affects candidate recall). All arithmetic
+  * stays below 2⁶³ (h₀ < 1e9+7, aᵢ·h₀ < ~1e18), so a SQL oracle
+  * reproduces it bit-exactly with BIGINT math — see DedupOps oracles.
   */
 case class MinHashSigExpr(child: Expression, k: Int)
     extends UnaryExpression
@@ -98,61 +104,42 @@ case class MinHashSigExpr(child: Expression, k: Int)
           s"minhash_signature expects array<string>, got $other")
     }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def prettyName: String = "minhash_signature"
 
+  private val M = 1000000007L
+  private val B = 257L
+
   override protected def nullSafeEval(input: Any): Any = {
     val shingles = input.asInstanceOf[ArrayData]
-    val md = MessageDigest.getInstance("MD5")
-    val mins = Array.ofDim[Byte](k, 16)
-    val empty = shingles.numElements() == 0
-    var first = true
+    val mins = Array.fill[Long](k)(Long.MaxValue)
     var s = 0
     while (s < shingles.numElements()) {
-      val bytes = shingles.getUTF8String(s).getBytes
+      // base hash: one pass over the shingle's UTF-16 code units —
+      // matches the oracle's ascii(substr(...)) per-character fold for
+      // all BMP text (the corpus; winnow's oracle relies on the same)
+      val str = shingles.getUTF8String(s).toString
+      var h = 0L
+      var c = 0
+      while (c < str.length) { h = (h * B + str.charAt(c)) % M; c += 1 }
       var i = 0
       while (i < k) {
-        md.reset()
-        md.update(Integer.toString(i).getBytes)
-        md.update('|'.toByte)
-        md.update(bytes)
-        val d = md.digest()
-        if (first || unsignedLess(d, mins(i))) mins(i) = d
+        val a = 2654435761L * (i + 1) % M
+        val b = 22695477L * (i + 1) % M
+        val v = (a * h + b) % M
+        if (v < mins(i)) mins(i) = v
         i += 1
       }
-      first = false
       s += 1
     }
     val out = new Array[Any](k)
     var i = 0
     while (i < k) {
-      out(i) =
-        if (empty) UTF8String.fromString("")
-        else UTF8String.fromString(hex(mins(i)))
+      out(i) = if (mins(i) == Long.MaxValue) 0L else mins(i)
       i += 1
     }
     new GenericArrayData(out)
-  }
-
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
-  }
-
-  private def hex(bytes: Array[Byte]): String = {
-    val digits = "0123456789abcdef"
-    val sb = new java.lang.StringBuilder(32)
-    bytes.foreach { b =>
-      sb.append(digits((b >> 4) & 0xf)).append(digits(b & 0xf))
-    }
-    sb.toString
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =

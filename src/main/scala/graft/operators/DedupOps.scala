@@ -62,7 +62,8 @@ object DedupOps {
       .withColumn("sig",
                   graft.functions.TextExprs.minhashSignature(col("shingles"),
                                                              NumHashes))
-      .select(col("doc_id"), concat_ws(",", col("sig")).as("sig"))
+      .select(col("doc_id"),
+              concat_ws(",", transform(col("sig"), _.cast("string"))).as("sig"))
       .orderBy(col("doc_id"))
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard
@@ -87,7 +88,8 @@ object DedupOps {
         md5(concat_ws(
           "|",
           (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), col("band") * RowsPerBand + r + 1)): _*)))
+            element_at(col("sig"), col("band") * RowsPerBand + r + 1)
+              .cast("string")): _*)))
 
     // bucket → sorted member list → all in-bucket pairs (i < j)
     val candidates = bands
@@ -223,12 +225,31 @@ object DedupOps {
       |  FROM tok
       |)""".stripMargin
 
+  /** Oracle mirror of [[graft.functions.MinHashSigExpr]]: base hash is a
+    * per-character (a·257 + code) mod 1e9+7 fold (list_reduce with a
+    * prepended 0 accumulator), permutations are (aᵢ·h₀ + bᵢ) mod M in
+    * exact BIGINT arithmetic.
+    */
   private def sigSql(k: Int): String =
-    s"""sig AS (
+    s"""hs AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(shingles, s ->
+       |           list_reduce(
+       |             list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(range(1, len(s) + 1),
+       |                 j -> CAST(ascii(substr(s, CAST(j AS INT), 1)) AS BIGINT))),
+       |             (a, c) -> (a * 257 + c) % 1000000007)) AS hs
+       |  FROM sh
+       |),
+       |sig AS (
        |  SELECT doc_id, shingles,
        |         list_transform(range(0, $k),
-       |           i -> list_aggregate(list_transform(shingles, s -> md5(i || '|' || s)), 'min')) AS sig
-       |  FROM sh
+       |           i -> list_aggregate(
+       |                  list_transform(hs,
+       |                    h0 -> ((2654435761 * (i + 1)) % 1000000007 * h0
+       |                           + (22695477 * (i + 1)) % 1000000007) % 1000000007),
+       |                  'min')) AS sig
+       |  FROM hs
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -238,12 +259,15 @@ object DedupOps {
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "minhash_signatures" ->
       s"""$shingleSql, ${sigSql(NumHashes)}
-         |SELECT doc_id, array_to_string(sig, ',') AS sig FROM sig ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id,
+         |       array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig
+         |FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$shingleSql, ${sigSql(NumHashes)},
          |bands AS (
          |  SELECT doc_id, shingles, b,
-         |         md5(sig[4 * b + 1] || '|' || sig[4 * b + 2] || '|' || sig[4 * b + 3] || '|' || sig[4 * b + 4]) AS band_hash
+         |         md5(CAST(sig[4 * b + 1] AS VARCHAR) || '|' || CAST(sig[4 * b + 2] AS VARCHAR)
+         |             || '|' || CAST(sig[4 * b + 3] AS VARCHAR) || '|' || CAST(sig[4 * b + 4] AS VARCHAR)) AS band_hash
          |  FROM sig, UNNEST([0, 1, 2, 3]) t(b)
          |),
          |cand AS (

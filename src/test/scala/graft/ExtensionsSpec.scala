@@ -26,8 +26,8 @@ class ExtensionsSpec extends AnyFunSuite {
               |""".stripMargin)
       .head()
     assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
-    val sig = row.getSeq[String](1)
-    assert(sig.length == 4 && sig.forall(_.matches("[0-9a-f]{32}")))
+    val sig = row.getSeq[Long](1)
+    assert(sig.length == 4 && sig.forall(v => v >= 0L && v < 1000000007L))
   }
 
   test("rolling_stats is SQL-callable as a window aggregate") {
@@ -42,18 +42,22 @@ class ExtensionsSpec extends AnyFunSuite {
       rows.last.getDouble(2) == 2.0)
   }
 
-  test("SQL minhash matches the DataFrame operator result") {
+  test("SQL minhash matches the built-in HOF formulation") {
     val viaSql = extended
       .sql("""SELECT minhash_signature(word_shingles('the quick brown fox jumps', 3), 16) AS sig""")
       .head()
-      .getSeq[String](0)
-    // reference formulation with built-ins on the same shingles
+      .getSeq[Long](0)
+    // reference formulation with built-ins on the same shingles: base
+    // polynomial hash via aggregate(), k universal-hash mixes
     val builtin = extended
       .sql("""SELECT transform(sequence(0, 15),
               |  i -> array_min(transform(word_shingles('the quick brown fox jumps', 3),
-              |       s -> md5(concat(cast(i AS string), '|', s))))) AS sig""".stripMargin)
+              |       s -> (2654435761 * (i + 1) % 1000000007
+              |             * aggregate(split(s, ''), CAST(0 AS BIGINT),
+              |                         (acc, c) -> (acc * 257 + ascii(c)) % 1000000007)
+              |             + 22695477 * (i + 1) % 1000000007) % 1000000007))) AS sig""".stripMargin)
       .head()
-      .getSeq[String](0)
+      .getSeq[Long](0)
     assert(viaSql == builtin)
   }
 }
