@@ -47,7 +47,18 @@ object SparkEntry {
     "events_dedup" -> (MiscOps.eventsDedup _),
     "distinct_users" -> (MiscOps.distinctUsers _),
     "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
+    // temporal operators (additive: sessionization, as-of, range join)
+    "sessionize" -> (TemporalOps.sessionize _),
+    "asof_join" -> (TemporalOps.asofJoin _),
+    "range_join" -> (TemporalOps.rangeJoin _),
+    "latest_events" -> (TemporalOps.latestEvents _),
+    // training-data pipeline: dataset construction
+    "stratified_sample" -> (PipelineOps.stratifiedSample _),
+    "vocab_topk" -> (PipelineOps.vocabTopK _),
+    "pack_sequences" -> (PipelineOps.packSequences _),
+    "quality_filter" -> (PipelineOps.qualityFilter _),
     // OLAP / joins (additive; bench workload)
+    "kpi_rollup" -> (OlapOps.kpiRollup _),
     "q1_pricing" -> (OlapOps.q1Pricing _),
     "q3_shipping" -> (OlapOps.q3Shipping _),
     "q5_local_supplier" -> (OlapOps.q5LocalSupplier _),
@@ -86,6 +97,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     (SeriesOps.oracles ++ KpiOps.oracles ++ AnomalyOps.oracles ++
       MiscOps.oracles ++ OlapOps.oracles ++ DedupOps.oracles ++
-      TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles)
+      TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles ++
+      TemporalOps.oracles ++ PipelineOps.oracles)
       .map { case (k, v) => k -> graft.functions.Rounding.fixSql(v) }
 }

@@ -334,7 +334,44 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Polynomial string hash h(s) = fold (a·257 + char) mod 1e9+7 — the
+  * engine's portable deterministic hash (same family as the MinHash base
+  * hash and the winnowing k-gram hash). Used for hash-based sampling and
+  * bucketing where the oracle must reproduce the exact partition: SQL
+  * engines compute it with a per-character list fold in exact BIGINT
+  * arithmetic.
+  */
+case class PolyHashExpr(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"poly_hash expects a string column, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 257L + s.charAt(i)) % 1000000007L; i += 1 }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
 object TextExprs {
+
+  def polyHash(c: Column): Column =
+    GraftSqlBridge.toCol(PolyHashExpr(GraftSqlBridge.toExpr(c)))
 
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     GraftSqlBridge.toCol(WinnowFingerprintExpr(GraftSqlBridge.toExpr(c), k, w))

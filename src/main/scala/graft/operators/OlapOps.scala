@@ -109,9 +109,38 @@ object OlapOps {
            round(sum(col("l_quantity")), 4).as("total_qty"))
       .orderBy(col("l_suppkey"))
 
+  /** Multi-level KPI rollup over (event_type, status) — GROUPING SETS /
+    * ROLLUP, an operator family the reference lacks entirely (SURVEY
+    * §2.11). Spark plans `rollup` as a single Expand + hash aggregate:
+    * one shuffle produces all three aggregation levels at once, vs three
+    * separate scans+aggs for the naive union formulation. Null group
+    * markers are folded to 'ALL' (both domains are non-null) so every
+    * output cell is a plain scalar.
+    */
+  def kpiRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .eventsWithStatus(spark, dir)
+      .rollup(col("event_type"), col("status"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"),
+           round(avg(col("value")), 6).as("avg_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+              coalesce(col("status"), lit("ALL")).as("status"),
+              col("n_events"), col("sum_value"), col("avg_value"))
+      .orderBy(col("event_type"), col("status"))
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "kpi_rollup" ->
+      s"""WITH e AS (SELECT *, ${Tables.statusSql} AS status FROM (${Tables.eventsSql}) ee)
+         |SELECT coalesce(event_type, 'ALL') AS event_type,
+         |       coalesce(status, 'ALL') AS status,
+         |       count(*) AS n_events,
+         |       round(sum(value), 4) AS sum_value,
+         |       round(avg(value), 6) AS avg_value
+         |FROM e GROUP BY ROLLUP (event_type, status)
+         |ORDER BY 1, 2""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

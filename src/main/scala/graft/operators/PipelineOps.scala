@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
+
+/** Dataset-construction operators for a large-scale training pipeline:
+  * deterministic stratified sampling, corpus vocabulary statistics,
+  * token-budget sequence packing, and a combined quality-filter cascade.
+  * These are the passes that turn a raw 100 TB crawl into training data;
+  * all are single-shuffle shapes with exact DuckDB oracles.
+  */
+object PipelineOps {
+
+  /** Per-stratum sampling rates (per mille). A config table in real use;
+    * static here so the oracle can inline it.
+    */
+  private val RatesPerMille: Seq[(String, Int)] =
+    Seq("click" -> 100, "view" -> 50, "purchase" -> 1000, "error" -> 500,
+        "signup" -> 250)
+
+  /** Deterministic stratified sample: keep an event iff
+    * `poly_hash(event_id) mod 1000 < rate(event_type)`. Hash-based
+    * sampling (vs `rand()`) is reproducible across runs, engines, and
+    * retries — the property a training pipeline needs for exact dataset
+    * reconstruction — and it samples in a single codegen'd map pass: no
+    * shuffle, no state, pushdown-friendly. The oracle reproduces the
+    * polynomial hash ([[graft.functions.PolyHashExpr]]) in BIGINT SQL.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = RatesPerMille.foldLeft(lit(0)) { case (acc, (t, r)) =>
+      when(col("event_type") === t, lit(r)).otherwise(acc)
+    }
+    Tables
+      .events(spark, dir)
+      .withColumn("bucket",
+                  graft.functions.TextExprs.polyHash(col("event_id").cast("string")) % 1000)
+      .filter(col("bucket") < rate)
+      .select(col("event_id"), col("event_type"), col("ts"), col("user_id"),
+              col("value"), col("bucket"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Corpus vocabulary: global token counts + document frequency over the
+    * normalized text, top 100 by count (token tie-break). The canonical
+    * two-level aggregation: per-(token, doc) dedup then per-token counts,
+    * partial aggregation map-side on both levels; the final top-k is a
+    * TakeOrdered over the (small) aggregated set, not a global sort of
+    * the token table.
+    */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+              explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+                            " ")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("n_occurrences"),
+           count(lit(1)).as("doc_frequency"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(100)
+
+  /** Token budget per packed training sequence. */
+  private val PackBudget = 512
+
+  /** Sequence packing: assign documents (per source, in doc_id order) to
+    * fixed-token-budget training bins by contiguous fill — bin index =
+    * floor(cumulative-tokens-before / budget). One window cumsum per
+    * source partition; no shuffle beyond the partition key. (Greedy
+    * first-fit packing is inherently sequential per stratum; contiguous
+    * fill is the order-preserving variant that IS expressible as a pure
+    * window cumsum in any SQL engine — docs larger than the budget
+    * overflow their bin rather than splitting, as in real packers that
+    * truncate later.)
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .documents(spark, dir)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum_tokens") - col("n_tokens")).as("offset_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")) / PackBudget).as("bin"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Quality-filter cascade: combines the [[TextOps]] signals (token
+    * count, stopword ratio, unique-token ratio) with exact-dup canonical
+    * status ([[DedupOps.dedupExact]] semantics) into a keep/drop verdict
+    * with a first-failing-rule reason — the C4/Gopher-style filter chain
+    * as one pass. The dup check joins each doc to its content-hash
+    * group's min doc_id (one groupBy + one equi-join on the hash);
+    * everything else is a codegen'd map.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(
+      Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on",
+          "with").map(lit): _*)
+    val docs = Tables
+      .documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .withColumn("content_hash", md5(col("norm")))
+      .withColumn("tokens", split(col("norm"), " "))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .withColumn(
+        "stopword_ratio",
+        round(size(filter(col("tokens"), t => array_contains(stopArr, t)))
+                .cast("double") / greatest(col("n_tokens"), lit(1L)),
+              6))
+      .withColumn(
+        "unique_ratio",
+        round(size(array_distinct(col("tokens"))).cast("double") /
+                greatest(col("n_tokens"), lit(1L)),
+              6))
+    val canonical = docs
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"))
+    docs
+      .join(canonical, "content_hash")
+      .withColumn(
+        "reason",
+        when(col("doc_id") =!= col("canonical_doc_id"), "exact_duplicate")
+          .when(col("n_tokens") < 10, "too_short")
+          .when(!col("stopword_ratio").between(0.05, 0.6), "stopword_ratio")
+          .when(col("unique_ratio") < 0.3, "low_diversity")
+          .otherwise("kept"))
+      .withColumn("kept", col("reason") === "kept")
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+              col("unique_ratio"), col("canonical_doc_id"), col("kept"),
+              col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  /** poly_hash as a DuckDB BIGINT fold (see PolyHashExpr). */
+  private val polyHashSql =
+    """list_reduce(
+      |  list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, len(eid) + 1),
+      |      j -> CAST(ascii(substr(eid, CAST(j AS INT), 1)) AS BIGINT))),
+      |  (a, c) -> (a * 257 + c) % 1000000007)""".stripMargin
+
+  private val ratesSqlCase =
+    RatesPerMille
+      .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  val oracles: Map[String, String] = Map(
+    "stratified_sample" ->
+      s"""WITH e AS (SELECT *, CAST(event_id AS VARCHAR) AS eid FROM (${Tables.eventsSql}) ee),
+         |h AS (SELECT *, $polyHashSql % 1000 AS bucket FROM e)
+         |SELECT event_id, event_type, ts, user_id, value, bucket
+         |FROM h WHERE bucket < ($ratesSqlCase)
+         |ORDER BY event_id""".stripMargin,
+    "vocab_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, u.token
+        |  FROM documents,
+        |       UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) u(token)
+        |),
+        |td AS (SELECT token, doc_id, count(*) AS tf FROM t GROUP BY 1, 2)
+        |SELECT token, sum(tf) AS n_occurrences, count(*) AS doc_frequency
+        |FROM td GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM d
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |       cum_tokens - n_tokens AS offset_tokens,
+         |       CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT) AS bin
+         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "quality_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents
+        |),
+        |t AS (
+        |  SELECT doc_id, norm, md5(norm) AS content_hash,
+        |         string_split(norm, ' ') AS tokens
+        |  FROM d
+        |),
+        |m AS (
+        |  SELECT doc_id, content_hash,
+        |         CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |         round(CAST(len(list_filter(tokens, x -> list_contains(
+        |                 ['the','a','an','of','to','and','in','is','it','for','on','with'], x))) AS DOUBLE)
+        |               / greatest(len(tokens), 1), 6) AS stopword_ratio,
+        |         round(CAST(len(list_distinct(tokens)) AS DOUBLE)
+        |               / greatest(len(tokens), 1), 6) AS unique_ratio
+        |  FROM t
+        |),
+        |canon AS (SELECT content_hash, min(doc_id) AS canonical_doc_id FROM m GROUP BY 1),
+        |r AS (
+        |  SELECT m.*, canon.canonical_doc_id,
+        |         CASE WHEN m.doc_id <> canon.canonical_doc_id THEN 'exact_duplicate'
+        |              WHEN n_tokens < 10 THEN 'too_short'
+        |              WHEN NOT (stopword_ratio BETWEEN 0.05 AND 0.6) THEN 'stopword_ratio'
+        |              WHEN unique_ratio < 0.3 THEN 'low_diversity'
+        |              ELSE 'kept' END AS reason
+        |  FROM m JOIN canon USING (content_hash)
+        |)
+        |SELECT doc_id, n_tokens, stopword_ratio, unique_ratio, canonical_doc_id,
+        |       reason = 'kept' AS kept, reason
+        |FROM r ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
+
+/** Temporal operators the reference lacks but any event-analytics /
+  * training-data platform at scale needs: sessionization, as-of join,
+  * range (interval) join, and latest-per-key snapshot. Each is built the
+  * shuffle-minimal way and has an exact DuckDB oracle.
+  *
+  * Scale notes are per-operator; the common theme is that none of these
+  * use an inequality join as the execution strategy (which degenerates to
+  * a broadcast-nested-loop or cartesian at cluster scale) — inequality
+  * semantics are recovered from a single keyed sort (as-of, session) or a
+  * bucketed equi-join (range join).
+  */
+object TemporalOps {
+
+  /** Gap-based sessionization (30-min inactivity gap) of the event
+    * stream per user, via the built-in `session_window` aggregate —
+    * Spark's native session operator (works identically under Structured
+    * Streaming with a watermark, where state-store merging handles
+    * out-of-order arrival). One shuffle on user_id.
+    *
+    * Oracle cross-check: the classic lag/cumsum formulation — a new
+    * session starts when the gap since the previous event is STRICTLY
+    * greater than 30 min (`session_window` merges adjacent-inclusive: an
+    * event exactly at the previous session's end still joins it);
+    * `session_window`'s merge-overlapping-intervals semantics is exactly
+    * that rule for in-order data, so the two formulations agreeing is a
+    * real semantic assertion about the built-in, not a tautology.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+              col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** As-of join: attach to every event the most recent per-minute KPI
+    * row (same event_type, bucket start ≤ event ts). Spark has no ASOF
+    * JOIN operator; the scalable re-expression is the union trick — tag
+    * both sides, union, and take `last(..., ignoreNulls)` over a keyed
+    * time-ordered window. ONE shuffle + sort on event_type, zero row
+    * explosion; the naive `ts >= bucket` theta-join is a nested-loop that
+    * would never survive 100 TB.
+    *
+    * Tie rule: a KPI row at bucket B sorts BEFORE a probe at ts = B
+    * (is_probe 0 < 1), so an event exactly on a minute boundary sees its
+    * own minute's KPI — the same inclusive semantics as DuckDB's
+    * `ASOF JOIN ... ON probe.ts >= build.ts`, which the oracle uses
+    * natively. Probe rows are mutually null on the build columns, so
+    * equal-ts probe order cannot change any output value.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val kpi = ev
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
+      .agg(round(avg(col("value")), 4).as("kpi_value"))
+
+    val probes = ev
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("kpi_ts", lit(null).cast("timestamp"))
+      .withColumn("kpi_value", lit(null).cast("double"))
+      .withColumn("is_probe", lit(1))
+    val builds = kpi.select(
+      lit(null).cast("string").as("event_id"),
+      col("event_type"),
+      col("bucket").as("ts"),
+      lit(null).cast("double").as("value"),
+      col("bucket").as("kpi_ts"),
+      col("kpi_value"),
+      lit(0).as("is_probe"))
+
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    probes
+      .unionByName(builds)
+      .withColumn("asof_ts", last(col("kpi_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_kpi", last(col("kpi_value"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+              col("asof_ts"), col("asof_kpi"))
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+  }
+
+  /** Static maintenance/incident windows — the small interval side of the
+    * range join (cf. [[AnomalyOps.alertRules]]: config expressed as a
+    * table). Half-open [start, end).
+    */
+  def incidentWindows(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "click", "2024-01-02 00:00:00", "2024-01-02 12:00:00"),
+      (2L, "error", "2024-01-05 06:30:00", "2024-01-06 01:15:00"),
+      (3L, "purchase", "2024-01-10 00:00:00", "2024-01-17 00:00:00"),
+      (4L, "view", "2024-01-20 18:00:00", "2024-01-20 18:45:00"),
+      (5L, "error", "2024-01-25 00:00:00", "2024-01-28 00:00:00")
+    ).toDF("window_id", "w_type", "w_start", "w_end")
+      .select(col("window_id"), col("w_type"),
+              col("w_start").cast("timestamp").as("w_start"),
+              col("w_end").cast("timestamp").as("w_end"))
+  }
+
+  /** Range (interval) join: events falling inside incident windows of
+    * their type, aggregated per window. Executed the bucket-prefilter
+    * way: each interval explodes to the hour buckets it covers, events
+    * bucket to their hour, and the join is an EQUI-join on (type, hour)
+    * with the exact range predicate as a residual filter — the standard
+    * large×large range-join strategy (each side shuffles once on the
+    * bucket key; no nested loop, no broadcast requirement). The window
+    * side here is tiny, but the plan shape is the one that scales to
+    * interval tables far beyond broadcast size.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hours = incidentWindows(spark)
+      .select(col("window_id"), col("w_type"), col("w_start"), col("w_end"),
+              explode(sequence(date_trunc("hour", col("w_start")),
+                               date_trunc("hour", col("w_end")),
+                               expr("INTERVAL 1 HOUR"))).as("hour"))
+    val ev = Tables
+      .events(spark, dir)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+
+    ev.join(hours,
+            ev("event_type") === hours("w_type") && ev("hour") === hours("hour") &&
+              ev("ts") >= hours("w_start") && ev("ts") < hours("w_end"))
+      .groupBy(col("window_id"), col("w_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"),
+           round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("window_id"))
+  }
+
+  /** Latest-per-key snapshot: each user's most recent event — the
+    * SCD-style "current state" compaction every event-sourced store
+    * needs. `row_number` over (user, ts desc) with a deterministic
+    * event_id tie-break; plans as one hash shuffle on user_id + in-
+    * partition top-1 (no global sort of the full table).
+    */
+  def latestEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables
+      .events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+              col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val windowsSql =
+    """wins(window_id, w_type, w_start, w_end) AS (
+      |  VALUES (CAST(1 AS BIGINT), 'click',    TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-02 12:00:00'),
+      |         (CAST(2 AS BIGINT), 'error',    TIMESTAMP '2024-01-05 06:30:00', TIMESTAMP '2024-01-06 01:15:00'),
+      |         (CAST(3 AS BIGINT), 'purchase', TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-17 00:00:00'),
+      |         (CAST(4 AS BIGINT), 'view',     TIMESTAMP '2024-01-20 18:00:00', TIMESTAMP '2024-01-20 18:45:00'),
+      |         (CAST(5 AS BIGINT), 'error',    TIMESTAMP '2024-01-25 00:00:00', TIMESTAMP '2024-01-28 00:00:00')
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sessionize" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |l AS (
+         |  SELECT user_id, ts, value,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM e
+         |),
+         |s AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+         |                 THEN 1 ELSE 0 END AS new_s
+         |  FROM l
+         |),
+         |g AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                             ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM s
+         |)
+         |SELECT user_id, min(ts) AS session_start,
+         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "asof_join" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |kpi AS (
+         |  SELECT event_type, date_trunc('minute', ts) AS bucket,
+         |         round(avg(value), 4) AS kpi_value
+         |  FROM e GROUP BY 1, 2
+         |)
+         |SELECT e.event_id, e.event_type, e.ts, e.value,
+         |       kpi.bucket AS asof_ts, kpi.kpi_value AS asof_kpi
+         |FROM e ASOF LEFT JOIN kpi
+         |  ON e.event_type = kpi.event_type AND e.ts >= kpi.bucket
+         |ORDER BY e.event_type, e.ts, e.event_id""".stripMargin,
+    "range_join" ->
+      s"""WITH e AS (${Tables.eventsSql}), $windowsSql
+         |SELECT window_id, w_type, count(*) AS n_events,
+         |       round(sum(value), 4) AS sum_value,
+         |       round(avg(value), 4) AS avg_value
+         |FROM e JOIN wins
+         |  ON e.event_type = wins.w_type AND e.ts >= wins.w_start AND e.ts < wins.w_end
+         |GROUP BY window_id, w_type ORDER BY window_id""".stripMargin,
+    "latest_events" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |                               ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM e
+         |)
+         |SELECT user_id, event_id, ts, event_type, value
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+  )
+}

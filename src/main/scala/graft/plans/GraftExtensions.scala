@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{HammingHexExpr, MinHashSigExpr, RollingStatsAggExpr, ShinglesExpr, SimHashExpr, WinnowFingerprintExpr}
+import graft.functions.{HammingHexExpr, MinHashSigExpr, PolyHashExpr, RollingStatsAggExpr, ShinglesExpr, SimHashExpr, WinnowFingerprintExpr}
 
 /** SQL-surface registration for the engine's custom Catalyst
   * expressions, via the standard `SparkSessionExtensions` hook:
@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
            args.head,
            if (args.size > 1) intLit(args(1), "winnow_fingerprints") else 8,
            if (args.size > 2) intLit(args(2), "winnow_fingerprints") else 4)))
+    ext.injectFunction(
+      (FunctionIdentifier("poly_hash"),
+       new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
+       (args: Seq[Expression]) => PolyHashExpr(args.head)))
     ext.injectFunction(
       (FunctionIdentifier("rolling_stats"),
        new ExpressionInfo(classOf[RollingStatsAggExpr].getName, "rolling_stats"),

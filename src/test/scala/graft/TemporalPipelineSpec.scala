@@ -1,0 +1,159 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Boundary-semantics specs for the temporal operators (sessionize,
+  * as-of join, range join, latest snapshot) and the dataset-construction
+  * pipeline ops — tiny planted fixtures where the off-by-one cases are
+  * known by construction.
+  */
+class TemporalPipelineSpec extends SparkSpec {
+
+  /** Write an events.parquet fixture (ts in epoch NANOS, as the driver
+    * tables store it) and return its directory.
+    */
+  private def eventsDir(rows: Seq[(Long, String, Long, String, Double)]): String = {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    rows
+      .map { case (id, iso, uid, typ, v) =>
+        val ns = java.time.LocalDateTime
+          .parse(iso.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+          .toEpochMilli * 1000000L
+        (id, ns, uid, typ, v, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("sessionize: inclusive 30-minute boundary merges, beyond it splits") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "click", 1.0),
+      (2L, "2024-01-01 10:29:00", 7L, "click", 1.0),     // 29 min gap: same session
+      (3L, "2024-01-01 10:59:00", 7L, "click", 1.0),     // exactly 30 min: still merges
+      (4L, "2024-01-01 11:00:00", 8L, "view", 1.0),
+      (5L, "2024-01-01 11:30:00.001", 8L, "view", 1.0)   // > 30 min: new session
+    ))
+    val sessions = TemporalOps.sessionize(spark, dir).collect()
+    val u7 = sessions.filter(_.getAs[Long]("user_id") == 7L)
+    val u8 = sessions.filter(_.getAs[Long]("user_id") == 8L)
+    assert(u7.map(_.getAs[Long]("n_events")).toSeq == Seq(3L))
+    assert(u8.map(_.getAs[Long]("n_events")).toSeq == Seq(1L, 1L))
+    // session end = last event + gap
+    assert(u7.head.getAs[java.sql.Timestamp]("session_end").toString
+      .startsWith("2024-01-01 11:29:00"))
+  }
+
+  test("asof join: boundary event sees its own minute's KPI") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:30", 7L, "click", 10.0),
+      (2L, "2024-01-01 10:01:00", 7L, "click", 20.0) // exactly on bucket start
+    ))
+    val rows = TemporalOps.asofJoin(spark, dir).collect()
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("asof_kpi") == 10.0)
+    assert(byId(2L).getAs[Double]("asof_kpi") == 20.0)
+    assert(byId(2L).getAs[java.sql.Timestamp]("asof_ts").toString
+      .startsWith("2024-01-01 10:01:00"))
+  }
+
+  test("range join: half-open [start, end) interval semantics") {
+    // incident window 1 is click on 2024-01-02 00:00:00 .. 12:00:00
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 23:59:59", 7L, "click", 1.0), // before start: out
+      (2L, "2024-01-02 00:00:00", 7L, "click", 1.0), // at start: in
+      (3L, "2024-01-02 11:59:59", 7L, "click", 1.0), // inside: in
+      (4L, "2024-01-02 12:00:00", 7L, "click", 1.0)  // at end: out (half-open)
+    ))
+    val rows = TemporalOps.rangeJoin(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("window_id") == 1L)
+    assert(rows.head.getAs[Long]("n_events") == 2L)
+  }
+
+  test("latest snapshot: equal timestamps break ties by event_id desc") {
+    val dir = eventsDir(Seq(
+      (5L, "2024-01-01 10:00:00", 7L, "click", 1.0),
+      (9L, "2024-01-01 10:00:00", 7L, "view", 2.0),
+      (1L, "2024-01-01 09:00:00", 8L, "click", 3.0)
+    ))
+    val rows = TemporalOps.latestEvents(spark, dir).collect()
+    assert(rows.length == 2)
+    val u7 = rows.find(_.getAs[Long]("user_id") == 7L).get
+    assert(u7.getAs[Long]("event_id") == 9L)
+  }
+
+  test("stratified sample is deterministic and respects per-type rates") {
+    val dir = sf("sf0.001")
+    val a = PipelineOps.stratifiedSample(spark, dir).collect()
+    val b = PipelineOps.stratifiedSample(spark, dir).collect()
+    assert(a.map(_.getAs[Long]("event_id")).toSeq ==
+      b.map(_.getAs[Long]("event_id")).toSeq)
+    // purchase is sampled at 100%: every purchase event must be kept
+    val purchases = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(a.count(_.getAs[String]("event_type") == "purchase") == purchases)
+    // view at 5%: strictly fewer than all views kept
+    val views = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "view").count()
+    assert(a.count(_.getAs[String]("event_type") == "view") < views)
+  }
+
+  test("pack_sequences: contiguous fill, bin advances at the budget line") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pk").toString
+    // three docs of exactly 300 whitespace tokens each; budget is 512
+    val text = Seq.fill(300)("w").mkString(" ")
+    Seq((1L, text, "en", "s", text.length.toLong),
+        (2L, text, "en", "s", text.length.toLong),
+        (3L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = PipelineOps.packSequences(spark, dir).collect()
+    val bins = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    assert(rows.find(_.getAs[Long]("doc_id") == 3L).get
+      .getAs[Long]("offset_tokens") == 600L)
+  }
+
+  test("quality filter: duplicates lose to the canonical min doc_id") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qf").toString
+    val good = ("the quick brown fox jumps over a lazy dog and then " +
+      "it runs off to the woods for a while") // stopword-rich, diverse, 20 tokens
+    Seq((1L, good, "en", "s", good.length.toLong),
+        (2L, good, "en", "s", good.length.toLong), // exact dup of 1
+        (3L, "tiny doc", "en", "s", 8L))           // too short
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = PipelineOps.qualityFilter(spark, dir).collect()
+    val reason = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(reason(1L) == "kept")
+    assert(reason(2L) == "exact_duplicate")
+    assert(reason(3L) == "too_short")
+  }
+
+  test("poly_hash: known values and SQL registration") {
+    val session = spark
+    import session.implicits._
+    val v = Seq("ab").toDF("s")
+      .select(graft.functions.TextExprs.polyHash(col("s")).as("h"))
+      .head().getLong(0)
+    assert(v == 97L * 257L + 98L)
+  }
+
+  test("kpi rollup: grand total equals the sum of per-type subtotals") {
+    val df = OlapOps.kpiRollup(spark, sf("sf0.001")).collect()
+    val grand = df.find(r =>
+      r.getAs[String]("event_type") == "ALL" && r.getAs[String]("status") == "ALL").get
+    val typeTotals = df.filter(r =>
+      r.getAs[String]("event_type") != "ALL" && r.getAs[String]("status") == "ALL")
+    assert(typeTotals.map(_.getAs[Long]("n_events")).sum == grand.getAs[Long]("n_events"))
+  }
+}
