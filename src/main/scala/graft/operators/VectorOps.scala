@@ -8,10 +8,13 @@ import graft.functions.Rounding.round
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
   *
-  * Dot products and norms are computed with native higher-order Catalyst
-  * expressions (`zip_with` + left-fold `aggregate`) after a float→double
-  * cast — a deterministic sequential summation that DuckDB's `list_reduce`
-  * reproduces bit-for-bit, keeping every score oracle-checkable.
+  * Dot products, norms, and distances are native Catalyst expressions
+  * ([[graft.functions.VecDotExpr]] et al.): one primitive loop per row
+  * over the raw float array, widening per element — a deterministic
+  * sequential left fold that DuckDB's `list_reduce` over double-cast
+  * lists reproduces bit-for-bit, keeping every score oracle-checkable
+  * (the earlier `zip_with`+`aggregate` HOF formulation was interpreted
+  * and boxed each element per candidate×query pair).
   *
   * Scale path: brute-force top-k broadcasts the (small) query set against
   * the full candidate table — one pass, no shuffle of the big side, and
@@ -25,10 +28,10 @@ object VectorOps {
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.vecDot(a, b)
 
   private def norm(c: Column): Column =
-    sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+    graft.functions.VectorExprs.vecNorm(c)
 
   /** Brute-force cosine top-10 neighbors for query vectors (vec_id < 20)
     * against all other vectors — the exact ANN baseline.
@@ -36,7 +39,7 @@ object VectorOps {
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables
       .embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
     val queries = emb
       .filter(col("vec_id") < 20)
@@ -69,7 +72,7 @@ object VectorOps {
   def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables
       .embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", bucketCode(col("v")))
     val left = emb.select(col("bucket"), col("vec_id").as("query_id"),
@@ -93,7 +96,7 @@ object VectorOps {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables
       .embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", bucketCode(col("v")))
     val right = emb.select(col("bucket"), col("vec_id").as("vec2"),
@@ -123,7 +126,7 @@ object VectorOps {
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables
       .embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
 
     val centroids = Tables
@@ -136,8 +139,7 @@ object VectorOps {
         .getField("c").as("centroid"))
 
     def dist2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-                lit(0.0), (acc, x) => acc + x)
+      graft.functions.VectorExprs.vecDist2(a, b)
 
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("d2"), 6), col("label"))
@@ -173,7 +175,7 @@ object VectorOps {
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vectors"),
            round(avg(norm(col("v"))), 6).as("avg_norm"))
