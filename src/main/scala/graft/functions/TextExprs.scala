@@ -334,6 +334,62 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Per-document term frequencies in one pass: whitespace tokens of the
+  * normalized (trimmed, lowercased, whitespace-collapsed) text, counted
+  * into `array<struct<token, tf>>` in first-seen order. Turns the
+  * corpus-vocabulary aggregation from explode→groupBy(token, doc)→
+  * groupBy(token) (two shuffles, the first with near-zero map-side
+  * reduction since (token, doc) is almost unique) into
+  * explode→groupBy(token) (ONE shuffle whose partial aggregation is
+  * effective) — the shape that matters when the corpus is 100 TB.
+  */
+case class TokenCountsExpr(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_counts expects a string column, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("token", StringType, nullable = false),
+                   StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "token_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = input
+      .asInstanceOf[UTF8String]
+      .trim()
+      .toLowerCase
+      .toString
+      .split("\\s+", -1)
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < tokens.length) {
+      counts.merge(tokens(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountsExpr =
+    copy(child = newChild)
+}
+
 /** Polynomial string hash h(s) = fold (a·257 + char) mod 1e9+7 — the
   * engine's portable deterministic hash (same family as the MinHash base
   * hash and the winnowing k-gram hash). Used for hash-based sampling and
@@ -372,6 +428,9 @@ object TextExprs {
 
   def polyHash(c: Column): Column =
     GraftSqlBridge.toCol(PolyHashExpr(GraftSqlBridge.toExpr(c)))
+
+  def tokenCounts(c: Column): Column =
+    GraftSqlBridge.toCol(TokenCountsExpr(GraftSqlBridge.toExpr(c)))
 
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     GraftSqlBridge.toCol(WinnowFingerprintExpr(GraftSqlBridge.toExpr(c), k, w))

@@ -44,22 +44,20 @@ object PipelineOps {
   }
 
   /** Corpus vocabulary: global token counts + document frequency over the
-    * normalized text, top 100 by count (token tie-break). The canonical
-    * two-level aggregation: per-(token, doc) dedup then per-token counts,
-    * partial aggregation map-side on both levels; the final top-k is a
-    * TakeOrdered over the (small) aggregated set, not a global sort of
-    * the token table.
+    * normalized text, top 100 by count (token tie-break). Per-document
+    * term frequencies come from ONE native pass
+    * ([[graft.functions.TokenCountsExpr]]), so the only shuffle is the
+    * per-token aggregation — with effective map-side combine, unlike the
+    * explode→groupBy(token, doc) two-shuffle shape where the first key
+    * is nearly unique. The final top-k is a TakeOrdered over the (small)
+    * aggregated set, not a global sort of the token table.
     */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
-      .select(col("doc_id"),
-              explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
-                            " ")).as("token"))
-      .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-      .groupBy(col("token"))
-      .agg(sum(col("tf")).as("n_occurrences"),
+      .select(explode(graft.functions.TextExprs.tokenCounts(col("text"))).as("tc"))
+      .groupBy(col("tc.token").as("token"))
+      .agg(sum(col("tc.tf")).as("n_occurrences"),
            count(lit(1)).as("doc_frequency"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(100)

@@ -19,4 +19,20 @@ object GraftSqlBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Register a custom SQL function on an ALREADY-CREATED session.
+    * `SparkSessionExtensions` only applies at session construction; a
+    * shared session (tests, notebooks) that predates the library load
+    * needs direct registry access, which is `private[sql]`.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark
+      .asInstanceOf[classic.SparkSession]
+      .sessionState
+      .functionRegistry
+      .registerFunction(name, info, builder)
 }

@@ -9,15 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  private lazy val extended: SparkSession = SparkSession
-    .builder()
-    .master("local[2]")
-    .appName("ExtensionsSpec")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  private lazy val extended: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[2]")
+      .appName("ExtensionsSpec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // suites share one JVM: if another spec created the session first,
+    // withExtensions was a no-op — register on the live session too
+    GraftExtensions.registerOn(s)
+    s
+  }
 
   test("word_shingles and minhash_signature are SQL-callable") {
     val row = extended

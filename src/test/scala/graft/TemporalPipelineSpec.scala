@@ -148,6 +148,17 @@ class TemporalPipelineSpec extends SparkSpec {
     assert(v == 97L * 257L + 98L)
   }
 
+  test("token_counts: normalized, case-folded, first-seen order") {
+    val session = spark
+    import session.implicits._
+    val rows = Seq("The  the cat").toDF("s")
+      .select(explode(graft.functions.TextExprs.tokenCounts(col("s"))).as("tc"))
+      .select(col("tc.token"), col("tc.tf"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("the", 2L), ("cat", 1L)))
+  }
+
   test("kpi rollup: grand total equals the sum of per-type subtotals") {
     val df = OlapOps.kpiRollup(spark, sf("sf0.001")).collect()
     val grand = df.find(r =>
