@@ -88,6 +88,22 @@ object EventPipeline {
       .withWatermark("ts", "10 seconds")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming sessionization: the same `session_window` aggregate as
+    * the batch [[graft.operators.TemporalOps.sessionize]], made
+    * incremental by the watermark — Spark merges a key's overlapping
+    * session windows in the state store as late events arrive, emitting
+    * a session once the watermark passes its end (append mode). The
+    * batch/streaming parity is the session analog of the KPI panes
+    * (asserted in StreamingParitySpec).
+    */
+  def sessionStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+              col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Keyed stateful anomaly detection (T3): groupByKey(event_type) →
     * flatMapGroupsWithState(AnomalyProcessor.detect). Update-mode output,
     * no timeout (state lives for the key's lifetime, like Flink

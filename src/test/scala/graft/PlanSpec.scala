@@ -75,6 +75,49 @@ class PlanSpec extends SparkSpec {
     assert("from_json".r.findAllIn(op).length <= 2)
   }
 
+  test("asof join: one keyed exchange, no nested-loop join") {
+    val p = planOf(TemporalOps.asofJoin(spark, sf("sf0.001")))
+    // the union trick must never degrade to a theta join
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+    // exchanges: hashpartitioning on event_type for the window pass (+
+    // the KPI aggregation on the same key and the presentation sort) —
+    // crucially NONE keyed by anything that would explode rows
+    assert(p.contains("hashpartitioning"))
+  }
+
+  test("range join: interval side broadcast, residual range predicate kept") {
+    val p = planOf(TemporalOps.rangeJoin(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // equi keys are (type, hour); the exact bounds survive as a residual
+    assert(p.contains("w_start") && p.contains("w_end"))
+  }
+
+  test("stratified sample: pure map pass, filter before any exchange") {
+    val plan = PipelineOps.stratifiedSample(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    // the sample predicate must run scan-side: the only exchange in the
+    // whole plan is the final presentation sort's range partitioning
+    val s = plan.toString
+    assert("Exchange".r.findAllIn(s).length == 1 && s.contains("rangepartitioning"))
+  }
+
+  test("vocab top-k: single token shuffle with map-side partial aggregation") {
+    val s = planOf(PipelineOps.vocabTopK(spark, sf("sf0.001")))
+    // partial_sum before the exchange proves map-side combine; top-k is
+    // TakeOrdered, not a global sort
+    assert(s.contains("partial_sum") || s.contains("partial_count"))
+    assert(s.contains("TakeOrderedAndProject"))
+    assert("hashpartitioning".r.findAllIn(s).length == 1)
+  }
+
+  test("latest snapshot: no global sort before the per-key top-1 filter") {
+    val p = TemporalOps.latestEvents(spark, sf("sf0.001")).queryExecution.executedPlan
+    val s = p.toString
+    // one hash exchange for the window partition + one range for output
+    assert("hashpartitioning".r.findAllIn(s).length == 1)
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

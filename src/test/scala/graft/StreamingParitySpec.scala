@@ -146,6 +146,55 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("streaming sessionization emits the batch sessions once watermark passes") {
+    val session = spark
+    import session.implicits._
+
+    val events = Tables
+      .events(spark, sf("sf0.001"))
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    val input = MemoryStream[Event](spark, 4)
+    val sessions = EventPipeline.sessionStream(input.toDF())
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName("sessions_parity")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      events.grouped(2000).foreach { batch =>
+        input.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      // sentinel far past every session end: advances the watermark so
+      // all real sessions close and emit (append mode); its own session
+      // stays pending and is excluded below
+      val maxTs = events.map(_.ts.getTime).max
+      input.addData(Event(-1L, new Timestamp(maxTs + 7200000L), -1L, "x", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark
+      .table("sessions_parity")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getLong(3), r.getDouble(4)))
+      .toSet
+
+    val batch = graft.operators.TemporalOps.sessionize(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("cooldown processor enforces chained per-key suppression") {
     val session = spark
     import session.implicits._
