@@ -130,11 +130,15 @@ object DedupOps {
     * is one shuffle on the shingle key + one on the pair key).
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-      .select(col("doc_id"), col("source"), col("shingles"),
-              size(col("shingles")).as("n_sh"))
-    val ex = sh.select(col("source"), col("doc_id"), col("n_sh"),
-                       explode(col("shingles")).as("shingle"))
+    // with_size barrier: one shingle pass per doc per join side — the
+    // explode + size references otherwise each re-run the shingling
+    val ex = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+              explode(graft.functions.TextExprs.withSize(
+                graft.functions.TextExprs.wordShingles(col("text"), 3))).as("p"))
+      .select(col("source"), col("doc_id"), col("p.x").as("shingle"),
+              col("p.n").as("n_sh"))
     val pairs = ex
       .select(col("source"), col("shingle"), col("doc_id").as("doc1"),
               col("n_sh").as("n1"))

@@ -128,10 +128,15 @@ object TextOps {
   def textWinnow(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
-      .withColumn("fingerprints",
-                  graft.functions.TextExprs.winnowFingerprints(col("text"), 8, 4))
-      .select(col("doc_id"), explode(col("fingerprints")).as("fp"),
-              size(col("fingerprints")).as("n_fingerprints"))
+      // with_size barrier: ONE winnowing pass per document — explode +
+      // size as separate references each re-ran the rolling hash
+      // (PlanSpec guards the reference count)
+      .select(col("doc_id"),
+              explode(graft.functions.TextExprs.withSize(
+                graft.functions.TextExprs.winnowFingerprints(col("text"), 8, 4)))
+                .as("p"))
+      .select(col("doc_id"), col("p.x").as("fp"),
+              col("p.n").as("n_fingerprints"))
       .orderBy(col("doc_id"), col("fp"))
 
   // ---- DuckDB oracles ----------------------------------------------------

@@ -67,6 +67,16 @@ class PlanSpec extends SparkSpec {
     assert("minhash_signature".r.findAllIn(op).length == 1)
   }
 
+  test("winnowing and shingling evaluate once per row (with_size barrier)") {
+    val w = TextOps.textWinnow(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    assert("winnow_fingerprints".r.findAllIn(w).length == 1)
+    val j = DedupOps.dedupNgramJaccard(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    // one evaluation per self-join side
+    assert("word_shingles".r.findAllIn(j).length == 2)
+  }
+
   test("nested-event parse evaluates from_json at most twice") {
     // JsonToStructs is codegen-fallback (no subexpression reuse): every
     // surviving reference in the optimized plan is a full reparse
