@@ -177,33 +177,35 @@ object DedupOps {
     * exactly on candidates via per-nibble XOR popcounts.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashFrame(spark, dir).select(col("doc_id"), col("simhash"))
-    val bands = sigs.select(
-      col("doc_id"),
-      explode(sequence(lit(0), lit(3))).as("band"),
-      col("simhash"))
+    // signatures ride the bucket shuffle as (doc_id, simhash) structs,
+    // so in-bucket pair expansion yields both operands directly — no
+    // join back to a signature table, and the simhash pipeline runs
+    // exactly ONCE over the corpus (it previously re-ran per join side:
+    // three corpus scans and two shuffles more than this shape)
+    val bands = simhashFrame(spark, dir)
+      .select(col("doc_id"),
+              explode(sequence(lit(0), lit(3))).as("band"),
+              col("simhash"))
       .withColumn("prefix", substr(col("simhash"), col("band") * 4 + 1, lit(4)))
-    val candidates = bands
+    bands
       .groupBy(col("band"), col("prefix"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("ds")) - 1),
         i =>
           transform(sequence(i + 1, size(col("ds"))),
                     j =>
-                      struct(element_at(col("ds"), i).as("doc1"),
-                             element_at(col("ds"), j).as("doc2")))))).as("p"))
-      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+                      struct(element_at(col("ds"), i).getField("doc_id").as("doc1"),
+                             element_at(col("ds"), j).getField("doc_id").as("doc2"),
+                             element_at(col("ds"), i).getField("simhash").as("h1"),
+                             element_at(col("ds"), j).getField("simhash").as("h2")))))).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"),
+              graft.functions.TextExprs.hammingHex(col("p.h1"), col("p.h2"))
+                .as("hamming"))
       .distinct()
-
-    candidates
-      .join(sigs.select(col("doc_id").as("doc1"), col("simhash").as("h1")), "doc1")
-      .join(sigs.select(col("doc_id").as("doc2"), col("simhash").as("h2")), "doc2")
-      .withColumn("hamming",
-                  graft.functions.TextExprs.hammingHex(col("h1"), col("h2")))
       .filter(col("hamming") <= 3)
-      .select(col("doc1"), col("doc2"), col("hamming"))
       .orderBy(col("doc1"), col("doc2"))
   }
 

@@ -94,12 +94,14 @@ object MiscOps {
     val wide = if (raw.rdd.getNumPartitions < cores) raw.repartition(cores) else raw
 
     wide
-      .withColumn("e", from_json(col("raw"), openSchema))
-      // P2: malformed → null struct (PERMISSIVE) → dropped. One predicate,
-      // one parse: `e.event_id IS NOT NULL` subsumes `e IS NOT NULL`, and
-      // JsonToStructs is codegen-fallback with no common-subexpression
-      // reuse, so every extra reference in the pushed-down Filter is a
-      // full reparse of the record.
+      // explode(array(...)) generate-barrier: JsonToStructs is
+      // codegen-fallback with no common-subexpression reuse, and the
+      // pushed-down null filter plus the projection would otherwise each
+      // reparse the record; behind a Generate the parse runs ONCE and
+      // every consumer reads the attribute (PlanSpec guards the count).
+      .select(explode(array(from_json(col("raw"), openSchema))).as("e"))
+      // P2: malformed → null struct (PERMISSIVE) → dropped; the
+      // event_id check subsumes `e IS NOT NULL`
       .filter(col("e.event_id").isNotNull)
       .select(
         col("e.event_id").cast("long").as("event_id"),

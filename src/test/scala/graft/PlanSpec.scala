@@ -77,12 +77,20 @@ class PlanSpec extends SparkSpec {
     assert("word_shingles".r.findAllIn(j).length == 2)
   }
 
-  test("nested-event parse evaluates from_json at most twice") {
+  test("nested-event parse evaluates from_json exactly once") {
     // JsonToStructs is codegen-fallback (no subexpression reuse): every
-    // surviving reference in the optimized plan is a full reparse
+    // surviving reference in the optimized plan is a full reparse; the
+    // explode(array(...)) barrier pins it to one
     val op = MiscOps.eventNestedParse(spark, sf("sf0.001"))
       .queryExecution.optimizedPlan.toString
-    assert("from_json".r.findAllIn(op).length <= 2)
+    assert("from_json".r.findAllIn(op).length == 1)
+  }
+
+  test("simhash pairs: one simhash pass, no signature re-join") {
+    val op = DedupOps.simhashPairs(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    assert("simhash64".r.findAllIn(op).length == 1)
+    assert(!op.contains("Join"))
   }
 
   test("asof join: one keyed exchange, no nested-loop join") {
