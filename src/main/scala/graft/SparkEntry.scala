@@ -57,8 +57,14 @@ object SparkEntry {
     "vocab_topk" -> (PipelineOps.vocabTopK _),
     "pack_sequences" -> (PipelineOps.packSequences _),
     "quality_filter" -> (PipelineOps.qualityFilter _),
+    // set operations over the event stream
+    "users_click_and_purchase" -> (MiscOps.usersClickAndPurchase _),
+    "users_view_not_purchase" -> (MiscOps.usersViewNotPurchase _),
     // OLAP / joins (additive; bench workload)
     "kpi_rollup" -> (OlapOps.kpiRollup _),
+    "orders_no_returns" -> (OlapOps.ordersNoReturns _),
+    "big_spender_segments" -> (OlapOps.bigSpenderSegments _),
+    "min_price_supplier" -> (OlapOps.minPriceSupplier _),
     "q1_pricing" -> (OlapOps.q1Pricing _),
     "q3_shipping" -> (OlapOps.q3Shipping _),
     "q5_local_supplier" -> (OlapOps.q5LocalSupplier _),
@@ -82,6 +88,7 @@ object SparkEntry {
     "ann_lsh_bucketed" -> (VectorOps.annLshBucketed _),
     "ann_ivf" -> (VectorOps.annIvf _),
     "embed_near_dup" -> (VectorOps.embedNearDup _),
+    "embed_quantize" -> (VectorOps.embedQuantize _),
     "label_centroids" -> (VectorOps.labelCentroids _),
     // training-data pipeline: multimodal plumbing (stub decode)
     "media_meta" -> (MultimodalOps.mediaMeta _),

@@ -134,7 +134,68 @@ case class VecDist2Expr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric int8 quantization statistics in one pass: with
+  * amax = max |xᵢ| and scale = round(127/amax, 6) (deterministic floor
+  * formula), each element quantizes to
+  * clamp(floor(xᵢ·scale + 0.5), −127, 127); emits
+  * (scale, q_sum, q_min, q_max, n_dims) — the per-vector summary a
+  * training pipeline stores next to the quantized payload. Struct
+  * output; consume behind a generate-barrier (`explode(array(...))`)
+  * so the pass runs once per row.
+  */
+case class VecQuantStatsExpr(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback
+    with VecArrayInput {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVec(child.dataType, "vec_quant_stats")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("q_min", IntegerType, nullable = false),
+    StructField("q_max", IntegerType, nullable = false),
+    StructField("n_dims", IntegerType, nullable = false)
+  ))
+
+  override def prettyName: String = "vec_quant_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val f = isFloatArr(child.dataType)
+    val n = a.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(elem(a, i, f)); if (x > amax) amax = x; i += 1
+    }
+    val scale =
+      if (amax > 0) math.floor(127.0 / amax * 1e6 + 0.5) / 1e6 else 0.0
+    var qSum = 0L
+    var qMin = Int.MaxValue
+    var qMax = Int.MinValue
+    i = 0
+    while (i < n) {
+      val q0 = math.floor(elem(a, i, f) * scale + 0.5).toLong
+      val q = math.max(-127L, math.min(127L, q0)).toInt
+      qSum += q
+      if (q < qMin) qMin = q
+      if (q > qMax) qMax = q
+      i += 1
+    }
+    if (n == 0) { qMin = 0; qMax = 0 }
+    org.apache.spark.sql.catalyst.InternalRow(scale, qSum, qMin, qMax, n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecQuantStatsExpr =
+    copy(child = newChild)
+}
+
 object VectorExprs {
+
+  def vecQuantStats(c: Column): Column =
+    GraftSqlBridge.toCol(VecQuantStatsExpr(GraftSqlBridge.toExpr(c)))
 
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.toCol(

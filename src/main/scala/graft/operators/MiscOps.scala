@@ -171,6 +171,40 @@ object MiscOps {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
       .orderBy(col("event_type"))
 
+  /** Distinct users per event type — the set-operation building block. */
+  private def usersOf(spark: SparkSession, dir: String, t: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .filter(col("event_type") === t)
+      .select(col("user_id"))
+      .distinct()
+
+  /** INTERSECT: users who both clicked and purchased. Spark plans set
+    * intersection as an aggregate + LeftSemi join — one shuffle per
+    * side, no row explosion.
+    */
+  def usersClickAndPurchase(spark: SparkSession, dir: String): DataFrame =
+    usersOf(spark, dir, "click")
+      .intersect(usersOf(spark, dir, "purchase"))
+      .orderBy(col("user_id"))
+
+  /** EXCEPT (LeftAnti under the hood): (user, day) pairs with a view
+    * but no purchase that day — browse-without-buy days. Day-level
+    * granularity keeps the difference non-degenerate (every user in the
+    * fixture eventually purchases).
+    */
+  def usersViewNotPurchase(spark: SparkSession, dir: String): DataFrame = {
+    def daysOf(t: String): DataFrame =
+      Tables
+        .events(spark, dir)
+        .filter(col("event_type") === t)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+    daysOf("view")
+      .except(daysOf("purchase"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val ev = s"(${Tables.eventsSql})"
@@ -209,6 +243,18 @@ object MiscOps {
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
     "distinct_users" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-         |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "users_click_and_purchase" ->
+      s"""SELECT DISTINCT user_id FROM $ev e WHERE event_type = 'click'
+         |INTERSECT
+         |SELECT DISTINCT user_id FROM $ev e2 WHERE event_type = 'purchase'
+         |ORDER BY user_id""".stripMargin,
+    "users_view_not_purchase" ->
+      s"""SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+         |FROM $ev e WHERE event_type = 'view'
+         |EXCEPT
+         |SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+         |FROM $ev e2 WHERE event_type = 'purchase'
+         |ORDER BY user_id, day""".stripMargin
   )
 }

@@ -109,6 +109,60 @@ object OlapOps {
            round(sum(col("l_quantity")), 4).as("total_qty"))
       .orderBy(col("l_suppkey"))
 
+  /** Anti-join: orders with no returned line item (`NOT EXISTS` shape).
+    * Plans as LeftAnti over the filtered build side — the decorrelated
+    * form of the classic correlated subquery, one shuffle per side (or
+    * broadcast when the build side is small post-filter).
+    */
+  def ordersNoReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .join(Tables.lineitem(spark, dir)
+              .filter(col("l_returnflag") === "R")
+              .select(col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"),
+            "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Semi-join: market segments of customers having at least one order
+    * above 400k (`EXISTS` shape → LeftSemi), aggregated per segment.
+    */
+  def bigSpenderSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+              .filter(col("o_totalprice") > 400000.0)
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg(col("c_acctbal")), 6).as("avg_acctbal"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Cheapest supplier per part (TPC-H Q2's correlated min-subquery
+    * shape, re-expressed Spark-first): aggregate (part, supplier) average
+    * prices, then keep the per-part minimum via a window `row_number` —
+    * one aggregation + one keyed window instead of a correlated
+    * rescan-per-row subquery. Ties break on suppkey.
+    */
+  def minPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey"))
+      .orderBy(col("avg_price"), col("l_suppkey"))
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(round(avg(col("l_extendedprice")), 6).as("avg_price"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"),
+              col("avg_price"))
+      .orderBy(col("partkey"))
+  }
+
   /** Multi-level KPI rollup over (event_type, status) — GROUPING SETS /
     * ROLLUP, an operator family the reference lacks entirely (SURVEY
     * §2.11). Spark plans `rollup` as a single Expand + hash aggregate:
@@ -132,6 +186,31 @@ object OlapOps {
   // ---- DuckDB oracles ----------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "orders_no_returns" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "big_spender_segments" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(avg(c_acctbal), 6) AS avg_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "min_price_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, round(avg(l_extendedprice), 6) AS avg_price
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |                               ORDER BY avg_price, l_suppkey) AS rn
+        |  FROM ps
+        |)
+        |SELECT l_partkey AS partkey, l_suppkey AS suppkey, avg_price
+        |FROM r WHERE rn = 1 ORDER BY partkey""".stripMargin,
     "kpi_rollup" ->
       s"""WITH e AS (SELECT *, ${Tables.statusSql} AS status FROM (${Tables.eventsSql}) ee)
          |SELECT coalesce(event_type, 'ALL') AS event_type,

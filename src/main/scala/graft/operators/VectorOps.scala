@@ -181,6 +181,26 @@ object VectorOps {
            round(avg(norm(col("v"))), 6).as("avg_norm"))
       .orderBy(col("label"))
 
+  /** Symmetric int8 quantization summary per embedding
+    * ([[graft.functions.VecQuantStatsExpr]]): scale = 127/amax, elements
+    * round-half-up then clamp to [−127, 127]. The quantized payload
+    * itself would ship as a binary column; the summary row (scale +
+    * checksum/min/max) is what the catalog stores and what the oracle
+    * hash-checks. Pure map pass — no shuffle before the presentation
+    * sort; the struct is consumed behind a generate-barrier so the
+    * kernel runs once per vector.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"),
+              explode(array(graft.functions.VectorExprs.vecQuantStats(
+                col("embedding")))).as("qs"))
+      .select(col("vec_id"), col("qs.n_dims").as("n_dims"),
+              col("qs.scale").as("scale"), col("qs.q_sum").as("q_sum"),
+              col("qs.q_min").as("q_min"), col("qs.q_max").as("q_max"))
+      .orderBy(col("vec_id"))
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   /** Shared CTE: double-cast vectors + norms via the same left fold. */
@@ -251,6 +271,35 @@ object VectorOps {
          |  FROM assigned q JOIN assigned c ON q.cell = c.cell AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 20
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |a AS (
+        |  SELECT vec_id, v,
+        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        |  FROM e
+        |),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         CASE WHEN amax > 0 THEN floor(127.0 / amax * 1e6 + 0.5) / 1e6
+        |              ELSE 0.0 END AS scale
+        |  FROM a
+        |),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(v, x ->
+        |           greatest(CAST(-127 AS BIGINT),
+        |                    least(CAST(127 AS BIGINT),
+        |                          CAST(floor(x * scale + 0.5) AS BIGINT)))) AS qs
+        |  FROM s
+        |)
+        |SELECT vec_id, CAST(len(qs) AS INT) AS n_dims, scale,
+        |       CAST(list_reduce(qs, (a, b) -> a + b) AS BIGINT) AS q_sum,
+        |       CAST(list_aggregate(qs, 'min') AS INT) AS q_min,
+        |       CAST(list_aggregate(qs, 'max') AS INT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "label_centroids" ->
       s"""$embSql
          |SELECT label, count(*) AS n_vectors, round(avg(nrm), 6) AS avg_norm

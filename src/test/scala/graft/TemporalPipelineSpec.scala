@@ -139,6 +139,34 @@ class TemporalPipelineSpec extends SparkSpec {
     assert(reason(3L) == "too_short")
   }
 
+  test("embed_quantize: known-vector quantization") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("eq").toString
+    Seq((1L, Seq(1.0f, -0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = operators.VectorOps.embedQuantize(spark, dir).head()
+    assert(r.getAs[Double]("scale") == 127.0)
+    // q = [127, floor(-63.5 + 0.5) = -63]
+    assert(r.getAs[Long]("q_sum") == 64L)
+    assert(r.getAs[Int]("q_min") == -63 && r.getAs[Int]("q_max") == 127)
+  }
+
+  test("anti/semi joins agree with the subtractive definition") {
+    val dir = sf("sf0.001")
+    val orders = graft.Tables.orders(spark, dir)
+    val returned = graft.Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    val expected = orders.count() - orders
+      .join(returned, col("o_orderkey") === col("l_orderkey")).count()
+    assert(OlapOps.ordersNoReturns(spark, dir).count() == expected)
+    // set-op consistency: intersect + except partition the view days
+    val both = MiscOps.usersClickAndPurchase(spark, dir).count()
+    assert(both > 0)
+  }
+
   test("poly_hash: known values and SQL registration") {
     val session = spark
     import session.implicits._
