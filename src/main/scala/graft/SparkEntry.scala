@@ -57,6 +57,7 @@ object SparkEntry {
     "vocab_topk" -> (PipelineOps.vocabTopK _),
     "pack_sequences" -> (PipelineOps.packSequences _),
     "quality_filter" -> (PipelineOps.qualityFilter _),
+    "profile_events" -> (PipelineOps.profileEvents _),
     // set operations over the event stream
     "users_click_and_purchase" -> (MiscOps.usersClickAndPurchase _),
     "users_view_not_purchase" -> (MiscOps.usersViewNotPurchase _),

@@ -29,6 +29,18 @@ object DedupOps {
   private val RowsPerBand = NumHashes / Bands
   private val JaccardThreshold = 0.5
 
+  /** Skew guard: LSH buckets larger than this are dropped from pair
+    * expansion. In-bucket pairing is O(|bucket|²) — a degenerate bucket
+    * (empty documents, boilerplate, a hash pathologic) on a 100 TB
+    * corpus would expand to billions of candidate rows and stall the
+    * stage. A bucket this large is near-useless for dedup anyway (its
+    * members collide on 1/4 of the signature, i.e. the corpus has a
+    * boilerplate cluster that exact-dedup or length filters should have
+    * removed). The cap is part of the operator's semantics and the
+    * DuckDB oracles apply it identically.
+    */
+  private val MaxBucket = 256
+
   /** Normalized text + word-3-gram shingle set (distinct) — native
     * expression ([[graft.functions.ShinglesExpr]]); see there for why not
     * built-in higher-order functions.
@@ -91,11 +103,12 @@ object DedupOps {
             element_at(col("sig"), col("band") * RowsPerBand + r + 1)
               .cast("string")): _*)))
 
-    // bucket → sorted member list → all in-bucket pairs (i < j)
+    // bucket → sorted member list → all in-bucket pairs (i < j);
+    // megabuckets dropped (skew guard, see MaxBucket)
     val candidates = bands
       .groupBy(col("band"), col("band_hash"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxBucket)
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("ds")) - 1),
         i =>
@@ -191,7 +204,7 @@ object DedupOps {
       .groupBy(col("band"), col("prefix"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxBucket)
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("ds")) - 1),
         i =>
@@ -276,9 +289,13 @@ object DedupOps {
          |             || '|' || CAST(sig[4 * b + 3] AS VARCHAR) || '|' || CAST(sig[4 * b + 4] AS VARCHAR)) AS band_hash
          |  FROM sig, UNNEST([0, 1, 2, 3]) t(b)
          |),
+         |bsz AS (SELECT b, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  FROM bands a
+         |  JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  JOIN bsz ON bsz.b = a.b AND bsz.band_hash = a.band_hash
+         |  WHERE bsz.n <= $MaxBucket
          |),
          |scored AS (
          |  SELECT doc1, doc2,
@@ -334,9 +351,13 @@ object DedupOps {
         |  SELECT doc_id, b.band, substr(simhash, b.band * 4 + 1, 4) AS prefix
         |  FROM sigs, UNNEST([0, 1, 2, 3]) b(band)
         |),
+        |bsz AS (SELECT band, prefix, count(*) AS n FROM bands GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
-        |  FROM bands a JOIN bands c ON a.band = c.band AND a.prefix = c.prefix AND a.doc_id < c.doc_id
+        |  FROM bands a
+        |  JOIN bands c ON a.band = c.band AND a.prefix = c.prefix AND a.doc_id < c.doc_id
+        |  JOIN bsz ON bsz.band = a.band AND bsz.prefix = a.prefix
+        |  WHERE bsz.n <= 256
         |),
         |nx AS (
         |  SELECT cand.doc1, cand.doc2,

@@ -138,6 +138,46 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Dataset profile: per-column row/null/distinct counts (plus numeric
+    * min/max/avg for the metric column) — the "analyze table" pass a
+    * pipeline runs before training to catch schema drift and null
+    * regressions. ONE scan: all statistics aggregate in a single pass
+    * (Spark plans the multi-distinct via Expand), and the single result
+    * row explodes into per-column rows; min/max/avg are exact picks or
+    * 4-dp-rounded, so the profile is engine-stable.
+    */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val agg = Tables
+      .events(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        cols.map(c => count(col(c)).as(s"nn_$c")) ++
+          cols.map(c => count_distinct(col(c)).as(s"nd_$c")) ++
+          Seq(min(col("value")).as("min_value"),
+              max(col("value")).as("max_value"),
+              round(avg(col("value")), 4).as("avg_value")): _*
+      )
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("n_rows").as("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        (if (c == "value") col("min_value") else lit(null).cast("double"))
+          .as("min_d"),
+        (if (c == "value") col("max_value") else lit(null).cast("double"))
+          .as("max_d"),
+        (if (c == "value") col("avg_value") else lit(null).cast("double"))
+          .as("avg_d")
+      )
+    }
+    agg
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   /** poly_hash as a DuckDB BIGINT fold (see PolyHashExpr). */
@@ -185,6 +225,21 @@ object PipelineOps {
          |       cum_tokens - n_tokens AS offset_tokens,
          |       CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT) AS bin
          |FROM c ORDER BY source, doc_id""".stripMargin,
+    "profile_events" -> {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      cols
+        .map { c =>
+          val isV = c == "value"
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             |       count(*) - count($c) AS n_nulls,
+             |       count(DISTINCT $c) AS n_distinct,
+             |       ${if (isV) "min(value)" else "CAST(NULL AS DOUBLE)"} AS min_d,
+             |       ${if (isV) "max(value)" else "CAST(NULL AS DOUBLE)"} AS max_d,
+             |       ${if (isV) "round(avg(value), 4)" else "CAST(NULL AS DOUBLE)"} AS avg_d
+             |FROM (${Tables.eventsSql}) e_$c""".stripMargin
+        }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+    },
     "quality_filter" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm

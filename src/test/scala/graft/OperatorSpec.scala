@@ -67,6 +67,28 @@ class OperatorSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash LSH: megabuckets are dropped by the skew guard") {
+    val session = spark
+    import session.implicits._
+    val boiler = "identical boilerplate text repeated across many documents here"
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    // 300 identical docs (> MaxBucket=256): every band bucket for them
+    // is capped, so no pairs — while the planted near-dup pair elsewhere
+    // is still found
+    val docs = ((1 to 300).map(i => (i.toLong, boiler)) ++
+      Seq((1001L, base), (1002L, near)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("mb").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.dedupMinhashLsh(spark, dir)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1001L, 1002L)))
+  }
+
   test("simhash: identical docs hash identically, different docs differ") {
     val session = spark
     import session.implicits._
