@@ -60,8 +60,23 @@ object StreamJob {
       }
       .start()
 
+    // session store: gap sessions close as the watermark passes (append
+    // mode), giving the cold store exactly-once final session rows
+    val sessionQuery = EventPipeline
+      .sessionStream(events)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$outDir/ckpt_sessions")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/sessions")
+        ()
+      }
+      .start()
+
     kpiQuery.awaitTermination()
     alertQuery.awaitTermination()
+    sessionQuery.awaitTermination()
 
     // Second job, exactly the reference topology: the alert service
     // consumes the anomaly job's output topic (`alerts.v1` ≙ the alerts
@@ -91,7 +106,9 @@ object StreamJob {
     Map(
       "hot_aggregates" -> spark.read.parquet(s"$outDir/hot_aggregates").count(),
       "alerts" -> spark.read.parquet(s"$outDir/alerts").count(),
-      "fired_alerts" -> spark.read.parquet(s"$outDir/fired_alerts").count()
+      "fired_alerts" -> spark.read.parquet(s"$outDir/fired_alerts").count(),
+      "sessions" -> (try spark.read.parquet(s"$outDir/sessions").count()
+                     catch { case _: Throwable => 0L })
     )
   }
 
