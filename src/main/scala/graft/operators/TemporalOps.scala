@@ -142,22 +142,21 @@ object TemporalOps {
 
   /** Latest-per-key snapshot: each user's most recent event — the
     * SCD-style "current state" compaction every event-sourced store
-    * needs. `row_number` over (user, ts desc) with a deterministic
-    * event_id tie-break; plans as one hash shuffle on user_id + in-
-    * partition top-1 (no global sort of the full table).
+    * needs. Runs through the dedicated per-key top-k operator
+    * ([[graft.plans.TopKPerKeyPlan]], k=1): the partial pre-shuffle pass
+    * reduces each input split to one row per user BEFORE the exchange,
+    * so the shuffle moves at most (users × splits) rows — against a
+    * 100 TB event log that is the entire ballgame. Deterministic
+    * event_id tie-break; bit-identical to the `row_number` formulation
+    * (same DuckDB oracle).
     */
-  def latestEvents(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    Tables
-      .events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def latestEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK
+      .perKey(Tables.events(spark, dir), Seq("user_id"),
+              Seq("ts" -> false, "event_id" -> false), 1, "rn")
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
               col("value"))
       .orderBy(col("user_id"))
-  }
 
   // ---- DuckDB oracles ----------------------------------------------------
 

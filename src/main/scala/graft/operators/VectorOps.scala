@@ -48,11 +48,12 @@ object VectorOps {
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
                   round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+    // per-key top-k via the dedicated operator (TopKPerKeyPlan): bounded
+    // buffers + partial pre-shuffle pass instead of WindowExec's full
+    // partition sort; bit-identical to the row_number formulation
+    graft.plans.TopK
+      .perKey(scored, Seq("query_id"),
+              Seq("cosine" -> false, "vec_id" -> true), 10, "rank")
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"),
               col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
@@ -82,11 +83,9 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
                   round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    graft.plans.TopK
+      .perKey(scored, Seq("query_id"),
+              Seq("cosine" -> false, "vec_id" -> true), 5, "rank")
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
               col("cosine"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
@@ -154,15 +153,14 @@ object VectorOps {
       .filter(col("vec_id") < 20)
       .select(col("cell"), col("vec_id").as("query_id"),
               col("v").as("qv"), col("nrm").as("qn"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    assigned
+    val scoredCell = assigned
       .join(queries, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
                   round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 5)
+    graft.plans.TopK
+      .perKey(scoredCell, Seq("query_id"),
+              Seq("cosine" -> false, "vec_id" -> true), 5, "rank")
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
               col("cosine"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))

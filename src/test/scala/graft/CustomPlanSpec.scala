@@ -24,6 +24,53 @@ class CustomPlanSpec extends SparkSpec {
     fast.zip(slow).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("ann_topk plans as partial + final TopKPerKey around one exchange") {
+    val df = graft.operators.VectorOps.annTopK(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE prints initial + final plans: 2 stages render 2 or 4 times
+    assert("TopKPerKey".r.findAllIn(plan).length >= 2,
+           "expected a partial and a final top-k stage")
+    assert(!plan.contains("Window "), "should not fall back to WindowExec")
+  }
+
+  test("TopKPerKey output is identical to the row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val viaOp = graft.plans.TopK
+      .perKey(ev, Seq("user_id"), Seq("value" -> false, "event_id" -> true),
+              3, "rank")
+      .select(col("user_id"), col("event_id"), col("rank"))
+      .orderBy(col("user_id"), col("rank"))
+      .collect()
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    val viaWindow = ev
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("user_id"), col("event_id"), col("rank"))
+      .orderBy(col("user_id"), col("rank"))
+      .collect()
+    assert(viaOp.length == viaWindow.length && viaOp.sameElements(viaWindow))
+  }
+
+  test("TopKPerKey handles ties, k > group size, and single-row keys") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 5.0, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L),
+                 (2L, 1.0, 20L)).toDF("k", "v", "id")
+    val rows = graft.plans.TopK
+      .perKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 5, "rank")
+      .select(col("k"), col("id"), col("rank"))
+      .orderBy(col("k"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+                             (2L, 20L, 1)))
+  }
+
   test("per-key buffers reset between adjacent keys in a partition") {
     val session = spark
     import session.implicits._
