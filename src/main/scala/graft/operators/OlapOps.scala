@@ -149,15 +149,15 @@ object OlapOps {
     * rescan-per-row subquery. Ties break on suppkey.
     */
   def minPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_partkey"))
-      .orderBy(col("avg_price"), col("l_suppkey"))
-    Tables
+    val ps = Tables
       .lineitem(spark, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(round(avg(col("l_extendedprice")), 6).as("avg_price"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // per-part argmin via the dedicated top-k operator (k=1) — the
+    // partial stage caps each split's contribution before the exchange
+    graft.plans.TopK
+      .perKey(ps, Seq("l_partkey"),
+              Seq("avg_price" -> true, "l_suppkey" -> true), 1, "rn")
       .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"),
               col("avg_price"))
       .orderBy(col("partkey"))
