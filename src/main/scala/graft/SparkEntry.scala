@@ -29,6 +29,7 @@ object SparkEntry {
     // §2.4 A1/A2, §2.5 W1, §2.6 O1 — windowed KPIs
     "kpi_tumbling" -> (KpiOps.kpiTumbling _),
     "kpi_sliding" -> (KpiOps.kpiSliding _),
+    "kpi_sliding_paned" -> (KpiOps.kpiSlidingPaned _),
     "kpi_lookup" -> (KpiOps.kpiLookup _),
     "kpi_udaf_p95" -> (KpiOps.kpiUdafP95 _),
     // §2.4 A6-A8, §2.7 T4-T9 — anomaly detection (batch analog)

@@ -91,6 +91,42 @@ object KpiOps {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Pane-composed sliding KPIs — the classic pane optimization (Li et
+    * al., "No Pane, No Gain", SIGMOD Record '05): aggregate 10-second
+    * tumbling PANES first (one shuffle over raw events, no expansion),
+    * then compose each 1-minute window from its 6 covering panes (the
+    * 6× row expansion happens on the tiny pane table, not the event
+    * stream). At 100 TB this cuts the expanded pre-aggregation input by
+    * the events-per-pane factor; the trade is that only pane-additive
+    * aggregates compose (count/sum/error_count — not exact percentiles,
+    * which is why [[kpiSliding]] keeps the direct form). The oracle
+    * replicates the two-level summation exactly.
+    */
+  def kpiSlidingPaned(spark: SparkSession, dir: String): DataFrame = {
+    val panes = Tables
+      .eventsWithStatus(spark, dir)
+      .groupBy(col("event_type"), window(col("ts"), "10 seconds").as("p"))
+      .agg(count(lit(1)).as("pane_n"),
+           sum(col("value")).as("pane_sum"),
+           count(when(col("status") === "error", 1)).as("pane_err"))
+    panes
+      .select(col("event_type"), col("p.start").as("pane_start"),
+              col("pane_n"), col("pane_sum"), col("pane_err"),
+              explode(sequence(lit(0), lit(5))).as("k"))
+      .withColumn("window_start",
+                  col("pane_start") - col("k") * expr("INTERVAL 10 SECONDS"))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(sum(col("pane_n")).as("n_events"),
+           round(sum(col("pane_sum")), 4).as("sum_value"),
+           sum(col("pane_err")).as("error_count"))
+      .withColumn("window_end", col("window_start") + expr("INTERVAL 1 MINUTE"))
+      .withColumn("error_rate", round(col("error_count") / col("n_events"), 6))
+      .select(col("event_type"), col("window_start"), col("window_end"),
+              col("n_events"), col("sum_value"), col("error_count"),
+              col("error_rate"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
   /** `GET /kpi?source=…&window=1m` — newest-first, limit 100
     * (read-api/main.py:228-291, SURVEY §2.6 O1). Spark plans
     * orderBy+limit as TakeOrderedAndProject (distributed top-k — no full
@@ -146,6 +182,29 @@ object KpiOps {
     "kpi_lookup" ->
       s"""SELECT * FROM ($tumblingSql) t WHERE event_type = 'click'
          |ORDER BY window_start DESC LIMIT 100""".stripMargin,
+    // Pane composition: 10s pane partials, then each window sums its 6
+    // covering panes — same two-level summation as the engine.
+    "kpi_sliding_paned" ->
+      s"""WITH p AS (
+         |  SELECT event_type,
+         |         TIMESTAMP '1970-01-01 00:00:00'
+         |           + CAST(floor(epoch(ts) / 10) AS BIGINT) * 10 * INTERVAL 1 SECOND AS pane_start,
+         |         count(*) AS pane_n, sum(value) AS pane_sum,
+         |         count(*) FILTER (WHERE status = 'error') AS pane_err
+         |  FROM $ev ee GROUP BY 1, 2
+         |),
+         |x AS (
+         |  SELECT event_type, pane_start - k * 10 * INTERVAL 1 SECOND AS window_start,
+         |         pane_n, pane_sum, pane_err
+         |  FROM p, UNNEST([0, 1, 2, 3, 4, 5]) t(k)
+         |)
+         |SELECT event_type, window_start,
+         |       window_start + INTERVAL 1 MINUTE AS window_end,
+         |       CAST(sum(pane_n) AS BIGINT) AS n_events,
+         |       round(sum(pane_sum), 4) AS sum_value,
+         |       CAST(sum(pane_err) AS BIGINT) AS error_count,
+         |       round(CAST(sum(pane_err) AS DOUBLE) / sum(pane_n), 6) AS error_rate
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Sliding panes: each event belongs to the 6 10s-aligned windows
     // [start, start+60s) with start ∈ {floor(ts/10s)*10s - k*10s, k=0..5}.
     "kpi_sliding" ->

@@ -67,6 +67,18 @@ class OperatorSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("pane-composed sliding KPIs agree with the direct expansion") {
+    val direct = KpiOps.kpiSliding(spark, sf("sf0.001"))
+      .select("event_type", "window_start", "n_events", "error_count")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+                           r.getLong(2), r.getLong(3))).toSet
+    val paned = KpiOps.kpiSlidingPaned(spark, sf("sf0.001"))
+      .select("event_type", "window_start", "n_events", "error_count")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+                           r.getLong(2), r.getLong(3))).toSet
+    assert(direct == paned)
+  }
+
   test("minhash LSH: megabuckets are dropped by the skew guard") {
     val session = spark
     import session.implicits._
