@@ -64,6 +64,9 @@ object SparkEntry {
     "users_view_not_purchase" -> (MiscOps.usersViewNotPurchase _),
     // OLAP / joins (additive; bench workload)
     "kpi_rollup" -> (OlapOps.kpiRollup _),
+    "user_activity_pivot" -> (OlapOps.userActivityPivot _),
+    "lineitem_measures" -> (OlapOps.lineitemMeasures _),
+    "series_gapfill" -> (SeriesOps.seriesGapfill _),
     "orders_no_returns" -> (OlapOps.ordersNoReturns _),
     "big_spender_segments" -> (OlapOps.bigSpenderSegments _),
     "min_price_supplier" -> (OlapOps.minPriceSupplier _),

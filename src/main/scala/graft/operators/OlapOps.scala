@@ -163,6 +163,44 @@ object OlapOps {
       .orderBy(col("partkey"))
   }
 
+  /** PIVOT: per-user event counts, one column per event type. The value
+    * list is EXPLICIT — `pivot(col)` without values runs a blocking
+    * distinct-collect over the full table to discover the schema, which
+    * is both a second scan and a driver round-trip a 100 TB pipeline
+    * can't afford; with declared values Spark plans a single pass of
+    * conditional aggregates.
+    */
+  def userActivityPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** UNPIVOT (melt): the four lineitem measures stacked into
+    * (measure, value) rows, then aggregated per measure — the wide→long
+    * reshape that feeds generic per-metric pipelines. Spark's `unpivot`
+    * plans as a single Expand (no self-union, one scan).
+    */
+  def lineitemMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .unpivot(
+        ids = Array(col("l_orderkey")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+                       col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n_values"),
+           round(sum(col("value")), 4).as("total"),
+           round(avg(col("value")), 6).as("avg_value"))
+      .orderBy(col("measure"))
+
   /** Multi-level KPI rollup over (event_type, status) — GROUPING SETS /
     * ROLLUP, an operator family the reference lacks entirely (SURVEY
     * §2.11). Spark plans `rollup` as a single Expand + hash aggregate:
@@ -186,6 +224,25 @@ object OlapOps {
   // ---- DuckDB oracles ----------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "user_activity_pivot" ->
+      s"""SELECT user_id,
+         |       count(*) FILTER (WHERE event_type = 'click') AS click,
+         |       count(*) FILTER (WHERE event_type = 'error') AS error,
+         |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         |       count(*) FILTER (WHERE event_type = 'view') AS view
+         |FROM (${Tables.eventsSql}) e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "lineitem_measures" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+        |)
+        |SELECT measure, count(*) AS n_values,
+        |       round(sum(value), 4) AS total,
+        |       round(avg(value), 6) AS avg_value
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
     "orders_no_returns" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
         |FROM orders o

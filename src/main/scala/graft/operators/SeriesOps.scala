@@ -64,11 +64,54 @@ object SeriesOps {
            count(lit(1)).as("n_events"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** Gap-filled per-minute series (TimescaleDB's `time_bucket_gapfill`,
+    * the flagship feature of the reference's cold store): the dense
+    * (event_type × minute) grid is generated from the data's own bounds
+    * with `sequence` + explode, left-joined to the sparse counts, and
+    * missing buckets filled with 0 and flagged. The grid side is tiny
+    * (types × minutes) and broadcast; the counts side aggregates before
+    * the join, so the big table is touched once.
+    */
+  def seriesGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val counts = ev
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = ev.agg(
+      date_trunc("minute", min(col("ts"))).as("lo"),
+      date_trunc("minute", max(col("ts"))).as("hi"))
+    val minutes = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MINUTE")))
+        .as("bucket"))
+    val grid = ev.select(col("event_type")).distinct().crossJoin(minutes)
+    grid
+      .join(counts, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+              coalesce(col("n_events"), lit(0L)).as("n_events"),
+              col("n_events").isNull.as("is_gap"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val ev = s"(${Tables.eventsSql})"
 
   val oracles: Map[String, String] = Map(
+    "series_gapfill" ->
+      s"""WITH e AS ($ev),
+         |c AS (
+         |  SELECT event_type, date_trunc('minute', ts) AS bucket, count(*) AS n_events
+         |  FROM e GROUP BY 1, 2
+         |),
+         |b AS (SELECT date_trunc('minute', min(ts)) AS lo, date_trunc('minute', max(ts)) AS hi FROM e),
+         |m AS (SELECT g.bucket FROM b, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 MINUTE)) g(bucket)),
+         |t AS (SELECT DISTINCT event_type FROM e),
+         |grid AS (SELECT t.event_type, m.bucket FROM t, m)
+         |SELECT grid.event_type, grid.bucket,
+         |       coalesce(c.n_events, 0) AS n_events,
+         |       c.n_events IS NULL AS is_gap
+         |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.bucket = c.bucket
+         |ORDER BY 1, 2""".stripMargin,
     "series_avg" ->
       s"""SELECT event_type, date_trunc('minute', ts) AS bucket, round(avg(value), 6) AS avg_value
          |FROM $ev e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
