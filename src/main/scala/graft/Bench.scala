@@ -57,11 +57,13 @@ object Bench {
       try SparkEntry.queries(q)(spark, warmupDir).count()
       catch { case _: Throwable => }
 
-    // min of two runs per query: single-shot numbers at this scale swing
-    // ±2s from GC/JIT transients; the minimum is the steady-state figure
-    // the baseline's sustained-throughput thresholds describe.
+    // min of three runs per query: single-shot numbers at this scale
+    // swing ±2s from GC/JIT transients (a first-execution Janino compile
+    // occasionally lands on a measured run even after warmup); the
+    // minimum is the steady-state figure the baseline's
+    // sustained-throughput thresholds describe.
     def time(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }

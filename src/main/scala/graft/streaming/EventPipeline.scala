@@ -133,6 +133,25 @@ object EventPipeline {
         CooldownProcessor.gate)
   }
 
+  /** Rule routing over the fired-alert stream (P8,
+    * `alert-service/main.py:179-187`): stream–static broadcast join
+    * against the (tiny) rules table — the streaming form of
+    * [[graft.operators.AnomalyOps.alertRouting]]. Fan-out: one output
+    * row per (alert, matching enabled rule) with the notify channel.
+    */
+  def routedAlerts(spark: SparkSession,
+                   fired: Dataset[CooldownProcessor.FiredAlert]): DataFrame =
+    fired
+      .toDF()
+      .join(
+        broadcast(graft.operators.AnomalyOps.alertRules(spark)
+          .filter(col("enabled"))),
+        col("severity") === col("severity_threshold") &&
+          (size(col("rule_sources")) === 0 ||
+            array_contains(col("rule_sources"), col("event_type"))))
+      .select(col("event_id"), col("event_type"), col("ts"), col("severity"),
+              col("rule_id"), col("channel"))
+
   /** Kafka-envelope projection (K1-K4): aggregate/alert record → JSON
     * `value` with the Redis-style key (F6/F11) — write with
     * `.writeStream.format("kafka")` in production, parquet here.

@@ -89,8 +89,8 @@ object StreamJob {
       .schema(spark.read.parquet(s"$outDir/alerts").schema)
       .parquet(s"$outDir/alerts")
       .as[AnomalyAlert]
-    val firedQuery = EventPipeline
-      .cooldownStream(spark, alertsIn)
+    val fired = EventPipeline.cooldownStream(spark, alertsIn)
+    val firedQuery = fired
       .toDF()
       .writeStream
       .outputMode(OutputMode.Update)
@@ -103,12 +103,35 @@ object StreamJob {
       .start()
     firedQuery.awaitTermination()
 
+    // notification routing: fired alerts × broadcast rules (P8) — the
+    // reference alert service's channel dispatch as a stream–static
+    // broadcast join over the fired-alert store (store-then-consume,
+    // like every other stage boundary here)
+    val firedIn = spark.readStream
+      .schema(spark.read.parquet(s"$outDir/fired_alerts").schema)
+      .parquet(s"$outDir/fired_alerts")
+      .as[CooldownProcessor.FiredAlert]
+    val routedQuery = EventPipeline
+      .routedAlerts(spark, firedIn)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$outDir/ckpt_routed")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/routed")
+        ()
+      }
+      .start()
+    routedQuery.awaitTermination()
+
     Map(
       "hot_aggregates" -> spark.read.parquet(s"$outDir/hot_aggregates").count(),
       "alerts" -> spark.read.parquet(s"$outDir/alerts").count(),
       "fired_alerts" -> spark.read.parquet(s"$outDir/fired_alerts").count(),
       "sessions" -> (try spark.read.parquet(s"$outDir/sessions").count()
-                     catch { case _: Throwable => 0L })
+                     catch { case _: Throwable => 0L }),
+      "routed" -> (try spark.read.parquet(s"$outDir/routed").count()
+                   catch { case _: Throwable => 0L })
     )
   }
 
