@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.SkewOps
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale join techniques, demonstrated and guarded: bucketed
+  * co-located joins (no exchange at all) and salted joins for hot keys
+  * (equivalence with the plain join).
+  */
+class ScaleTechniqueSpec extends SparkSpec {
+
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val o = Tables.orders(spark, sf("sf0.001"))
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must pick a shuffle-or-bucket plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+              col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+             "bucketed scan should satisfy the join distribution — no shuffle")
+      // and the same rows as the plain parquet join
+      assert(j.count() ==
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("salted join equals the plain join on a hot-key fixture") {
+    val session = spark
+    import session.implicits._
+    // 10k rows of one hot key + a long tail, joined to a 100-row dim
+    val left = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 1000).map(i => (i.toLong % 100 + 2, i.toLong)))
+      .toDF("k", "payload")
+    val right = (1 to 100).map(i => (i.toLong, s"dim_$i")).toDF("rk", "name")
+
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val salted = SkewOps
+      .saltedJoin(left, right, col("k"), col("rk"), col("payload"), 8)
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(plain == salted)
+    assert(salted.count(_._1 == 1L) == 10000)
+  }
+}
