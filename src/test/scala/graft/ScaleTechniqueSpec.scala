@@ -38,6 +38,25 @@ class ScaleTechniqueSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned cold store prunes partitions on time filters") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    // the 100 TB cold-store layout: events partitioned by event date
+    // (the hypertable-chunking analog, SURVEY §4 partition-pruning row)
+    Tables.events(spark, sf("sf0.001"))
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+
+    val filtered = spark.read.parquet(dir)
+      .filter(col("event_date") === "2024-01-05")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
+           "date predicate must prune directories, not filter rows")
+    // pruned read equals the full-scan filter
+    val full = Tables.events(spark, sf("sf0.001"))
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(filtered.count() == full && full > 0)
+  }
+
   test("salted join equals the plain join on a hot-key fixture") {
     val session = spark
     import session.implicits._
