@@ -121,6 +121,18 @@ class StreamingParitySpec extends SparkSpec {
     val counts = streaming.StreamJob.run(spark, sf("sf0.001"), out)
     assert(counts("alerts") > 0 && counts("fired_alerts") > 0)
 
+    // routing invariant: the streamed channel dispatch equals the batch
+    // rules join applied to the fired-alert store it consumed
+    val fired = spark.read.parquet(s"$out/fired_alerts")
+    val expectedRouted = fired
+      .join(broadcast(graft.operators.AnomalyOps.alertRules(spark)
+              .filter(col("enabled"))),
+            col("severity") === col("severity_threshold") &&
+              (size(col("rule_sources")) === 0 ||
+                array_contains(col("rule_sources"), col("event_type"))))
+      .count()
+    assert(counts("routed") == expectedRouted && expectedRouted > 0)
+
     // final pane values from the hot store == batch sliding KPI query
     // (update mode re-emits growing panes; counts are monotone, so the
     // max update per key is the final value)
