@@ -53,6 +53,7 @@ object SparkEntry {
     "asof_join" -> (TemporalOps.asofJoin _),
     "range_join" -> (TemporalOps.rangeJoin _),
     "latest_events" -> (TemporalOps.latestEvents _),
+    "click_attribution" -> (TemporalOps.clickAttribution _),
     // training-data pipeline: dataset construction
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "vocab_topk" -> (PipelineOps.vocabTopK _),

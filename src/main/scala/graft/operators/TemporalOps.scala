@@ -158,6 +158,35 @@ object TemporalOps {
               col("value"))
       .orderBy(col("user_id"))
 
+  /** Click→purchase attribution: each purchase joined to every click by
+    * the same user in the preceding 10 minutes — the interval-join shape
+    * (Flink's `intervalJoin`; Spark stream-stream join with time-bound
+    * condition, see [[graft.streaming.EventPipeline.attributionStream]]
+    * for the incremental form with identical semantics). Batch plan: an
+    * equi-join on user_id with the interval as a residual range
+    * predicate — at cluster scale the user key carries the shuffle and
+    * the residual prunes in-task, never a theta join.
+    */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+    clicks
+      .join(purchases, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"),
+              round(col("value"), 4).as("purchase_value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val windowsSql =
@@ -211,6 +240,18 @@ object TemporalOps {
          |FROM e JOIN wins
          |  ON e.event_type = wins.w_type AND e.ts >= wins.w_start AND e.ts < wins.w_end
          |GROUP BY window_id, w_type ORDER BY window_id""".stripMargin,
+    "click_attribution" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+         |      FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+         |      FROM e WHERE event_type = 'purchase')
+         |SELECT c.user_id AS user_id, click_id, purchase_id, click_ts, purchase_ts,
+         |       round(value, 4) AS purchase_value
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND purchase_ts >= click_ts
+         |  AND purchase_ts <= click_ts + INTERVAL 10 MINUTE
+         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "latest_events" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |r AS (

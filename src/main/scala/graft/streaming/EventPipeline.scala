@@ -133,6 +133,36 @@ object EventPipeline {
         CooldownProcessor.gate)
   }
 
+  /** Stream–stream interval join (Flink `intervalJoin` ≙ Spark's
+    * watermarked stream-stream join with a time-bound condition):
+    * click→purchase attribution — each purchase matched to the same
+    * user's clicks in the preceding 10 minutes. The watermarks plus the
+    * range bound let Spark evict join state once `purchase_ts` can no
+    * longer fall within any live click's window, so state is bounded by
+    * (watermark delay + interval), not the stream length. Semantics are
+    * identical to the batch [[graft.operators.TemporalOps.clickAttribution]]
+    * (asserted in StreamingParitySpec).
+    */
+  def attributionStream(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "10 seconds")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 seconds")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+    clicks
+      .join(purchases,
+            col("c_user") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Rule routing over the fired-alert stream (P8,
     * `alert-service/main.py:179-187`): stream–static broadcast join
     * against the (tiny) rules table — the streaming form of

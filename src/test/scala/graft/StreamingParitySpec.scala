@@ -207,6 +207,48 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val session = spark
+    import session.implicits._
+    val events = Tables
+      .events(spark, sf("sf0.001"))
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    val input = MemoryStream[Event](spark, 8)
+    val joined = EventPipeline.attributionStream(input.toDF())
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("attrib_parity")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      events.grouped(2000).foreach { batch =>
+        input.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      // flush: advance both watermarks beyond every live interval
+      val maxTs = events.map(_.ts.getTime).max
+      input.addData(
+        Event(-1L, new Timestamp(maxTs + 3600000L), -1L, "click", 1.0),
+        Event(-2L, new Timestamp(maxTs + 3600000L), -1L, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark
+      .table("attrib_parity")
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.operators.TemporalOps
+      .clickAttribution(spark, sf("sf0.001"))
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("cooldown processor enforces chained per-key suppression") {
     val session = spark
     import session.implicits._
