@@ -27,13 +27,22 @@ import graft.functions.{HammingHexExpr, MinHashSigExpr, PolyHashExpr, RollingSta
   * construction — `getOrCreate` on a live session silently ignores
   * `withExtensions`), use [[GraftExtensions.registerOn]] instead.
   *
-  * No custom optimizer `Rule`s or `SparkStrategy`s are injected: SURVEY
-  * §4's conclusion stands — everything the reference computes plans well
-  * under stock Catalyst; our extension points are expressions only.
+  * Injected planner strategies cover the two whole custom operators
+  * ([[RollingStatsPlan]], [[TopKPerKeyPlan]]). No custom optimizer
+  * `Rule`s are injected: SURVEY §4's conclusion stands — everything the
+  * reference computes optimizes fine under stock Catalyst; our
+  * extension points are expressions and physical operators.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator strategies: extension-built sessions plan
+    // RollingStatsPlan / TopKPerKeyPlan without use-site registration
+    // (operators also self-register via experimental.extraStrategies, so
+    // plain sessions work too)
+    ext.injectPlannerStrategy(_ => RollingStatsStrategy)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {
