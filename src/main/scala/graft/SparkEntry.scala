@@ -60,6 +60,8 @@ object SparkEntry {
     "pack_sequences" -> (PipelineOps.packSequences _),
     "quality_filter" -> (PipelineOps.qualityFilter _),
     "profile_events" -> (PipelineOps.profileEvents _),
+    "bpe_first_merges" -> (PipelineOps.bpeFirstMerges _),
+    "contamination_check" -> (DedupOps.contaminationCheck _),
     // set operations over the event stream
     "users_click_and_purchase" -> (MiscOps.usersClickAndPurchase _),
     "users_view_not_purchase" -> (MiscOps.usersViewNotPurchase _),

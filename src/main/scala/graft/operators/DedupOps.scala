@@ -17,10 +17,11 @@ import graft.functions.Rounding.round
   * join is the one shuffle; skewed buckets (boilerplate-heavy corpora)
   * would be salted or capped (`spark.sql.adaptive.skewJoin`).
   *
-  * Portability note: min-hash functions are `min(md5(seed || '|' ||
-  * shingle))` over lexicographic hex strings — a valid min-wise hash
-  * family that DuckDB computes byte-identically, which makes the whole
-  * pipeline oracle-checkable end to end.
+  * Portability note: the min-hash permutations are (aᵢ·h₀ + bᵢ) mod
+  * 1e9+7 over a polynomial base hash h₀ (see
+  * [[graft.functions.MinHashSigExpr]]) — exact int64 arithmetic that
+  * DuckDB reproduces bit-identically, which makes the whole pipeline
+  * oracle-checkable end to end.
   */
 object DedupOps {
 
@@ -81,8 +82,8 @@ object DedupOps {
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard
     * over the shingle sets. bands=4 × rows=4 over k=16.
     *
-    * Shape: the expensive signature pass (16 min-hashes × |shingles| md5s
-    * per doc) runs ONCE; buckets come from a groupBy on (band,
+    * Shape: the signature pass (one base hash + 16 mixes per shingle)
+    * runs ONCE; buckets come from a groupBy on (band,
     * band_hash) with in-bucket pair expansion — not a self-join, which
     * would re-execute the signature pipeline for both sides. Candidate
     * verification joins back to the (cheap) shingle sets only.
@@ -230,6 +231,46 @@ object DedupOps {
       .documents(spark, dir)
       .withColumn("simhash", graft.functions.TextExprs.simhash64(col("text")))
 
+  /** Benchmark-contamination check: training documents (source ≠ src0)
+    * sharing ≥ 20 winnowing fingerprints with any document of the held-out
+    * eval set (src0) — the cross-corpus overlap scan run before training
+    * to catch test-set leakage (same guarantee as [[TextOps.textWinnow]]:
+    * any shared substring of ≥ 11 chars yields a shared fingerprint).
+    *
+    * Scale shape: ONE fingerprint pass over the corpus, split into the
+    * two sets; "stop-fingerprints" occurring in more than 100 documents
+    * (boilerplate) are dropped before the join — the fingerprint analog
+    * of the LSH megabucket guard, without which a ubiquitous header line
+    * would cross-join the corpora.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              explode(graft.functions.TextExprs.withSize(
+                graft.functions.TextExprs.winnowFingerprints(col("text"), 8, 4)))
+                .as("p"))
+      .select(col("doc_id"), col("source"), col("p.x").as("fp"))
+    val rare = fps
+      .groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") <= 100)
+      .select(col("fp"))
+    val filtered = fps.join(rare, "fp")
+    val evalSet = filtered
+      .filter(col("source") === "src0")
+      .select(col("fp"), col("doc_id").as("eval_doc"))
+    val trainSet = filtered
+      .filter(col("source") =!= "src0")
+      .select(col("fp"), col("doc_id").as("train_doc"))
+    trainSet
+      .join(evalSet, "fp")
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count_distinct(col("fp")).as("n_shared"))
+      .filter(col("n_shared") >= 20)
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val shingleSql =
@@ -272,6 +313,28 @@ object DedupOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "contamination_check" ->
+      s"""WITH n AS (SELECT doc_id, source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS m FROM documents),
+         |h AS (
+         |  SELECT doc_id, source, p.i AS pos, length(m) - 7 AS nh,
+         |         ${TextOps.winnowHashSql} AS hv
+         |  FROM n, UNNEST(range(1, length(m) - 6)) p(i)
+         |),
+         |wmin AS (
+         |  SELECT doc_id, source, pos, nh,
+         |         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM h
+         |),
+         |sel AS (SELECT DISTINCT doc_id, source, fp FROM wmin WHERE pos <= nh - 3),
+         |rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) <= 100),
+         |f AS (SELECT sel.* FROM sel JOIN rare USING (fp)),
+         |ev AS (SELECT fp, doc_id AS eval_doc FROM f WHERE source = 'src0'),
+         |tr AS (SELECT fp, doc_id AS train_doc FROM f WHERE source <> 'src0')
+         |SELECT train_doc, eval_doc, count(DISTINCT fp) AS n_shared
+         |FROM tr JOIN ev USING (fp)
+         |GROUP BY 1, 2 HAVING count(DISTINCT fp) >= 20
+         |ORDER BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
         |SELECT md5(norm) AS content_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies

@@ -138,6 +138,31 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The first merge step of BPE tokenizer training: adjacent character
+    * pairs weighted by corpus token frequency, top 20 — the
+    * highest-count pair is exactly what a byte-pair encoder would merge
+    * first (Sennrich et al., ACL '16). Shape matters at corpus scale:
+    * the pair explosion runs over the AGGREGATED vocabulary (token,
+    * freq), not over every token instance — the vocabulary is orders of
+    * magnitude smaller than the corpus, and [[vocabTopK]]'s one-pass
+    * token_counts already proved the vocab aggregation itself.
+    */
+  def bpeFirstMerges(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(graft.functions.TextExprs.tokenCounts(col("text"))).as("tc"))
+      .groupBy(col("tc.token").as("token"))
+      .agg(sum(col("tc.tf")).as("freq"))
+      .filter(length(col("token")) >= 2)
+      .select(col("freq"),
+              explode(expr(
+                "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+                .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+
   /** Dataset profile: per-column row/null/distinct counts (plus numeric
     * min/max/avg for the metric column) — the "analyze table" pass a
     * pipeline runs before training to catch schema drift and null
@@ -225,6 +250,20 @@ object PipelineOps {
          |       cum_tokens - n_tokens AS offset_tokens,
          |       CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT) AS bin
          |FROM c ORDER BY source, doc_id""".stripMargin,
+    "bpe_first_merges" ->
+      """WITH t AS (
+        |  SELECT u.token
+        |  FROM documents,
+        |       UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) u(token)
+        |),
+        |v AS (SELECT token, count(*) AS freq FROM t GROUP BY 1),
+        |p AS (
+        |  SELECT substring(token, CAST(r.i AS INT), 2) AS pair, freq
+        |  FROM v, UNNEST(range(1, length(token))) r(i)
+        |  WHERE length(token) >= 2
+        |)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
     "profile_events" -> {
       val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
       cols

@@ -148,7 +148,7 @@ object TextOps {
     * stay < 1.3e11 and the 8-term sum < 2^63, so int64 SQL arithmetic is
     * exact.
     */
-  private val winnowHashSql: String = {
+  private[operators] val winnowHashSql: String = {
     val M = 1000000007L
     val pows = (0 until 8).map { j =>
       var p = 1L
