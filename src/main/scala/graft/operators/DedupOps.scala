@@ -244,29 +244,35 @@ object DedupOps {
     * would cross-join the corpora.
     */
   def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
-    val fps = Tables
+    // single winnow pass; each fingerprint becomes a bucket of (doc,
+    // source) members — the stop-fingerprint cap and the eval×train
+    // pair expansion both happen in-bucket (the LSH-bucket trick), so
+    // no join back to a second fingerprint scan. Within a bucket every
+    // (train, eval) pair appears at most once, so the per-pair count IS
+    // the distinct shared-fingerprint count.
+    val buckets = Tables
       .documents(spark, dir)
       .select(col("doc_id"), col("source"),
               explode(graft.functions.TextExprs.withSize(
                 graft.functions.TextExprs.winnowFingerprints(col("text"), 8, 4)))
                 .as("p"))
-      .select(col("doc_id"), col("source"), col("p.x").as("fp"))
-    val rare = fps
-      .groupBy(col("fp"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") <= 100)
-      .select(col("fp"))
-    val filtered = fps.join(rare, "fp")
-    val evalSet = filtered
-      .filter(col("source") === "src0")
-      .select(col("fp"), col("doc_id").as("eval_doc"))
-    val trainSet = filtered
-      .filter(col("source") =!= "src0")
-      .select(col("fp"), col("doc_id").as("train_doc"))
-    trainSet
-      .join(evalSet, "fp")
-      .groupBy(col("train_doc"), col("eval_doc"))
-      .agg(count_distinct(col("fp")).as("n_shared"))
+      .groupBy(col("p.x").as("fp"))
+      .agg(collect_list(struct(col("doc_id"), col("source"))).as("ds"))
+      .filter(size(col("ds")) <= 100)
+      .withColumn("evs", filter(col("ds"), s => s.getField("source") === "src0"))
+      .withColumn("trs", filter(col("ds"), s => s.getField("source") =!= "src0"))
+      .filter(size(col("evs")) > 0 && size(col("trs")) > 0)
+    buckets
+      .select(explode(flatten(transform(
+        col("evs"),
+        e =>
+          transform(col("trs"),
+                    t =>
+                      struct(t.getField("doc_id").as("train_doc"),
+                             e.getField("doc_id").as("eval_doc")))))).as("pair"))
+      .groupBy(col("pair.train_doc").as("train_doc"),
+               col("pair.eval_doc").as("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 20)
       .orderBy(col("train_doc"), col("eval_doc"))
   }
