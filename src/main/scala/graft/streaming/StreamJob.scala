@@ -147,8 +147,17 @@ object StreamJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
     val counts = run(spark, sfDir, outDir)
-    println(counts.map { case (k, v) => s"$k=$v" }.mkString("STREAMJOB ", " ", s" out=$outDir"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val events =
+      try spark.read.parquet(s"$sfDir/events.parquet").count()
+      catch { case _: Throwable => 0L }
+    // throughput analog of the reference's ≥5k events/sec floor: events
+    // drained through the full four-query pipeline / wall seconds
+    println(counts.map { case (k, v) => s"$k=$v" }.mkString(
+      "STREAMJOB ", " ",
+      f" events=$events wall_s=$secs%.1f events_per_sec=${events / secs}%.0f out=$outDir"))
     spark.stop()
   }
 }
