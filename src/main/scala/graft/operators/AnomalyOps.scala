@@ -34,14 +34,6 @@ object AnomalyOps {
   private val MadThreshold = 3.0
   private val MinSamples = 10
 
-  /** Median of a sorted array, reference semantics: midpoint for odd n,
-    * average of the two middles for even n (`AnomalyDetectionJob.java:215-227`).
-    * 1-based element_at; (n+1) div 2 and n div 2 + 1 coincide for odd n.
-    */
-  private def medianOfSorted(sorted: Column, n: Column): Column =
-    (element_at(sorted, ((n + 1) / lit(2)).cast("int")) +
-      element_at(sorted, (n / lit(2)).cast("int") + 1)) / 2.0
-
   /** Declarative (stock-Catalyst) formulation of [[anomalyScore]] —
     * kept as a named cross-check query; the default path below uses the
     * custom whole-operator plan, which is bit-identical and ~40% faster.
