@@ -111,6 +111,13 @@ case class MinHashSigExpr(child: Expression, k: Int)
   private val M = 1000000007L
   private val B = 257L
 
+  // per-seed constants hoisted out of the per-shingle loop (they depend
+  // only on the seed index)
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(k)(i => 2654435761L * (i + 1) % M)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(k)(i => 22695477L * (i + 1) % M)
+
   override protected def nullSafeEval(input: Any): Any = {
     val shingles = input.asInstanceOf[ArrayData]
     val mins = Array.fill[Long](k)(Long.MaxValue)
@@ -125,14 +132,16 @@ case class MinHashSigExpr(child: Expression, k: Int)
       while (c < str.length) { h = (h * B + str.charAt(c)) % M; c += 1 }
       var i = 0
       while (i < k) {
-        val a = 2654435761L * (i + 1) % M
-        val b = 22695477L * (i + 1) % M
-        val v = (a * h + b) % M
+        val v = (as(i) * h + bs(i)) % M
         if (v < mins(i)) mins(i) = v
         i += 1
       }
       s += 1
     }
+    // Empty input (unreachable from the shingle pipeline — ShinglesExpr
+    // falls back to one whole-text shingle for short docs, and the
+    // oracle mirrors that fallback) yields all zeros as a DEFINED value;
+    // a SQL oracle over raw empty arrays would need the same convention.
     val out = new Array[Any](k)
     var i = 0
     while (i < k) {

@@ -225,12 +225,25 @@ object AnomalyOps {
     */
   private val alertStore =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val MaxStoredFrames = 4
 
   private def scoredStore(spark: SparkSession, dir: String): DataFrame =
-    alertStore.getOrElseUpdate(
-      (spark, dir),
-      scored(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    alertStore.synchronized {
+      alertStore.getOrElseUpdate(
+        (spark, dir), {
+          // bounded store: evict (and unpersist) the oldest frames so
+          // touching many datasets in one JVM (tests, multi-tenant
+          // sessions) can't pin unbounded block storage
+          if (alertStore.size >= MaxStoredFrames) {
+            alertStore.headOption.foreach { case (k, df) =>
+              df.unpersist(blocking = false)
+              alertStore.remove(k)
+            }
+          }
+          scored(spark, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        })
+    }
 
   /** Anomalies only, with the reference's alert fields: thresholds,
     * formatted description (`String.format`,
