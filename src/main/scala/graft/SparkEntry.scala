@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "simhash_signatures" -> (DedupOps.simhashSignatures _),
     "simhash_pairs" -> (DedupOps.simhashPairs _),
+    "dedup_cascade" -> (DedupOps.dedupCascade _),
     // training-data pipeline: text analysis
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),

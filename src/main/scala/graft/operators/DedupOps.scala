@@ -277,6 +277,50 @@ object DedupOps {
       .orderBy(col("train_doc"), col("eval_doc"))
   }
 
+  /** The full dedup cascade — exact → MinHash-LSH near-dup → SimHash
+    * near-dup — as one pipeline emitting every document's verdict with
+    * first-dropping-stage attribution: the production output of a corpus
+    * dedup pass ("which documents survive, and why"). Pair policy per
+    * near-dup stage: the minimum doc_id of each pair survives the pair
+    * (drop the larger member unconditionally) — the standard greedy rule
+    * that is deterministic and engine-portable without transitive
+    * closure (full clustering would be connected components, an
+    * iterative graph pass out of scope by design, SURVEY §1.1).
+    * Each underlying stage is the already-oracle-checked operator above;
+    * this query composes their outputs in one plan.
+    */
+  def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val exactDrop = dedupExact(spark, dir)
+      .filter(col("n_copies") > 1)
+      // non-canonical members drop; re-derive them by joining back
+    val exactMembers = Tables
+      .documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .select(col("doc_id"), md5(col("norm")).as("content_hash"))
+      .join(exactDrop.select(col("content_hash"), col("canonical_doc_id")),
+            "content_hash")
+      .filter(col("doc_id") =!= col("canonical_doc_id"))
+      .select(col("doc_id"), lit("exact_duplicate").as("r1"))
+    val minhashDrop = dedupMinhashLsh(spark, dir)
+      .select(col("doc2").as("doc_id"))
+      .distinct()
+      .withColumn("r2", lit("minhash_near_dup"))
+    val simhashDrop = simhashPairs(spark, dir)
+      .select(col("doc2").as("doc_id"))
+      .distinct()
+      .withColumn("r3", lit("simhash_near_dup"))
+    docs
+      .join(exactMembers, Seq("doc_id"), "left")
+      .join(minhashDrop, Seq("doc_id"), "left")
+      .join(simhashDrop, Seq("doc_id"), "left")
+      .withColumn("reason",
+                  coalesce(col("r1"), col("r2"), col("r3"), lit("kept")))
+      .withColumn("kept", col("reason") === "kept")
+      .select(col("doc_id"), col("kept"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val shingleSql =
@@ -318,39 +362,7 @@ object DedupOps {
        |  FROM hs
        |)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "contamination_check" ->
-      s"""WITH n AS (SELECT doc_id, source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS m FROM documents),
-         |h AS (
-         |  SELECT doc_id, source, p.i AS pos, length(m) - 7 AS nh,
-         |         ${TextOps.winnowHashSql} AS hv
-         |  FROM n, UNNEST(range(1, length(m) - 6)) p(i)
-         |),
-         |wmin AS (
-         |  SELECT doc_id, source, pos, nh,
-         |         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
-         |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-         |  FROM h
-         |),
-         |sel AS (SELECT DISTINCT doc_id, source, fp FROM wmin WHERE pos <= nh - 3),
-         |rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) <= 100),
-         |f AS (SELECT sel.* FROM sel JOIN rare USING (fp)),
-         |ev AS (SELECT fp, doc_id AS eval_doc FROM f WHERE source = 'src0'),
-         |tr AS (SELECT fp, doc_id AS train_doc FROM f WHERE source <> 'src0')
-         |SELECT train_doc, eval_doc, count(DISTINCT fp) AS n_shared
-         |FROM tr JOIN ev USING (fp)
-         |GROUP BY 1, 2 HAVING count(DISTINCT fp) >= 20
-         |ORDER BY 1, 2""".stripMargin,
-    "dedup_exact" ->
-      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
-        |SELECT md5(norm) AS content_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
-        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
-    "minhash_signatures" ->
-      s"""$shingleSql, ${sigSql(NumHashes)}
-         |SELECT doc_id,
-         |       array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig
-         |FROM sig ORDER BY doc_id""".stripMargin,
-    "dedup_minhash_lsh" ->
+  private lazy val minhashLshSql: String =
       s"""$shingleSql, ${sigSql(NumHashes)},
          |bands AS (
          |  SELECT doc_id, shingles, b,
@@ -373,28 +385,9 @@ object DedupOps {
          |               / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))), 6) AS jaccard
          |  FROM cand JOIN sh x ON cand.doc1 = x.doc_id JOIN sh y ON cand.doc2 = y.doc_id
          |)
-         |SELECT * FROM scored WHERE jaccard >= $JaccardThreshold ORDER BY doc1, doc2""".stripMargin,
-    "simhash_signatures" ->
-      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
-        |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
-        |tb AS (SELECT doc_id, md5(t.token) AS h FROM tok, UNNEST(tokens) t(token)),
-        |bitv AS (
-        |  SELECT doc_id, r.j,
-        |         (CAST(floor((strpos('0123456789abcdef', substr(h, CAST(r.j // 4 AS INT) + 1, 1)) - 1)
-        |                     / (2 ** (3 - r.j % 4))) AS INT) % 2) * 2 - 1 AS vote
-        |  FROM tb, UNNEST(range(0, 64)) r(j)
-        |),
-        |votes AS (SELECT doc_id, j, sum(vote) AS v FROM bitv GROUP BY 1, 2),
-        |bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS b FROM votes),
-        |nibs AS (
-        |  SELECT doc_id, j // 4 AS ni,
-        |         CAST(sum(b * (2 ** (3 - j % 4))) AS INT) AS nv
-        |  FROM bits GROUP BY 1, 2
-        |)
-        |SELECT doc_id,
-        |       string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY ni) AS simhash
-        |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "simhash_pairs" ->
+         |SELECT * FROM scored WHERE jaccard >= $JaccardThreshold ORDER BY doc1, doc2""".stripMargin
+
+  private lazy val simhashPairsSql: String =
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
         |tb AS (SELECT doc_id, md5(t.token) AS h FROM tok, UNNEST(tokens) t(token)),
@@ -442,7 +435,92 @@ object DedupOps {
         |         CAST(sum(v % 2 + (v // 2) % 2 + (v // 4) % 2 + (v // 8) % 2) AS BIGINT) AS hamming
         |  FROM nx GROUP BY doc1, doc2
         |)
-        |SELECT doc1, doc2, hamming FROM ham WHERE hamming <= 3 ORDER BY doc1, doc2""".stripMargin,
+        |SELECT doc1, doc2, hamming FROM ham WHERE hamming <= 3 ORDER BY doc1, doc2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // composed by plain concatenation: the embedded pair queries contain
+    // lines starting with '||', which stripMargin would mangle
+    "dedup_cascade" -> {
+      val exd =
+        """WITH exd AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id,
+          |           min(doc_id) OVER (
+          |             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS canon
+          |    FROM documents
+          |  ) WHERE doc_id <> canon
+          |)""".stripMargin
+      val verdict =
+        """verdict AS (
+          |  SELECT d.doc_id,
+          |         CASE WHEN exd.doc_id IS NOT NULL THEN 'exact_duplicate'
+          |              WHEN mhd.doc_id IS NOT NULL THEN 'minhash_near_dup'
+          |              WHEN shd.doc_id IS NOT NULL THEN 'simhash_near_dup'
+          |              ELSE 'kept' END AS reason
+          |  FROM documents d
+          |  LEFT JOIN exd ON d.doc_id = exd.doc_id
+          |  LEFT JOIN mhd ON d.doc_id = mhd.doc_id
+          |  LEFT JOIN shd ON d.doc_id = shd.doc_id
+          |)
+          |SELECT doc_id, reason = 'kept' AS kept, reason
+          |FROM verdict ORDER BY doc_id""".stripMargin
+      exd + ",\nmhd AS (SELECT DISTINCT doc2 AS doc_id FROM (\n" +
+        minhashLshSql + "\n) mhq),\nshd AS (SELECT DISTINCT doc2 AS doc_id FROM (\n" +
+        simhashPairsSql + "\n) shq),\n" + verdict
+    },
+    "contamination_check" ->
+      s"""WITH n AS (SELECT doc_id, source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS m FROM documents),
+         |h AS (
+         |  SELECT doc_id, source, p.i AS pos, length(m) - 7 AS nh,
+         |         ${TextOps.winnowHashSql} AS hv
+         |  FROM n, UNNEST(range(1, length(m) - 6)) p(i)
+         |),
+         |wmin AS (
+         |  SELECT doc_id, source, pos, nh,
+         |         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM h
+         |),
+         |sel AS (SELECT DISTINCT doc_id, source, fp FROM wmin WHERE pos <= nh - 3),
+         |rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) <= 100),
+         |f AS (SELECT sel.* FROM sel JOIN rare USING (fp)),
+         |ev AS (SELECT fp, doc_id AS eval_doc FROM f WHERE source = 'src0'),
+         |tr AS (SELECT fp, doc_id AS train_doc FROM f WHERE source <> 'src0')
+         |SELECT train_doc, eval_doc, count(DISTINCT fp) AS n_shared
+         |FROM tr JOIN ev USING (fp)
+         |GROUP BY 1, 2 HAVING count(DISTINCT fp) >= 20
+         |ORDER BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT md5(norm) AS content_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "minhash_signatures" ->
+      s"""$shingleSql, ${sigSql(NumHashes)}
+         |SELECT doc_id,
+         |       array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig
+         |FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "simhash_signatures" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
+        |tb AS (SELECT doc_id, md5(t.token) AS h FROM tok, UNNEST(tokens) t(token)),
+        |bitv AS (
+        |  SELECT doc_id, r.j,
+        |         (CAST(floor((strpos('0123456789abcdef', substr(h, CAST(r.j // 4 AS INT) + 1, 1)) - 1)
+        |                     / (2 ** (3 - r.j % 4))) AS INT) % 2) * 2 - 1 AS vote
+        |  FROM tb, UNNEST(range(0, 64)) r(j)
+        |),
+        |votes AS (SELECT doc_id, j, sum(vote) AS v FROM bitv GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS b FROM votes),
+        |nibs AS (
+        |  SELECT doc_id, j // 4 AS ni,
+        |         CAST(sum(b * (2 ** (3 - j % 4))) AS INT) AS nv
+        |  FROM bits GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |       string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY ni) AS simhash
+        |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "simhash_pairs" -> simhashPairsSql,
     "dedup_ngram_jaccard" ->
       s"""$shingleSql
          |SELECT a.source AS source, a.doc_id AS doc1, b.doc_id AS doc2,
