@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.round
 
 /** Deduplication operators for a training-data pipeline over `documents`:
-  * exact (hash-groupBy), MinHash+LSH banding, n-gram Jaccard, and SimHash.
+  * exact (hash-groupBy), MinHash+LSH banding, n-gram Jaccard, SimHash,
+  * the cross-corpus contamination check, and the composed cascade
+  * verdict ([[dedupCascade]]).
   *
   * Scale-first design: every stage is a pure map or a single keyed
   * shuffle. MinHash follows the standard shingle → k min-hashes → band →
