@@ -123,13 +123,17 @@ case class MinHashSigExpr(child: Expression, k: Int)
     val mins = Array.fill[Long](k)(Long.MaxValue)
     var s = 0
     while (s < shingles.numElements()) {
-      // base hash: one pass over the shingle's UTF-16 code units —
-      // matches the oracle's ascii(substr(...)) per-character fold for
-      // all BMP text (the corpus; winnow's oracle relies on the same)
+      // base hash: one pass over the shingle's CODE POINTS — matches
+      // the oracle's ascii(substr(...)) per-character fold exactly,
+      // including non-BMP text (surrogate pairs fold as one value)
       val str = shingles.getUTF8String(s).toString
       var h = 0L
       var c = 0
-      while (c < str.length) { h = (h * B + str.charAt(c)) % M; c += 1 }
+      while (c < str.length) {
+        val cp = str.codePointAt(c)
+        h = (h * B + cp) % M
+        c += Character.charCount(cp)
+      }
       var i = 0
       while (i < k) {
         val v = (as(i) * h + bs(i)) % M
@@ -300,7 +304,10 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
       .toLowerCase
       .toString
       .replaceAll("\\s+", " ")
-    val n = s.length
+    // roll over CODE POINTS so k-gram windows line up with the oracle's
+    // substr(s, j, 1)/ascii per-character semantics for non-BMP text too
+    val cps: Array[Int] = s.codePoints().toArray
+    val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     // rolling k-gram hashes
     var bk = 1L // B^k mod M
@@ -310,8 +317,8 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
     var h = 0L
     i = 0
     while (i < n) {
-      h = (h * B + s.charAt(i)) % M
-      if (i >= k) h = (h - s.charAt(i - k) * bk % M + M * 2) % M
+      h = (h * B + cps(i)) % M
+      if (i >= k) h = (h - cps(i - k) * bk % M + M * 2) % M
       if (i >= k - 1) hashes(i - k + 1) = h
       i += 1
     }
@@ -474,7 +481,14 @@ case class PolyHashExpr(child: Expression)
     val s = input.asInstanceOf[UTF8String].toString
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 257L + s.charAt(i)) % 1000000007L; i += 1 }
+    // fold CODE POINTS, not UTF-16 units: the SQL oracles fold
+    // ascii(substr(s, j, 1)) which is per-code-point, so non-BMP text
+    // must hash identically across engines (the sampling contract)
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 257L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
     h
   }
 

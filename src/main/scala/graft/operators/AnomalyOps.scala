@@ -223,27 +223,42 @@ object AnomalyOps {
     * Results are bit-identical to the unpersisted plan (same plan, same
     * partitioning) — Verify hashes prove it.
     */
+  // insertion-ordered so eviction is true FIFO (oldest entry first);
+  // all access is guarded by the map's own monitor
   private val alertStore =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame]
   private val MaxStoredFrames = 4
 
-  private def scoredStore(spark: SparkSession, dir: String): DataFrame =
-    alertStore.synchronized {
-      alertStore.getOrElseUpdate(
-        (spark, dir), {
-          // bounded store: evict (and unpersist) the oldest frames so
+  private def scoredStore(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    val hit = alertStore.synchronized(Option(alertStore.get(key)))
+    hit.getOrElse {
+      // build + persist OUTSIDE the lock: plan construction is expensive
+      // and must not serialize unrelated datasets' builds
+      val built = scored(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      alertStore.synchronized {
+        val race = alertStore.get(key)
+        if (race != null) {
+          built.unpersist(blocking = false) // another thread won
+          race
+        } else {
+          // bounded store: evict (and unpersist) the OLDEST frame so
           // touching many datasets in one JVM (tests, multi-tenant
           // sessions) can't pin unbounded block storage
           if (alertStore.size >= MaxStoredFrames) {
-            alertStore.headOption.foreach { case (k, df) =>
-              df.unpersist(blocking = false)
-              alertStore.remove(k)
+            val it = alertStore.entrySet().iterator()
+            if (it.hasNext) {
+              it.next().getValue.unpersist(blocking = false)
+              it.remove()
             }
           }
-          scored(spark, dir)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        })
+          alertStore.put(key, built)
+          built
+        }
+      }
     }
+  }
 
   /** Anomalies only, with the reference's alert fields: thresholds,
     * formatted description (`String.format`,

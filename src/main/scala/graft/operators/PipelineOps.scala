@@ -232,7 +232,7 @@ object PipelineOps {
         |       UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) u(token)
         |),
         |td AS (SELECT token, doc_id, count(*) AS tf FROM t GROUP BY 1, 2)
-        |SELECT token, sum(tf) AS n_occurrences, count(*) AS doc_frequency
+        |SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences, count(*) AS doc_frequency
         |FROM td GROUP BY token
         |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
     "pack_sequences" ->
@@ -242,8 +242,8 @@ object PipelineOps {
          |  FROM documents
          |),
          |c AS (
-         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-         |                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM d
          |)
          |SELECT doc_id, source, n_tokens,

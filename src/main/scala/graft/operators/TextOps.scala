@@ -37,10 +37,10 @@ object TextOps {
       .withColumn("tokens", tokensCol)
       .select(
         col("doc_id"),
-        size(col("tokens")).as("n_tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"),
         size(regexp_extract_all(lower(col("text")), lit(BpePieceRegex), lit(0)))
-          .as("n_bpe_pieces"),
-        length(col("text")).as("n_chars_text"),
+          .cast("long").as("n_bpe_pieces"),
+        length(col("text")).cast("long").as("n_chars_text"),
         (floor(length(col("text")) / 4)).cast("long").as("n_subwords_est"),
         round(
           aggregate(transform(col("tokens"), t => length(t).cast("double")),

@@ -54,6 +54,17 @@ object TopKPerKeyPlan {
   * superset-safe prefilter: a row in the global top-k is in its input
   * partition's top-k); `partial = false` demands clustering on the keys
   * and emits the 1-based rank.
+  *
+  * Memory posture (the 100 TB story): the partial stage buffers at most
+  * k rows per distinct key but FLUSHES the whole buffer map downstream
+  * whenever it holds more than [[TopKPerKeyExec.MaxPartialBufferedRows]]
+  * rows — flushing early is always correct (the stage is a prefilter;
+  * anything it passes through is re-ranked by the final stage), it only
+  * trades shuffle volume for bounded memory on very-high-cardinality
+  * keys. The final stage additionally requires its child SORTED by the
+  * keys, so it streams one key group at a time holding exactly one
+  * k-row buffer — O(k) memory regardless of key count, with the
+  * pre-exchange sort handled by Spark's spillable SortExec.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
@@ -75,59 +86,160 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // final stage streams key groups, so equal keys must be adjacent;
+  // EnsureRequirements plans this as a spillable SortExec over the
+  // (already partial-pruned) shuffle output
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(key =>
+      SortOrder(key, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  /** Insert `row` into `buf` (ordered, capped at `limit`) iff it ranks. */
+  private def boundedInsert(
+      buf: java.util.ArrayList[UnsafeRow],
+      row: InternalRow,
+      cmp: LazilyGeneratedOrdering,
+      limit: Int): Boolean = {
+    // bounded insertion sort: skip fast when the row can't make the cut
+    if (buf.size() < limit || cmp.compare(row, buf.get(buf.size() - 1)) < 0) {
+      val copy = row.asInstanceOf[UnsafeRow].copy()
+      var lo = 0
+      var hi = buf.size()
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp.compare(copy, buf.get(mid)) < 0) hi = mid else lo = mid + 1
+      }
+      buf.add(lo, copy)
+      if (buf.size() > limit) { buf.remove(limit); false } else true
+    } else false
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val boundKeys = keys.map(BindReferences.bindReference(_, childOutput))
     val boundOrder = ordering.map(o =>
       o.copy(child = BindReferences.bindReference(o.child, childOutput)))
     val limit = k
-    val emitRank = !partial
     val outSchema = output
-    child.execute().mapPartitions({ rows =>
-      val keyProj = UnsafeProjection.create(boundKeys)
-      val cmp = new LazilyGeneratedOrdering(boundOrder)
-      // LinkedHashMap: deterministic (first-seen key) emission order
-      val buffers =
-        new java.util.LinkedHashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
-      rows.foreach { row =>
-        val key = keyProj(row)
-        var buf = buffers.get(key)
-        if (buf == null) {
-          buf = new java.util.ArrayList[UnsafeRow](limit + 1)
-          buffers.put(key.copy(), buf)
-        }
-        // bounded insertion sort: skip fast when the row can't make the cut
-        if (buf.size() < limit ||
-            cmp.compare(row, buf.get(buf.size() - 1)) < 0) {
-          val copy = row.asInstanceOf[UnsafeRow].copy()
-          var lo = 0
-          var hi = buf.size()
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (cmp.compare(copy, buf.get(mid)) < 0) hi = mid else lo = mid + 1
+    if (partial) {
+      val maxBuffered = TopKPerKeyExec.MaxPartialBufferedRows
+      child.execute().mapPartitions({ rows =>
+        val keyProj = UnsafeProjection.create(boundKeys)
+        val cmp = new LazilyGeneratedOrdering(boundOrder)
+        // LinkedHashMap: deterministic (first-seen key) emission order
+        val buffers =
+          new java.util.LinkedHashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
+        new Iterator[InternalRow] {
+          private var nBuffered = 0L
+          private var current: Iterator[InternalRow] = Iterator.empty
+
+          /** Snapshot + clear the buffer map into an output iterator. */
+          private def drain(): Iterator[InternalRow] = {
+            import scala.jdk.CollectionConverters._
+            val snapshot =
+              new java.util.ArrayList[java.util.ArrayList[UnsafeRow]](
+                buffers.values())
+            buffers.clear()
+            nBuffered = 0L
+            snapshot.iterator().asScala.flatMap { buf =>
+              (0 until buf.size()).iterator.map(buf.get(_): InternalRow)
+            }
           }
-          buf.add(lo, copy)
-          if (buf.size() > limit) buf.remove(limit)
+
+          override def hasNext: Boolean = {
+            while (!current.hasNext && rows.hasNext) {
+              while (rows.hasNext && nBuffered < maxBuffered) {
+                val row = rows.next()
+                val key = keyProj(row)
+                var buf = buffers.get(key)
+                if (buf == null) {
+                  buf = new java.util.ArrayList[UnsafeRow](limit + 1)
+                  buffers.put(key.copy(), buf)
+                }
+                if (boundedInsert(buf, row, cmp, limit)) nBuffered += 1
+              }
+              current = drain()
+            }
+            current.hasNext
+          }
+
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            current.next()
+          }
         }
-      }
-      val outProj = UnsafeProjection.create(outSchema, outSchema)
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
-      import scala.jdk.CollectionConverters._
-      buffers.entrySet().iterator().asScala.flatMap { e =>
-        val buf = e.getValue
-        (0 until buf.size()).iterator.map { i =>
-          if (emitRank) {
-            rankRow.update(0, i + 1)
-            outProj(joined(buf.get(i), rankRow))
-          } else buf.get(i): InternalRow
+      }, preservesPartitioning = true)
+    } else {
+      // child clustered AND sorted on keys: stream one group at a time
+      // with a single k-row buffer — O(k) memory per task
+      child.execute().mapPartitions({ rows =>
+        val keyProj = UnsafeProjection.create(boundKeys)
+        val cmp = new LazilyGeneratedOrdering(boundOrder)
+        val outProj = UnsafeProjection.create(outSchema, outSchema)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        new Iterator[InternalRow] {
+          private var pendingKey: UnsafeRow = null // key of lookahead row
+          private var pending: InternalRow = null  // first row of next group
+          private val buf = new java.util.ArrayList[UnsafeRow](limit + 1)
+          private var emit: Iterator[InternalRow] = Iterator.empty
+
+          private def emitGroup(): Iterator[InternalRow] =
+            (0 until buf.size()).iterator.map { i =>
+              rankRow.update(0, i + 1)
+              outProj(joined(buf.get(i), rankRow))
+            }
+
+          override def hasNext: Boolean = {
+            while (!emit.hasNext && (pending != null || rows.hasNext)) {
+              buf.clear()
+              var groupKey: UnsafeRow = null
+              if (pending != null) {
+                groupKey = pendingKey
+                boundedInsert(buf, pending, cmp, limit)
+                pending = null; pendingKey = null
+              }
+              var done = false
+              while (!done && rows.hasNext) {
+                val row = rows.next()
+                val key = keyProj(row)
+                if (groupKey == null) {
+                  groupKey = key.copy()
+                  boundedInsert(buf, row, cmp, limit)
+                } else if (key == groupKey) {
+                  boundedInsert(buf, row, cmp, limit)
+                } else {
+                  pendingKey = key.copy()
+                  pending = row.asInstanceOf[UnsafeRow].copy()
+                  done = true
+                }
+              }
+              emit = emitGroup()
+            }
+            emit.hasNext
+          }
+
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            emit.next()
+          }
         }
-      }
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Partial-stage buffer cap, in ROWS (not keys): ~1M copied UnsafeRows
+    * ≈ low hundreds of MB for typical row widths, well inside an
+    * executor's task share. Crossing it flushes the map downstream —
+    * correctness is unaffected (superset prefilter), only the exchange
+    * carries more candidates for pathological key cardinalities.
+    */
+  val MaxPartialBufferedRows: Long = 1L << 20
 }
 
 /** Plans the logical node as partial top-k → (exchange inserted by

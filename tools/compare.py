@@ -77,6 +77,24 @@ for name in sorted(set(list(oracle.keys()) + [p.name for p in OUT.iterdir() if p
     if len(sdf) != len(odf):
         print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
         n_fail += 1; continue
+    # The driver hashes typed values: an int column on one side vs a float
+    # column on the other (e.g. DuckDB promoting sum(BIGINT) to HUGEINT,
+    # which fetchdf renders as float64) hash-mismatches even when the
+    # values are numerically equal. Timestamp resolution (ns vs us) and
+    # integer width (int32 vs int64) are normalized by the driver - only
+    # the int-vs-float axis is fatal.
+    dtype_bad = None
+    for c in sdf.columns:
+        si = pd.api.types.is_integer_dtype(sdf[c])
+        oi = pd.api.types.is_integer_dtype(odf[c])
+        sf_ = pd.api.types.is_float_dtype(sdf[c])
+        of_ = pd.api.types.is_float_dtype(odf[c])
+        if (si and of_) or (sf_ and oi):
+            dtype_bad = (c, sdf[c].dtype, odf[c].dtype); break
+    if dtype_bad:
+        c, st, ot = dtype_bad
+        print(f"FAIL {name}: dtype col={c} spark={st} oracle={ot} (int vs float)")
+        n_fail += 1; continue
     bad = None
     for c in sdf.columns:
         sv, ov = sdf[c].tolist(), odf[c].tolist()
