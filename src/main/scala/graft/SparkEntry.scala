@@ -99,6 +99,19 @@ object SparkEntry {
     "embed_near_dup" -> (VectorOps.embedNearDup _),
     "embed_quantize" -> (VectorOps.embedQuantize _),
     "label_centroids" -> (VectorOps.labelCentroids _),
+    // corpus search / relevance scoring
+    "tfidf_topterms" -> (SearchOps.tfidfTopterms _),
+    "bm25_search" -> (SearchOps.bm25Search _),
+    "doc_logprob" -> (SearchOps.docLogprob _),
+    // event-sequence analytics
+    "funnel_conversion" -> (FunnelOps.funnelConversion _),
+    "cohort_retention" -> (FunnelOps.cohortRetention _),
+    // cross-dimensional aggregation / profiling
+    "kpi_cube" -> (OlapOps.kpiCube _),
+    "doc_length_histogram" -> (PipelineOps.docLengthHistogram _),
+    // dedup clustering + repetition signals
+    "dedup_clusters" -> (DedupOps.dedupClusters _),
+    "text_repetition" -> (TextOps.textRepetition _),
     // training-data pipeline: multimodal plumbing (stub decode)
     "media_meta" -> (MultimodalOps.mediaMeta _),
     "frame_sample" -> (MultimodalOps.frameSample _),
@@ -114,6 +127,7 @@ object SparkEntry {
     (SeriesOps.oracles ++ KpiOps.oracles ++ AnomalyOps.oracles ++
       MiscOps.oracles ++ OlapOps.oracles ++ DedupOps.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles ++
-      TemporalOps.oracles ++ PipelineOps.oracles)
+      TemporalOps.oracles ++ PipelineOps.oracles ++ SearchOps.oracles ++
+      FunnelOps.oracles)
       .map { case (k, v) => k -> graft.functions.Rounding.fixSql(v) }
 }

@@ -389,6 +389,70 @@ object DedupOps {
          |)
          |SELECT * FROM scored WHERE jaccard >= $JaccardThreshold ORDER BY doc1, doc2""".stripMargin
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * MinHash-LSH pair graph ([[dedupMinhashLsh]]), labelling every
+    * document with the minimum doc_id reachable through near-dup edges —
+    * the grouping a dedup pipeline needs to keep exactly one
+    * representative per duplicate family (pairs alone can't: A~B, B~C
+    * must collapse to ONE cluster even when A~C was never emitted).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in O(component diameter) rounds (near-dup components are shallow —
+    * verified pairs share ≥50% shingles, so diameters stay in single
+    * digits; the production upgrade for adversarial graphs is
+    * pointer-jumping / large-star-small-star [Kiveris et al., SoCC '14],
+    * same join shape, O(log n) rounds). Each round is ONE join + ONE
+    * groupBy both keyed on doc ids; every frame is persisted
+    * MEMORY_AND_DISK and the convergence check (sum of labels, strictly
+    * decreasing until fixpoint) is a cheap scalar action per round.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = dedupMinhashLsh(spark, dir)
+      .select(col("doc1"), col("doc2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var oldSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val msgs = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels
+        .select(col("doc_id"), col("label"))
+        .union(msgs)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSum = next.agg(sum(col("label"))).head.getLong(0)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = newSum == oldSum
+      oldSum = newSum
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $iter rounds")
+    pairs.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    val sizes =
+      labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"),
+              col("cluster_size"),
+              (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   private lazy val simhashPairsSql: String =
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
@@ -502,6 +566,26 @@ object DedupOps {
          |       array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig
          |FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshSql,
+    // composed by concatenation (embedded '||' lines, see above); the
+    // recursive CTE computes each doc's min reachable id = cluster label
+    "dedup_clusters" -> (
+      "WITH RECURSIVE pairs AS (SELECT doc1, doc2 FROM (\n" + minhashLshSql +
+        "\n) mp),\n" +
+        """edges AS (
+          |  SELECT doc1 AS a, doc2 AS b FROM pairs
+          |  UNION ALL SELECT doc2, doc1 FROM pairs
+          |),
+          |reach(doc_id, m) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.m
+          |),
+          |lab AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id),
+          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+          |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+          |       l.doc_id = l.cluster_id AS is_canonical
+          |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
+          |ORDER BY l.doc_id""".stripMargin),
     "simhash_signatures" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),

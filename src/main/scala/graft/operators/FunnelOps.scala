@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
+
+/** Event-sequence analytics over the event stream: funnel conversion and
+  * cohort retention — the product-analytics queries a streaming platform's
+  * read API grows next (same single-table shape as the reference's
+  * `/series`: `read-api/main.py:293-370`, just with sequential
+  * semantics added).
+  *
+  * Scale shape: every stage is a groupBy/join keyed on `user_id` — one
+  * partitioning reused across stages (co-partitioned joins after the
+  * first shuffle; AQE keeps the small stage outputs broadcast). No
+  * windows over unbounded partitions, no driver-side loops.
+  */
+object FunnelOps {
+
+  /** Strict-sequence funnel view → click → purchase: a user converts a
+    * stage only with an event STRICTLY AFTER their previous stage's
+    * first event (min-ts semantics, the standard product-funnel
+    * definition). Emits per-stage user counts and conversion vs the
+    * funnel head.
+    */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("v_ts"))
+    val c = e
+      .filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("c_ts"))
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("p_ts"))
+    def stage(df: DataFrame, name: String, ord: Int): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(name).as("stage"), lit(ord.toLong).as("stage_order"),
+                col("n_users"))
+    stage(v, "view", 1)
+      .union(stage(c, "click", 2))
+      .union(stage(p, "purchase", 3))
+      .crossJoin(
+        broadcast(v.agg(count(lit(1)).cast("double").as("n_first"))))
+      .select(col("stage"), col("stage_order"), col("n_users"),
+              round(col("n_users").cast("double") / col("n_first"), 6)
+                .as("conv_rate"))
+      .orderBy(col("stage_order"))
+  }
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * cohort, distinct active users at day offsets 0..13. The (user, day)
+    * dedup happens BEFORE the join (smallest frame shuffles), and the
+    * final matrix is tiny regardless of input scale.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables
+      .events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val first = act
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    act
+      .join(first, "user_id")
+      .withColumn("day_offset",
+                  datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= 13)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "funnel_conversion" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM e
+         |      JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM e
+         |      JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1),
+         |n AS (
+         |  SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_order,
+         |         CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+         |  UNION ALL
+         |  SELECT 'click', CAST(2 AS BIGINT),
+         |         CAST((SELECT count(*) FROM c) AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'purchase', CAST(3 AS BIGINT),
+         |         CAST((SELECT count(*) FROM p) AS BIGINT)
+         |),
+         |f AS (SELECT CAST(count(*) AS DOUBLE) AS n_first FROM v)
+         |SELECT stage, stage_order, n_users,
+         |       round(CAST(n_users AS DOUBLE) / n_first, 6) AS conv_rate
+         |FROM n CROSS JOIN f ORDER BY stage_order""".stripMargin,
+    "cohort_retention" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM e),
+         |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+         |SELECT f.cohort_day,
+         |       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+         |       count(*) AS n_users
+         |FROM a JOIN f ON a.user_id = f.user_id
+         |WHERE date_diff('day', f.cohort_day, a.day) <= 13
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

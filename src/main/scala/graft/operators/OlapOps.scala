@@ -221,9 +221,40 @@ object OlapOps {
               col("n_events"), col("sum_value"), col("avg_value"))
       .orderBy(col("event_type"), col("status"))
 
+  /** Full CUBE over (event_type, hour-of-day): all four grouping sets in
+    * ONE pass — Spark plans this as a single Expand + aggregate (rows
+    * duplicated ×4 pre-aggregation, map-side combined), not four scans.
+    * The value sum is exact integer cents (`floor(v·100 + 0.5)` of
+    * 2-decimal inputs), so every cell is engine-exact with no float
+    * accumulation-order hazard. Complements [[kpiRollup]] (hierarchical
+    * sets) with the full cross-dimensional lattice.
+    */
+  def kpiCube(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"),
+              floor(col("value") * lit(100) + lit(0.5)).as("cents"))
+      .cube(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+              coalesce(col("hr"), lit(-1L)).as("hour"), col("n_events"),
+              col("sum_cents"))
+      .orderBy(col("event_type"), col("hour"))
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "kpi_cube" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM (${Tables.eventsSql}) ee
+         |)
+         |SELECT coalesce(event_type, 'ALL') AS event_type,
+         |       coalesce(hr, -1) AS hour,
+         |       count(*) AS n_events,
+         |       CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM e GROUP BY CUBE (event_type, hr) ORDER BY 1, 2""".stripMargin,
     "user_activity_pivot" ->
       s"""SELECT user_id,
          |       count(*) FILTER (WHERE event_type = 'click') AS click,

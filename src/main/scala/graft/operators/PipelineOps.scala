@@ -163,6 +163,25 @@ object PipelineOps {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(20)
 
+  /** Sequence-length histogram: documents bucketed by token count
+    * (width 32, capped at bucket 15) — the length-distribution profile a
+    * pipeline checks before choosing a packing budget ([[packSequences]])
+    * or truncation length. One scan, one tiny aggregation; integer-only
+    * output so the histogram is engine-exact.
+    */
+  def docLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("n_tokens",
+                  size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("bucket", least(expr("n_tokens div 32"), lit(15L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_tokens")).as("min_tokens"),
+           max(col("n_tokens")).as("max_tokens"),
+           sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("bucket"))
+
   /** Dataset profile: per-column row/null/distinct counts (plus numeric
     * min/max/avg for the metric column) — the "analyze table" pass a
     * pipeline runs before training to catch schema drift and null
@@ -250,6 +269,17 @@ object PipelineOps {
          |       cum_tokens - n_tokens AS offset_tokens,
          |       CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT) AS bin
          |FROM c ORDER BY source, doc_id""".stripMargin,
+    "doc_length_histogram" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT least(n_tokens // 32, 15) AS bucket,
+        |       count(*) AS n_docs,
+        |       min(n_tokens) AS min_tokens,
+        |       max(n_tokens) AS max_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "bpe_first_merges" ->
       """WITH t AS (
         |  SELECT u.token

@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
+
+/** Corpus search / relevance scoring over the documents table — the
+  * retrieval-side counterpart of the dedup and text-quality families: a
+  * training-data pipeline uses exactly these passes for corpus search,
+  * example mining, and LM-quality filtering at 100 TB.
+  *
+  * Cross-engine determinism notes (these queries are float-heavy):
+  * - `ln` is bit-identical between Java's `Math.log` and DuckDB's `ln`
+  *   over this domain (verified empirically over the full (N, df) grid
+  *   used here), so idf values carry identical bits in both engines.
+  * - Every float reduction is either a FIXED-ARITY sum written with the
+  *   same association on both sides, or a sequential left fold over a
+  *   token-sorted list (`aggregate` ≡ `list_reduce`) — never an
+  *   engine-native float aggregate whose accumulation order differs.
+  * - All emitted floats go through [[graft.functions.Rounding.round]].
+  */
+object SearchOps {
+
+  /** BM25 parameters (Robertson/Spärck Jones; standard defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The fixed search query for [[bm25Search]] — a config value in real
+    * use; static here so the oracle can inline it.
+    */
+  private val QueryTerms = Seq("spark", "join", "window")
+
+  /** (doc_id, token, tf) from ONE native token_counts pass — same shape
+    * as [[PipelineOps.vocabTopK]]: the per-token aggregation is the only
+    * shuffle, with effective map-side combine.
+    */
+  private def termFreqs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+              explode(graft.functions.TextExprs.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
+
+  /** One-row (n_docs) frame for broadcast — the scalar-subquery shape. */
+  private def nDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+
+  /** Per-document top-3 TF-IDF terms — keyword extraction for corpus
+    * indexing. idf = ln(N/df); ranked (score desc, token asc) per doc via
+    * the dedicated per-key top-k operator ([[graft.plans.TopK]]): the
+    * partial stage caps each scan split at 3 rows per doc BEFORE the
+    * exchange, so the shuffle moves answers, not the full posting list.
+    * The df table stays a plain equi-join on token (AQE broadcasts it
+    * when small; at corpus scale it shuffle-joins — a vocabulary is far
+    * too large to broadcast by design).
+    */
+  def tfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
+    val terms = termFreqs(spark, dir)
+    val df = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = terms
+      .join(df, "token")
+      .crossJoin(broadcast(nDocs(spark, dir)))
+      .withColumn(
+        "score",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+    graft.plans.TopK
+      .perKey(scored,
+              keyCols = Seq("doc_id"),
+              orderSpec = Seq("score" -> false, "token" -> true),
+              k = 3,
+              rankName = "rank")
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("token"),
+              col("tf"), col("df"), round(col("score"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** BM25 ranking of the corpus against [[QueryTerms]], top 50 docs.
+    * Shape: postings for the query terms only (a selective filter BEFORE
+    * any shuffle), joined to per-doc length and per-term df, then one
+    * groupBy(doc) with a fixed-arity score sum — at corpus scale this
+    * touches |query| postings lists, never the full term table. The
+    * final top-50 is a TakeOrdered, not a global sort.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // dl = token count; equals sum(tf) since token_counts splits identically
+    val dl = docs.select(
+      col("doc_id"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("dl"))
+    // avgdl as exact-integer sum / count (NOT engine avg(), whose
+    // accumulation order is engine-specific)
+    val avgdl = broadcast(
+      dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+    val terms = termFreqs(spark, dir)
+      .filter(col("token").isin(QueryTerms: _*))
+    val df = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val idf = log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val contrib = idf * ((tfD * lit(K1 + 1.0)) /
+      (tfD + (lit(K1) * (lit(1.0 - B) + (lit(B) * (col("dl").cast("double") / col("avgdl")))))))
+    val perTerm = terms
+      .join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs(spark, dir)))
+      .crossJoin(avgdl)
+      .withColumn("contrib", contrib)
+    val termScores = QueryTerms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("token") === t, col("contrib"))), lit(0.0))
+        .as(s"s$i")
+    }
+    val scoreSum = QueryTerms.indices
+      .map(i => col(s"s$i"))
+      .reduceLeft(_ + _) // fixed left association, mirrored in the oracle
+    perTerm
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), termScores: _*)
+      .withColumn("score", scoreSum)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 6).as("bm25"))
+  }
+
+  /** Unigram language-model score per document: mean token log-probability
+    * under the corpus unigram distribution — the cheap perplexity proxy
+    * used as an LM-quality filter (low mean logprob ⇒ unusual/garbled
+    * text). Two shuffles total (vocabulary agg, per-doc fold); the
+    * per-doc sum is a token-sorted sequential fold so both engines add
+    * in the same order.
+    */
+  def docLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val terms = termFreqs(spark, dir)
+    val vocab = terms.groupBy(col("token")).agg(sum(col("tf")).as("ctf"))
+    val total = broadcast(vocab.agg(sum(col("ctf")).as("t_tokens")))
+    val contribs = terms
+      .join(vocab, "token")
+      .crossJoin(total)
+      .withColumn(
+        "contrib",
+        col("tf").cast("double") *
+          log(col("ctf").cast("double") / col("t_tokens").cast("double")))
+    contribs
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("token"), col("contrib")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+              round(col("s") / col("n_tokens").cast("double"), 6)
+                .as("logprob_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val tokSql =
+    """SELECT doc_id, u.token, CAST(count(*) AS BIGINT) AS tf
+      |FROM documents,
+      |     UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) u(token)
+      |GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "tfidf_topterms" ->
+      s"""WITH tok AS ($tokSql),
+         |df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT doc_id, tok.token AS token, tf, df.df AS df,
+         |         tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+         |  FROM tok JOIN df ON tok.token = df.token CROSS JOIN n
+         |),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |                                    ORDER BY score DESC, token) AS BIGINT) AS rank
+         |  FROM s
+         |)
+         |SELECT doc_id, rank, token, tf, df, round(score, 6) AS tfidf
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "bm25_search" ->
+      s"""WITH tok AS ($tokSql),
+         |q AS (SELECT * FROM tok WHERE token IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})),
+         |dl AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS dl
+         |  FROM documents
+         |),
+         |a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |df AS (SELECT token, count(*) AS df FROM q GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |c AS (
+         |  SELECT q.doc_id, q.token,
+         |         ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+         |         ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+         |          (CAST(tf AS DOUBLE) + ($K1 * (${1.0 - B} + ($B * (CAST(dl AS DOUBLE) / avgdl)))))) AS contrib
+         |  FROM q JOIN df ON q.token = df.token
+         |         JOIN dl ON q.doc_id = dl.doc_id
+         |         CROSS JOIN n CROSS JOIN a
+         |),
+         |s AS (
+         |  SELECT doc_id, count(*) AS n_terms,
+         |         ${QueryTerms.zipWithIndex
+           .map { case (t, i) =>
+             s"coalesce(max(CASE WHEN token = '$t' THEN contrib END), 0.0) AS s$i"
+           }
+           .mkString(",\n         ")}
+         |  FROM c GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_terms,
+         |       round(${QueryTerms.indices.map(i => s"s$i").reduceLeft((a, b) => s"($a + $b)")}, 6) AS bm25
+         |FROM s
+         |ORDER BY ${QueryTerms.indices.map(i => s"s$i").reduceLeft((a, b) => s"($a + $b)")} DESC, doc_id
+         |LIMIT 50""".stripMargin,
+    "doc_logprob" ->
+      s"""WITH tok AS ($tokSql),
+         |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tok GROUP BY 1),
+         |t AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_tokens FROM v),
+         |c AS (
+         |  SELECT doc_id, tok.token AS token, tf,
+         |         tf * ln(CAST(ctf AS DOUBLE) / CAST(t_tokens AS DOUBLE)) AS contrib
+         |  FROM tok JOIN v ON tok.token = v.token CROSS JOIN t
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                                      list(contrib ORDER BY token)),
+         |                         (a, x) -> a + x) / CAST(sum(tf) AS DOUBLE), 6)
+         |         AS logprob_per_token
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

@@ -139,6 +139,37 @@ object TextOps {
               col("p.n").as("n_fingerprints"))
       .orderBy(col("doc_id"), col("fp"))
 
+  /** Word-bigram repetition signals (the Gopher/MassiveText "repetition"
+    * family, Rae et al. '21 §A1.1): fraction of duplicated 2-grams per
+    * document — high duplication flags boilerplate/spam for the quality
+    * cascade. Pure per-row array expressions: no shuffle, no state, scans
+    * prune to (doc_id, text).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val bigrams = when(
+      size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+                i =>
+                  concat_ws(" ", element_at(toks, i),
+                            element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables
+      .documents(spark, dir)
+      .withColumn("bg", bigrams)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"))
+      .withColumn(
+        "dup_ratio",
+        round((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+                greatest(col("n_bigrams"), lit(1L)),
+              6))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -161,6 +192,23 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents
+        |),
+        |b AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bg
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens,
+        |       CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+        |       round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+        |             / greatest(len(bg), 1), 6) AS dup_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
     "text_winnow" ->
       s"""WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS m FROM documents),
          |h AS (

@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Semantic specs for the round-3 additions: search/relevance scoring,
+  * event-sequence analytics, dedup clustering, and the new profiling /
+  * repetition signals. The DuckDB gate proves engine parity; these prove
+  * the semantics are the INTENDED ones.
+  */
+class SearchFunnelSpec extends SparkSpec {
+
+  test("tfidf_topterms: ≤3 ranked terms per doc, scores descending, idf sane") {
+    val df = SearchOps.tfidfTopterms(spark, sf("sf0.001")).cache()
+    val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n"),
+                                          max("rank").as("maxr"))
+    assert(perDoc.filter(col("n") > 3 || col("maxr") > 3).isEmpty)
+    // within a doc, score never increases with rank
+    val bad = df
+      .groupBy("doc_id")
+      .agg(min(when(col("rank") === 1, col("tfidf"))).as("s1"),
+           min(when(col("rank") === 2, col("tfidf"))).as("s2"))
+      .filter(col("s2") > col("s1"))
+    assert(bad.isEmpty)
+    // a corpus-ubiquitous term (df = N) has idf 0 → never outranks a
+    // positive-score term; check scores are non-negative (df ≤ N)
+    assert(df.filter(col("tfidf") < 0).isEmpty)
+    df.unpersist()
+  }
+
+  test("bm25_search: only docs containing a query term, scores ordered") {
+    val session = spark
+    import session.implicits._
+    val df = SearchOps.bm25Search(spark, sf("sf0.001")).collect()
+    assert(df.nonEmpty && df.length <= 50)
+    val scores = df.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val nTerms = df.map(_.getAs[Long]("n_terms"))
+    assert(nTerms.forall(n => n >= 1 && n <= 3))
+  }
+
+  test("doc_logprob: mean token logprob is negative and finite") {
+    val df = SearchOps.docLogprob(spark, sf("sf0.001"))
+    val bad = df.filter(col("logprob_per_token") >= 0 ||
+      isnan(col("logprob_per_token")) || col("n_tokens") <= 0)
+    assert(bad.isEmpty)
+  }
+
+  test("funnel_conversion: counts shrink down the funnel, head rate is 1") {
+    val rows = FunnelOps
+      .funnelConversion(spark, sf("sf0.001"))
+      .orderBy("stage_order")
+      .collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("view", "click", "purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2))
+    assert(rows(0).getAs[Double]("conv_rate") == 1.0)
+  }
+
+  test("cohort_retention: offsets within range; day-0 covers every user") {
+    val df = FunnelOps.cohortRetention(spark, sf("sf0.001")).cache()
+    assert(df.filter(col("day_offset") < 0 || col("day_offset") > 13).isEmpty)
+    val day0 = df
+      .filter(col("day_offset") === 0)
+      .agg(sum("n_users"))
+      .head()
+      .getLong(0)
+    val users = Tables
+      .events(spark, sf("sf0.001"))
+      .select("user_id")
+      .distinct()
+      .count()
+    assert(day0 == users) // every user is active on their own cohort day
+    df.unpersist()
+  }
+
+  test("kpi_cube: grand total equals sum of finest cells") {
+    val df = OlapOps.kpiCube(spark, sf("sf0.001")).cache()
+    val grand = df
+      .filter(col("event_type") === "ALL" && col("hour") === -1L)
+      .head()
+    val fine = df
+      .filter(col("event_type") =!= "ALL" && col("hour") =!= -1L)
+      .agg(sum("n_events"), sum("sum_cents"))
+      .head()
+    assert(grand.getAs[Long]("n_events") == fine.getLong(0))
+    assert(grand.getAs[Long]("sum_cents") == fine.getLong(1))
+    df.unpersist()
+  }
+
+  test("doc_length_histogram: doc and token totals are conserved") {
+    val df = PipelineOps.docLengthHistogram(spark, sf("sf0.001")).cache()
+    val total = df.agg(sum("n_docs")).head().getLong(0)
+    assert(total == Tables.documents(spark, sf("sf0.001")).count())
+    assert(df.filter(col("min_tokens") > col("max_tokens")).isEmpty)
+    assert(df.filter(col("bucket") < 0 || col("bucket") > 15).isEmpty)
+    df.unpersist()
+  }
+
+  test("dedup_clusters: labels are component minima and sizes consistent") {
+    val session = spark
+    import session.implicits._
+    val df = DedupOps.dedupClusters(spark, sf("sf0.001")).cache()
+    // every cluster's canonical member is the cluster id itself
+    val canon = df.filter(col("is_canonical"))
+    assert(canon.filter(col("doc_id") =!= col("cluster_id")).isEmpty)
+    // cluster_size agrees with the actual member count
+    val sizes = df.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+    val mism = df
+      .join(sizes, "cluster_id")
+      .filter(col("cluster_size") =!= col("n"))
+    assert(mism.isEmpty)
+    // transitivity: both endpoints of every verified near-dup pair share
+    // a cluster
+    val pairs = DedupOps.dedupMinhashLsh(spark, sf("sf0.001"))
+      .select(col("doc1"), col("doc2"))
+    val lab = df.select(col("doc_id"), col("cluster_id"))
+    val broken = pairs
+      .join(lab.withColumnRenamed("doc_id", "doc1")
+              .withColumnRenamed("cluster_id", "c1"), "doc1")
+      .join(lab.withColumnRenamed("doc_id", "doc2")
+              .withColumnRenamed("cluster_id", "c2"), "doc2")
+      .filter(col("c1") =!= col("c2"))
+    assert(broken.isEmpty)
+    df.unpersist()
+  }
+
+  test("text_repetition: a self-repeating doc scores higher than a unique one") {
+    val session = spark
+    import session.implicits._
+    val df = TextOps.textRepetition(spark, sf("sf0.001"))
+    // invariants: n_bigrams = n_tokens - 1 (all docs have ≥1 token);
+    // 0 ≤ dup_ratio < 1
+    val bad = df.filter(
+      col("n_bigrams") =!= col("n_tokens") - 1 ||
+        col("dup_ratio") < 0 || col("dup_ratio") >= 1)
+    assert(bad.isEmpty)
+    // word-salad corpus: expect SOME duplicated bigrams overall
+    assert(df.agg(max("dup_ratio")).head().getDouble(0) > 0)
+  }
+}
