@@ -406,19 +406,77 @@ object DedupOps {
     * groupBy both keyed on doc ids; every frame is persisted
     * MEMORY_AND_DISK and the convergence check (sum of labels, strictly
     * decreasing until fixpoint) is a cheap scalar action per round.
+    *
+    * ADAPTIVE execution (the AQE-broadcast decision, made explicit):
+    * verified near-dup pairs are orders of magnitude rarer than
+    * documents, so when the pair set fits comfortably on the driver
+    * (≤ [[DriverUnionFindMaxPairs]]) the components are union-found
+    * locally in O(pairs·α) and the label map rides a broadcast join —
+    * no iterative jobs at all. Past the threshold the distributed
+    * min-label loop runs unchanged. Both paths are bit-identical
+    * (asserted in SearchFunnelSpec) and hit the same oracle.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersImpl(spark, dir, DriverUnionFindMaxPairs)
+
+  /** Pair-count ceiling for the driver union-find fast path (~32 MB of
+    * long pairs — far below a sane broadcast budget).
+    */
+  private val DriverUnionFindMaxPairs = 1L << 21
+
+  private[graft] def dedupClustersImpl(spark: SparkSession,
+                                       dir: String,
+                                       driverMaxPairs: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = dedupMinhashLsh(spark, dir)
       .select(col("doc1"), col("doc2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    if (nPairs <= driverMaxPairs) {
+      // driver union-find (union-by-min + path compression): component
+      // label = min doc_id — exactly the propagation loop's fixpoint
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val ra = find(row.getLong(0))
+        val rb = find(row.getLong(1))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      pairs.unpersist(blocking = false)
+      val labelRows = parent.keys.toArray.sorted.map(d => (d, find(d))).toSeq
+      val session = spark
+      import session.implicits._
+      val mapping = broadcast(labelRows.toDF("d", "label"))
+      val all = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"))
+        .join(mapping, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"),
+                coalesce(col("label"), col("doc_id")).as("label"))
+      return clustersFromLabels(all)
+    }
     val edges = pairs
       .select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // propagate over EDGE ENDPOINTS only: a doc with no near-dup edge can
+    // never change labels, so the iteration runs on the (far smaller)
+    // connected subgraph and singletons rejoin at the end — at corpus
+    // scale the loop frames are |near-dup docs|, not |corpus|
+    var labels = edges
+      .select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var oldSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
@@ -443,9 +501,21 @@ object DedupOps {
     require(converged, s"label propagation did not converge in $iter rounds")
     pairs.unpersist(blocking = false)
     edges.unpersist(blocking = false)
+    // singletons: label = own id (left join keeps the doc scan streaming)
+    val all = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "d"),
+            col("doc_id") === col("d"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    clustersFromLabels(all)
+  }
+
+  /** (doc_id, label) → the cluster output shape shared by both paths. */
+  private def clustersFromLabels(all: DataFrame): DataFrame = {
     val sizes =
-      labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels
+      all.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    all
       .join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"),
               col("cluster_size"),

@@ -149,8 +149,14 @@ object OlapOps {
     * rescan-per-row subquery. Ties break on suppkey.
     */
   def minPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // ONE exchange for the whole query: hash-partitioning on l_partkey
+    // alone satisfies the aggregate's ClusteredDistribution(partkey,
+    // suppkey) (subset rule) AND the top-k final stage's
+    // ClusteredDistribution(partkey), so both run shuffle-free after
+    // this repartition (partial aggregation still combines map-side)
     val ps = Tables
       .lineitem(spark, dir)
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(round(avg(col("l_extendedprice")), 6).as("avg_price"))
     // per-part argmin via the dedicated top-k operator (k=1) — the

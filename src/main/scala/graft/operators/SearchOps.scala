@@ -77,48 +77,66 @@ object SearchOps {
   }
 
   /** BM25 ranking of the corpus against [[QueryTerms]], top 50 docs.
-    * Shape: postings for the query terms only (a selective filter BEFORE
-    * any shuffle), joined to per-doc length and per-term df, then one
-    * groupBy(doc) with a fixed-arity score sum — at corpus scale this
-    * touches |query| postings lists, never the full term table. The
-    * final top-50 is a TakeOrdered, not a global sort.
+    *
+    * Shape (the fixed-query specialization): with the query known at
+    * plan time there is NO posting-list shuffle at all — one scan
+    * extracts per-doc (tf per query term, dl) from a single pinned
+    * token_counts evaluation; corpus statistics (per-term df, n_docs,
+    * Σdl) reduce to ONE broadcastable stats row; scoring is a codegen'd
+    * map and the top-50 is a TakeOrdered. Two scans total (stats +
+    * scoring), zero wide exchanges — at corpus scale the alternative
+    * (explode → groupBy token → join) shuffles the full term table to
+    * answer a 3-term query.
     */
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // dl = token count; equals sum(tf) since token_counts splits identically
-    val dl = docs.select(
-      col("doc_id"),
-      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("dl"))
-    // avgdl as exact-integer sum / count (NOT engine avg(), whose
-    // accumulation order is engine-specific)
-    val avgdl = broadcast(
-      dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
-    val terms = termFreqs(spark, dir)
-      .filter(col("token").isin(QueryTerms: _*))
-    val df = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val tfD = col("tf").cast("double")
-    val idf = log(
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
-    val contrib = idf * ((tfD * lit(K1 + 1.0)) /
-      (tfD + (lit(K1) * (lit(1.0 - B) + (lit(B) * (col("dl").cast("double") / col("avgdl")))))))
-    val perTerm = terms
-      .join(broadcast(df), "token")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(nDocs(spark, dir)))
-      .crossJoin(avgdl)
-      .withColumn("contrib", contrib)
-    val termScores = QueryTerms.zipWithIndex.map { case (t, i) =>
-      coalesce(max(when(col("token") === t, col("contrib"))), lit(0.0))
-        .as(s"s$i")
+    // explode(array(...)) pins token_counts to ONE evaluation per row —
+    // referencing it from the tf/dl projections directly would inline
+    // the expression into each consumer (see README: with_size barrier)
+    val perDoc = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+              explode(array(graft.functions.TextExprs.tokenCounts(col("text"))))
+                .as("tc"))
+      .select(
+        Seq(col("doc_id"),
+            aggregate(col("tc"), lit(0L), (a, x) => a + x.getField("tf"))
+              .as("dl")) ++
+          QueryTerms.zipWithIndex.map { case (t, i) =>
+            coalesce(
+              get(filter(col("tc"), x => x.getField("token") === t), lit(0))
+                .getField("tf"),
+              lit(0L)).as(s"tf$i")
+          }: _*)
+    // every corpus statistic in ONE aggregation: per-term df, n_docs, Σdl
+    val stats = broadcast(
+      perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+          QueryTerms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*))
+    def contrib(i: Int) = {
+      val tfD = col(s"tf$i").cast("double")
+      val idf = log(
+        (col("n_docs").cast("double") - col(s"df$i").cast("double") + lit(0.5)) /
+          (col(s"df$i").cast("double") + lit(0.5)))
+      when(
+        col(s"tf$i") > 0,
+        idf * ((tfD * lit(K1 + 1.0)) /
+          (tfD + (lit(K1) * (lit(1.0 - B) +
+            (lit(B) * (col("dl").cast("double") / col("avgdl"))))))))
+        .otherwise(lit(0.0))
     }
     val scoreSum = QueryTerms.indices
-      .map(i => col(s"s$i"))
+      .map(contrib)
       .reduceLeft(_ + _) // fixed left association, mirrored in the oracle
-    perTerm
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), termScores: _*)
+    val nTerms = QueryTerms.indices
+      .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    perDoc
+      .crossJoin(stats)
+      .filter(QueryTerms.indices.map(i => col(s"tf$i") > 0).reduceLeft(_ || _))
       .withColumn("score", scoreSum)
+      .withColumn("n_terms", nTerms)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(50)
       .select(col("doc_id"), col("n_terms"), round(col("score"), 6).as("bm25"))

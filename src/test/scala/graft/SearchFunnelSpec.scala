@@ -126,6 +126,18 @@ class SearchFunnelSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("dedup_clusters: driver union-find and distributed loop agree exactly") {
+    val fast = DedupOps
+      .dedupClustersImpl(spark, sf("sf0.001"), driverMaxPairs = Long.MaxValue)
+      .collect()
+      .map(_.toSeq)
+    val dist = DedupOps
+      .dedupClustersImpl(spark, sf("sf0.001"), driverMaxPairs = -1L)
+      .collect()
+      .map(_.toSeq)
+    assert(fast.toSeq == dist.toSeq)
+  }
+
   test("text_repetition: a self-repeating doc scores higher than a unique one") {
     val session = spark
     import session.implicits._
