@@ -56,10 +56,15 @@ object SearchOps {
     * too large to broadcast by design).
     */
   def tfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
+    // df as a COUNT OVER (PARTITION BY token): the single explode pass
+    // feeds the window directly — a groupBy+self-join would re-run
+    // token_counts over the corpus for the second side and shuffle both
     val terms = termFreqs(spark, dir)
-    val df = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = terms
-      .join(df, "token")
+      .withColumn(
+        "df",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
       .crossJoin(broadcast(nDocs(spark, dir)))
       .withColumn(
         "score",

@@ -136,6 +136,39 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(s).length == 1)
   }
 
+  test("bm25: token_counts pinned once per side, stats broadcast, top-50 as TakeOrdered") {
+    val df = SearchOps.bm25Search(spark, sf("sf0.001"))
+    val op = df.queryExecution.optimizedPlan.toString
+    // two scans by design (stats + scoring), each with ONE pinned
+    // token_counts evaluation behind the explode(array(...)) barrier
+    assert("token_counts".r.findAllIn(op).length == 2)
+    val p = planOf(df)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    // scans prune to (doc_id, text)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("tfidf: single token_counts pass feeding the df window") {
+    val df = SearchOps.tfidfTopterms(spark, sf("sf0.001"))
+    val op = df.queryExecution.optimizedPlan.toString
+    assert("token_counts".r.findAllIn(op).length == 1)
+    assert(planOf(df).contains("TopKPerKey"))
+  }
+
+  test("funnel/cohort scans prune to the three event columns") {
+    val p = planOf(FunnelOps.funnelConversion(spark, sf("sf0.001")))
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"))
+    val c = planOf(FunnelOps.cohortRetention(spark, sf("sf0.001")))
+    assert(c.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"))
+  }
+
+  test("kpi_cube: one Expand pass, no repeated scans") {
+    val p = planOf(OlapOps.kpiCube(spark, sf("sf0.001")))
+    assert("Expand".r.findAllIn(p).length >= 1)
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
