@@ -122,7 +122,12 @@ case class TopKPerKeyExec(
     val limit = k
     val outSchema = output
     if (partial) {
-      val maxBuffered = TopKPerKeyExec.MaxPartialBufferedRows
+      // captured on the driver at execution time; the session conf exists
+      // so tests can force the multi-flush path with a tiny cap
+      val maxBuffered = conf
+        .getConfString("graft.topk.maxPartialBufferedRows",
+                       TopKPerKeyExec.MaxPartialBufferedRows.toString)
+        .toLong
       child.execute().mapPartitions({ rows =>
         val keyProj = UnsafeProjection.create(boundKeys)
         val cmp = new LazilyGeneratedOrdering(boundOrder)

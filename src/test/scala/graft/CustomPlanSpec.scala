@@ -71,6 +71,27 @@ class CustomPlanSpec extends SparkSpec {
                              (2L, 20L, 1)))
   }
 
+  test("partial-stage flush path (tiny buffer cap) is result-identical") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf("sf0.001"))
+    def run(): Array[org.apache.spark.sql.Row] = graft.plans.TopK
+      .perKey(ev, Seq("user_id"), Seq("value" -> false, "event_id" -> true),
+              3, "rank")
+      .select(col("user_id"), col("event_id"), col("rank"))
+      .orderBy(col("user_id"), col("rank"))
+      .collect()
+    val normal = run()
+    // cap of 7 rows forces hundreds of mid-partition flushes: the partial
+    // stage degrades to a weaker prefilter but the final stage must still
+    // produce the exact answer
+    spark.conf.set("graft.topk.maxPartialBufferedRows", "7")
+    try {
+      val flushed = run()
+      assert(flushed.length == normal.length && flushed.sameElements(normal))
+    } finally spark.conf.unset("graft.topk.maxPartialBufferedRows")
+  }
+
   test("per-key buffers reset between adjacent keys in a partition") {
     val session = spark
     import session.implicits._
