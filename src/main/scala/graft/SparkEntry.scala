@@ -26,6 +26,7 @@ object SparkEntry {
     "series_count" -> (SeriesOps.seriesCount _),
     "series_p95" -> (SeriesOps.seriesP95 _),
     "series_filtered" -> (SeriesOps.seriesFiltered _),
+    "series_ewma" -> (SeriesOps.seriesEwma _),
     // §2.4 A1/A2, §2.5 W1, §2.6 O1 — windowed KPIs
     "kpi_tumbling" -> (KpiOps.kpiTumbling _),
     "kpi_sliding" -> (KpiOps.kpiSliding _),

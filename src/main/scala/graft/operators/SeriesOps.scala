@@ -26,6 +26,41 @@ object SeriesOps {
       .agg(round(avg(col("value")), 6).as("avg_value"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** EWMA smoothing weight for [[seriesEwma]]. */
+  private val Alpha = 0.2
+
+  /** Exponentially-weighted moving average of the per-minute KPI series,
+    * per event_type — the classic streaming smoother (the stateful analog
+    * is one double of state per key in a `transformWithState` processor;
+    * this is its batch form). The recurrence s ← α·x + (1−α)·s is a
+    * sequential left fold over the bucket-ordered series: both engines
+    * fold the SAME rounded per-minute averages in the SAME order with the
+    * SAME association, so the smoothed level is engine-exact. Shape: the
+    * per-minute aggregate shuffles once; the fold runs on the (tiny)
+    * per-key bucket list.
+    */
+  def seriesEwma(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
+      .agg(round(avg(col("value")), 6).as("av"))
+    val vals = transform(
+      sort_array(collect_list(struct(col("bucket"), col("av")))),
+      _.getField("av"))
+    buckets
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), vals.as("vals"))
+      .select(
+        col("event_type"), col("n_buckets"),
+        round(
+          aggregate(
+            slice(col("vals"), lit(2), size(col("vals")) - 1),
+            element_at(col("vals"), 1),
+            (s, x) => (lit(Alpha) * x) + (lit(1 - Alpha) * s)),
+          6).as("ewma_value"))
+      .orderBy(col("event_type"))
+  }
+
   def seriesSum(spark: SparkSession, dir: String): DataFrame =
     Tables
       .events(spark, dir)
@@ -115,6 +150,17 @@ object SeriesOps {
     "series_avg" ->
       s"""SELECT event_type, date_trunc('minute', ts) AS bucket, round(avg(value), 6) AS avg_value
          |FROM $ev e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "series_ewma" ->
+      s"""WITH b AS (
+         |  SELECT event_type, date_trunc('minute', ts) AS bucket,
+         |         round(avg(value), 6) AS av
+         |  FROM $ev e GROUP BY 1, 2
+         |)
+         |SELECT event_type, count(*) AS n_buckets,
+         |       round(list_reduce(list(av ORDER BY bucket),
+         |                         (s, x) -> ($Alpha * x) + (${1 - Alpha} * s)), 6)
+         |         AS ewma_value
+         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
     "series_sum" ->
       s"""SELECT event_type, date_trunc('minute', ts) AS bucket, round(sum(value), 4) AS sum_value
          |FROM $ev e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

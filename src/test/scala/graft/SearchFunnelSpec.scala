@@ -138,6 +138,24 @@ class SearchFunnelSpec extends SparkSpec {
     assert(fast.toSeq == dist.toSeq)
   }
 
+  test("series_ewma: smoothed level stays inside the bucket-average range") {
+    val df = SeriesOps.seriesEwma(spark, sf("sf0.001"))
+    val buckets = Tables
+      .events(spark, sf("sf0.001"))
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")))
+      .agg(avg(col("value")).as("av"))
+      .groupBy(col("event_type"))
+      .agg(min("av").as("lo"), max("av").as("hi"))
+    val joined = df.join(buckets, "event_type")
+    // a convex combination of the series can never leave its range
+    // (tolerance for the 6-dp rounding of fold inputs/output)
+    assert(joined
+      .filter(col("ewma_value") < col("lo") - 1e-5 ||
+        col("ewma_value") > col("hi") + 1e-5)
+      .isEmpty)
+    assert(df.count() == 5)
+  }
+
   test("text_repetition: a self-repeating doc scores higher than a unique one") {
     val session = spark
     import session.implicits._
