@@ -424,6 +424,13 @@ object DedupOps {
     */
   private val DriverUnionFindMaxPairs = 1L << 21
 
+  /** Last distributed-path labels frame, kept persisted for its lazy
+    * consumers; the next call evicts it (storage bounded at one frame).
+    * Guarded by [[lastLabelsLock]] — never synchronize on the var itself.
+    */
+  private var lastLabels: Option[DataFrame] = None
+  private val lastLabelsLock = new Object
+
   private[graft] def dedupClustersImpl(spark: SparkSession,
                                        dir: String,
                                        driverMaxPairs: Long): DataFrame = {
@@ -478,7 +485,10 @@ object DedupOps {
       .distinct()
       .withColumn("label", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var oldSum = labels.agg(sum(col("label"))).head.getLong(0)
+    // coalesce: sum over an EMPTY frame (no verified pairs) is NULL
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    var oldSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -491,7 +501,7 @@ object DedupOps {
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = next.agg(sum(col("label"))).head.getLong(0)
+      val newSum = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
       converged = newSum == oldSum
@@ -501,6 +511,14 @@ object DedupOps {
     require(converged, s"label propagation did not converge in $iter rounds")
     pairs.unpersist(blocking = false)
     edges.unpersist(blocking = false)
+    // the converged labels frame must stay persisted while the returned
+    // lazy result references it; bound the pinned storage at ONE frame
+    // by evicting the previous call's (same discipline as the bounded
+    // alert store)
+    lastLabelsLock.synchronized {
+      lastLabels.foreach(_.unpersist(blocking = false))
+      lastLabels = Some(labels)
+    }
     // singletons: label = own id (left join keeps the doc scan streaming)
     val all = Tables
       .documents(spark, dir)

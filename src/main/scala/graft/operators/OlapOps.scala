@@ -149,14 +149,15 @@ object OlapOps {
     * rescan-per-row subquery. Ties break on suppkey.
     */
   def minPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
-    // ONE exchange for the whole query: hash-partitioning on l_partkey
-    // alone satisfies the aggregate's ClusteredDistribution(partkey,
-    // suppkey) (subset rule) AND the top-k final stage's
-    // ClusteredDistribution(partkey), so both run shuffle-free after
-    // this repartition (partial aggregation still combines map-side)
+    // Two exchanges ON PURPOSE: the aggregate's exchange carries
+    // map-side-combined (partkey, suppkey) partials (~1/lineitems-per-
+    // pair of the raw rows), and the top-k exchange carries only each
+    // split's per-part argmin candidates. Pre-partitioning on l_partkey
+    // would fuse them into one exchange — but that exchange would move
+    // every RAW lineitem row with no combine, strictly more bytes and a
+    // skew hotspot per hot part at scale.
     val ps = Tables
       .lineitem(spark, dir)
-      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(round(avg(col("l_extendedprice")), 6).as("avg_price"))
     // per-part argmin via the dedicated top-k operator (k=1) — the

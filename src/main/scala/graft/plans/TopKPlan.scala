@@ -128,6 +128,8 @@ case class TopKPerKeyExec(
         .getConfString("graft.topk.maxPartialBufferedRows",
                        TopKPerKeyExec.MaxPartialBufferedRows.toString)
         .toLong
+      require(maxBuffered > 0,
+              s"graft.topk.maxPartialBufferedRows must be positive, got $maxBuffered")
       child.execute().mapPartitions({ rows =>
         val keyProj = UnsafeProjection.create(boundKeys)
         val cmp = new LazilyGeneratedOrdering(boundOrder)
