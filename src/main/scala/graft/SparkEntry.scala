@@ -107,6 +107,8 @@ object SparkEntry {
     // event-sequence analytics
     "funnel_conversion" -> (FunnelOps.funnelConversion _),
     "cohort_retention" -> (FunnelOps.cohortRetention _),
+    "event_transitions" -> (FunnelOps.eventTransitions _),
+    "user_value_quartiles" -> (OlapOps.userValueQuartiles _),
     // cross-dimensional aggregation / profiling
     "kpi_cube" -> (OlapOps.kpiCube _),
     "doc_length_histogram" -> (PipelineOps.docLengthHistogram _),

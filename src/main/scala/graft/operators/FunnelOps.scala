@@ -82,9 +82,39 @@ object FunnelOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** First-order Markov transition counts between consecutive events of
+    * each user (lead over the per-user timeline) — the journey-graph
+    * aggregation behind "next-action" analytics. One keyed window pass
+    * (partition user_id, tie-broken total order), one tiny aggregation.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "event_transitions" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |t AS (
+         |  SELECT event_type AS prev_type,
+         |         lead(event_type, 1) OVER (PARTITION BY user_id
+         |                                   ORDER BY ts, event_id) AS next_type
+         |  FROM e
+         |)
+         |SELECT prev_type, next_type, count(*) AS n_transitions
+         |FROM t WHERE next_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "funnel_conversion" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |v AS (SELECT user_id, min(ts) AS v_ts FROM e

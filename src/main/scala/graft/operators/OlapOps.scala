@@ -248,9 +248,50 @@ object OlapOps {
               col("sum_cents"))
       .orderBy(col("event_type"), col("hour"))
 
+  /** Users banded into spend quartiles via `ntile(4)` over exact
+    * integer-cent totals. The ranking window is GLOBAL by construction —
+    * but it runs on the per-user aggregate (orders of magnitude smaller
+    * than the event stream; the heavy lifting is the map-side-combined
+    * groupBy). Quartile bands then re-aggregate to four rows. ntile's
+    * remainder rule (first `n mod 4` tiles one row larger) is identical
+    * in Spark and DuckDB under the same total order.
+    */
+  def userValueQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * lit(100) + lit(0.5))).as("total_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_cents").desc, col("user_id"))
+    totals
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_users"),
+           min(col("total_cents")).as("min_cents"),
+           max(col("total_cents")).as("max_cents"),
+           sum(col("total_cents")).as("sum_cents"))
+      .orderBy(col("quartile"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "user_value_quartiles" ->
+      s"""WITH t AS (
+         |  SELECT user_id,
+         |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         |  FROM (${Tables.eventsSql}) e GROUP BY user_id
+         |),
+         |q AS (
+         |  SELECT total_cents,
+         |         CAST(ntile(4) OVER (ORDER BY total_cents DESC, user_id) AS BIGINT) AS quartile
+         |  FROM t
+         |)
+         |SELECT quartile, count(*) AS n_users,
+         |       min(total_cents) AS min_cents,
+         |       max(total_cents) AS max_cents,
+         |       CAST(sum(total_cents) AS BIGINT) AS sum_cents
+         |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
     "kpi_cube" ->
       s"""WITH e AS (
          |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,

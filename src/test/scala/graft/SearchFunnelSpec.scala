@@ -138,6 +138,40 @@ class SearchFunnelSpec extends SparkSpec {
     assert(fast.toSeq == dist.toSeq)
   }
 
+  test("event_transitions: totals equal events minus one per active user") {
+    val total = FunnelOps
+      .eventTransitions(spark, sf("sf0.001"))
+      .agg(sum("n_transitions"))
+      .head()
+      .getLong(0)
+    val perUser = Tables
+      .events(spark, sf("sf0.001"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1))
+      .head()
+      .getLong(0)
+    assert(total == perUser)
+  }
+
+  test("user_value_quartiles: four near-equal bands covering every user") {
+    val rows = OlapOps
+      .userValueQuartiles(spark, sf("sf0.001"))
+      .orderBy("quartile")
+      .collect()
+    assert(rows.map(_.getAs[Long]("quartile")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val sizes = rows.map(_.getAs[Long]("n_users"))
+    assert(sizes.max - sizes.min <= 1)
+    val users = Tables
+      .events(spark, sf("sf0.001"))
+      .select("user_id")
+      .distinct()
+      .count()
+    assert(sizes.sum == users)
+    // quartile 1 holds the highest totals
+    assert(rows(0).getAs[Long]("min_cents") >= rows(1).getAs[Long]("max_cents"))
+  }
+
   test("series_ewma: smoothed level stays inside the bucket-average range") {
     val df = SeriesOps.seriesEwma(spark, sf("sf0.001"))
     val buckets = Tables
