@@ -99,6 +99,7 @@ object SparkEntry {
     "ann_ivf" -> (VectorOps.annIvf _),
     "embed_near_dup" -> (VectorOps.embedNearDup _),
     "embed_quantize" -> (VectorOps.embedQuantize _),
+    "embed_rp_sketch" -> (VectorOps.embedRpSketch _),
     "label_centroids" -> (VectorOps.labelCentroids _),
     // corpus search / relevance scoring
     "tfidf_topterms" -> (SearchOps.tfidfTopterms _),

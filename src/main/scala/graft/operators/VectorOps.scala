@@ -199,6 +199,37 @@ object VectorOps {
               col("qs.q_min").as("q_min"), col("qs.q_max").as("q_max"))
       .orderBy(col("vec_id"))
 
+  /** Output dimensionality of [[embedRpSketch]]. */
+  private val SketchDims = 8
+
+  /** Deterministic random-projection sketch: 64-dim float embeddings →
+    * 8 projected coordinates under a fixed integer weight lattice
+    * w(i,j) = ((i+1)(j+1) mod 7) − 3 (mean-zero, Achlioptas-style sparse
+    * projection — at 100 TB the sketch is what feeds coarse ANN /
+    * clustering so full vectors are touched only for final re-ranking).
+    * Pure per-row map (no shuffle); each coordinate is a sequential
+    * index-ordered fold, so the sketch is engine-exact.
+    */
+  def embedRpSketch(spark: SparkSession, dir: String): DataFrame = {
+    val sketchCols = (0 until SketchDims).map { i =>
+      round(
+        aggregate(
+          transform(
+            sequence(lit(0), size(col("embedding")) - 1),
+            j =>
+              element_at(col("embedding"), (j + lit(1)).cast("int"))
+                .cast("double") *
+                (((lit(i + 1) * (j + lit(1))) % 7) - lit(3)).cast("double")),
+          lit(0.0),
+          (a, x) => a + x),
+        4).as(s"s$i")
+    }
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id") +: sketchCols: _*)
+      .orderBy(col("vec_id"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   /** Shared CTE: double-cast vectors + norms via the same left fold. */
@@ -217,6 +248,17 @@ object VectorOps {
     "list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]), (a, b) -> a + b)"
 
   val oracles: Map[String, String] = Map(
+    "embed_rp_sketch" -> {
+      val cols = (0 until SketchDims)
+        .map { i =>
+          s"""round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |  list_transform(range(0, len(embedding)),
+             |    j -> CAST(embedding[j + 1] AS DOUBLE) * (((${i + 1} * (j + 1)) % 7) - 3))),
+             |  (a, b) -> a + b), 4) AS s$i""".stripMargin
+        }
+        .mkString(",\n")
+      s"SELECT vec_id,\n$cols\nFROM embeddings ORDER BY vec_id"
+    },
     "ann_topk" ->
       s"""$embSql
          |SELECT query_id, neighbor_id, cosine, rank FROM (

@@ -190,6 +190,19 @@ class SearchFunnelSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("embed_rp_sketch: bounded by the weight lattice, one row per vector") {
+    val df = VectorOps.embedRpSketch(spark, sf("sf0.001")).cache()
+    assert(df.count() ==
+      Tables.embeddings(spark, sf("sf0.001")).count())
+    // |s_i| ≤ 3·Σ|v_j| with |v_j| ≤ ~3 for the synthetic vectors; use a
+    // loose structural bound and NaN guard
+    val bad = df.filter((0 until 8)
+      .map(i => isnan(col(s"s$i")) || abs(col(s"s$i")) > 1e6)
+      .reduceLeft(_ || _))
+    assert(bad.isEmpty)
+    df.unpersist()
+  }
+
   test("text_repetition: a self-repeating doc scores higher than a unique one") {
     val session = spark
     import session.implicits._
