@@ -51,6 +51,7 @@ object SparkEntry {
     "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
     // temporal operators (additive: sessionization, as-of, range join)
     "sessionize" -> (TemporalOps.sessionize _),
+    "concurrent_sessions" -> (TemporalOps.concurrentSessions _),
     "asof_join" -> (TemporalOps.asofJoin _),
     "range_join" -> (TemporalOps.rangeJoin _),
     "latest_events" -> (TemporalOps.latestEvents _),

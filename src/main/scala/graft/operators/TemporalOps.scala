@@ -42,6 +42,38 @@ object TemporalOps {
               col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Peak session concurrency by SWEEP-LINE: each session becomes a
+    * (+1 at start, −1 at end) boundary event; a running sum over the
+    * time-ordered boundaries is the live-session count, and its max is
+    * the capacity-planning number an ops team reads off this platform.
+    * End boundaries sort before starts at equal timestamps (delta −1 <
+    * +1), giving exclusive-end semantics — back-to-back sessions never
+    * count as concurrent. The global running sum is fine at any scale:
+    * boundaries are 2·|sessions| rows (≈ users), orders of magnitude
+    * smaller than the event stream that produced them — same posture as
+    * the quartile ranking.
+    */
+  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(spark, dir)
+    val b = s
+      .select(col("session_start").as("t"), lit(1).as("delta"),
+              col("user_id"))
+      .union(s.select(col("session_end").as("t"), lit(-1).as("delta"),
+                      col("user_id")))
+    val w = Window
+      .orderBy(col("t"), col("delta"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = b.withColumn("c", sum(col("delta")).over(w))
+    val m = broadcast(r.agg(max(col("c")).cast("long").as("max_concurrent")))
+    val n = broadcast(s.agg(count(lit(1)).as("n_sessions")))
+    r.crossJoin(m)
+      .filter(col("c") === col("max_concurrent"))
+      .agg(min(col("t")).as("peak_ts"))
+      .crossJoin(m)
+      .crossJoin(n)
+      .select(col("n_sessions"), col("max_concurrent"), col("peak_ts"))
+  }
+
   /** As-of join: attach to every event the most recent per-minute KPI
     * row (same event_type, bucket start ≤ event ts). Spark has no ASOF
     * JOIN operator; the scalable re-expression is the union trick — tag
@@ -220,6 +252,44 @@ object TemporalOps {
          |       max(ts) + INTERVAL 30 MINUTE AS session_end,
          |       count(*) AS n_events, round(sum(value), 4) AS sum_value
          |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "concurrent_sessions" -> {
+      val sessionSql =
+        s"""WITH e AS (${Tables.eventsSql}),
+           |l AS (
+           |  SELECT user_id, ts,
+           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  FROM e
+           |),
+           |s AS (
+           |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+           |                 THEN 1 ELSE 0 END AS new_s
+           |  FROM l
+           |),
+           |g AS (
+           |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |                             ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM s
+           |)
+           |SELECT user_id, min(ts) AS session_start,
+           |       max(ts) + INTERVAL 30 MINUTE AS session_end
+           |FROM g GROUP BY user_id, sid""".stripMargin
+      s"""WITH sess AS (SELECT * FROM ($sessionSql) z),
+         |b AS (
+         |  SELECT session_start AS t, 1 AS delta, user_id FROM sess
+         |  UNION ALL SELECT session_end, -1, user_id FROM sess
+         |),
+         |r AS (
+         |  SELECT t, delta,
+         |         sum(delta) OVER (ORDER BY t, delta, user_id
+         |                          ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM b
+         |),
+         |m AS (SELECT CAST(max(c) AS BIGINT) AS max_concurrent FROM r)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+         |       m.max_concurrent,
+         |       (SELECT min(t) FROM r, m WHERE r.c = m.max_concurrent) AS peak_ts
+         |FROM m""".stripMargin
+    },
     "asof_join" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |kpi AS (

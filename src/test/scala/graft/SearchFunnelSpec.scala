@@ -203,6 +203,26 @@ class SearchFunnelSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("concurrent_sessions: peak bounded by user count, verified by brute force") {
+    val row = TemporalOps.concurrentSessions(spark, sf("sf0.001")).head()
+    val maxC = row.getAs[Long]("max_concurrent")
+    val peak = row.getAs[java.sql.Timestamp]("peak_ts")
+    val users = Tables
+      .events(spark, sf("sf0.001"))
+      .select("user_id")
+      .distinct()
+      .count()
+    assert(maxC >= 1 && maxC <= users)
+    // brute-force check at the reported peak instant: count sessions
+    // with start <= peak < end (exclusive end, matching the sweep rule)
+    val live = TemporalOps
+      .sessionize(spark, sf("sf0.001"))
+      .filter(col("session_start") <= lit(peak) &&
+        col("session_end") > lit(peak))
+      .count()
+    assert(live == maxC)
+  }
+
   test("text_repetition: a self-repeating doc scores higher than a unique one") {
     val session = spark
     import session.implicits._
