@@ -64,14 +64,16 @@ object TemporalOps {
       .orderBy(col("t"), col("delta"), col("user_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val r = b.withColumn("c", sum(col("delta")).over(w))
-    val m = broadcast(r.agg(max(col("c")).cast("long").as("max_concurrent")))
-    val n = broadcast(s.agg(count(lit(1)).as("n_sessions")))
-    r.crossJoin(m)
-      .filter(col("c") === col("max_concurrent"))
-      .agg(min(col("t")).as("peak_ts"))
-      .crossJoin(m)
-      .crossJoin(n)
-      .select(col("n_sessions"), col("max_concurrent"), col("peak_ts"))
+    // ONE pass over the sweep: max concurrency and its earliest instant
+    // via lexicographic struct-max (c max, then -t max = t min); a
+    // filter-against-the-max formulation would re-run the whole session
+    // pipeline once per consumer
+    r.agg(
+      (count(lit(1)) / 2).cast("long").as("n_sessions"),
+      max(struct(col("c").as("c"),
+                 (lit(0L) - unix_micros(col("t"))).as("negt"))).as("best"))
+      .select(col("n_sessions"), col("best.c").cast("long").as("max_concurrent"),
+              timestamp_micros(-col("best.negt")).as("peak_ts"))
   }
 
   /** As-of join: attach to every event the most recent per-minute KPI
