@@ -54,12 +54,17 @@ object TemporalOps {
     * the quartile ranking.
     */
   def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
-    val s = sessionize(spark, dir)
-    val b = s
-      .select(col("session_start").as("t"), lit(1).as("delta"),
+    // ONE pass over the session table: each session explodes into its
+    // (+1, −1) boundary pair — a self-union would run the whole
+    // sessionization aggregate (and its presentation sort) twice
+    val b = sessionize(spark, dir)
+      .select(col("user_id"),
+              explode(array(
+                struct(col("session_start").as("t"), lit(1).as("delta")),
+                struct(col("session_end").as("t"), lit(-1).as("delta"))))
+                .as("bd"))
+      .select(col("bd.t").as("t"), col("bd.delta").as("delta"),
               col("user_id"))
-      .union(s.select(col("session_end").as("t"), lit(-1).as("delta"),
-                      col("user_id")))
     val w = Window
       .orderBy(col("t"), col("delta"), col("user_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -232,50 +237,43 @@ object TemporalOps {
       |         (CAST(5 AS BIGINT), 'error',    TIMESTAMP '2024-01-25 00:00:00', TIMESTAMP '2024-01-28 00:00:00')
       |)""".stripMargin
 
+  /** Shared session-reconstruction CTE chain (events → per-user session
+    * groups `g`) — the ONE place the 30-minute gap rule and tie-break
+    * live; both the sessionize oracle and its consumers append their own
+    * final SELECT (or extend the chain with more CTEs).
+    */
+  private val sessionCtesSql: String =
+    s"""WITH e AS (${Tables.eventsSql}),
+       |l AS (
+       |  SELECT user_id, ts, value,
+       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM e
+       |),
+       |s AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+       |                 THEN 1 ELSE 0 END AS new_s
+       |  FROM l
+       |),
+       |g AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |                             ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM s
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sessionize" ->
-      s"""WITH e AS (${Tables.eventsSql}),
-         |l AS (
-         |  SELECT user_id, ts, value,
-         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-         |  FROM e
-         |),
-         |s AS (
-         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
-         |                 THEN 1 ELSE 0 END AS new_s
-         |  FROM l
-         |),
-         |g AS (
-         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-         |                             ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM s
-         |)
+      s"""$sessionCtesSql
          |SELECT user_id, min(ts) AS session_start,
          |       max(ts) + INTERVAL 30 MINUTE AS session_end,
          |       count(*) AS n_events, round(sum(value), 4) AS sum_value
          |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
-    "concurrent_sessions" -> {
-      val sessionSql =
-        s"""WITH e AS (${Tables.eventsSql}),
-           |l AS (
-           |  SELECT user_id, ts,
-           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-           |  FROM e
-           |),
-           |s AS (
-           |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
-           |                 THEN 1 ELSE 0 END AS new_s
-           |  FROM l
-           |),
-           |g AS (
-           |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-           |                             ROWS UNBOUNDED PRECEDING) AS sid
-           |  FROM s
-           |)
-           |SELECT user_id, min(ts) AS session_start,
-           |       max(ts) + INTERVAL 30 MINUTE AS session_end
-           |FROM g GROUP BY user_id, sid""".stripMargin
-      s"""WITH sess AS (SELECT * FROM ($sessionSql) z),
+    "concurrent_sessions" ->
+      s"""$sessionCtesSql,
+         |sess AS (
+         |  SELECT user_id, min(ts) AS session_start,
+         |         max(ts) + INTERVAL 30 MINUTE AS session_end
+         |  FROM g GROUP BY user_id, sid
+         |),
          |b AS (
          |  SELECT session_start AS t, 1 AS delta, user_id FROM sess
          |  UNION ALL SELECT session_end, -1, user_id FROM sess
@@ -290,8 +288,7 @@ object TemporalOps {
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
          |       m.max_concurrent,
          |       (SELECT min(t) FROM r, m WHERE r.c = m.max_concurrent) AS peak_ts
-         |FROM m""".stripMargin
-    },
+         |FROM m""".stripMargin,
     "asof_join" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |kpi AS (

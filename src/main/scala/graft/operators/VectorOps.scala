@@ -204,22 +204,28 @@ object VectorOps {
 
   /** Deterministic random-projection sketch: 64-dim float embeddings →
     * 8 projected coordinates under a fixed integer weight lattice
-    * w(i,j) = ((i+1)(j+1) mod 7) − 3 (mean-zero, Achlioptas-style sparse
+    * w(i,j) = ((i+1)(j+1) mod 11) − 5 (Achlioptas-style sparse
     * projection — at 100 TB the sketch is what feeds coarse ANN /
     * clustering so full vectors are touched only for final re-ranking).
-    * Pure per-row map (no shuffle); each coordinate is a sequential
-    * index-ordered fold, so the sketch is engine-exact.
+    * The modulus must exceed the projection count: mod 7 would make row
+    * i=6 a constant (7·(j+1) ≡ 0) and row i=7 an alias of row 0 — with
+    * mod 11 all eight (i+1) residues are distinct and non-zero, so the
+    * rows are genuinely independent. Pure per-row map (no shuffle); each
+    * coordinate is a sequential index-ordered fold, so the sketch is
+    * engine-exact. (Upgrade path for a true hot loop: a native kernel
+    * like VecDotExpr with codegen — the HOF form here is clarity-first.)
     */
   def embedRpSketch(spark: SparkSession, dir: String): DataFrame = {
     val sketchCols = (0 until SketchDims).map { i =>
       round(
         aggregate(
+          // index-lambda transform handles zero-length arrays natively
+          // (sequence(0, -1) would step BACKWARDS and crash element_at)
           transform(
-            sequence(lit(0), size(col("embedding")) - 1),
-            j =>
-              element_at(col("embedding"), (j + lit(1)).cast("int"))
-                .cast("double") *
-                (((lit(i + 1) * (j + lit(1))) % 7) - lit(3)).cast("double")),
+            col("embedding"),
+            (x, j) =>
+              x.cast("double") *
+                (((lit(i + 1) * (j + lit(1))) % 11) - lit(5)).cast("double")),
           lit(0.0),
           (a, x) => a + x),
         4).as(s"s$i")
@@ -253,7 +259,7 @@ object VectorOps {
         .map { i =>
           s"""round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              |  list_transform(range(0, len(embedding)),
-             |    j -> CAST(embedding[j + 1] AS DOUBLE) * (((${i + 1} * (j + 1)) % 7) - 3))),
+             |    j -> CAST(embedding[j + 1] AS DOUBLE) * (((${i + 1} * (j + 1)) % 11) - 5))),
              |  (a, b) -> a + b), 4) AS s$i""".stripMargin
         }
         .mkString(",\n")
