@@ -118,6 +118,42 @@ object ExprProperties extends Properties("graft.expressions") {
       math.sqrt(dot) == nrm && d2 == 0.0
     }
 
+  /** Reference code-point fold — the contract PolyHashExpr must match
+    * (what the SQL oracles compute via per-character ascii()).
+    */
+  private def refPolyHash(s: String): Long = {
+    var h = 0L
+    s.codePoints().forEach(cp => h = (h * 257L + cp) % 1000000007L)
+    h
+  }
+
+  private val anyUnicodeStr: Gen[String] = Gen
+    .listOf(Gen.frequency(
+      8 -> Gen.asciiPrintableChar.map(_.toString),
+      2 -> Gen.choose(0x10000, 0x10FFFF).map(cp => new String(Character.toChars(cp)))
+    ))
+    .map(_.mkString)
+
+  property("poly_hash folds CODE POINTS — non-BMP text matches the oracle fold") =
+    forAll(anyUnicodeStr) { s =>
+      PolyHashExpr(Literal(UTF8String.fromString(s), StringType))
+        .eval(null) == refPolyHash(s)
+    }
+
+  property("winnowing treats a surrogate pair as ONE character position") =
+    forAll(Gen.choose(0x10000, 0x10FFFF), Gen.choose(0x10000, 0x10FFFF)) {
+      (cpA, cpB) =>
+        // two strings of 12 code points each (24 UTF-16 units): same
+        // k=8,w=4 fingerprint COUNT as a 12-char ASCII string iff
+        // positions are counted in code points
+        def mk(cp: Int) = new String(Character.toChars(cp)) * 12
+        val ascii = "abcdefghijkl"
+        def nFps(s: String) =
+          WinnowFingerprintExpr(Literal(UTF8String.fromString(s), StringType), 8, 4)
+            .eval(null).asInstanceOf[ArrayData].numElements()
+        nFps(mk(cpA)) == nFps(ascii) && nFps(mk(cpB)) == nFps(ascii)
+    }
+
   property("vec_dot is exactly symmetric (same fold order, commuted products)") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0)),
            Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))) { (xs, ys) =>
