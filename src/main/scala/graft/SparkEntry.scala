@@ -111,6 +111,9 @@ object SparkEntry {
     "cohort_retention" -> (FunnelOps.cohortRetention _),
     "event_transitions" -> (FunnelOps.eventTransitions _),
     "user_value_quartiles" -> (OlapOps.userValueQuartiles _),
+    // pipeline-health audits
+    "fk_integrity" -> (OlapOps.fkIntegrity _),
+    "key_skew_profile" -> (OlapOps.keySkewProfile _),
     // cross-dimensional aggregation / profiling
     "kpi_cube" -> (OlapOps.kpiCube _),
     "doc_length_histogram" -> (PipelineOps.docLengthHistogram _),

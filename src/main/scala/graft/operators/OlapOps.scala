@@ -273,9 +273,104 @@ object OlapOps {
       .orderBy(col("quartile"))
   }
 
+  /** Referential-integrity audit across the warehouse's FK chain
+    * (lineitem→orders, orders→customer, customer→nation): orphan counts
+    * per edge — the data-quality gate a pipeline runs after every load.
+    * Each edge is ONE anti-join; parent key sets are dimension-sized and
+    * broadcast (AQE), so the audit costs a scan per child table.
+    */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_children"))
+      val orphans = child
+        .join(parent.select(col(parentKey)),
+              col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total
+        .crossJoin(orphans)
+        .select(lit(name).as("fk_edge"), col("n_children"), col("n_orphans"),
+                (col("n_orphans") === 0).as("intact"))
+    }
+    edge("lineitem->orders",
+         Tables.lineitem(spark, dir).select(col("l_orderkey")), "l_orderkey",
+         Tables.orders(spark, dir), "o_orderkey")
+      .union(edge("orders->customer",
+                  Tables.orders(spark, dir).select(col("o_custkey")),
+                  "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+      .union(edge("customer->nation",
+                  Tables.customer(spark, dir).select(col("c_nationkey")),
+                  "c_nationkey", Tables.nation(spark, dir), "n_nationkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  /** Key-skew profile of the event stream: the distribution-health
+    * numbers that decide salting/AQE strategy BEFORE a big join — top-5
+    * heaviest user keys plus each key's share of rows and the ratio to a
+    * perfectly uniform share. One map-side-combined groupBy; the ranking
+    * runs on the aggregated key table.
+    */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val totals = broadcast(
+      counts.agg(sum(col("n_rows")).as("total_rows"),
+                 count(lit(1)).as("n_keys")))
+    counts
+      .crossJoin(totals)
+      .orderBy(col("n_rows").desc, col("user_id"))
+      .limit(5)
+      .select(
+        col("user_id"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("total_rows").cast("double"),
+              6).as("row_share"),
+        round(col("n_rows").cast("double") /
+                (col("total_rows").cast("double") / col("n_keys").cast("double")),
+              4).as("skew_vs_uniform"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "fk_integrity" ->
+      """WITH e AS (
+        |  SELECT 'lineitem->orders' AS fk_edge,
+        |         (SELECT count(*) FROM lineitem) AS n_children,
+        |         (SELECT count(*) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |         (SELECT count(*) FROM orders),
+        |         (SELECT count(*) FROM orders o
+        |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'customer->nation',
+        |         (SELECT count(*) FROM customer),
+        |         (SELECT count(*) FROM customer c
+        |          WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                            WHERE n.n_nationkey = c.c_nationkey))
+        |)
+        |SELECT fk_edge, CAST(n_children AS BIGINT) AS n_children,
+        |       CAST(n_orphans AS BIGINT) AS n_orphans,
+        |       n_orphans = 0 AS intact
+        |FROM e ORDER BY fk_edge""".stripMargin,
+    "key_skew_profile" ->
+      s"""WITH c AS (
+         |  SELECT user_id, count(*) AS n_rows
+         |  FROM (${Tables.eventsSql}) e GROUP BY user_id
+         |),
+         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         |             count(*) AS n_keys FROM c)
+         |SELECT user_id, n_rows,
+         |       round(CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE), 6) AS row_share,
+         |       round(CAST(n_rows AS DOUBLE) /
+         |             (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 4) AS skew_vs_uniform
+         |FROM c CROSS JOIN t
+         |ORDER BY n_rows DESC, user_id LIMIT 5""".stripMargin,
     "user_value_quartiles" ->
       s"""WITH t AS (
          |  SELECT user_id,
