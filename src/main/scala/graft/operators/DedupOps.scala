@@ -155,12 +155,33 @@ object DedupOps {
                 graft.functions.TextExprs.wordShingles(col("text"), 3))).as("p"))
       .select(col("source"), col("doc_id"), col("p.x").as("shingle"),
               col("p.n").as("n_sh"))
+    // in-bucket pair expansion (the LSH-bucket trick): ONE posting
+    // shuffle and one shingle pass — the equivalent self-join re-runs
+    // the shingling for its second side and shuffles every posting
+    // twice. Positional i<j pairs over the doc-sorted member list plus
+    // the doc1<doc2 value filter reproduce the join's multiplicity
+    // semantics exactly (duplicate in-doc shingles pair across docs,
+    // never within one).
     val pairs = ex
-      .select(col("source"), col("shingle"), col("doc_id").as("doc1"),
-              col("n_sh").as("n1"))
-      .join(ex.select(col("source"), col("shingle"), col("doc_id").as("doc2"),
-                      col("n_sh").as("n2")),
-            Seq("source", "shingle"))
+      .groupBy(col("source"), col("shingle"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(
+        col("source"),
+        explode(flatten(transform(
+          sequence(lit(1), size(col("ds")) - 1),
+          i =>
+            transform(
+              sequence(i + 1, size(col("ds"))),
+              j =>
+                struct(
+                  element_at(col("ds"), i).getField("doc_id").as("doc1"),
+                  element_at(col("ds"), i).getField("n_sh").as("n1"),
+                  element_at(col("ds"), j).getField("doc_id").as("doc2"),
+                  element_at(col("ds"), j).getField("n_sh").as("n2")))))).as("p"))
+      .select(col("source"), col("p.doc1").as("doc1"), col("p.n1").as("n1"),
+              col("p.doc2").as("doc2"), col("p.n2").as("n2"))
       .filter(col("doc1") < col("doc2"))
       .groupBy(col("source"), col("doc1"), col("doc2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("n_common"))

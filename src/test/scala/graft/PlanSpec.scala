@@ -73,8 +73,9 @@ class PlanSpec extends SparkSpec {
     assert("winnow_fingerprints".r.findAllIn(w).length == 1)
     val j = DedupOps.dedupNgramJaccard(spark, sf("sf0.001"))
       .queryExecution.optimizedPlan.toString
-    // one evaluation per self-join side
-    assert("word_shingles".r.findAllIn(j).length == 2)
+    // in-bucket pair expansion: ONE shingle pass, no self-join
+    assert("word_shingles".r.findAllIn(j).length == 1)
+    assert(!j.contains("Join "))
   }
 
   test("nested-event parse evaluates from_json exactly once") {
