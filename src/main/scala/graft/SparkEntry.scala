@@ -106,6 +106,8 @@ object SparkEntry {
     "tfidf_topterms" -> (SearchOps.tfidfTopterms _),
     "bm25_search" -> (SearchOps.bm25Search _),
     "doc_logprob" -> (SearchOps.docLogprob _),
+    "chi2_label_terms" -> (SearchOps.chi2LabelTerms _),
+    "langid_confusion" -> (TextOps.langidConfusion _),
     // event-sequence analytics
     "funnel_conversion" -> (FunnelOps.funnelConversion _),
     "cohort_retention" -> (FunnelOps.cohortRetention _),

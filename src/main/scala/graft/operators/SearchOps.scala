@@ -179,6 +179,56 @@ object SearchOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-label discriminative vocabulary: χ² feature selection of tokens
+    * against the language label (the standard contingency-table
+    * statistic over [in-label × contains-token] document counts) — what
+    * a corpus curator runs to see which terms characterize each slice.
+    * All four cells are exact integers; χ² is a single double division
+    * of exact products, so ranking is engine-stable. Only positively
+    * associated observed pairs rank (ad > bc). Top-3 per label via the
+    * dedicated per-key top-k operator.
+    */
+  def chi2LabelTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // token_counts emits each token once per doc → (doc, token) is a
+    // presence pair and counts below are document frequencies
+    val pres = docs.select(
+      col("lang"),
+      explode(graft.functions.TextExprs.tokenCounts(col("text"))).as("tc"))
+    val tokLang = pres
+      .groupBy(col("tc.token").as("token"), col("lang"))
+      .agg(count(lit(1)).as("a"))
+    val tokTotal = tokLang.groupBy(col("token")).agg(sum(col("a")).as("df_tot"))
+    val langTotal = broadcast(
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")))
+    val nDocsDf = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val cells = tokLang
+      .join(tokTotal, "token")
+      .join(langTotal, "lang")
+      .crossJoin(nDocsDf)
+      .withColumn("b", col("df_tot") - col("a"))
+      .withColumn("c", col("n_lang") - col("a"))
+      .withColumn("d", col("n_docs") - col("df_tot") - col("c"))
+    val num = col("a") * col("d") - col("b") * col("c")
+    val denom = (col("a") + col("b")) * (col("c") + col("d")) *
+      (col("a") + col("c")) * (col("b") + col("d"))
+    val scored = cells
+      .filter(num > 0 && denom > 0)
+      .withColumn(
+        "chi2",
+        (col("n_docs").cast("double") *
+          (num.cast("double") * num.cast("double"))) / denom.cast("double"))
+    graft.plans.TopK
+      .perKey(scored,
+              keyCols = Seq("lang"),
+              orderSpec = Seq("chi2" -> false, "token" -> true),
+              k = 3,
+              rankName = "rank")
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("token"),
+              col("a").as("df_in_label"), round(col("chi2"), 4).as("chi2"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val tokSql =
@@ -188,6 +238,36 @@ object SearchOps {
       |GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "chi2_label_terms" ->
+      s"""WITH tok AS ($tokSql),
+         |pres AS (
+         |  SELECT d.lang, tok.token FROM tok JOIN documents d ON tok.doc_id = d.doc_id
+         |),
+         |tl AS (SELECT token, lang, CAST(count(*) AS BIGINT) AS a FROM pres GROUP BY 1, 2),
+         |tt AS (SELECT token, CAST(sum(a) AS BIGINT) AS df_tot FROM tl GROUP BY 1),
+         |lt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |cells AS (
+         |  SELECT tl.lang, tl.token, a, df_tot - a AS b, n_lang - a AS c,
+         |         n_docs - df_tot - (n_lang - a) AS d, n_docs
+         |  FROM tl JOIN tt ON tl.token = tt.token
+         |          JOIN lt ON tl.lang = lt.lang CROSS JOIN n
+         |),
+         |s AS (
+         |  SELECT lang, token, a,
+         |         (CAST(n_docs AS DOUBLE) *
+         |          (CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)))
+         |           / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) AS chi2
+         |  FROM cells
+         |  WHERE a * d - b * c > 0 AND (a + b) * (c + d) * (a + c) * (b + d) > 0
+         |),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+         |                                    ORDER BY chi2 DESC, token) AS BIGINT) AS rank
+         |  FROM s
+         |)
+         |SELECT lang, rank, token, a AS df_in_label, round(chi2, 4) AS chi2
+         |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
     "tfidf_topterms" ->
       s"""WITH tok AS ($tokSql),
          |df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),

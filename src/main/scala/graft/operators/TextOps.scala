@@ -139,6 +139,27 @@ object TextOps {
               col("p.n").as("n_fingerprints"))
       .orderBy(col("doc_id"), col("fp"))
 
+  /** Confusion matrix of the stopword language detector against the
+    * labelled language — the evaluation loop for any heuristic filter: a
+    * pipeline promotes a classifier only with this table in hand. Reuses
+    * [[textLangId]] verbatim; one tiny two-key aggregation plus a
+    * per-label share computed against a broadcast label total.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val preds = textLangId(spark, dir)
+    val labelTotals = broadcast(
+      preds.groupBy(col("label_lang")).agg(count(lit(1)).as("n_label")))
+    preds
+      .groupBy(col("label_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(labelTotals, "label_lang")
+      .select(col("label_lang"), col("pred_lang"), col("n_docs"),
+              round(col("n_docs").cast("double") /
+                      col("n_label").cast("double"),
+                    6).as("label_share"))
+      .orderBy(col("label_lang"), col("pred_lang"))
+  }
+
   /** Word-bigram repetition signals (the Gopher/MassiveText "repetition"
     * family, Rae et al. '21 §A1.1): fraction of duplicated 2-grams per
     * document — high duplication flags boilerplate/spam for the quality
@@ -190,6 +211,18 @@ object TextOps {
       .map { case (p, j) => s"CAST(ascii(substr(m, p.i + $j, 1)) AS BIGINT) * $p" }
       .mkString("(", " + ", s") % $M")
   }
+
+  private lazy val langidSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang AS label_lang,
+       |         round(CAST(len(list_filter(tokens, t -> t IN $stopList)) AS DOUBLE)
+       |               / greatest(len(tokens), 1), 6) AS en_ratio
+       |  FROM t
+       |)
+       |SELECT doc_id, label_lang, en_ratio,
+       |       CASE WHEN en_ratio > 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+       |FROM s ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_repetition" ->
@@ -255,17 +288,15 @@ object TextOps {
          |             + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END)
          |             + unique_ratio * 0.25, 6) AS quality_score
          |FROM r ORDER BY doc_id""".stripMargin,
-    "text_langid" ->
-      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
-         |s AS (
-         |  SELECT doc_id, lang AS label_lang,
-         |         round(CAST(len(list_filter(tokens, t -> t IN $stopList)) AS DOUBLE)
-         |               / greatest(len(tokens), 1), 6) AS en_ratio
-         |  FROM t
-         |)
-         |SELECT doc_id, label_lang, en_ratio,
-         |       CASE WHEN en_ratio > 0.05 THEN 'en' ELSE 'other' END AS pred_lang
-         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid" -> langidSql,
+    "langid_confusion" ->
+      s"""WITH p AS (SELECT * FROM ($langidSql) z),
+         |t AS (SELECT label_lang, count(*) AS n_label FROM p GROUP BY 1)
+         |SELECT p.label_lang, pred_lang, count(*) AS n_docs,
+         |       round(CAST(count(*) AS DOUBLE) / CAST(n_label AS DOUBLE), 6) AS label_share
+         |FROM p JOIN t ON p.label_lang = t.label_lang
+         |GROUP BY p.label_lang, pred_lang, n_label
+         |ORDER BY p.label_lang, pred_lang""".stripMargin,
     "text_fingerprint" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
         |SELECT doc_id,

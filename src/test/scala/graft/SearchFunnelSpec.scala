@@ -190,6 +190,34 @@ class SearchFunnelSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("chi2_label_terms: ≤3 positive-association terms per label, chi2 ordered") {
+    val df = SearchOps.chi2LabelTerms(spark, sf("sf0.001")).cache()
+    assert(df.filter(col("rank") > 3 || col("chi2") < 0).isEmpty)
+    val bad = df
+      .groupBy("lang")
+      .agg(min(when(col("rank") === 1, col("chi2"))).as("c1"),
+           min(when(col("rank") === 2, col("chi2"))).as("c2"))
+      .filter(col("c2") > col("c1"))
+    assert(bad.isEmpty)
+    df.unpersist()
+  }
+
+  test("langid_confusion: per-label shares sum to one over full label counts") {
+    val df = TextOps.langidConfusion(spark, sf("sf0.001"))
+    val sums = df
+      .groupBy("label_lang")
+      .agg(sum("n_docs").as("n"), sum("label_share").as("share"))
+    val labels = Tables
+      .documents(spark, sf("sf0.001"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_label"))
+    val bad = sums
+      .join(labels, col("label_lang") === col("lang"))
+      .filter(col("n") =!= col("n_label") ||
+        abs(col("share") - 1.0) > 1e-4)
+    assert(bad.isEmpty)
+  }
+
   test("embed_rp_sketch: bounded by the weight lattice, one row per vector") {
     val df = VectorOps.embedRpSketch(spark, sf("sf0.001")).cache()
     assert(df.count() ==
