@@ -121,6 +121,22 @@ object EventPipeline {
         AnomalyProcessor.detect)
   }
 
+  /** Keyed EWMA smoothing of the per-minute KPI level — the incremental
+    * form of the `series_ewma` batch query (four numbers of state per
+    * key; update mode, provisional panes).
+    */
+  def ewmaStream(spark: SparkSession,
+                 events: DataFrame): Dataset[EwmaProcessor.EwmaLevel] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              col("value"))
+      .as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        EwmaProcessor.smooth)
+  }
+
   /** Second keyed stage: cooldown gate per (source, severity) (T10). */
   def cooldownStream(
       spark: SparkSession,

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.GroupState
+
+/** Streaming EWMA of the per-minute KPI series — the incremental form of
+  * [[graft.operators.SeriesOps.seriesEwma]]: one smoothed level per key,
+  * folded over COMPLETED minute buckets in event-time order with the
+  * same α and the same 6-dp bucket rounding as the batch query, so the
+  * final emitted level per key is equal to the batch result on the same
+  * data (asserted in StreamingParitySpec).
+  *
+  * State per key is four numbers (level, in-progress bucket sum/count/
+  * id) — the smallest possible stateful operator, and exactly what the
+  * reference's Flink `ValueState` pattern would hold.
+  *
+  * Emission: one provisional row per key per micro-batch, folding the
+  * in-progress bucket as if it had closed — so the last update always
+  * reflects all data seen (the standard provisional-pane contract;
+  * update output mode).
+  */
+object EwmaProcessor {
+
+  /** Smoothing weight — keep in sync with SeriesOps.Alpha. */
+  val Alpha = 0.2
+
+  case class EwmaState(hasLevel: Boolean,
+                       level: Double,
+                       curBucket: Long,
+                       curSum: Double,
+                       curCount: Long,
+                       nCompleted: Long)
+
+  case class EwmaLevel(event_type: String, n_buckets: Long, ewma_value: Double)
+
+  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private def fold(hasLevel: Boolean, level: Double, bucketAvg: Double): Double =
+    if (!hasLevel) bucketAvg else (Alpha * bucketAvg) + ((1 - Alpha) * level)
+
+  /** flatMapGroupsWithState handler keyed by event_type. */
+  def smooth(key: String,
+             events: Iterator[Event],
+             state: GroupState[EwmaState]): Iterator[EwmaLevel] = {
+    var s = state.getOption.getOrElse(
+      EwmaState(hasLevel = false, 0.0, Long.MinValue, 0.0, 0L, 0L))
+    events.toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+      .foreach { e =>
+        val bucket = Math.floorDiv(e.ts.getTime, 60000L)
+        if (bucket != s.curBucket && s.curCount > 0) {
+          val avg = r6(s.curSum / s.curCount)
+          s = s.copy(hasLevel = true, level = fold(s.hasLevel, s.level, avg),
+                     curBucket = bucket, curSum = 0.0, curCount = 0L,
+                     nCompleted = s.nCompleted + 1)
+        } else if (s.curCount == 0L) {
+          s = s.copy(curBucket = bucket)
+        }
+        s = s.copy(curSum = s.curSum + e.value, curCount = s.curCount + 1)
+      }
+    state.update(s)
+    // provisional emission: close the in-progress bucket virtually
+    if (s.curCount > 0) {
+      val avg = r6(s.curSum / s.curCount)
+      Iterator.single(
+        EwmaLevel(key, s.nCompleted + 1,
+                  r6(fold(s.hasLevel, s.level, avg))))
+    } else if (s.hasLevel) {
+      Iterator.single(EwmaLevel(key, s.nCompleted, r6(s.level)))
+    } else Iterator.empty
+  }
+}

@@ -63,6 +63,51 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed == batchAnalog)
   }
 
+  test("streaming EWMA final levels equal the batch series_ewma exactly") {
+    val session = spark
+    import session.implicits._
+    val events = Tables
+      .events(spark, sf("sf0.001"))
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    val input = MemoryStream[Event](spark, 3)
+    val levels = EventPipeline.ewmaStream(spark, input.toDF())
+    val q = levels.writeStream
+      .format("memory")
+      .queryName("ewma_parity")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      events.grouped(250).foreach { batch =>
+        input.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // memory sink in update mode appends every pane: keep the LAST
+    // emission per key (MemoryStream preserves batch order)
+    val streamed = spark
+      .table("ewma_parity")
+      .as[graft.streaming.EwmaProcessor.EwmaLevel]
+      .collect()
+      .zipWithIndex
+      .groupBy(_._1.event_type)
+      .map { case (_, rows) => rows.maxBy(_._2)._1 }
+      .map(l => (l.event_type, l.n_buckets, l.ewma_value))
+      .toSet
+
+    val batch = operators.SeriesOps
+      .seriesEwma(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+    assert(streamed == batch)
+  }
+
   test("sliding-window KPI stream aggregates and drops late data") {
     val session = spark
     import session.implicits._
