@@ -137,6 +137,22 @@ object EventPipeline {
         EwmaProcessor.smooth)
   }
 
+  /** Per-user event-transition stream — the incremental `lead` window
+    * (one last-event record of state per user; update mode).
+    */
+  def transitionStream(
+      spark: SparkSession,
+      events: DataFrame): Dataset[TransitionProcessor.Transition] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        TransitionProcessor.track)
+  }
+
   /** Second keyed stage: cooldown gate per (source, severity) (T10). */
   def cooldownStream(
       spark: SparkSession,

@@ -108,6 +108,47 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming transitions aggregate to the batch lead-window counts") {
+    val session = spark
+    import session.implicits._
+    val events = Tables
+      .events(spark, sf("sf0.001"))
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    val input = MemoryStream[Event](spark, 4)
+    val trans = EventPipeline.transitionStream(spark, input.toDF())
+    val q = trans.writeStream
+      .format("memory")
+      .queryName("trans_parity")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      events.grouped(300).foreach { batch =>
+        input.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark
+      .table("trans_parity")
+      .groupBy("prev_type", "next_type")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+    val batch = operators.FunnelOps
+      .eventTransitions(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+    assert(streamed == batch)
+  }
+
   test("sliding-window KPI stream aggregates and drops late data") {
     val session = spark
     import session.implicits._
