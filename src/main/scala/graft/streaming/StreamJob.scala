@@ -74,9 +74,39 @@ object StreamJob {
       }
       .start()
 
+    // smoothed-KPI store (EWMA levels per key) and per-user transition
+    // stream — the round-3 incremental operators, same job graph
+    val ewmaQuery = EventPipeline
+      .ewmaStream(spark, events)
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_ewma")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/ewma_levels")
+        ()
+      }
+      .start()
+
+    val transQuery = EventPipeline
+      .transitionStream(spark, events)
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_trans")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/transitions")
+        ()
+      }
+      .start()
+
     kpiQuery.awaitTermination()
     alertQuery.awaitTermination()
     sessionQuery.awaitTermination()
+    ewmaQuery.awaitTermination()
+    transQuery.awaitTermination()
 
     // Second job, exactly the reference topology: the alert service
     // consumes the anomaly job's output topic (`alerts.v1` ≙ the alerts
@@ -131,7 +161,9 @@ object StreamJob {
       "sessions" -> (try spark.read.parquet(s"$outDir/sessions").count()
                      catch { case _: Throwable => 0L }),
       "routed" -> (try spark.read.parquet(s"$outDir/routed").count()
-                   catch { case _: Throwable => 0L })
+                   catch { case _: Throwable => 0L }),
+      "ewma_levels" -> spark.read.parquet(s"$outDir/ewma_levels").count(),
+      "transitions" -> spark.read.parquet(s"$outDir/transitions").count()
     )
   }
 
