@@ -41,6 +41,8 @@ object SparkEntry {
     "alerts_stats" -> (AnomalyOps.alertsStats _),
     "alert_cooldown" -> (AnomalyOps.alertCooldown _),
     "alert_routing" -> (AnomalyOps.alertRouting _),
+    "detector_agreement" -> (AnomalyOps.detectorAgreement _),
+    "order_backlog" -> (OlapOps.orderBacklog _),
     "events_last_hour" -> (AnomalyOps.eventsLastHour _),
     // §2.3 P1/P2, §2.8 F6/F7/F11 — parse/serialize
     "event_parse_json" -> (MiscOps.eventParseJson _),

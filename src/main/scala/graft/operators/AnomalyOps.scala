@@ -450,7 +450,22 @@ object AnomalyOps {
        |  FROM flagged
        |)""".stripMargin
 
+  /** Detector-agreement matrix: scored events by (anomaly_type ×
+    * severity) — the evaluation table that says how often the z-score
+    * and MAD detectors fire, at what severity, and how much is plain
+    * normal. Reads the materialized alert store; one tiny aggregation.
+    */
+  def detectorAgreement(spark: SparkSession, dir: String): DataFrame =
+    scoredStore(spark, dir)
+      .groupBy(col("anomaly_type"), col("severity"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("anomaly_type"), col("severity"))
+
   val oracles: Map[String, String] = Map(
+    "detector_agreement" ->
+      s"""$scoredSql
+         |SELECT anomaly_type, severity, count(*) AS n_events
+         |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "anomaly_score" ->
       s"$scoredSql SELECT * FROM final ORDER BY event_type, ts, event_id",
     "anomaly_score_window" ->

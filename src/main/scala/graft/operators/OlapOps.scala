@@ -331,9 +331,31 @@ object OlapOps {
               4).as("skew_vs_uniform"))
   }
 
+  /** Open-order backlog aging: non-finalized orders by priority × order
+    * month, with exact integer-cent value totals — the fulfillment-ops
+    * rollup. One map-side-combined aggregation over a pruned
+    * (status, priority, date, price) scan.
+    */
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .filter(col("o_orderstatus") =!= "F")
+      .groupBy(col("o_orderpriority"),
+               date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(floor(col("o_totalprice") * lit(100) + lit(0.5)))
+             .as("backlog_cents"))
+      .orderBy(col("o_orderpriority"), col("month"))
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "order_backlog" ->
+      """SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS backlog_cents
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "fk_integrity" ->
       """WITH e AS (
         |  SELECT 'lineitem->orders' AS fk_edge,
