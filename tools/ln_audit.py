@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Audit cross-engine bit-identity of every ln() argument the log-scored
+queries (tfidf_topterms, bm25_search, doc_logprob) actually evaluate at a
+scale factor: Java's Math.log and DuckDB's ln are NOT bit-identical over
+all of (0,1) (sampled ~0.2% of arguments differ in the last ulp), so any
+NEW log-based scoring must audit its real argument set like this before
+trusting hash equality.
+
+Usage: python3 tools/ln_audit.py [sfdir ...]   (default: sf0.01 sf0.1)
+Exit 0 iff every actual argument is bit-identical.
+"""
+import struct, subprocess, sys, tempfile
+from pathlib import Path
+
+import duckdb
+
+SFS = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+TOK = """WITH t AS (SELECT doc_id, u.token FROM documents,
+         UNNEST(string_split(regexp_replace(lower(trim(text)),'\\s+',' ','g'),' ')) u(token)),
+         td AS (SELECT token, doc_id, count(*) tf FROM t GROUP BY 1,2)"""
+
+con = duckdb.connect()
+args = set()
+for sfd in SFS:
+    con.execute(f"CREATE OR REPLACE VIEW documents AS SELECT * FROM '{sfd}/documents.parquet'")
+    # doc_logprob: ln(ctf / T)
+    for a, b in con.execute(TOK + """, v AS (SELECT token, sum(tf) ctf FROM td GROUP BY 1),
+        tt AS (SELECT sum(ctf) T FROM v)
+        SELECT DISTINCT CAST(ctf AS BIGINT), CAST(T AS BIGINT) FROM v, tt""").fetchall():
+        args.add(("div", a, b))
+    # tfidf: ln(N / df)
+    for a, b in con.execute(TOK + """, df AS (SELECT token, count(*) df FROM td GROUP BY 1),
+        n AS (SELECT count(*) nd FROM documents)
+        SELECT DISTINCT CAST(nd AS BIGINT), CAST(df AS BIGINT) FROM df, n""").fetchall():
+        args.add(("div", a, b))
+    # bm25: ln((N - df + 0.5) / (df + 0.5))
+    for a, b in con.execute(TOK + """, q AS (SELECT * FROM td WHERE token IN ('spark','join','window')),
+        df AS (SELECT token, count(*) df FROM q GROUP BY 1),
+        n AS (SELECT count(*) nd FROM documents)
+        SELECT DISTINCT CAST(nd AS BIGINT), CAST(df AS BIGINT) FROM df, n""").fetchall():
+        args.add(("bm", a, b))
+
+work = Path(tempfile.mkdtemp(prefix="ln_audit"))
+out = work / "java_ln.txt"
+src = ["public class LnAudit { public static void main(String[] x) throws Exception {",
+       f'java.io.PrintWriter w = new java.io.PrintWriter("{out}");']
+for kind, a, b in sorted(args):
+    expr = (f"Math.log((double){a} / {b})" if kind == "div"
+            else f"Math.log(((double){a} - {b} + 0.5) / ({b} + 0.5))")
+    src.append(f'w.println("{kind},{a},{b}," + Double.doubleToLongBits({expr}));')
+src.append("w.close(); } }")
+(work / "LnAudit.java").write_text("\n".join(src))
+subprocess.run(["javac", "LnAudit.java"], cwd=work, check=True)
+subprocess.run(["java", "LnAudit"], cwd=work, check=True)
+
+bad = n = 0
+for line in out.read_text().splitlines():
+    kind, a, b, bits = line.split(",")
+    a, b, bits = int(a), int(b), int(bits)
+    sql = (f"SELECT ln(CAST({a} AS DOUBLE) / {b})" if kind == "div"
+           else f"SELECT ln((CAST({a} AS DOUBLE) - {b} + 0.5) / ({b} + 0.5))")
+    v = con.execute(sql).fetchone()[0]
+    db = struct.unpack("<q", struct.pack("<d", v))[0]
+    n += 1
+    if db != bits:
+        bad += 1
+        print(f"MISMATCH {kind} a={a} b={b}")
+print(f"{n} actual ln arguments compared, {bad} bit-mismatches")
+sys.exit(1 if bad else 0)
