@@ -121,6 +121,7 @@ object SparkEntry {
     // cross-dimensional aggregation / profiling
     "kpi_cube" -> (OlapOps.kpiCube _),
     "doc_length_histogram" -> (PipelineOps.docLengthHistogram _),
+    "dataset_split" -> (PipelineOps.datasetSplit _),
     // dedup clustering + repetition signals
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "text_repetition" -> (TextOps.textRepetition _),

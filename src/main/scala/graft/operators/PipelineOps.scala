@@ -163,6 +163,30 @@ object PipelineOps {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(20)
 
+  /** Deterministic train/valid/test split summary: every document lands
+    * in a split by `poly_hash(doc_id) mod 100` (train < 90, valid < 95,
+    * else test) — reproducible across engines, runs, and retries, the
+    * property a training pipeline needs so no example ever migrates
+    * between splits. Summary per (split × source) proves the assignment
+    * and its balance in one map pass + one tiny aggregation; the split
+    * column itself is the same expression any consumer would filter on.
+    */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn(
+        "bucket",
+        graft.functions.TextExprs.polyHash(col("doc_id").cast("string")) % 100)
+      .withColumn("split",
+                  when(col("bucket") < 90, "train")
+                    .when(col("bucket") < 95, "valid")
+                    .otherwise("test"))
+      .withColumn("n_tokens",
+                  size(split(trim(col("text")), "\\s+")).cast("long"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+
   /** Sequence-length histogram: documents bucketed by token count
     * (width 32, capped at bucket 15) — the length-distribution profile a
     * pipeline checks before choosing a packing budget ([[packSequences]])
@@ -269,6 +293,19 @@ object PipelineOps {
          |       cum_tokens - n_tokens AS offset_tokens,
          |       CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT) AS bin
          |FROM c ORDER BY source, doc_id""".stripMargin,
+    "dataset_split" ->
+      s"""WITH d AS (SELECT *, CAST(doc_id AS VARCHAR) AS eid FROM documents),
+         |h AS (SELECT *, $polyHashSql % 100 AS bucket FROM d),
+         |s AS (
+         |  SELECT *, CASE WHEN bucket < 90 THEN 'train'
+         |                 WHEN bucket < 95 THEN 'valid'
+         |                 ELSE 'test' END AS split,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM h
+         |)
+         |SELECT split, source, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "doc_length_histogram" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

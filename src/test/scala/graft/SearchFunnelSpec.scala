@@ -218,6 +218,24 @@ class SearchFunnelSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("dataset_split: covers every doc, deterministic, roughly 90/5/5") {
+    val df = PipelineOps.datasetSplit(spark, sf("sf0.001")).cache()
+    val total = df.agg(sum("n_docs")).head().getLong(0)
+    assert(total == Tables.documents(spark, sf("sf0.001")).count())
+    val bySplit = df
+      .groupBy("split")
+      .agg(sum("n_docs").as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(bySplit("train").toDouble / total > 0.75) // hash-balance, small corpus
+    assert(bySplit.keySet == Set("train", "valid", "test"))
+    // determinism: a second evaluation is identical
+    val again = PipelineOps.datasetSplit(spark, sf("sf0.001")).collect()
+    assert(df.collect().toSeq == again.toSeq)
+    df.unpersist()
+  }
+
   test("embed_rp_sketch: bounded by the weight lattice, one row per vector") {
     val df = VectorOps.embedRpSketch(spark, sf("sf0.001")).cache()
     assert(df.count() ==
