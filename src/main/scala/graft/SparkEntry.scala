@@ -122,6 +122,9 @@ object SparkEntry {
     "kpi_cube" -> (OlapOps.kpiCube _),
     "doc_length_histogram" -> (PipelineOps.docLengthHistogram _),
     "dataset_split" -> (PipelineOps.datasetSplit _),
+    "vocab_coverage" -> (PipelineOps.vocabCoverage _),
+    "dedup_rate_by_source" -> (DedupOps.dedupRateBySource _),
+    "events_hourly_heatmap" -> (FunnelOps.eventsHourlyHeatmap _),
     // dedup clustering + repetition signals
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "text_repetition" -> (TextOps.textRepetition _),

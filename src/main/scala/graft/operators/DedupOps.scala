@@ -562,6 +562,26 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-duplicate rate per source — the per-slice dedup health number
+    * a curator watches across crawl snapshots. One hash + one two-level
+    * aggregation; the ratio is an exact integer division.
+    */
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .groupBy(col("source"), md5(col("norm")).as("content_hash"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+           count(lit(1)).as("n_unique"))
+      .select(
+        col("source"), col("n_docs"), col("n_unique"),
+        round((col("n_docs") - col("n_unique")).cast("double") /
+                col("n_docs").cast("double"),
+              6).as("dup_rate"))
+      .orderBy(col("source"))
+
   private lazy val simhashPairsSql: String =
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
@@ -675,6 +695,20 @@ object DedupOps {
          |       array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig
          |FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_rate_by_source" ->
+      """WITH h AS (
+        |  SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch,
+        |         count(*) AS n
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |s AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |         count(*) AS n_unique
+        |  FROM h GROUP BY source
+        |)
+        |SELECT source, n_docs, n_unique,
+        |       round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+        |FROM s ORDER BY source""".stripMargin,
     // composed by concatenation (embedded '||' lines, see above); the
     // recursive CTE computes each doc's min reachable id = cluster label
     "dedup_clusters" -> (

@@ -101,9 +101,29 @@ object FunnelOps {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Day-of-week × hour activity heatmap — the ops-dashboard staple for
+    * spotting diurnal/weekly load shape. Integer-only; one combined
+    * aggregation pass.
+    */
+  def eventsHourlyHeatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+               hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+           count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("dow"), col("hour"))
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "events_hourly_heatmap" ->
+      s"""SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         |       CAST(hour(ts) AS BIGINT) AS hour,
+         |       count(*) AS n_events,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM (${Tables.eventsSql}) e
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "event_transitions" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |t AS (

@@ -206,6 +206,50 @@ object PipelineOps {
            sum(col("n_tokens")).as("sum_tokens"))
       .orderBy(col("bucket"))
 
+  /** Vocabulary coverage: the smallest top-frequency vocabulary whose
+    * tokens cover ≥ {50, 90, 99}% of corpus occurrences — the number a
+    * tokenizer design starts from. Integer cumulative sums over the
+    * (freq desc, token) order; the ranking window runs on the aggregated
+    * vocabulary, not the corpus.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vocab = Tables
+      .documents(spark, dir)
+      .select(explode(graft.functions.TextExprs.tokenCounts(col("text"))).as("tc"))
+      .groupBy(col("tc.token").as("token"))
+      .agg(sum(col("tc.tf")).as("freq"))
+    val cum = vocab
+      .withColumn("cum", sum(col("freq")).over(w))
+      .withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("token"))).cast("long"))
+    val total = broadcast(vocab.agg(sum(col("freq")).as("total_occ"),
+                                    count(lit(1)).as("vocab_size")))
+    val pcts = Seq(50, 90, 99)
+    // ONE pass: conditional min-rank per threshold (exact integer
+    // compare cum·100 ≥ p·total), then the single row unpivots
+    val mins = pcts.map(p =>
+      min(when(col("cum") * 100 >= lit(p.toLong) * col("total_occ"),
+               col("rank"))).as(s"n$p"))
+    val one = cum
+      .crossJoin(total)
+      .agg(mins.head, mins.tail :+
+        first(col("vocab_size")).as("vocab_size") :+
+        first(col("total_occ")).as("total_occ"): _*)
+    one
+      .select(explode(array(pcts.map(p =>
+        struct(lit(p.toLong).as("coverage_pct"), col(s"n$p").as("n_vocab"),
+               col("vocab_size"), col("total_occ"))): _*)).as("r"))
+      .select(col("r.coverage_pct"), col("r.n_vocab"), col("r.vocab_size"),
+              col("r.total_occ"))
+      .orderBy(col("coverage_pct"))
+  }
+
   /** Dataset profile: per-column row/null/distinct counts (plus numeric
     * min/max/avg for the metric column) — the "analyze table" pass a
     * pipeline runs before training to catch schema drift and null
@@ -293,6 +337,29 @@ object PipelineOps {
          |       cum_tokens - n_tokens AS offset_tokens,
          |       CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT) AS bin
          |FROM c ORDER BY source, doc_id""".stripMargin,
+    "vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT u.token
+        |  FROM documents,
+        |       UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) u(token)
+        |),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT freq,
+        |         CAST(sum(freq) OVER (ORDER BY freq DESC, token
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+        |  FROM v
+        |),
+        |tt AS (SELECT CAST(sum(freq) AS BIGINT) AS total_occ,
+        |              count(*) AS vocab_size FROM v),
+        |p(coverage_pct) AS (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)), (CAST(99 AS BIGINT)))
+        |SELECT coverage_pct,
+        |       min(CASE WHEN cum * 100 >= coverage_pct * total_occ THEN rank END) AS n_vocab,
+        |       first(vocab_size) AS vocab_size,
+        |       first(total_occ) AS total_occ
+        |FROM c CROSS JOIN tt CROSS JOIN p
+        |GROUP BY coverage_pct ORDER BY coverage_pct""".stripMargin,
     "dataset_split" ->
       s"""WITH d AS (SELECT *, CAST(doc_id AS VARCHAR) AS eid FROM documents),
          |h AS (SELECT *, $polyHashSql % 100 AS bucket FROM d),
