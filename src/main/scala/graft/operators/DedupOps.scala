@@ -417,16 +417,17 @@ object DedupOps {
     * representative per duplicate family (pairs alone can't: A~B, B~C
     * must collapse to ONE cluster even when A~C was never emitted).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels; converges
-    * in O(component diameter) rounds (near-dup components are shallow —
-    * verified pairs share ≥50% shingles, so diameters stay in single
-    * digits; the production upgrade for adversarial graphs is
-    * pointer-jumping / large-star-small-star [Kiveris et al., SoCC '14],
-    * same join shape, O(log n) rounds). Each round is ONE join + ONE
-    * groupBy both keyed on doc ids; every frame is persisted
-    * MEMORY_AND_DISK and the convergence check (sum of labels, strictly
-    * decreasing until fixpoint) is a cheap scalar action per round.
+    * Algorithm: alternating large-star / small-star pointer-jumping
+    * [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14] — large-star hangs every larger neighbor of a node off
+    * that node's minimum neighbor, small-star re-hangs the smaller ones;
+    * alternating rounds contract every component to a star rooted at its
+    * minimum id in O(log n) rounds EVEN ON ADVERSARIAL GRAPHS (a pure
+    * min-label propagation needs O(diameter) rounds, which a path-shaped
+    * component makes linear). Each half-round is ONE groupBy + ONE join
+    * keyed on doc ids; every frame is persisted MEMORY_AND_DISK and the
+    * convergence check (edge count + order-free hash-sum, fixpoint when
+    * both stabilize) is a cheap scalar action per round.
     *
     * ADAPTIVE execution (the AQE-broadcast decision, made explicit):
     * verified near-dup pairs are orders of magnitude rarer than
@@ -440,17 +441,21 @@ object DedupOps {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClustersImpl(spark, dir, DriverUnionFindMaxPairs)
 
-  /** Pair-count ceiling for the driver union-find fast path (~32 MB of
-    * long pairs — far below a sane broadcast budget).
+  /** Pair-count ceiling for the driver union-find fast path. Pairs are
+    * streamed with `toLocalIterator` (one partition resident at a time),
+    * so driver heap at the threshold is the union-find map itself —
+    * ≤ 2·2²¹ LongMap entries ≈ 100 MB worst case — plus one partition of
+    * tuples, far below a sane driver budget.
     */
   private val DriverUnionFindMaxPairs = 1L << 21
 
-  /** Last distributed-path labels frame, kept persisted for its lazy
-    * consumers; the next call evicts it (storage bounded at one frame).
-    * Guarded by [[lastLabelsLock]] — never synchronize on the var itself.
+  /** Converged labels frames pinned per live session (the returned lazy
+    * result references them); weak keys so a dropped session releases its
+    * frame, and a repeat call on the same session evicts the previous
+    * one — pinned storage is bounded at one frame per live session.
+    * Synchronize on the map itself for all access.
     */
-  private var lastLabels: Option[DataFrame] = None
-  private val lastLabelsLock = new Object
+  private val lastLabels = new java.util.WeakHashMap[SparkSession, DataFrame]()
 
   private[graft] def dedupClustersImpl(spark: SparkSession,
                                        dir: String,
@@ -473,7 +478,11 @@ object DedupOps {
         }
         r
       }
-      pairs.collect().foreach { row =>
+      // stream pairs to the driver one partition at a time — a bulk
+      // collect() would materialize boxed Rows for the whole pair set
+      val it = pairs.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
         val ra = find(row.getLong(0))
         val rb = find(row.getLong(1))
         if (ra != rb) {
@@ -493,52 +502,13 @@ object DedupOps {
                 coalesce(col("label"), col("doc_id")).as("label"))
       return clustersFromLabels(all)
     }
-    val edges = pairs
-      .select(col("doc1").as("src"), col("doc2").as("dst"))
-      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // propagate over EDGE ENDPOINTS only: a doc with no near-dup edge can
-    // never change labels, so the iteration runs on the (far smaller)
-    // connected subgraph and singletons rejoin at the end — at corpus
-    // scale the loop frames are |near-dup docs|, not |corpus|
-    var labels = edges
-      .select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // coalesce: sum over an EMPTY frame (no verified pairs) is NULL
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    var oldSum = labelSum(labels)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 50) {
-      val msgs = edges
-        .join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("label"))
-      val next = labels
-        .select(col("doc_id"), col("label"))
-        .union(msgs)
-        .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = labelSum(next)
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = newSum == oldSum
-      oldSum = newSum
-      iter += 1
-    }
-    require(converged, s"label propagation did not converge in $iter rounds")
+    val (labels, _) = starContractLabels(pairs)
     pairs.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
     // the converged labels frame must stay persisted while the returned
-    // lazy result references it; bound the pinned storage at ONE frame
-    // by evicting the previous call's (same discipline as the bounded
-    // alert store)
-    lastLabelsLock.synchronized {
-      lastLabels.foreach(_.unpersist(blocking = false))
-      lastLabels = Some(labels)
+    // lazy result references it; bound the pinned storage at one frame
+    // per live session by evicting this session's previous one
+    lastLabels.synchronized {
+      Option(lastLabels.put(spark, labels)).foreach(_.unpersist(blocking = false))
     }
     // singletons: label = own id (left join keeps the doc scan streaming)
     val all = Tables
@@ -548,6 +518,92 @@ object DedupOps {
             col("doc_id") === col("d"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
     clustersFromLabels(all)
+  }
+
+  /** Alternating large-star / small-star contraction [Kiveris et al.,
+    * SoCC '14] over a (doc1, doc2) pair frame → the component labels of
+    * every edge endpoint (label = component-min doc id), plus the round
+    * count. O(log n) rounds on any graph shape — a 2ᵏ-node path contracts
+    * in ~k rounds where min-label propagation would need 2ᵏ (spec:
+    * ScaleTechniqueSpec). Runs on EDGE ENDPOINTS only — a doc with no
+    * near-dup edge is its own component and rejoins downstream, so loop
+    * frames are |near-dup docs|, not |corpus|.
+    *
+    * The returned labels frame is persisted MEMORY_AND_DISK and still
+    * referenced by the caller's lazy result — the caller owns its
+    * lifetime (see [[lastLabels]]).
+    */
+  private[graft] def starContractLabels(pairs: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    var edges = pairs
+      .toDF("src", "dst")
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // fixpoint detector: edge count + an order-free hash-XOR over the
+    // canonical (lo,hi) set (edges are distinct, so XOR cancellation
+    // can't hide a change; bit_xor can't overflow under ANSI the way a
+    // hash SUM does) — both stable across a round ⇒ the edge set is
+    // unchanged. coalesce: empty frame → (0,0).
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df
+        .agg(coalesce(count(lit(1)), lit(0L)),
+             coalesce(bit_xor(xxhash64(least(col("src"), col("dst")),
+                                       greatest(col("src"), col("dst")))),
+                      lit(0L)))
+        .head
+      (r.getLong(0), r.getLong(1))
+    }
+    var oldFp = fingerprint(edges)
+    var converged = oldFp._1 == 0L
+    var iter = 0
+    while (!converged && iter < 40) {
+      // large-star: each node hangs its LARGER neighbors off the minimum
+      // of its neighborhood (incl. itself) — long paths halve every round
+      val sym = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lMins = sym
+        .groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      val large = sym
+        .join(lMins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      large.count() // materialize before dropping the parent frame
+      edges.unpersist(blocking = false)
+      // small-star: key each edge at its larger endpoint, re-hang that
+      // node and its smaller neighbors off the neighborhood minimum
+      val keyed = large.select(greatest(col("src"), col("dst")).as("src"),
+                               least(col("src"), col("dst")).as("dst"))
+      val sMins = keyed.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val joined = keyed.join(sMins, "src")
+      val small = joined
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(joined.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newFp = fingerprint(small)
+      large.unpersist(blocking = false)
+      edges = small
+      converged = newFp == oldFp
+      oldFp = newFp
+      iter += 1
+    }
+    require(converged, s"pointer-jumping did not converge in $iter rounds")
+    // converged edges form stars (child → component-min root): labels are
+    // the child rows plus each root labelling itself
+    val labels = edges
+      .select(col("src").as("doc_id"), col("dst").as("label"))
+      .union(edges.select(col("dst").as("doc_id"), col("dst").as("label")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    edges.unpersist(blocking = false)
+    (labels, iter)
   }
 
   /** (doc_id, label) → the cluster output shape shared by both paths. */

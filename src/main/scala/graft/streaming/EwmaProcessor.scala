@@ -47,7 +47,12 @@ object EwmaProcessor {
       .sortBy(e => (e.ts.getTime, e.event_id))
       .foreach { e =>
         val bucket = Math.floorDiv(e.ts.getTime, 60000L)
-        if (bucket != s.curBucket && s.curCount > 0) {
+        // Late-data drop: an event whose minute bucket already closed
+        // (bucket < curBucket across micro-batches) is ignored, matching
+        // slidingKpi's watermark semantics — folding it would restart the
+        // older bucket and silently diverge from the batch series_ewma.
+        if (bucket < s.curBucket) ()
+        else if (bucket != s.curBucket && s.curCount > 0) {
           val avg = r6(s.curSum / s.curCount)
           s = s.copy(hasLevel = true, level = fold(s.hasLevel, s.level, avg),
                      curBucket = bucket, curSum = 0.0, curCount = 0L,

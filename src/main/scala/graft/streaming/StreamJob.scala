@@ -162,8 +162,10 @@ object StreamJob {
                      catch { case _: Throwable => 0L }),
       "routed" -> (try spark.read.parquet(s"$outDir/routed").count()
                    catch { case _: Throwable => 0L }),
-      "ewma_levels" -> spark.read.parquet(s"$outDir/ewma_levels").count(),
-      "transitions" -> spark.read.parquet(s"$outDir/transitions").count()
+      "ewma_levels" -> (try spark.read.parquet(s"$outDir/ewma_levels").count()
+                        catch { case _: Throwable => 0L }),
+      "transitions" -> (try spark.read.parquet(s"$outDir/transitions").count()
+                        catch { case _: Throwable => 0L })
     )
   }
 

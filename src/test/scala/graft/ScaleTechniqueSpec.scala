@@ -78,4 +78,38 @@ class ScaleTechniqueSpec extends SparkSpec {
     assert(plain == salted)
     assert(salted.count(_._1 == 1L) == 10000)
   }
+
+  test("pointer-jumping contracts an adversarial path graph in O(log n) rounds") {
+    val session = spark
+    import session.implicits._
+    // a 512-node PATH is the worst case for min-label propagation
+    // (needs ~n rounds); large-star/small-star must do it in ~log2(n).
+    // Shuffle node ids so the path order ≠ id order (truly adversarial).
+    val n = 512
+    val ids = new scala.util.Random(42).shuffle((0L until n.toLong).toVector)
+    val pathEdges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc1", "doc2")
+    // plus a disjoint triangle and two isolated-pair components
+    val extra = Seq((1000L, 1001L), (1001L, 1002L), (1002L, 1000L),
+                    (2000L, 2001L), (3000L, 3001L)).toDF("doc1", "doc2")
+    val (labels, rounds) =
+      graft.operators.DedupOps.starContractLabels(pathEdges.union(extra))
+    assert(rounds <= 12, s"path of $n nodes took $rounds rounds (want ~log2)")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == n + 7)
+    (0L until n.toLong).foreach(d => assert(got(d) == 0L, s"node $d"))
+    Seq(1000L, 1001L, 1002L).foreach(d => assert(got(d) == 1000L))
+    assert(got(2000L) == 2000L && got(2001L) == 2000L)
+    assert(got(3000L) == 3000L && got(3001L) == 3000L)
+    labels.unpersist()
+  }
+
+  test("pointer-jumping on an empty pair set yields empty labels") {
+    val session = spark
+    import session.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+    val (labels, rounds) = graft.operators.DedupOps.starContractLabels(empty)
+    assert(rounds == 0 && labels.isEmpty)
+    labels.unpersist()
+  }
 }

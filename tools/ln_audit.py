@@ -42,14 +42,24 @@ for sfd in SFS:
 
 work = Path(tempfile.mkdtemp(prefix="ln_audit"))
 out = work / "java_ln.txt"
-src = ["public class LnAudit { public static void main(String[] x) throws Exception {",
-       f'java.io.PrintWriter w = new java.io.PrintWriter("{out}");']
-for kind, a, b in sorted(args):
-    expr = (f"Math.log((double){a} / {b})" if kind == "div"
-            else f"Math.log(((double){a} - {b} + 0.5) / ({b} + 0.5))")
-    src.append(f'w.println("{kind},{a},{b}," + Double.doubleToLongBits({expr}));')
-src.append("w.close(); } }")
-(work / "LnAudit.java").write_text("\n".join(src))
+# Tuples go to a data file read by a fixed-size Java loop — one println
+# per argument in main() hits javac's 64KB method-bytecode limit beyond a
+# few thousand distinct arguments (larger SFs / vocabularies).
+inp = work / "ln_args.csv"
+inp.write_text("".join(f"{kind},{a},{b}\n" for kind, a, b in sorted(args)))
+src = f"""public class LnAudit {{ public static void main(String[] x) throws Exception {{
+  java.io.BufferedReader r = new java.io.BufferedReader(new java.io.FileReader("{inp}"));
+  java.io.PrintWriter w = new java.io.PrintWriter("{out}");
+  String line;
+  while ((line = r.readLine()) != null) {{
+    String[] f = line.split(",");
+    long a = Long.parseLong(f[1]), b = Long.parseLong(f[2]);
+    double v = f[0].equals("div") ? Math.log((double) a / b)
+                                  : Math.log(((double) a - b + 0.5) / (b + 0.5));
+    w.println(f[0] + "," + a + "," + b + "," + Double.doubleToLongBits(v));
+  }}
+  r.close(); w.close(); }} }}"""
+(work / "LnAudit.java").write_text(src)
 subprocess.run(["javac", "LnAudit.java"], cwd=work, check=True)
 subprocess.run(["java", "LnAudit"], cwd=work, check=True)
 
