@@ -46,6 +46,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Leak guard, both directions: this must be a FRESH session (an
+    // already-running library session would make getOrCreate ignore the
+    // bench configs and mislabel the numbers), and library sessions must
+    // never inherit these configs (GateInvariantSpec scans for that).
+    require(spark.conf.get("spark.sql.adaptive.enabled") == "false" &&
+              spark.conf.get("spark.sql.shuffle.partitions") == "8",
+            "Bench requires its own JVM/session: bench-only configs were " +
+              "not applied, so an existing session would be mismeasured")
     spark.sparkContext.setLogLevel("WARN")
 
     // JIT + whole-stage-codegen warmup on the smallest fixture (not

@@ -27,11 +27,13 @@ object SparkEntry {
     "series_p95" -> (SeriesOps.seriesP95 _),
     "series_filtered" -> (SeriesOps.seriesFiltered _),
     "series_ewma" -> (SeriesOps.seriesEwma _),
+    "mad_over_frame" -> (SeriesOps.madOverFrame _),
     // §2.4 A1/A2, §2.5 W1, §2.6 O1 — windowed KPIs
-    "kpi_tumbling" -> (KpiOps.kpiTumbling _),
+    "kpi_tumbling" -> ((s, d) => KpiOps.kpiTumbling(s, d)),
     "kpi_sliding" -> (KpiOps.kpiSliding _),
     "kpi_sliding_paned" -> (KpiOps.kpiSlidingPaned _),
-    "kpi_lookup" -> (KpiOps.kpiLookup _),
+    "kpi_lookup" -> ((s, d) => KpiOps.kpiLookup(s, d)),
+    "kpi_lookup_5m" -> (KpiOps.kpiLookup5m _),
     "kpi_udaf_p95" -> (KpiOps.kpiUdafP95 _),
     // §2.4 A6-A8, §2.7 T4-T9 — anomaly detection (batch analog)
     "anomaly_score" -> (AnomalyOps.anomalyScore _),

@@ -27,10 +27,37 @@ import graft.functions.Rounding.round
   */
 object DedupOps {
 
+  /** Default MinHash size / banding — DEV-scale constants (and what the
+    * static DuckDB oracles encode). Production corpora want k≈128,
+    * bands≈32 for recall at the 0.5 threshold: the LSH s-curve
+    * P(candidate) = 1−(1−s^r)^b gives ~0.23 at s=0.5 with (b=4, r=4) but
+    * ~0.87 with (b=32, r=4) — see [[lshCatchProbability]] and the
+    * ScaleTechniqueSpec s-curve spec. Tune per-session via
+    * `graft.minhash.k` / `graft.minhash.bands` (k must divide into equal
+    * bands); the verification step makes emitted pairs threshold-exact
+    * regardless of k — the knobs trade shuffle volume for candidate
+    * recall only.
+    */
   private val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
   private val JaccardThreshold = 0.5
+
+  /** Session-tunable (k, bands) with the dev defaults above. */
+  private[graft] def minhashConf(spark: SparkSession): (Int, Int) = {
+    val k = spark.conf.get("graft.minhash.k", NumHashes.toString).toInt
+    val b = spark.conf.get("graft.minhash.bands", Bands.toString).toInt
+    require(k > 0 && b > 0 && k % b == 0,
+            s"graft.minhash.k=$k must split into graft.minhash.bands=$b equal bands")
+    (k, b)
+  }
+
+  /** Analytic LSH s-curve (MMDS ch.3): probability that a pair with true
+    * Jaccard similarity `s` lands in the same bucket in at least one of
+    * `bands` bands of `rows` signature rows.
+    */
+  def lshCatchProbability(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
 
   /** Skew guard: LSH buckets larger than this are dropped from pair
     * expansion. In-bucket pairing is O(|bucket|²) — a degenerate bucket
@@ -72,14 +99,15 @@ object DedupOps {
     * array) so the result is scalar-only — the oracle gate's row sorter
     * can't order array cells.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val (k, _) = minhashConf(spark)
     shingled(spark, dir)
       .withColumn("sig",
-                  graft.functions.TextExprs.minhashSignature(col("shingles"),
-                                                             NumHashes))
+                  graft.functions.TextExprs.minhashSignature(col("shingles"), k))
       .select(col("doc_id"),
               concat_ws(",", transform(col("sig"), _.cast("string"))).as("sig"))
       .orderBy(col("doc_id"))
+  }
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard
     * over the shingle sets. bands=4 × rows=4 over k=16.
@@ -91,19 +119,20 @@ object DedupOps {
     * verification joins back to the (cheap) shingle sets only.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (k, nBands) = minhashConf(spark)
+    val rowsPerBand = k / nBands
     val bands = shingled(spark, dir)
       .withColumn("sig",
-                  graft.functions.TextExprs.minhashSignature(col("shingles"),
-                                                             NumHashes))
+                  graft.functions.TextExprs.minhashSignature(col("shingles"), k))
       .select(col("doc_id"),
-              explode(sequence(lit(0), lit(Bands - 1))).as("band"),
+              explode(sequence(lit(0), lit(nBands - 1))).as("band"),
               col("sig"))
       .withColumn(
         "band_hash",
         md5(concat_ws(
           "|",
-          (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), col("band") * RowsPerBand + r + 1)
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), col("band") * rowsPerBand + r + 1)
               .cast("string")): _*)))
 
     // bucket → sorted member list → all in-bucket pairs (i < j);
@@ -535,11 +564,20 @@ object DedupOps {
     */
   private[graft] def starContractLabels(pairs: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
+    // localCheckpoint each round's edge frame: the loop references it
+    // several times per round, so without lineage truncation the logical
+    // plan grows GEOMETRICALLY with rounds (planning/explain OOMs past
+    // ~10 rounds — exactly the adversarial-graph case this algorithm
+    // exists for). Eager local checkpoints also ARE the per-round
+    // materialization. Old rounds' blocks are reclaimed by the
+    // ContextCleaner once the `edges` var moves on; on a real cluster
+    // prefer `spark.sparkContext.setCheckpointDir` + `.checkpoint()`
+    // (reliable storage survives executor loss mid-loop).
     var edges = pairs
       .toDF("src", "dst")
       .where(col("src") =!= col("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     // fixpoint detector: edge count + an order-free hash-XOR over the
     // canonical (lo,hi) set (edges are distinct, so XOR cancellation
     // can't hide a change; bit_xor can't overflow under ANSI the way a
@@ -571,9 +609,7 @@ object DedupOps {
         .select(col("dst").as("src"), col("m").as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      large.count() // materialize before dropping the parent frame
-      edges.unpersist(blocking = false)
+        .localCheckpoint(eager = true)
       // small-star: key each edge at its larger endpoint, re-hang that
       // node and its smaller neighbors off the neighborhood minimum
       val keyed = large.select(greatest(col("src"), col("dst")).as("src"),
@@ -585,9 +621,8 @@ object DedupOps {
         .union(joined.select(col("src"), col("m").as("dst")))
         .where(col("src") =!= col("dst"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       val newFp = fingerprint(small)
-      large.unpersist(blocking = false)
       edges = small
       converged = newFp == oldFp
       oldFp = newFp

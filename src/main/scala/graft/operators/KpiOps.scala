@@ -30,10 +30,15 @@ object KpiOps {
   private def exactPercentile(sorted: Column, n: Column, q: Double): Column =
     element_at(sorted, (floor(n * lit(q))).cast("int") + 1)
 
-  /** Tumbling 1-minute KPI windows per event_type. */
-  def kpiTumbling(spark: SparkSession, dir: String): DataFrame = {
+  /** Tumbling KPI windows per event_type. `windowParam` is the read
+    * API's window string (`1m|5m|15m|1h|1d`), validated and mapped to a
+    * window length by [[graft.functions.WindowParam]] (F5).
+    */
+  def kpiTumbling(spark: SparkSession, dir: String,
+                  windowParam: String = "1m"): DataFrame = {
+    val dur = graft.functions.WindowParam.duration(windowParam)
     val ev = Tables.eventsWithStatus(spark, dir)
-    ev.groupBy(col("event_type"), window(col("ts"), "1 minute").as("w"))
+    ev.groupBy(col("event_type"), window(col("ts"), dur).as("w"))
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
@@ -132,11 +137,18 @@ object KpiOps {
     * orderBy+limit as TakeOrderedAndProject (distributed top-k — no full
     * sort at scale).
     */
-  def kpiLookup(spark: SparkSession, dir: String): DataFrame =
-    kpiTumbling(spark, dir)
+  def kpiLookup(spark: SparkSession, dir: String,
+                windowParam: String = "1m"): DataFrame =
+    kpiTumbling(spark, dir, windowParam)
       .filter(col("event_type") === "click")
       .orderBy(col("window_start").desc)
       .limit(100)
+
+  /** The same lookup at `?window=5m` — exercises the F5 window-param
+    * path end-to-end (every non-default window length shares it).
+    */
+  def kpiLookup5m(spark: SparkSession, dir: String): DataFrame =
+    kpiLookup(spark, dir, "5m")
 
   /** Whole-period per-source p95 through the reusable UDAF form
     * ([[graft.functions.ExactPercentile]], §2.10) — same nearest-rank
@@ -173,8 +185,31 @@ object KpiOps {
        |FROM $ev ee
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Tumbling windows of arbitrary length are epoch-aligned like Spark's
+    * `window()`: start = floor(epoch/len)*len.
+    */
+  private def tumblingSqlAt(lenSecs: Long): String =
+    s"""SELECT event_type,
+       |       TIMESTAMP '1970-01-01 00:00:00'
+       |         + CAST(floor(epoch(ts) / $lenSecs) AS BIGINT) * $lenSecs * INTERVAL 1 SECOND AS window_start,
+       |       TIMESTAMP '1970-01-01 00:00:00'
+       |         + (CAST(floor(epoch(ts) / $lenSecs) AS BIGINT) * $lenSecs + $lenSecs) * INTERVAL 1 SECOND AS window_end,
+       |       count(*) AS n_events,
+       |       round(sum(value), 4) AS sum_value,
+       |       round(avg(value), 6) AS avg_value,
+       |       count(*) FILTER (WHERE status = 'error') AS error_count,
+       |       round(CAST(count(*) FILTER (WHERE status = 'error') AS DOUBLE) / count(*), 6) AS error_rate,
+       |       list_sort(list(value))[CAST(floor(count(*) * 0.95) AS INT) + 1] AS p95_value,
+       |       list_sort(list(value))[CAST(floor(count(*) * 0.99) AS INT) + 1] AS p99_value
+       |FROM $ev ee
+       |GROUP BY 1, 2, 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "kpi_tumbling" -> s"SELECT * FROM ($tumblingSql) t ORDER BY event_type, window_start",
+    "kpi_lookup_5m" ->
+      s"""SELECT * FROM (${tumblingSqlAt(graft.functions.WindowParam.seconds("5m"))}) t
+         |WHERE event_type = 'click'
+         |ORDER BY window_start DESC LIMIT 100""".stripMargin,
     "kpi_udaf_p95" ->
       s"""SELECT event_type, count(*) AS n_events,
          |       list_sort(list(value))[CAST(floor(count(*) * 0.95) AS INT) + 1] AS p95_value

@@ -127,11 +127,57 @@ object SeriesOps {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Standalone rolling median / MAD over an arbitrary row frame — the
+    * reusable form of the aggregate the anomaly detector consumes
+    * ([[graft.functions.RollingStatsAgg]]), applied here to a DIFFERENT
+    * key and frame (per user, last 25 values) to demonstrate it is not
+    * tied to the detector shape: one `.over(anyWindowSpec)` gives the
+    * full (n, mean, stddev, median, mad) bundle in a single frame pass.
+    *
+    * Scale: identical posture to anomalyScore — one shuffle on the
+    * partition key, O(frame) memory per row.
+    */
+  def madOverFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-24, 0)
+    Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("st", graft.functions.RollingStatsAgg(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+              col("st.n").as("n_samples"),
+              round(col("st.median"), 4).as("median_value"),
+              round(col("st.mad"), 4).as("mad_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val ev = s"(${Tables.eventsSql})"
 
   val oracles: Map[String, String] = Map(
+    "mad_over_frame" ->
+      s"""WITH e AS ($ev),
+         |buf AS (
+         |  SELECT event_id, user_id, ts, value,
+         |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                           ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS buf
+         |  FROM e
+         |),
+         |m AS (
+         |  SELECT *, CAST(len(buf) AS BIGINT) AS n_samples,
+         |         (list_sort(buf)[CAST((len(buf) + 1) // 2 AS INT)]
+         |          + list_sort(buf)[CAST(len(buf) // 2 AS INT) + 1]) / 2.0 AS med
+         |  FROM buf
+         |)
+         |SELECT event_id, user_id, ts, value, n_samples,
+         |       round(med, 4) AS median_value,
+         |       round((list_sort(list_transform(buf, x -> abs(x - med)))[CAST((len(buf) + 1) // 2 AS INT)]
+         |              + list_sort(list_transform(buf, x -> abs(x - med)))[CAST(len(buf) // 2 AS INT) + 1]) / 2.0,
+         |             4) AS mad_value
+         |FROM m ORDER BY user_id, ts, event_id""".stripMargin,
     "series_gapfill" ->
       s"""WITH e AS ($ev),
          |c AS (

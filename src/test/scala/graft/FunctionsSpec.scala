@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{ExactPercentile, Rounding}
-import org.apache.spark.sql.functions.col
+import graft.functions.{ExactPercentile, Rounding, WindowParam}
+import org.apache.spark.sql.functions.{col, sum}
 import scala.util.Random
 
 /** Unit specs for the custom function surface: the exact nearest-rank
@@ -57,5 +57,26 @@ class FunctionsSpec extends SparkSpec {
       .toSeq
     val want = xs.map(x => math.floor(x * 1e4 + 0.5) / 1e4)
     assert(got == want)
+  }
+
+  test("WindowParam maps the API's five window strings and rejects others") {
+    assert(WindowParam.seconds("1m") == 60L)
+    assert(WindowParam.seconds("5m") == 300L)
+    assert(WindowParam.seconds("15m") == 900L)
+    assert(WindowParam.seconds("1h") == 3600L)
+    assert(WindowParam.seconds("1d") == 86400L)
+    assert(WindowParam.duration("5m") == "300 seconds")
+    Seq("2m", "60", "", "1M", "7d").foreach { bad =>
+      intercept[IllegalArgumentException](WindowParam.seconds(bad))
+    }
+  }
+
+  test("kpiTumbling window param changes bucket length, conserves events") {
+    val one = operators.KpiOps.kpiTumbling(spark, sf("sf0.001"), "1m")
+    val five = operators.KpiOps.kpiTumbling(spark, sf("sf0.001"), "5m")
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("n_events"))).head.getLong(0)
+    assert(total(one) == total(five))
+    assert(one.count() >= five.count())
   }
 }

@@ -17,6 +17,28 @@ class GateInvariantSpec extends SparkSpec {
            s"queries without oracles: ${queries.diff(oracles)}")
   }
 
+  test("bench-only session config cannot leak into library code") {
+    // Bench.scala deliberately disables AQE and shrinks shuffle
+    // partitions for the local micro-bench; a cluster session must never
+    // inherit that posture. Guard: no file in the library surface (i.e.
+    // anything other than Bench.scala) may set either knob, and the
+    // running test session — built the way Verify builds its session —
+    // still has AQE on.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") && !p.endsWith("Bench.scala"))
+      .filter { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        src.contains("spark.sql.adaptive.enabled") ||
+        src.contains("""config("spark.sql.shuffle.partitions", 8)""")
+      }
+      .map(_.toString)
+      .toList
+    assert(offenders.isEmpty, s"bench-only config set outside Bench.scala: $offenders")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+
   test("every query output is scalar-only (driver's row sorter dies on nested types)") {
     val dir = sf("sf0.001")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -79,6 +79,49 @@ class ScaleTechniqueSpec extends SparkSpec {
     assert(salted.count(_._1 == 1L) == 10000)
   }
 
+  test("AQE skew-join splits the hot bucket in the LSH verification join shape") {
+    val session = spark
+    import session.implicits._
+    // the dedupMinhashLsh verification join in miniature: candidate pairs
+    // joined back to per-doc payloads, with one pathologically hot doc —
+    // the skew a boilerplate cluster produces at corpus scale. AQE's
+    // skew-join splits the oversized partition at runtime; this pins the
+    // behavior (and the thresholds that trigger it) so the scale path
+    // stays exercised.
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scaled-down thresholds so a test-sized hot key trips the same
+      // machinery a 256MB-default cluster partition would
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hot = (1 to 20000).map(i => (1L, 100000L + i))
+      val tail = (1 to 2000).map(i => (i.toLong + 1, 200000L + i))
+      val cand = (hot ++ tail).toDF("doc1", "doc2").repartition(8)
+      val payload = (1L to 2001L).map(d => (d, "s" * 64)).toDF("doc_id", "payload")
+      val j = cand.join(payload, cand("doc1") === payload("doc_id"))
+      // collect() executes THIS QueryExecution, so AQE finalizes the
+      // plan we inspect (count() would plan its own execution)
+      assert(j.collect().length == 22000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+             s"expected a skew-split join in:\n${plan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pointer-jumping contracts an adversarial path graph in O(log n) rounds") {
     val session = spark
     import session.implicits._
@@ -102,6 +145,52 @@ class ScaleTechniqueSpec extends SparkSpec {
     assert(got(2000L) == 2000L && got(2001L) == 2000L)
     assert(got(3000L) == 3000L && got(3001L) == 3000L)
     labels.unpersist()
+  }
+
+  test("minhash k/bands are session-tunable; s-curve explains production k=128") {
+    import graft.operators.DedupOps
+    // analytic s-curve 1-(1-s^r)^b at the 0.5 Jaccard threshold: dev
+    // (b=4, r=4) catches ~23% of threshold pairs per the curve; the
+    // production choice k=128 → (b=32, r=4) catches ~87% — the reason
+    // the knob exists
+    val dev = DedupOps.lshCatchProbability(0.5, bands = 4, rows = 4)
+    val prod = DedupOps.lshCatchProbability(0.5, bands = 32, rows = 4)
+    assert(math.abs(dev - (1 - math.pow(1 - 0.0625, 4))) < 1e-12 &&
+           dev > 0.22 && dev < 0.23)
+    assert(prod > 0.85)
+    // monotone in s, and monotone in bands at fixed rows
+    val curve = (0 to 20).map(i => DedupOps.lshCatchProbability(i / 20.0, 4, 4))
+    assert(curve == curve.sorted && curve.head == 0.0 && curve.last == 1.0)
+    assert((1 to 32).map(b => DedupOps.lshCatchProbability(0.5, b, 4))
+             .sliding(2).forall(p => p(0) < p(1)))
+
+    // conf-driven run at k=32/bands=8: still a valid dedup output (the
+    // exact-Jaccard verification is k-independent), and pairs found by
+    // both configs carry identical verified scores
+    spark.conf.set("graft.minhash.k", "32")
+    spark.conf.set("graft.minhash.bands", "8")
+    try {
+      val alt = DedupOps.dedupMinhashLsh(spark, sf("sf0.001")).cache()
+      assert(alt.filter(col("jaccard") < 0.5).isEmpty)
+      assert(alt.count() > 0)
+      spark.conf.unset("graft.minhash.k")
+      spark.conf.unset("graft.minhash.bands")
+      val base = DedupOps.dedupMinhashLsh(spark, sf("sf0.001"))
+      val disagree = alt
+        .select(col("doc1"), col("doc2"), col("jaccard").as("j_alt"))
+        .join(base, Seq("doc1", "doc2"))
+        .filter(col("jaccard") =!= col("j_alt"))
+      assert(disagree.isEmpty)
+      alt.unpersist()
+      // invalid banding is rejected up front
+      spark.conf.set("graft.minhash.k", "10")
+      spark.conf.set("graft.minhash.bands", "4")
+      intercept[IllegalArgumentException](
+        DedupOps.dedupMinhashLsh(spark, sf("sf0.001")))
+    } finally {
+      spark.conf.unset("graft.minhash.k")
+      spark.conf.unset("graft.minhash.bands")
+    }
   }
 
   test("pointer-jumping on an empty pair set yields empty labels") {
