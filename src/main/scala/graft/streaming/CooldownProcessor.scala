@@ -23,11 +23,12 @@ object CooldownProcessor {
 
   case class LastFired(tsMillis: Long)
 
-  def gate(
-      key: (String, String),
-      alerts: Iterator[AnomalyAlert],
-      state: GroupState[LastFired]): Iterator[FiredAlert] = {
-    var last = state.getOption.map(_.tsMillis)
+  /** Pure gating core shared by the flatMapGroupsWithState handler and
+    * the transformWithState [[CooldownStatefulProcessor]].
+    */
+  def advance(init: Option[Long],
+              alerts: Iterator[AnomalyAlert]): (Option[Long], Seq[FiredAlert]) = {
+    var last = init
     val out = alerts.toSeq
       .sortBy(a => (a.ts.getTime, a.event_id))
       .flatMap { a =>
@@ -37,6 +38,14 @@ object CooldownProcessor {
           Some(FiredAlert(a.event_id, a.event_type, a.severity, a.ts))
         } else None
       }
+    (last, out)
+  }
+
+  def gate(
+      key: (String, String),
+      alerts: Iterator[AnomalyAlert],
+      state: GroupState[LastFired]): Iterator[FiredAlert] = {
+    val (last, out) = advance(state.getOption.map(_.tsMillis), alerts)
     last.foreach(l => state.update(LastFired(l)))
     out.iterator
   }

@@ -37,12 +37,15 @@ object EwmaProcessor {
   private def fold(hasLevel: Boolean, level: Double, bucketAvg: Double): Double =
     if (!hasLevel) bucketAvg else (Alpha * bucketAvg) + ((1 - Alpha) * level)
 
-  /** flatMapGroupsWithState handler keyed by event_type. */
-  def smooth(key: String,
-             events: Iterator[Event],
-             state: GroupState[EwmaState]): Iterator[EwmaLevel] = {
-    var s = state.getOption.getOrElse(
-      EwmaState(hasLevel = false, 0.0, Long.MinValue, 0.0, 0L, 0L))
+  val EmptyState: EwmaState =
+    EwmaState(hasLevel = false, 0.0, Long.MinValue, 0.0, 0L, 0L)
+
+  /** Pure fold core shared by the flatMapGroupsWithState handler and the
+    * transformWithState [[EwmaStatefulProcessor]] — one code path, so
+    * parity between the two APIs is structural, not tested-into.
+    */
+  def advance(init: EwmaState, events: Iterator[Event]): EwmaState = {
+    var s = init
     events.toSeq
       .sortBy(e => (e.ts.getTime, e.event_id))
       .foreach { e =>
@@ -52,18 +55,23 @@ object EwmaProcessor {
         // slidingKpi's watermark semantics — folding it would restart the
         // older bucket and silently diverge from the batch series_ewma.
         if (bucket < s.curBucket) ()
-        else if (bucket != s.curBucket && s.curCount > 0) {
-          val avg = r6(s.curSum / s.curCount)
-          s = s.copy(hasLevel = true, level = fold(s.hasLevel, s.level, avg),
-                     curBucket = bucket, curSum = 0.0, curCount = 0L,
-                     nCompleted = s.nCompleted + 1)
-        } else if (s.curCount == 0L) {
-          s = s.copy(curBucket = bucket)
+        else {
+          if (bucket != s.curBucket && s.curCount > 0) {
+            val avg = r6(s.curSum / s.curCount)
+            s = s.copy(hasLevel = true, level = fold(s.hasLevel, s.level, avg),
+                       curBucket = bucket, curSum = 0.0, curCount = 0L,
+                       nCompleted = s.nCompleted + 1)
+          } else if (s.curCount == 0L) {
+            s = s.copy(curBucket = bucket)
+          }
+          s = s.copy(curSum = s.curSum + e.value, curCount = s.curCount + 1)
         }
-        s = s.copy(curSum = s.curSum + e.value, curCount = s.curCount + 1)
       }
-    state.update(s)
-    // provisional emission: close the in-progress bucket virtually
+    s
+  }
+
+  /** Provisional emission: close the in-progress bucket virtually. */
+  def emit(key: String, s: EwmaState): Iterator[EwmaLevel] =
     if (s.curCount > 0) {
       val avg = r6(s.curSum / s.curCount)
       Iterator.single(
@@ -72,5 +80,13 @@ object EwmaProcessor {
     } else if (s.hasLevel) {
       Iterator.single(EwmaLevel(key, s.nCompleted, r6(s.level)))
     } else Iterator.empty
+
+  /** flatMapGroupsWithState handler keyed by event_type. */
+  def smooth(key: String,
+             events: Iterator[Event],
+             state: GroupState[EwmaState]): Iterator[EwmaLevel] = {
+    val s = advance(state.getOption.getOrElse(EmptyState), events)
+    state.update(s)
+    emit(key, s)
   }
 }

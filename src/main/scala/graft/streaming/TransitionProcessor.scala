@@ -16,11 +16,13 @@ object TransitionProcessor {
 
   case class Transition(user_id: Long, prev_type: String, next_type: String)
 
-  /** flatMapGroupsWithState handler keyed by user_id. */
-  def track(key: Long,
-            events: Iterator[Event],
-            state: GroupState[LastEvent]): Iterator[Transition] = {
-    var prev = state.getOption
+  /** Pure pairing core shared by the flatMapGroupsWithState handler and
+    * the transformWithState [[TransitionStatefulProcessor]].
+    */
+  def advance(key: Long,
+              init: Option[LastEvent],
+              events: Iterator[Event]): (Option[LastEvent], Seq[Transition]) = {
+    var prev = init
     val out = events.toSeq
       .sortBy(e => (e.ts.getTime, e.event_id))
       .flatMap { e =>
@@ -28,6 +30,14 @@ object TransitionProcessor {
         prev = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
         t
       }
+    (prev, out)
+  }
+
+  /** flatMapGroupsWithState handler keyed by user_id. */
+  def track(key: Long,
+            events: Iterator[Event],
+            state: GroupState[LastEvent]): Iterator[Transition] = {
+    val (prev, out) = advance(key, state.getOption, events)
     prev.foreach(state.update)
     out.iterator
   }

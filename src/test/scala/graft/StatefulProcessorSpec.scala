@@ -61,6 +61,160 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(tws == fmgws)
   }
 
+  /** Runs `events` through `stream` in 3 micro-batches, returning the
+    * memory-sink table rows.
+    */
+  private def runStream[I: org.apache.spark.sql.Encoder, O](
+      name: String,
+      events: Seq[I],
+      stream: MemoryStream[I] => org.apache.spark.sql.Dataset[O]): org.apache.spark.sql.DataFrame = {
+    val input = MemoryStream[I](spark, 2)
+    val q = stream(input).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      events.grouped(math.max(1, events.size / 3 + 1)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def sortedEvents(): Array[Event] = {
+    val session = spark
+    import session.implicits._
+    Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+  }
+
+  test("EWMA transformWithState matches flatMapGroupsWithState final levels") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+
+    def finalLevels(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Double)] =
+      df.as[EwmaProcessor.EwmaLevel]
+        .collect()
+        .groupBy(_.event_type)
+        // update-mode memory sink appends; last row per key is the final level
+        .map { case (k, ls) => k -> { val l = ls.last; (l.n_buckets, l.ewma_value) } }
+
+    val tws = finalLevels(runStream[Event, EwmaProcessor.EwmaLevel](
+      "tws_ewma", events.toSeq,
+      in => TypedStatefulProcessors.ewmaStream(spark, in.toDS())))
+    val fmgws = finalLevels(runStream[Event, EwmaProcessor.EwmaLevel](
+      "fmgws_ewma", events.toSeq,
+      in => EventPipeline.ewmaStream(spark, in.toDF())))
+
+    assert(tws.nonEmpty)
+    assert(tws == fmgws)
+  }
+
+  test("transition transformWithState matches flatMapGroupsWithState pair multiset") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+
+    def pairCounts(df: org.apache.spark.sql.DataFrame): Map[(Long, String, String), Long] =
+      df.as[TransitionProcessor.Transition]
+        .collect()
+        .groupBy(t => (t.user_id, t.prev_type, t.next_type))
+        .map { case (k, ts) => k -> ts.length.toLong }
+
+    val tws = pairCounts(runStream[Event, TransitionProcessor.Transition](
+      "tws_trans", events.toSeq,
+      in => TypedStatefulProcessors.transitionStream(spark, in.toDS())))
+    val fmgws = pairCounts(runStream[Event, TransitionProcessor.Transition](
+      "fmgws_trans", events.toSeq,
+      in => EventPipeline.transitionStream(spark, in.toDF())))
+
+    assert(tws.nonEmpty)
+    assert(tws == fmgws)
+  }
+
+  private def syntheticAlerts(): Seq[AnomalyAlert] = {
+    val sevs = Array("warning", "high", "critical")
+    val srcs = Array("web", "mobile", "api")
+    // deterministic pseudo-random gaps: some inside the 5-min cooldown,
+    // some outside, interleaved across (source, severity) keys
+    (1 to 300).map { i =>
+      val gapS = (i * 37) % 480 // 0..8 min
+      AnomalyAlert(i.toLong, srcs(i % 3),
+                   new java.sql.Timestamp(1704067200000L + i * gapS * 1000L),
+                   200.0, 50, 50, 5, 50, 3, 5.0, 5.0,
+                   is_anomaly = i % 7 != 0, sevs(i % 5 % 3), "z-score")
+    }.sortBy(a => (a.ts.getTime, a.event_id))
+  }
+
+  test("cooldown transformWithState matches flatMapGroupsWithState fired set") {
+    val session = spark
+    import session.implicits._
+    val alerts = syntheticAlerts()
+
+    def fired(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+      df.as[CooldownProcessor.FiredAlert]
+        .collect()
+        .map(f => (f.event_id, f.event_type, f.severity))
+        .toSet
+
+    val tws = fired(runStream[AnomalyAlert, CooldownProcessor.FiredAlert](
+      "tws_cd", alerts,
+      in => TypedStatefulProcessors.cooldownStream(spark, in.toDS())))
+    val fmgws = fired(runStream[AnomalyAlert, CooldownProcessor.FiredAlert](
+      "fmgws_cd", alerts,
+      in => EventPipeline.cooldownStream(spark, in.toDS())))
+
+    assert(tws.nonEmpty)
+    assert(tws == fmgws)
+  }
+
+  test("transformWithState stages chain: anomaly → cooldown in one query") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+
+    // two stateful operators in update mode — legal with
+    // transformWithState (flatMapGroupsWithState rejects this chain)
+    val df = runStream[Event, CooldownProcessor.FiredAlert](
+      "tws_chain", events.toSeq,
+      in => TypedStatefulProcessors.cooldownStream(
+        spark, AnomalyStatefulProcessor.anomalyStream(spark, in.toDS())))
+    assert(df.count() > 0)
+  }
+
+  test("EWMA drops events whose minute bucket already closed") {
+    val session = spark
+    import session.implicits._
+    def ev(id: Long, t: String, v: Double): Event =
+      Event(id, java.sql.Timestamp.valueOf(t), 1L, "web", v)
+
+    // batch 1 closes minute 00 and opens minute 01; batch 2's late event
+    // (minute 00) must not perturb the level or the in-progress bucket
+    val b1 = Seq(ev(1, "2024-01-01 00:00:10", 10.0),
+                 ev(2, "2024-01-01 00:01:10", 20.0))
+    val b2late = Seq(ev(3, "2024-01-01 00:00:30", 999.0))
+
+    def lastLevel(name: String, batches: Seq[Seq[Event]]): EwmaProcessor.EwmaLevel = {
+      val input = MemoryStream[Event](spark, 2)
+      val q = TypedStatefulProcessors.ewmaStream(spark, input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[EwmaProcessor.EwmaLevel].collect().last
+    }
+
+    val withLate = lastLevel("ewma_late", Seq(b1, b2late))
+    val withoutLate = lastLevel("ewma_nolate", Seq(b1))
+    assert(withLate == withoutLate)
+  }
+
   test("KPI sink recovers from checkpoint without duplicating batches") {
     val session = spark
     import session.implicits._
