@@ -130,6 +130,11 @@ object SparkEntry {
     // dedup clustering + repetition signals
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "text_repetition" -> (TextOps.textRepetition _),
+    "dup_span_fraction" -> (DedupOps.dupSpanFraction _),
+    "dedup_verify_editdist" -> (DedupOps.dedupVerifyEditdist _),
+    // training-data pipeline: chunking + source mixing
+    "chunk_documents" -> (PipelineOps.chunkDocuments _),
+    "source_mix_weights" -> (PipelineOps.sourceMixWeights _),
     // training-data pipeline: multimodal plumbing (stub decode)
     "media_meta" -> (MultimodalOps.mediaMeta _),
     "frame_sample" -> (MultimodalOps.frameSample _),

@@ -673,6 +673,108 @@ object DedupOps {
               6).as("dup_rate"))
       .orderBy(col("source"))
 
+  /** Span size for [[dupSpanFraction]] — dev-scale; Lee et al. use
+    * 50-token spans on web corpora, where vocabulary is far larger than
+    * this synthetic table's.
+    */
+  private val SpanTokens = 5
+
+  /** Duplicated-span fraction per document — the n-gram approximation of
+    * exact-substring dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al., ACL '22): every positional
+    * [[SpanTokens]]-token span that occurs ≥2 times anywhere in the
+    * corpus (including twice in one document) marks its token positions
+    * as duplicated; the per-doc output is the fraction of token
+    * positions covered by at least one duplicated span.
+    *
+    * Scale shape: ONE posting shuffle keyed on md5(span) (fixed-width
+    * 128-bit key, not the span text — at 100 TB the key bytes dominate
+    * shuffle volume), with map-side combine on the count; the coverage
+    * union is a bounded ×[[SpanTokens]] explode + distinct, and the
+    * final assembly is per-doc joins on doc_id. The exact-substring
+    * alternative (distributed suffix array) trades this one-shuffle
+    * shape for global sorts; the n-gram form is the standard Spark
+    * substitute.
+    */
+  def dupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+              split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+                .as("t"))
+    val grams = toks
+      .filter(size(col("t")) >= SpanTokens)
+      .select(col("doc_id"),
+              posexplode(transform(
+                sequence(lit(1), size(col("t")) - (SpanTokens - 1)),
+                i => md5(concat_ws(" ", slice(col("t"), i, lit(SpanTokens)))))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+              col("col").as("gh"))
+    val dupGrams = grams
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("gh"))
+    val dg = grams.join(dupGrams, "gh")
+    val covered = dg
+      .select(col("doc_id"),
+              explode(sequence(col("pos"), col("pos") + (SpanTokens - 1))).as("cp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("covered_tokens"))
+    val nGrams = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val nDup = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+    toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(nGrams, Seq("doc_id"), "left")
+      .join(nDup, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+                col("n_tokens"),
+              6).as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Edit-similarity threshold for [[dedupVerifyEditdist]]. */
+  private val EditSimThreshold = 0.8
+
+  /** Character-level verification of the MinHash-LSH near-dup pairs:
+    * Levenshtein distance over the normalized texts and the derived edit
+    * similarity 1 − dist/max(len) — the precision pass a dedup pipeline
+    * runs before actually dropping documents (shingle Jaccard is
+    * order-insensitive; edit similarity is not, so it catches
+    * shuffled-content false positives).
+    *
+    * Cost note: Levenshtein is O(|a|·|b|) per pair, which is exactly why
+    * it runs only on the LSH-verified candidates (a vanishing fraction
+    * of the corpus) and never as a candidate generator.
+    */
+  def dedupVerifyEditdist(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+              regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+    dedupMinhashLsh(spark, dir)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+      .join(norm.select(col("doc_id").as("doc1"), col("norm").as("na")), "doc1")
+      .join(norm.select(col("doc_id").as("doc2"), col("norm").as("nb")), "doc2")
+      .withColumn("lev_dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .withColumn(
+        "edit_sim",
+        round(lit(1.0) - col("lev_dist").cast("double") /
+                greatest(length(col("na")), length(col("nb"))).cast("double"),
+              6))
+      .select(col("doc1"), col("doc2"), col("jaccard"), col("lev_dist"),
+              col("edit_sim"),
+              (col("edit_sim") >= EditSimThreshold).as("verified"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   private lazy val simhashPairsSql: String =
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
@@ -800,6 +902,51 @@ object DedupOps {
         |SELECT source, n_docs, n_unique,
         |       round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
         |FROM s ORDER BY source""".stripMargin,
+    "dup_span_fraction" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, CAST(p.i AS BIGINT) AS pos,
+        |         md5(array_to_string(t[p.i:p.i + ${SpanTokens - 1}], ' ')) AS gh
+        |  FROM d, UNNEST(range(1, len(t) - ${SpanTokens - 2})) p(i)
+        |),
+        |dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |dg AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gh)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + o.o AS cp
+        |  FROM dg, UNNEST(range(0, $SpanTokens)) o(o)
+        |),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d)
+        |SELECT b.doc_id, b.n_tokens,
+        |       coalesce(ng.n, 0) AS n_grams,
+        |       coalesce(nd.n, 0) AS n_dup_grams,
+        |       coalesce(cv.n, 0) AS covered_tokens,
+        |       round(CAST(coalesce(cv.n, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_fraction
+        |FROM base b
+        |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1) ng USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1) nd USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cov GROUP BY 1) cv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_verify_editdist" -> (
+      "WITH lsh AS (SELECT doc1, doc2, jaccard FROM (\n" + minhashLshSql +
+        "\n) q),\n" +
+        s"""nrm AS (
+          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          |  FROM documents
+          |)
+          |SELECT l.doc1, l.doc2, l.jaccard,
+          |       CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev_dist,
+          |       round(1.0 - CAST(levenshtein(a.norm, b.norm) AS DOUBLE)
+          |             / greatest(length(a.norm), length(b.norm)), 6) AS edit_sim,
+          |       round(1.0 - CAST(levenshtein(a.norm, b.norm) AS DOUBLE)
+          |             / greatest(length(a.norm), length(b.norm)), 6) >= $EditSimThreshold AS verified
+          |FROM lsh l
+          |JOIN nrm a ON l.doc1 = a.doc_id
+          |JOIN nrm b ON l.doc2 = b.doc_id
+          |ORDER BY doc1, doc2""".stripMargin),
     // composed by concatenation (embedded '||' lines, see above); the
     // recursive CTE computes each doc's min reachable id = cluster label
     "dedup_clusters" -> (

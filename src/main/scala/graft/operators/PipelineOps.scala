@@ -305,7 +305,95 @@ object PipelineOps {
       .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
       .mkString("CASE ", " ", " ELSE 0 END")
 
+  /** Chunk geometry for [[chunkDocuments]]: 64-token windows every 48
+    * tokens (16-token overlap) — dev-scale stand-ins for the 2k/1.5k
+    * windows a context-length-bound training or RAG pipeline uses.
+    */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** Fixed-token-window chunking with stride — the pass that turns
+    * variable-length documents into training/RAG sequences of bounded
+    * length with overlap. Pure per-document map (explode factor
+    * ⌈n/stride⌉, no shuffle until the presentation sort); chunk content
+    * is emitted as md5 so the row stays scalar for the oracle gate.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+              split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+                .as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"),
+              posexplode(transform(
+                sequence(lit(1), size(col("t")), lit(ChunkStride)),
+                s => struct(
+                  s.cast("long").as("start"),
+                  md5(concat_ws(" ", slice(col("t"), s, lit(ChunkTokens))))
+                    .as("h")))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_index"),
+              col("col.start").as("start_token"),
+              least(lit(ChunkTokens), col("n") - col("col.start") + 1)
+                .cast("long").as("n_chunk_tokens"),
+              col("col.h").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** Temperature exponent for [[sourceMixWeights]] — α=0.5 (temperature
+    * 2). Production pipelines often use α≈0.7 (mT5/XLM-R); 0.5 is used
+    * here because x^0.5 = sqrt(x) is IEEE-correctly-rounded on every
+    * engine, so the oracle comparison is bit-exact — swapping the
+    * constant does not change the plan.
+    */
+  private val MixAlpha = 0.5
+
+  /** Temperature-based source mixing weights (the multilingual /
+    * multi-source resampling rule: w_s ∝ p_s^α normalized): per source,
+    * the raw document share and the α-tempered sampling weight. Because
+    * (n_s/N)^α / Σ(n_t/N)^α = n_s^α / Σ n_t^α, the N factor cancels and
+    * the whole query is one tiny groupBy plus a broadcast scalar — no
+    * second pass over the corpus.
+    */
+  def sourceMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables
+      .documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = bySource.agg(
+      sum(col("n_docs")).as("n_total"),
+      sum(sqrt(col("n_docs").cast("double"))).as("pw_sum"))
+    bySource
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("p_raw"),
+        round(sqrt(col("n_docs").cast("double")) / col("pw_sum"), 6)
+          .as("weight"))
+      .orderBy(col("source"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "chunk_documents" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(p.i AS BIGINT) AS chunk_index,
+         |       CAST(1 + p.i * $ChunkStride AS BIGINT) AS start_token,
+         |       CAST(least($ChunkTokens, len(t) - p.i * $ChunkStride) AS BIGINT) AS n_chunk_tokens,
+         |       md5(array_to_string(t[(1 + p.i * $ChunkStride):(p.i * $ChunkStride + $ChunkTokens)], ' ')) AS chunk_hash
+         |FROM d, UNNEST(range(0, (len(t) + ${ChunkStride - 1}) // $ChunkStride)) p(i)
+         |ORDER BY doc_id, chunk_index""".stripMargin,
+    "source_mix_weights" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT source, n_docs,
+        |       round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS p_raw,
+        |       round(sqrt(CAST(n_docs AS DOUBLE)) / sum(sqrt(CAST(n_docs AS DOUBLE))) OVER (), 6) AS weight
+        |FROM s ORDER BY source""".stripMargin,
     "stratified_sample" ->
       s"""WITH e AS (SELECT *, CAST(event_id AS VARCHAR) AS eid FROM (${Tables.eventsSql}) ee),
          |h AS (SELECT *, $polyHashSql % 1000 AS bucket FROM e)

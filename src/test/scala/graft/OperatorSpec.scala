@@ -226,6 +226,78 @@ class OperatorSpec extends SparkSpec {
     assert(w.toSeq == (0L until w.length).toSeq)
   }
 
+  private def writeDocs(docs: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    docs
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dup_span_fraction covers exactly the planted shared spans") {
+    val session = spark
+    import session.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val dir = writeDocs(Seq(
+      (1L, s"one two three four five six seven $shared"),
+      (2L, s"$shared eight nine ten eleven twelve thirteen"),
+      (3L, "totally unrelated words with no overlap at all in here present")
+    ).toDF("doc_id", "text"))
+    val rows = DedupOps.dupSpanFraction(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getDouble(5))).toMap
+    // doc1: 13 tokens, shared block at positions 8-13 → 6 covered
+    assert(rows(1L) == ((13L, 6L, math.floor(6.0 / 13 * 1e6 + 0.5) / 1e6)))
+    // doc2: 12 tokens, shared block at positions 1-6 → 6 covered
+    assert(rows(2L) == ((12L, 6L, 0.5)))
+    // doc3: nothing duplicated
+    assert(rows(3L)._2 == 0L && rows(3L)._3 == 0.0)
+  }
+
+  test("dedup_verify_editdist confirms the planted near-duplicate") {
+    val session = spark
+    import session.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val dir = writeDocs(Seq(
+      (1L, base),
+      (2L, base.replace("today", "tomorrow")),
+      (3L, "completely different content with nothing shared at all here now")
+    ).toDF("doc_id", "text"))
+    val rows = DedupOps.dedupVerifyEditdist(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val r = rows.head
+    assert(r.getAs[Long]("lev_dist") > 0) // texts differ
+    assert(r.getAs[Double]("edit_sim") > 0.9) // by a few chars only
+    assert(r.getAs[Boolean]("verified"))
+  }
+
+  test("chunk_documents: stride geometry and boundary chunk sizes") {
+    val session = spark
+    import session.implicits._
+    // 100 distinct tokens → chunks at 1/49/97 with sizes 64/52/4
+    val dir = writeDocs(Seq(
+      (1L, (1 to 100).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text"))
+    val rows = PipelineOps.chunkDocuments(spark, dir)
+      .select("chunk_index", "start_token", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, 1L, 64L), (1L, 49L, 52L), (2L, 97L, 4L)))
+  }
+
+  test("source_mix_weights: normalized and tempered toward uniform") {
+    val df = PipelineOps.sourceMixWeights(spark, sf("sf0.001")).collect()
+    val wSum = df.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4)
+    val pSum = df.map(_.getAs[Double]("p_raw")).sum
+    assert(math.abs(pSum - 1.0) < 1e-4)
+    // tempering compresses shares toward uniform: the biggest source
+    // loses weight, the smallest gains
+    val byP = df.sortBy(_.getAs[Double]("p_raw"))
+    assert(byP.last.getAs[Double]("weight") <= byP.last.getAs[Double]("p_raw") + 1e-9)
+    assert(byP.head.getAs[Double]("weight") >= byP.head.getAs[Double]("p_raw") - 1e-9)
+  }
+
   test("q1 aggregates are internally consistent") {
     val df = OlapOps.q1Pricing(spark, sf("sf0.001"))
     val r = df.head()
