@@ -24,6 +24,12 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 object StreamJob {
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+    // the transformWithState session store requires RocksDB; queries
+    // capture this at start, so setting it here covers every caller
+    // (the default HDFS-backed provider cannot host the multiple
+    // column families transformWithState creates)
+    spark.conf.set(AnomalyStatefulProcessor.rocksdbConf._1,
+                   AnomalyStatefulProcessor.rocksdbConf._2)
     // stage the ns-timestamp parquet as a µs-typed streaming input dir
     val stageDir = s"$outDir/staged_events"
     graft.Tables.events(spark, sfDir)
@@ -89,6 +95,27 @@ object StreamJob {
       }
       .start()
 
+    // timer-closed sessions (transformWithState + event-time timers) —
+    // the same gap semantics as the session_window store above, closed
+    // explicitly by watermark timers; both stores should agree
+    val session0 = spark
+    import session0.implicits._
+    val timerSessionQuery = SessionStatefulProcessor
+      .sessionStream(spark, events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"))
+        .as[Event])
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$outDir/ckpt_sessions_timer")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/sessions_timer")
+        ()
+      }
+      .start()
+
     val transQuery = EventPipeline
       .transitionStream(spark, events)
       .toDF()
@@ -105,6 +132,7 @@ object StreamJob {
     kpiQuery.awaitTermination()
     alertQuery.awaitTermination()
     sessionQuery.awaitTermination()
+    timerSessionQuery.awaitTermination()
     ewmaQuery.awaitTermination()
     transQuery.awaitTermination()
 
@@ -113,8 +141,6 @@ object StreamJob {
     // store written above) in its own streaming query — Spark also
     // requires stateful stages in update mode to live in separate
     // queries, so the two-job split is structural, not incidental.
-    val session = spark
-    import session.implicits._
     val alertsIn = spark.readStream
       .schema(spark.read.parquet(s"$outDir/alerts").schema)
       .parquet(s"$outDir/alerts")
@@ -162,6 +188,8 @@ object StreamJob {
                      catch { case _: Throwable => 0L }),
       "routed" -> (try spark.read.parquet(s"$outDir/routed").count()
                    catch { case _: Throwable => 0L }),
+      "sessions_timer" -> (try spark.read.parquet(s"$outDir/sessions_timer").count()
+                           catch { case _: Throwable => 0L }),
       "ewma_levels" -> (try spark.read.parquet(s"$outDir/ewma_levels").count()
                         catch { case _: Throwable => 0L }),
       "transitions" -> (try spark.read.parquet(s"$outDir/transitions").count()
@@ -179,6 +207,9 @@ object StreamJob {
               sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // transformWithState stages require the RocksDB state store
+      .config(AnomalyStatefulProcessor.rocksdbConf._1,
+              AnomalyStatefulProcessor.rocksdbConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()

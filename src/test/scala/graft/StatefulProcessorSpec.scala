@@ -215,6 +215,70 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(withLate == withoutLate)
   }
 
+  test("timer-based sessionization matches the batch session_window exactly") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+    val maxTs = events.map(_.ts.getTime).max
+
+    val input = MemoryStream[Event](spark, 2)
+    val q = SessionStatefulProcessor.sessionStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("tws_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      events.grouped(400).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      // flush: advance the watermark past every live session's close
+      // instant so the remaining timers fire
+      input.addData(Event(-1L, new java.sql.Timestamp(maxTs + 7200000L), -1L, "web", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(uid: Long, st: java.sql.Timestamp, en: java.sql.Timestamp, n: Long) =
+      (uid, st.getTime, en.getTime, n)
+
+    val streamed = spark.table("tws_sessions").as[SessionClosed].collect()
+      .filter(_.user_id != -1L)
+      .map(s => key(s.user_id, s.session_start, s.session_end, s.n_events) -> s.sum_value)
+      .toMap
+    val batch = graft.operators.TemporalOps.sessionize(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => key(r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)) ->
+        r.getDouble(4))
+      .toMap
+
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed.keySet.nonEmpty)
+    // sums agree to float tolerance (addition order differs batch vs stream)
+    streamed.foreach { case (k, v) => assert(math.abs(v - batch(k)) < 1e-6) }
+  }
+
+  test("session timers fire on watermark, not on data arrival") {
+    val session = spark
+    import session.implicits._
+    def ev(id: Long, uid: Long, t: String): Event =
+      Event(id, java.sql.Timestamp.valueOf(t), uid, "web", 1.0)
+
+    val input = MemoryStream[Event](spark, 2)
+    val q = SessionStatefulProcessor.sessionStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("tws_timerfire")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1's session is gap-complete at 00:00 + 30min, but the
+      // watermark has not reached it → nothing emitted
+      input.addData(ev(1, 1L, "2024-01-01 00:00:00"))
+      q.processAllAvailable()
+      assert(spark.table("tws_timerfire").count() == 0)
+      // another USER's event advances the global watermark past the
+      // close instant → user 1's timer fires without user 1 sending data
+      input.addData(ev(2, 2L, "2024-01-01 01:00:00"))
+      q.processAllAvailable()
+      val closed = spark.table("tws_timerfire").as[SessionClosed].collect()
+      assert(closed.map(_.user_id).toSeq == Seq(1L))
+      assert(closed.head.session_end.getTime -
+        closed.head.session_start.getTime == 30 * 60 * 1000L)
+    } finally q.stop()
+  }
+
   test("KPI sink recovers from checkpoint without duplicating batches") {
     val session = spark
     import session.implicits._
