@@ -687,14 +687,19 @@ object DedupOps {
     * as duplicated; the per-doc output is the fraction of token
     * positions covered by at least one duplicated span.
     *
-    * Scale shape: ONE posting shuffle keyed on md5(span) (fixed-width
-    * 128-bit key, not the span text — at 100 TB the key bytes dominate
-    * shuffle volume), with map-side combine on the count; the coverage
-    * union is a bounded ×[[SpanTokens]] explode + distinct, and the
-    * final assembly is per-doc joins on doc_id. The exact-substring
-    * alternative (distributed suffix array) trades this one-shuffle
-    * shape for global sorts; the n-gram form is the standard Spark
-    * substitute.
+    * Scale shape — ONE posting pass, linear all the way: the span
+    * occurrence count is a `count() over (partition by md5(span))`
+    * window (one shuffle on the fixed-width 128-bit key; at 100 TB the
+    * key bytes dominate shuffle volume, which is why the span text
+    * itself never shuffles), so the marked posting list feeds the
+    * single per-doc aggregation directly — no join back, and the
+    * posting subtree is consumed exactly once (a naive
+    * count-filter-join form re-executes the corpus scan and shingling
+    * once per consumer). Coverage union, gram count, and dup-gram count
+    * come out of one groupBy(doc_id) with three count-distincts over a
+    * bounded ×[[SpanTokens]] offset explode. The exact-substring
+    * alternative (distributed suffix array) trades this shape for
+    * global sorts; the n-gram form is the standard Spark substitute.
     */
   def dupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables
@@ -710,25 +715,25 @@ object DedupOps {
                 i => md5(concat_ws(" ", slice(col("t"), i, lit(SpanTokens)))))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
               col("col").as("gh"))
-    val dupGrams = grams
-      .groupBy(col("gh"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-      .select(col("gh"))
-    val dg = grams.join(dupGrams, "gh")
-    val covered = dg
-      .select(col("doc_id"),
-              explode(sequence(col("pos"), col("pos") + (SpanTokens - 1))).as("cp"))
-      .distinct()
+    val marked = grams.withColumn(
+      "dup",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gh"))) >= 2)
+    // dup grams fan out to their covered offsets; non-dup grams keep one
+    // null-offset row so the same aggregation counts them too
+    val expanded = marked.select(
+      col("doc_id"), col("pos"), col("dup"),
+      explode(when(col("dup"),
+                   sequence(col("pos"), col("pos") + (SpanTokens - 1)))
+        .otherwise(array(lit(null).cast("long")))).as("cp"))
+    val per = expanded
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("covered_tokens"))
-    val nGrams = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val nDup = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+      .agg(countDistinct(col("pos")).as("n_grams"),
+           countDistinct(when(col("dup"), col("pos"))).as("n_dup_grams"),
+           countDistinct(col("cp")).as("covered_tokens"))
     toks
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
-      .join(nGrams, Seq("doc_id"), "left")
-      .join(nDup, Seq("doc_id"), "left")
-      .join(covered, Seq("doc_id"), "left")
+      .join(per, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_tokens"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
