@@ -483,8 +483,17 @@ object DedupOps {
     * frame, and a repeat call on the same session evicts the previous
     * one — pinned storage is bounded at one frame per live session.
     * Synchronize on the map itself for all access.
+    *
+    * The VALUE is a WeakReference: a DataFrame strongly references its
+    * SparkSession, so storing it directly would keep the weak KEY
+    * strongly reachable and the entry would never evict (the documented
+    * WeakHashMap values-must-not-refer-to-keys failure mode). If the GC
+    * clears the reference before the next call, the explicit unpersist
+    * is skipped and Spark's ContextCleaner reclaims the cached blocks
+    * when the RDD itself is collected.
     */
-  private val lastLabels = new java.util.WeakHashMap[SparkSession, DataFrame]()
+  private val lastLabels =
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
 
   private[graft] def dedupClustersImpl(spark: SparkSession,
                                        dir: String,
@@ -537,7 +546,9 @@ object DedupOps {
     // lazy result references it; bound the pinned storage at one frame
     // per live session by evicting this session's previous one
     lastLabels.synchronized {
-      Option(lastLabels.put(spark, labels)).foreach(_.unpersist(blocking = false))
+      Option(lastLabels.put(spark, new java.lang.ref.WeakReference(labels)))
+        .flatMap(r => Option(r.get()))
+        .foreach(_.unpersist(blocking = false))
     }
     // singletons: label = own id (left join keeps the doc scan streaming)
     val all = Tables

@@ -171,19 +171,11 @@ object KpiOps {
   /** Tumbling 1-min windows are epoch-aligned, so window_start ≡
     * date_trunc('minute', ts).
     */
-  private val tumblingSql =
-    s"""SELECT event_type,
-       |       date_trunc('minute', ts) AS window_start,
-       |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
-       |       count(*) AS n_events,
-       |       round(sum(value), 4) AS sum_value,
-       |       round(avg(value), 6) AS avg_value,
-       |       count(*) FILTER (WHERE status = 'error') AS error_count,
-       |       round(CAST(count(*) FILTER (WHERE status = 'error') AS DOUBLE) / count(*), 6) AS error_rate,
-       |       list_sort(list(value))[CAST(floor(count(*) * 0.95) AS INT) + 1] AS p95_value,
-       |       list_sort(list(value))[CAST(floor(count(*) * 0.99) AS INT) + 1] AS p99_value
-       |FROM $ev ee
-       |GROUP BY 1, 2, 3""".stripMargin
+  // the 1-minute surface is the general form at 60 s (epoch-floor at 60
+  // ≡ date_trunc('minute') for post-epoch data) — one definition, so the
+  // aggregate expressions cannot drift between kpi_tumbling and the
+  // parameterized lookups
+  private lazy val tumblingSql = tumblingSqlAt(60)
 
   /** Tumbling windows of arbitrary length are epoch-aligned like Spark's
     * `window()`: start = floor(epoch/len)*len.

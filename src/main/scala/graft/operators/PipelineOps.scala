@@ -338,20 +338,18 @@ object PipelineOps {
               col("col.h").as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_index"))
 
-  /** Temperature exponent for [[sourceMixWeights]] — α=0.5 (temperature
-    * 2). Production pipelines often use α≈0.7 (mT5/XLM-R); 0.5 is used
-    * here because x^0.5 = sqrt(x) is IEEE-correctly-rounded on every
-    * engine, so the oracle comparison is bit-exact — swapping the
-    * constant does not change the plan.
-    */
-  private val MixAlpha = 0.5
-
   /** Temperature-based source mixing weights (the multilingual /
     * multi-source resampling rule: w_s ∝ p_s^α normalized): per source,
     * the raw document share and the α-tempered sampling weight. Because
     * (n_s/N)^α / Σ(n_t/N)^α = n_s^α / Σ n_t^α, the N factor cancels and
     * the whole query is one tiny groupBy plus a broadcast scalar — no
     * second pass over the corpus.
+    *
+    * α is FIXED at 0.5 (temperature 2), written as `sqrt` in both the
+    * Spark query and the oracle: sqrt is IEEE-correctly-rounded on every
+    * engine, so the comparison is bit-exact. Production pipelines often
+    * use α≈0.7 (mT5/XLM-R); generalizing means `pow(n, α)` on BOTH
+    * sides and accepting last-ulp cross-engine drift in the oracle.
     */
   def sourceMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val bySource = Tables

@@ -62,7 +62,11 @@ class SessionStatefulProcessor
             out += closedRow(key, s)
             cur = Some(SessionAgg(t, t, 1L, e.value))
           case Some(s) =>
-            cur = Some(SessionAgg(s.startMillis, math.max(s.lastMillis, t),
+            // min-start: an out-of-order event inside the watermark
+            // slack may precede the stored session start; session_window
+            // extends the window backwards, so this must too
+            cur = Some(SessionAgg(math.min(s.startMillis, t),
+                                  math.max(s.lastMillis, t),
                                   s.n + 1, s.sum + e.value))
           case None =>
             cur = Some(SessionAgg(t, t, 1L, e.value))

@@ -185,15 +185,15 @@ object StreamJob {
       "alerts" -> spark.read.parquet(s"$outDir/alerts").count(),
       "fired_alerts" -> spark.read.parquet(s"$outDir/fired_alerts").count(),
       "sessions" -> (try spark.read.parquet(s"$outDir/sessions").count()
-                     catch { case _: Throwable => 0L }),
+                     catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "routed" -> (try spark.read.parquet(s"$outDir/routed").count()
-                   catch { case _: Throwable => 0L }),
+                   catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "sessions_timer" -> (try spark.read.parquet(s"$outDir/sessions_timer").count()
-                           catch { case _: Throwable => 0L }),
+                           catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "ewma_levels" -> (try spark.read.parquet(s"$outDir/ewma_levels").count()
-                        catch { case _: Throwable => 0L }),
+                        catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "transitions" -> (try spark.read.parquet(s"$outDir/transitions").count()
-                        catch { case _: Throwable => 0L })
+                        catch { case _: org.apache.spark.sql.AnalysisException => 0L })
     )
   }
 
@@ -217,7 +217,7 @@ object StreamJob {
     val secs = (System.nanoTime() - t0) / 1e9
     val events =
       try spark.read.parquet(s"$sfDir/events.parquet").count()
-      catch { case _: Throwable => 0L }
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     // throughput analog of the reference's ≥5k events/sec floor: events
     // drained through the full four-query pipeline / wall seconds
     println(counts.map { case (k, v) => s"$k=$v" }.mkString(

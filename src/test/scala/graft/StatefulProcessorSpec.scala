@@ -279,6 +279,37 @@ class StatefulProcessorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session start extends backwards for in-slack out-of-order events") {
+    val session = spark
+    import session.implicits._
+    def ev(id: Long, uid: Long, t: String): Event =
+      Event(id, java.sql.Timestamp.valueOf(t), uid, "web", 1.0)
+
+    val input = MemoryStream[Event](spark, 2)
+    val q = SessionStatefulProcessor.sessionStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("tws_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: watermark advances to 09:59:50
+      input.addData(ev(1, 1L, "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      // batch 2: 09:59:55 is within the 10 s slack — delivered, and it
+      // PRECEDES the stored session start (session_window would extend
+      // the window backwards, so the processor must too)
+      input.addData(ev(2, 1L, "2024-01-01 09:59:55"))
+      q.processAllAvailable()
+      // flush: another user far in the future fires user 1's timer
+      input.addData(ev(3, 2L, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val s = spark.table("tws_ooo").as[SessionClosed].collect()
+      .filter(_.user_id == 1L)
+    assert(s.length == 1)
+    assert(s.head.session_start == java.sql.Timestamp.valueOf("2024-01-01 09:59:55"))
+    assert(s.head.n_events == 2L)
+  }
+
   test("KPI sink recovers from checkpoint without duplicating batches") {
     val session = spark
     import session.implicits._
