@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties of the pure stateful-processor cores (the
+  * `advance` functions shared by flatMapGroupsWithState and
+  * transformWithState): the invariant a streaming operator owes the
+  * batch world is SPLIT INVARIANCE — folding a sorted stream in one
+  * batch or in any prefix/suffix split with carried state must produce
+  * identical state and identical concatenated output. These run on the
+  * raw functions, no SparkSession.
+  */
+object ProcessorProperties extends Properties("graft.processors") {
+
+  private val T0 = 1704067200000L // 2024-01-01 00:00:00 UTC
+
+  private def alert(id: Long, tsMillis: Long): AnomalyAlert =
+    AnomalyAlert(id, "web", new Timestamp(tsMillis), 200.0, 50, 50, 5, 50, 3,
+                 5.0, 5.0, is_anomaly = true, "critical", "z-score")
+
+  private def event(id: Long, tsMillis: Long, v: Double): Event =
+    Event(id, new Timestamp(tsMillis), 1L, "web", v)
+
+  /** Sorted event stream: cumulative gaps of 0..120 s. */
+  private val genEvents: Gen[List[Event]] = for {
+    gaps <- Gen.nonEmptyListOf(Gen.choose(0L, 120000L))
+    vals <- Gen.listOfN(gaps.size, Gen.choose(1, 10000).map(_ / 100.0))
+  } yield {
+    val ts = gaps.scanLeft(T0)(_ + _).tail
+    ts.lazyZip(vals).lazyZip(1 to ts.size).map {
+      case (t, v, i) => event(i.toLong, t, v)
+    }.toList
+  }
+
+  /** Sorted alert stream: cumulative gaps of 0..8 min (straddling the
+    * 5-minute cooldown).
+    */
+  private val genAlerts: Gen[List[AnomalyAlert]] = for {
+    gaps <- Gen.nonEmptyListOf(Gen.choose(0L, 480000L))
+  } yield gaps.scanLeft(T0)(_ + _).tail.zipWithIndex.map {
+    case (t, i) => alert(i.toLong + 1, t)
+  }
+
+  private val genSplit: Gen[Double] = Gen.choose(0.0, 1.0)
+
+  private def splitAt[A](xs: List[A], f: Double): (List[A], List[A]) =
+    xs.splitAt((xs.size * f).toInt)
+
+  property("cooldown: no two fired alerts within the cooldown window") =
+    forAll(genAlerts) { alerts =>
+      val (_, fired) = CooldownProcessor.advance(None, alerts.iterator)
+      fired.map(_.ts.getTime).sliding(2).forall {
+        case Seq(a, b) => b - a >= CooldownProcessor.CooldownMillis
+        case _         => true
+      }
+    }
+
+  property("cooldown: batch-split ≡ single batch (state carries)") =
+    forAll(genAlerts, genSplit) { (alerts, f) =>
+      val (a, b) = splitAt(alerts, f)
+      val (s1, f1) = CooldownProcessor.advance(None, a.iterator)
+      val (s2, f2) = CooldownProcessor.advance(s1, b.iterator)
+      val (sw, fw) = CooldownProcessor.advance(None, alerts.iterator)
+      s2 == sw && (f1 ++ f2) == fw
+    }
+
+  property("ewma: batch-split ≡ single batch on ordered input") =
+    forAll(genEvents, genSplit) { (events, f) =>
+      val (a, b) = splitAt(events, f)
+      val split = EwmaProcessor.advance(
+        EwmaProcessor.advance(EwmaProcessor.EmptyState, a.iterator), b.iterator)
+      val whole = EwmaProcessor.advance(EwmaProcessor.EmptyState, events.iterator)
+      split == whole &&
+        EwmaProcessor.emit("web", split).toList ==
+          EwmaProcessor.emit("web", whole).toList
+    }
+
+  property("ewma: emitted level lies within the bucket-average envelope") =
+    forAll(genEvents) { events =>
+      val s = EwmaProcessor.advance(EwmaProcessor.EmptyState, events.iterator)
+      EwmaProcessor.emit("web", s).forall { l =>
+        val vs = events.map(_.value)
+        l.ewma_value >= vs.min - 1e-6 && l.ewma_value <= vs.max + 1e-6
+      }
+    }
+
+  property("transitions: n−1 pairs, chain-linked, split-invariant") =
+    forAll(genEvents, genSplit) { (events, f) =>
+      val (a, b) = splitAt(events, f)
+      val (s1, t1) = TransitionProcessor.advance(1L, None, a.iterator)
+      val (s2, t2) = TransitionProcessor.advance(1L, s1, b.iterator)
+      val (sw, tw) = TransitionProcessor.advance(1L, None, events.iterator)
+      s2 == sw && (t1 ++ t2) == tw && tw.size == events.size - 1 &&
+        tw.zip(tw.drop(1)).forall { case (x, y) => x.next_type == y.prev_type }
+    }
+}
