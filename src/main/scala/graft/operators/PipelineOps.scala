@@ -352,20 +352,24 @@ object PipelineOps {
     * sides and accepting last-ulp cross-engine drift in the oracle.
     */
   def sourceMixWeights(spark: SparkSession, dir: String): DataFrame = {
-    val bySource = Tables
+    // grand totals via a global window over the POST-AGGREGATION frame
+    // (one row per source): a crossJoin(agg) formulation would consume
+    // the aggregated subtree twice and re-scan the corpus for a 5-row
+    // denominator; the single-partition window touches only the tiny
+    // aggregate
+    val all = Window.partitionBy()
+    Tables
       .documents(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
-    val tot = bySource.agg(
-      sum(col("n_docs")).as("n_total"),
-      sum(sqrt(col("n_docs").cast("double"))).as("pw_sum"))
-    bySource
-      .crossJoin(broadcast(tot))
       .select(
         col("source"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("n_total"), 6).as("p_raw"),
-        round(sqrt(col("n_docs").cast("double")) / col("pw_sum"), 6)
-          .as("weight"))
+        round(col("n_docs").cast("double") /
+                sum(col("n_docs")).over(all).cast("double"),
+              6).as("p_raw"),
+        round(sqrt(col("n_docs").cast("double")) /
+                sum(sqrt(col("n_docs").cast("double"))).over(all),
+              6).as("weight"))
       .orderBy(col("source"))
   }
 

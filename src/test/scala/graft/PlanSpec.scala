@@ -170,6 +170,27 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1)
   }
 
+  test("source_mix_weights reads the corpus exactly once") {
+    val p = planOf(PipelineOps.sourceMixWeights(spark, sf("sf0.001")))
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("chunk_documents is a pure map pass: one scan, only the sort exchange") {
+    val p = planOf(PipelineOps.chunkDocuments(spark, sf("sf0.001")))
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    // the presentation orderBy is the only exchange; no aggregation/join
+    assert("Exchange".r.findAllIn(p).length <= 1)
+    assert(!p.contains("HashAggregate") && !p.contains("Join"))
+  }
+
+  test("dup_span_fraction: windowed posting pass, corpus read at most twice") {
+    val p = planOf(DedupOps.dupSpanFraction(spark, sf("sf0.001")))
+    // one posting scan + one per-doc base scan; the old
+    // count-filter-join shape read it four times
+    assert("Scan parquet".r.findAllIn(p).length <= 2)
+    assert(p.contains("Window"))
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
