@@ -28,6 +28,15 @@ object Rounding {
     floor(c * lit(s) + lit(0.5)) / lit(s)
   }
 
+  /** Scalar twin of [[round]] for JVM-side state code (the streaming
+    * processors) — one definition of the formula, not hand-typed copies
+    * that must stay in sync.
+    */
+  def scalar(x: Double, p: Int): Double = {
+    val s = math.pow(10, p)
+    math.floor(x * s + 0.5) / s
+  }
+
   /** Rewrite every `round(expr, p)` in a SQL string into the
     * floor-formula (balanced-parenthesis aware, innermost-first).
     */

@@ -478,22 +478,28 @@ object DedupOps {
     */
   private val DriverUnionFindMaxPairs = 1L << 21
 
-  /** Converged labels frames pinned per live session (the returned lazy
-    * result references them); weak keys so a dropped session releases its
-    * frame, and a repeat call on the same session evicts the previous
-    * one — pinned storage is bounded at one frame per live session.
-    * Synchronize on the map itself for all access.
-    *
-    * The VALUE is a WeakReference: a DataFrame strongly references its
-    * SparkSession, so storing it directly would keep the weak KEY
-    * strongly reachable and the entry would never evict (the documented
-    * WeakHashMap values-must-not-refer-to-keys failure mode). If the GC
-    * clears the reference before the next call, the explicit unpersist
-    * is skipped and Spark's ContextCleaner reclaims the cached blocks
-    * when the RDD itself is collected.
+  private val MaxPinnedSessions = 8
+
+  /** Converged labels frames pinned per session (the returned lazy
+    * result references them); a repeat call on the same session
+    * unpersists and replaces its previous frame, and an access-ordered
+    * LRU cap bounds the total at [[MaxPinnedSessions]] frames across
+    * any session churn (evicted frames are unpersisted). STRONG
+    * references throughout: a weak-keyed map cannot work here (the
+    * DataFrame value strongly references its SparkSession key, so
+    * entries never evict) and a weak-valued one loses the ability to
+    * unpersist — Dataset.persist registers in the shared CacheManager,
+    * which holds cached plans until an explicit unpersist, so the frame
+    * must stay reachable. Synchronize on the map itself for all access.
     */
   private val lastLabels =
-    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
+    new java.util.LinkedHashMap[SparkSession, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, DataFrame]): Boolean =
+        if (size() > MaxPinnedSessions) {
+          e.getValue.unpersist(blocking = false); true
+        } else false
+    }
 
   private[graft] def dedupClustersImpl(spark: SparkSession,
                                        dir: String,
@@ -546,9 +552,7 @@ object DedupOps {
     // lazy result references it; bound the pinned storage at one frame
     // per live session by evicting this session's previous one
     lastLabels.synchronized {
-      Option(lastLabels.put(spark, new java.lang.ref.WeakReference(labels)))
-        .flatMap(r => Option(r.get()))
-        .foreach(_.unpersist(blocking = false))
+      Option(lastLabels.put(spark, labels)).foreach(_.unpersist(blocking = false))
     }
     // singletons: label = own id (left join keeps the doc scan streaming)
     val all = Tables

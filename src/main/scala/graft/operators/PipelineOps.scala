@@ -317,6 +317,11 @@ object PipelineOps {
     * length with overlap. Pure per-document map (explode factor
     * ⌈n/stride⌉, no shuffle until the presentation sort); chunk content
     * is emitted as md5 so the row stays scalar for the oracle gate.
+    *
+    * Emission stops once a window reaches the document end (start ≤
+    * n − window + stride): a later start would produce a chunk wholly
+    * contained in the previous one — verbatim-duplicate sequences in a
+    * pipeline whose other half exists to remove duplicates.
     */
   def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -326,7 +331,10 @@ object PipelineOps {
                 .as("t"))
       .select(col("doc_id"), size(col("t")).as("n"),
               posexplode(transform(
-                sequence(lit(1), size(col("t")), lit(ChunkStride)),
+                sequence(lit(1),
+                         greatest(lit(1),
+                                  size(col("t")) - (ChunkTokens - ChunkStride)),
+                         lit(ChunkStride)),
                 s => struct(
                   s.cast("long").as("start"),
                   md5(concat_ws(" ", slice(col("t"), s, lit(ChunkTokens))))
@@ -356,8 +364,12 @@ object PipelineOps {
     // (one row per source): a crossJoin(agg) formulation would consume
     // the aggregated subtree twice and re-scan the corpus for a 5-row
     // denominator; the single-partition window touches only the tiny
-    // aggregate
-    val all = Window.partitionBy()
+    // aggregate. ORDER BY source with an unbounded frame fixes the
+    // float accumulation order on both engines — an unordered sum folds
+    // in arrival order, which need not match across engines, and sqrt's
+    // bit-exactness is worthless if the Σsqrt differs by an ulp
+    val all = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables
       .documents(spark, dir)
       .groupBy(col("source"))
@@ -385,7 +397,7 @@ object PipelineOps {
          |       CAST(1 + p.i * $ChunkStride AS BIGINT) AS start_token,
          |       CAST(least($ChunkTokens, len(t) - p.i * $ChunkStride) AS BIGINT) AS n_chunk_tokens,
          |       md5(array_to_string(t[(1 + p.i * $ChunkStride):(p.i * $ChunkStride + $ChunkTokens)], ' ')) AS chunk_hash
-         |FROM d, UNNEST(range(0, (len(t) + ${ChunkStride - 1}) // $ChunkStride)) p(i)
+         |FROM d, UNNEST(range(0, (greatest(1, len(t) - ${ChunkTokens - ChunkStride}) + ${ChunkStride - 1}) // $ChunkStride)) p(i)
          |ORDER BY doc_id, chunk_index""".stripMargin,
     "source_mix_weights" ->
       """WITH s AS (
@@ -393,9 +405,11 @@ object PipelineOps {
         |  FROM documents GROUP BY 1
         |)
         |SELECT source, n_docs,
-        |       round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS p_raw,
-        |       round(sqrt(CAST(n_docs AS DOUBLE)) / sum(sqrt(CAST(n_docs AS DOUBLE))) OVER (), 6) AS weight
-        |FROM s ORDER BY source""".stripMargin,
+        |       round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER w AS DOUBLE), 6) AS p_raw,
+        |       round(sqrt(CAST(n_docs AS DOUBLE)) / sum(sqrt(CAST(n_docs AS DOUBLE))) OVER w, 6) AS weight
+        |FROM s
+        |WINDOW w AS (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY source""".stripMargin,
     "stratified_sample" ->
       s"""WITH e AS (SELECT *, CAST(event_id AS VARCHAR) AS eid FROM (${Tables.eventsSql}) ee),
          |h AS (SELECT *, $polyHashSql % 1000 AS bucket FROM e)

@@ -25,7 +25,7 @@ object AnomalyProcessor {
   val MinSamples = 10
 
   def score(e: Event, stats: RollingStats): AnomalyAlert = {
-    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    def r4(x: Double): Double = graft.functions.Rounding.scalar(x, 4)
     val mean = stats.mean
     val std = stats.stddev
     val med = stats.median

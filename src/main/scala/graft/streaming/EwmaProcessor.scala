@@ -32,7 +32,7 @@ object EwmaProcessor {
 
   case class EwmaLevel(event_type: String, n_buckets: Long, ewma_value: Double)
 
-  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  private def r6(x: Double): Double = graft.functions.Rounding.scalar(x, 6)
 
   private def fold(hasLevel: Boolean, level: Double, bucketAvg: Double): Double =
     if (!hasLevel) bucketAvg else (Alpha * bucketAvg) + ((1 - Alpha) * level)

@@ -102,7 +102,7 @@ object SessionStatefulProcessor {
   private[streaming] def closedRow(key: Long, s: SessionAgg): SessionClosed =
     SessionClosed(key, new Timestamp(s.startMillis),
                   new Timestamp(s.lastMillis + GapMillis), s.n,
-                  math.floor(s.sum * 1e4 + 0.5) / 1e4)
+                  graft.functions.Rounding.scalar(s.sum, 4))
 
   /** events → closed sessions via transformWithState + event-time
     * timers. Append mode: only final (watermark- or gap-closed) rows.

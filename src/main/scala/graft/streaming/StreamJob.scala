@@ -27,9 +27,21 @@ object StreamJob {
     // the transformWithState session store requires RocksDB; queries
     // capture this at start, so setting it here covers every caller
     // (the default HDFS-backed provider cannot host the multiple
-    // column families transformWithState creates)
-    spark.conf.set(AnomalyStatefulProcessor.rocksdbConf._1,
-                   AnomalyStatefulProcessor.rocksdbConf._2)
+    // column families transformWithState creates). Scoped: restored on
+    // exit so a shared session's other checkpointed queries don't
+    // silently resume under a different provider.
+    val providerKey = AnomalyStatefulProcessor.rocksdbConf._1
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, AnomalyStatefulProcessor.rocksdbConf._2)
+    try runImpl(spark, sfDir, outDir)
+    finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  private def runImpl(spark: SparkSession, sfDir: String,
+                      outDir: String): Map[String, Long] = {
     // stage the ns-timestamp parquet as a µs-typed streaming input dir
     val stageDir = s"$outDir/staged_events"
     graft.Tables.events(spark, sfDir)

@@ -273,16 +273,23 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Boolean]("verified"))
   }
 
-  test("chunk_documents: stride geometry and boundary chunk sizes") {
+  test("chunk_documents: stride geometry, no fully-contained trailing chunk") {
     val session = spark
     import session.implicits._
-    // 100 distinct tokens → chunks at 1/49/97 with sizes 64/52/4
+    // 100 tokens → chunks at 1 and 49 (49..100 reaches the end; a chunk
+    // at 97 would be wholly inside 49..100 and must not be emitted);
+    // 60 tokens → a single whole-doc chunk; 130 → 1/49/97 with 97..130
     val dir = writeDocs(Seq(
-      (1L, (1 to 100).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text"))
+      (1L, (1 to 100).map(i => s"tok$i").mkString(" ")),
+      (2L, (1 to 60).map(i => s"tok$i").mkString(" ")),
+      (3L, (1 to 130).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text"))
     val rows = PipelineOps.chunkDocuments(spark, dir)
-      .select("chunk_index", "start_token", "n_chunk_tokens")
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
-    assert(rows.toSeq == Seq((0L, 1L, 64L), (1L, 49L, 52L), (2L, 97L, 4L)))
+      .select("doc_id", "chunk_index", "start_token", "n_chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 1L, 64L), (1L, 1L, 49L, 52L),
+      (2L, 0L, 1L, 60L),
+      (3L, 0L, 1L, 64L), (3L, 1L, 49L, 64L), (3L, 2L, 97L, 34L)))
   }
 
   test("source_mix_weights: normalized and tempered toward uniform") {
