@@ -51,33 +51,13 @@ class SessionStatefulProcessor
       key: Long,
       inputRows: Iterator[Event],
       timerValues: TimerValues): Iterator[SessionClosed] = {
-    val out = Seq.newBuilder[SessionClosed]
-    var cur = Option(sess.get())
-    inputRows.toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
-      .foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.lastMillis > GapMillis =>
-            out += closedRow(key, s)
-            cur = Some(SessionAgg(t, t, 1L, e.value))
-          case Some(s) =>
-            // min-start: an out-of-order event inside the watermark
-            // slack may precede the stored session start; session_window
-            // extends the window backwards, so this must too
-            cur = Some(SessionAgg(math.min(s.startMillis, t),
-                                  math.max(s.lastMillis, t),
-                                  s.n + 1, s.sum + e.value))
-          case None =>
-            cur = Some(SessionAgg(t, t, 1L, e.value))
-        }
-      }
+    val (cur, closed) = advance(key, Option(sess.get()), inputRows)
     cur.foreach { s =>
       sess.update(s)
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       getHandle.registerTimer(s.lastMillis + GapMillis)
     }
-    out.result().iterator
+    closed.iterator
   }
 
   override def handleExpiredTimer(
@@ -103,6 +83,38 @@ object SessionStatefulProcessor {
     SessionClosed(key, new Timestamp(s.startMillis),
                   new Timestamp(s.lastMillis + GapMillis), s.n,
                   graft.functions.Rounding.scalar(s.sum, 4))
+
+  /** Pure session fold (sorts its batch internally; state carries
+    * across calls) — shared by the processor and the split-invariance
+    * property tests.
+    */
+  private[graft] def advance(
+      key: Long,
+      init: Option[SessionAgg],
+      events: Iterator[Event]): (Option[SessionAgg], Seq[SessionClosed]) = {
+    val out = Seq.newBuilder[SessionClosed]
+    var cur = init
+    events.toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+      .foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMillis > GapMillis =>
+            out += closedRow(key, s)
+            cur = Some(SessionAgg(t, t, 1L, e.value))
+          case Some(s) =>
+            // min-start: an out-of-order event inside the watermark
+            // slack may precede the stored session start; session_window
+            // extends the window backwards, so this must too
+            cur = Some(SessionAgg(math.min(s.startMillis, t),
+                                  math.max(s.lastMillis, t),
+                                  s.n + 1, s.sum + e.value))
+          case None =>
+            cur = Some(SessionAgg(t, t, 1L, e.value))
+        }
+      }
+    (cur, out.result())
+  }
 
   /** events → closed sessions via transformWithState + event-time
     * timers. Append mode: only final (watermark- or gap-closed) rows.

@@ -88,6 +88,36 @@ object ProcessorProperties extends Properties("graft.processors") {
       }
     }
 
+  /** Event stream with gaps that straddle the 30-minute session gap. */
+  private val genSessionEvents: Gen[List[Event]] = for {
+    gaps <- Gen.nonEmptyListOf(Gen.frequency(
+      4 -> Gen.choose(0L, 25 * 60000L),   // within-session
+      1 -> Gen.choose(31 * 60000L, 90 * 60000L))) // session break
+    vals <- Gen.listOfN(gaps.size, Gen.choose(1, 10000).map(_ / 100.0))
+  } yield {
+    val ts = gaps.scanLeft(T0)(_ + _).tail
+    ts.lazyZip(vals).lazyZip(1 to ts.size).map {
+      case (t, v, i) => event(i.toLong, t, v)
+    }.toList
+  }
+
+  property("sessions: batch-split ≡ single batch; closed sessions well-formed") =
+    forAll(genSessionEvents, genSplit) { (events, f) =>
+      val (a, b) = splitAt(events, f)
+      val (s1, c1) = SessionStatefulProcessor.advance(1L, None, a.iterator)
+      val (s2, c2) = SessionStatefulProcessor.advance(1L, s1, b.iterator)
+      val (sw, cw) = SessionStatefulProcessor.advance(1L, None, events.iterator)
+      val closed = c1 ++ c2
+      val gapOk = cw.forall { s =>
+        // end = last event + gap, and the session spans at least 1 event
+        s.session_end.getTime > s.session_start.getTime &&
+          s.n_events >= 1
+      }
+      val accounted = cw.map(_.n_events).sum +
+        sw.map(_.n).getOrElse(0L) == events.size.toLong
+      s2 == sw && closed == cw && gapOk && accounted
+    }
+
   property("transitions: n−1 pairs, chain-linked, split-invariant") =
     forAll(genEvents, genSplit) { (events, f) =>
       val (a, b) = splitAt(events, f)
