@@ -132,6 +132,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.textRepetition _),
     "dup_span_fraction" -> (DedupOps.dupSpanFraction _),
     "dedup_verify_editdist" -> (DedupOps.dedupVerifyEditdist _),
+    "lsh_recall" -> (DedupOps.lshRecall _),
     // training-data pipeline: chunking + source mixing
     "chunk_documents" -> (PipelineOps.chunkDocuments _),
     "source_mix_weights" -> (PipelineOps.sourceMixWeights _),

@@ -795,6 +795,59 @@ object DedupOps {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** LSH candidate-generation RECALL, measured — not guessed from the
+    * s-curve: the exact near-dup truth set (all-pairs shingle Jaccard ≥
+    * threshold) versus what the banded MinHash pipeline caught, plus
+    * the analytic expectation 1−(1−s^r)^b averaged over the true pairs
+    * ([[lshCatchProbability]]) so measured and predicted recall sit in
+    * one row.
+    *
+    * This is an OFFLINE EVALUATION operator: the truth set is an
+    * all-pairs self-join, which is exactly what the production dedup
+    * path must never do — at corpus scale you run it on a few thousand
+    * SAMPLED documents to calibrate (k, bands), never on the corpus.
+    * The mean over true pairs is a fixed-order fold (sorted pair list)
+    * so the oracle comparison stays bit-exact.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).select(col("doc_id"), col("shingles"))
+    val inter = size(array_intersect(col("s1"), col("s2")))
+    val truth = sh
+      .select(col("doc_id").as("doc1"), col("shingles").as("s1"))
+      .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("s2")),
+            col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+              round(inter.cast("double") /
+                      (size(col("s1")) + size(col("s2")) - inter),
+                    6).as("j"))
+      .filter(col("j") >= JaccardThreshold)
+    val (k, nBands) = minhashConf(spark)
+    val rowsPerBand = k / nBands
+    // analytic catch probability via explicit multiplication (no pow —
+    // cross-engine last-ulp drift); fixed-order fold over sorted pairs
+    def powN(c: Column, n: Int): Column = (1 until n).foldLeft(c)((a, _) => a * c)
+    val t = truth.agg(
+      count(lit(1)).as("n_true_pairs"),
+      sort_array(collect_list(struct(col("doc1"), col("doc2"), col("j"))))
+        .as("ps"))
+    val caught = dedupMinhashLsh(spark, dir).agg(count(lit(1)).as("n_caught"))
+    t.crossJoin(caught)
+      .select(
+        col("n_true_pairs"), col("n_caught"),
+        round(col("n_caught").cast("double") /
+                greatest(col("n_true_pairs"), lit(1L)),
+              6).as("recall"),
+        round(
+          aggregate(
+            transform(col("ps"),
+                      p => lit(1.0) - powN(lit(1.0) - powN(p.getField("j"),
+                                                           rowsPerBand),
+                                           nBands)),
+            lit(0.0), (acc, x) => acc + x) /
+            greatest(col("n_true_pairs"), lit(1L)),
+          6).as("expected_recall"))
+  }
+
   private lazy val simhashPairsSql: String =
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),
@@ -950,6 +1003,28 @@ object DedupOps {
         |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1) nd USING (doc_id)
         |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cov GROUP BY 1) cv USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "lsh_recall" -> (
+      shingleSql + ",\n" +
+        s"""truth AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |               / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS j
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |),
+           |tt AS (SELECT * FROM truth WHERE j >= $JaccardThreshold),
+           |lshq AS (SELECT count(*) AS n_caught FROM (
+           |""".stripMargin + minhashLshSql + "\n) q),\n" +
+        """agg AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+          |         list(j ORDER BY d1, d2) AS js
+          |  FROM tt
+          |)
+          |SELECT n_true_pairs, CAST(n_caught AS BIGINT) AS n_caught,
+          |       round(CAST(n_caught AS DOUBLE) / greatest(n_true_pairs, 1), 6) AS recall,
+          |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |               list_transform(js, s -> 1.0 - (1.0 - s*s*s*s) * (1.0 - s*s*s*s) * (1.0 - s*s*s*s) * (1.0 - s*s*s*s))),
+          |             (a, b) -> a + b) / greatest(n_true_pairs, 1), 6) AS expected_recall
+          |FROM agg, lshq""".stripMargin),
     "dedup_verify_editdist" -> (
       "WITH lsh AS (SELECT doc1, doc2, jaccard FROM (\n" + minhashLshSql +
         "\n) q),\n" +

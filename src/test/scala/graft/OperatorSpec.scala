@@ -305,6 +305,17 @@ class OperatorSpec extends SparkSpec {
     assert(byP.head.getAs[Double]("weight") >= byP.head.getAs[Double]("p_raw") - 1e-9)
   }
 
+  test("lsh_recall: caught ⊆ truth, probabilities bounded") {
+    val r = DedupOps.lshRecall(spark, sf("sf0.001")).head()
+    assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_true_pairs"))
+    val rec = r.getAs[Double]("recall")
+    val exp = r.getAs[Double]("expected_recall")
+    assert(rec >= 0 && rec <= 1 && exp >= 0 && exp <= 1)
+    // this corpus's true pairs are high-similarity, so the analytic
+    // expectation should predict near-total recall
+    assert(exp > 0.9)
+  }
+
   test("q1 aggregates are internally consistent") {
     val df = OlapOps.q1Pricing(spark, sf("sf0.001"))
     val r = df.head()
