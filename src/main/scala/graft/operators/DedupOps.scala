@@ -763,6 +763,11 @@ object DedupOps {
   /** Edit-similarity threshold for [[dedupVerifyEditdist]]. */
   private val EditSimThreshold = 0.8
 
+  /** Calibration-sample bound for [[lshRecall]]: the truth set is
+    * quadratic in the sample, so it must never grow with the corpus.
+    */
+  private val RecallSampleDocs = 500
+
   /** Character-level verification of the MinHash-LSH near-dup pairs:
     * Levenshtein distance over the normalized texts and the derived edit
     * similarity 1 − dist/max(len) — the precision pass a dedup pipeline
@@ -804,21 +809,50 @@ object DedupOps {
     *
     * This is an OFFLINE EVALUATION operator: the truth set is an
     * all-pairs self-join, which is exactly what the production dedup
-    * path must never do — at corpus scale you run it on a few thousand
-    * SAMPLED documents to calibrate (k, bands), never on the corpus.
-    * The mean over true pairs is a fixed-order fold (sorted pair list)
-    * so the oracle comparison stays bit-exact.
+    * path must never do — so it runs on a bounded deterministic SAMPLE
+    * ([[RecallSampleDocs]] lowest doc ids; recall is measured as
+    * caught∩sample / truth∩sample, with the LSH side still the real
+    * production pipeline over the whole corpus). The mean over true
+    * pairs is a fixed-order fold (sorted pair list) so the oracle
+    * comparison stays bit-exact.
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).select(col("doc_id"), col("shingles"))
-    val inter = size(array_intersect(col("s1"), col("s2")))
-    val truth = sh
-      .select(col("doc_id").as("doc1"), col("shingles").as("s1"))
-      .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("s2")),
-            col("doc1") < col("doc2"))
+    // truth via posting-list expansion, NOT a nested-loop self-join: a
+    // pair with zero shared shingles cannot reach the threshold, so
+    // grouping postings by shingle and counting shared postings per
+    // co-occurring pair yields the identical truth set at
+    // postings + collisions cost instead of |sample|² array
+    // intersections (measured ~6 s → ~0.5 s on the 500-doc sample)
+    val ex = Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") < RecallSampleDocs)
+      .select(col("doc_id"),
+              explode(graft.functions.TextExprs.withSize(
+                graft.functions.TextExprs.wordShingles(col("text"), 3))).as("p"))
+      .select(col("doc_id"), col("p.x").as("shingle"), col("p.n").as("n_sh"))
+    val truth = ex
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ds")) - 1),
+        i =>
+          transform(
+            sequence(i + 1, size(col("ds"))),
+            j =>
+              struct(
+                element_at(col("ds"), i).getField("doc_id").as("doc1"),
+                element_at(col("ds"), i).getField("n_sh").as("n1"),
+                element_at(col("ds"), j).getField("doc_id").as("doc2"),
+                element_at(col("ds"), j).getField("n_sh").as("n2")))))).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.n1").as("n1"),
+              col("p.doc2").as("doc2"), col("p.n2").as("n2"))
+      .groupBy(col("doc1"), col("doc2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_common"))
       .select(col("doc1"), col("doc2"),
-              round(inter.cast("double") /
-                      (size(col("s1")) + size(col("s2")) - inter),
+              round(col("n_common").cast("double") /
+                      (col("n1") + col("n2") - col("n_common")),
                     6).as("j"))
       .filter(col("j") >= JaccardThreshold)
     val (k, nBands) = minhashConf(spark)
@@ -830,7 +864,9 @@ object DedupOps {
       count(lit(1)).as("n_true_pairs"),
       sort_array(collect_list(struct(col("doc1"), col("doc2"), col("j"))))
         .as("ps"))
-    val caught = dedupMinhashLsh(spark, dir).agg(count(lit(1)).as("n_caught"))
+    val caught = dedupMinhashLsh(spark, dir)
+      .filter(col("doc1") < RecallSampleDocs && col("doc2") < RecallSampleDocs)
+      .agg(count(lit(1)).as("n_caught"))
     t.crossJoin(caught)
       .select(
         col("n_true_pairs"), col("n_caught"),
@@ -1010,10 +1046,12 @@ object DedupOps {
            |         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
            |               / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS j
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE a.doc_id < $RecallSampleDocs AND b.doc_id < $RecallSampleDocs
            |),
            |tt AS (SELECT * FROM truth WHERE j >= $JaccardThreshold),
            |lshq AS (SELECT count(*) AS n_caught FROM (
-           |""".stripMargin + minhashLshSql + "\n) q),\n" +
+           |""".stripMargin + minhashLshSql +
+        s"\n) q WHERE doc1 < $RecallSampleDocs AND doc2 < $RecallSampleDocs),\n" +
         """agg AS (
           |  SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
           |         list(j ORDER BY d1, d2) AS js
