@@ -71,6 +71,21 @@ object DedupOps {
     */
   private val MaxBucket = 256
 
+  /** Upper-triangle (i < j) pair expansion over a sorted in-bucket
+    * member list — THE idiom behind every bucketed candidate generator
+    * here (MinHash bands, shingle postings, SimHash prefixes, the
+    * recall truth set); `pair` builds each output struct from the
+    * (i-th, j-th) members. One definition so a future pairing-semantics
+    * change (e.g. a cap) cannot silently diverge across operators.
+    */
+  private def inBucketPairs(ds: Column)(
+      pair: (Column, Column) => Column): Column =
+    explode(flatten(transform(
+      sequence(lit(1), size(ds) - 1),
+      i =>
+        transform(sequence(i + 1, size(ds)),
+                  j => pair(element_at(ds, i), element_at(ds, j))))))
+
   /** Normalized text + word-3-gram shingle set (distinct) — native
     * expression ([[graft.functions.ShinglesExpr]]); see there for why not
     * built-in higher-order functions.
@@ -141,13 +156,8 @@ object DedupOps {
       .groupBy(col("band"), col("band_hash"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxBucket)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("ds")) - 1),
-        i =>
-          transform(sequence(i + 1, size(col("ds"))),
-                    j =>
-                      struct(element_at(col("ds"), i).as("doc1"),
-                             element_at(col("ds"), j).as("doc2")))))).as("p"))
+      .select(inBucketPairs(col("ds"))((a, b) =>
+        struct(a.as("doc1"), b.as("doc2"))).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
 
@@ -198,17 +208,11 @@ object DedupOps {
       .filter(size(col("ds")) > 1)
       .select(
         col("source"),
-        explode(flatten(transform(
-          sequence(lit(1), size(col("ds")) - 1),
-          i =>
-            transform(
-              sequence(i + 1, size(col("ds"))),
-              j =>
-                struct(
-                  element_at(col("ds"), i).getField("doc_id").as("doc1"),
-                  element_at(col("ds"), i).getField("n_sh").as("n1"),
-                  element_at(col("ds"), j).getField("doc_id").as("doc2"),
-                  element_at(col("ds"), j).getField("n_sh").as("n2")))))).as("p"))
+        inBucketPairs(col("ds"))((a, b) =>
+          struct(a.getField("doc_id").as("doc1"),
+                 a.getField("n_sh").as("n1"),
+                 b.getField("doc_id").as("doc2"),
+                 b.getField("n_sh").as("n2"))).as("p"))
       .select(col("source"), col("p.doc1").as("doc1"), col("p.n1").as("n1"),
               col("p.doc2").as("doc2"), col("p.n2").as("n2"))
       .filter(col("doc1") < col("doc2"))
@@ -258,15 +262,11 @@ object DedupOps {
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxBucket)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("ds")) - 1),
-        i =>
-          transform(sequence(i + 1, size(col("ds"))),
-                    j =>
-                      struct(element_at(col("ds"), i).getField("doc_id").as("doc1"),
-                             element_at(col("ds"), j).getField("doc_id").as("doc2"),
-                             element_at(col("ds"), i).getField("simhash").as("h1"),
-                             element_at(col("ds"), j).getField("simhash").as("h2")))))).as("p"))
+      .select(inBucketPairs(col("ds"))((a, b) =>
+        struct(a.getField("doc_id").as("doc1"),
+               b.getField("doc_id").as("doc2"),
+               a.getField("simhash").as("h1"),
+               b.getField("simhash").as("h2"))).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"),
               graft.functions.TextExprs.hammingHex(col("p.h1"), col("p.h2"))
                 .as("hamming"))
@@ -765,8 +765,21 @@ object DedupOps {
 
   /** Calibration-sample bound for [[lshRecall]]: the truth set is
     * quadratic in the sample, so it must never grow with the corpus.
+    * ASSUMES dense 0-based doc ids (true of every shipped table); a
+    * corpus with sparse/offset ids needs a rank-based lowest-N sample
+    * instead, at the cost of one extra shuffle.
     */
   private val RecallSampleDocs = 500
+
+  /** SQL form of (1−s^r)^b at the STATIC (NumHashes, Bands) the DuckDB
+    * oracles encode, as explicit left-assoc products (no pow —
+    * cross-engine last-ulp drift); derived from the constants like
+    * sigSql, not hand-repeated literals.
+    */
+  private lazy val sCurveMissSql: String = {
+    val sPow = List.fill(RowsPerBand)("s").mkString("*")
+    List.fill(Bands)(s"(1.0 - $sPow)").mkString(" * ")
+  }
 
   /** Character-level verification of the MinHash-LSH near-dup pairs:
     * Levenshtein distance over the normalized texts and the derived edit
@@ -835,17 +848,11 @@ object DedupOps {
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
         .as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("ds")) - 1),
-        i =>
-          transform(
-            sequence(i + 1, size(col("ds"))),
-            j =>
-              struct(
-                element_at(col("ds"), i).getField("doc_id").as("doc1"),
-                element_at(col("ds"), i).getField("n_sh").as("n1"),
-                element_at(col("ds"), j).getField("doc_id").as("doc2"),
-                element_at(col("ds"), j).getField("n_sh").as("n2")))))).as("p"))
+      .select(inBucketPairs(col("ds"))((a, b) =>
+        struct(a.getField("doc_id").as("doc1"),
+               a.getField("n_sh").as("n1"),
+               b.getField("doc_id").as("doc2"),
+               b.getField("n_sh").as("n2"))).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.n1").as("n1"),
               col("p.doc2").as("doc2"), col("p.n2").as("n2"))
       .groupBy(col("doc1"), col("doc2"), col("n1"), col("n2"))
@@ -1052,7 +1059,7 @@ object DedupOps {
            |lshq AS (SELECT count(*) AS n_caught FROM (
            |""".stripMargin + minhashLshSql +
         s"\n) q WHERE doc1 < $RecallSampleDocs AND doc2 < $RecallSampleDocs),\n" +
-        """agg AS (
+        s"""agg AS (
           |  SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
           |         list(j ORDER BY d1, d2) AS js
           |  FROM tt
@@ -1060,7 +1067,7 @@ object DedupOps {
           |SELECT n_true_pairs, CAST(n_caught AS BIGINT) AS n_caught,
           |       round(CAST(n_caught AS DOUBLE) / greatest(n_true_pairs, 1), 6) AS recall,
           |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |               list_transform(js, s -> 1.0 - (1.0 - s*s*s*s) * (1.0 - s*s*s*s) * (1.0 - s*s*s*s) * (1.0 - s*s*s*s))),
+          |               list_transform(js, s -> 1.0 - $sCurveMissSql)),
           |             (a, b) -> a + b) / greatest(n_true_pairs, 1), 6) AS expected_recall
           |FROM agg, lshq""".stripMargin),
     "dedup_verify_editdist" -> (

@@ -239,7 +239,9 @@ object EventPipeline {
   def startKafkaSink(envelope: DataFrame,
                      bootstrap: String,
                      topic: String,
-                     checkpointDir: String): StreamingQuery =
+                     checkpointDir: String,
+                     trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      : StreamingQuery =
     envelope.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
@@ -247,6 +249,7 @@ object EventPipeline {
       .option("kafka.compression.type", "snappy")
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update)
+      .trigger(trigger) // the reference's 30 s checkpoint cadence, like startKpiSink
       .start()
 
   /** Hot/cold store sink (K5 + §4 caching row): foreachBatch upsert into

@@ -108,14 +108,40 @@ object ProcessorProperties extends Properties("graft.processors") {
       val (s2, c2) = SessionStatefulProcessor.advance(1L, s1, b.iterator)
       val (sw, cw) = SessionStatefulProcessor.advance(1L, None, events.iterator)
       val closed = c1 ++ c2
+      val eventTs = events.map(_.ts.getTime).toSet
+      val gap = SessionStatefulProcessor.GapMillis
       val gapOk = cw.forall { s =>
-        // end = last event + gap, and the session spans at least 1 event
-        s.session_end.getTime > s.session_start.getTime &&
-          s.n_events >= 1
+        // bounds are REAL event instants: end − gap is the session's
+        // last event, start its first
+        eventTs.contains(s.session_end.getTime - gap) &&
+          eventTs.contains(s.session_start.getTime) &&
+          s.session_end.getTime - gap >= s.session_start.getTime
+      }
+      // sessions split ONLY on gap: consecutive closed sessions are
+      // separated by more than the gap
+      val splitsOk = cw.sortBy(_.session_start.getTime).sliding(2).forall {
+        case Seq(x, y) =>
+          y.session_start.getTime - (x.session_end.getTime - gap) > gap
+        case _ => true
       }
       val accounted = cw.map(_.n_events).sum +
         sw.map(_.n).getOrElse(0L) == events.size.toLong
-      s2 == sw && closed == cw && gapOk && accounted
+      s2 == sw && closed == cw && gapOk && splitsOk && accounted
+    }
+
+  property("sessions: in-slack earlier event extends the open session backwards") =
+    forAll(genSessionEvents) { events =>
+      val (s1, _) = SessionStatefulProcessor.advance(1L, None, events.iterator)
+      s1.forall { st =>
+        // a late-but-in-watermark event 5 s before the session's last —
+        // possibly before its START for single-event sessions
+        val t = st.lastMillis - 5000L
+        val late = event(9999L, t, 1.0)
+        val (s2, c2) = SessionStatefulProcessor.advance(1L, s1, Iterator(late))
+        c2.isEmpty && s2.exists { n =>
+          n.startMillis == math.min(st.startMillis, t) && n.n == st.n + 1
+        }
+      }
     }
 
   property("transitions: n−1 pairs, chain-linked, split-invariant") =
