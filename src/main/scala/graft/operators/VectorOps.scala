@@ -59,12 +59,28 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Sign-bit bucket code over the first 8 dimensions — a deterministic
-    * random-hyperplane LSH (axis-aligned planes), giving 256 buckets.
+  /** Bucket-code width (dims → 2^bits buckets) — the DEV-scale default
+    * the static DuckDB oracles encode. Production corpora want more
+    * planes (16-24 bits for billions of vectors, multi-probe on the
+    * near-miss codes); tune per-session via `graft.ann.bits` — the knob
+    * trades bucket collision rate (recall) for candidate volume, the
+    * same trade the MinHash k/bands knobs make.
     */
-  private def bucketCode(v: Column): Column =
+  private val SignBits = 8
+
+  private[graft] def signBits(spark: SparkSession): Int = {
+    val b = spark.conf.get("graft.ann.bits", SignBits.toString).toInt
+    require(b > 0 && b <= 64, s"graft.ann.bits=$b must be in (0, 64]")
+    b
+  }
+
+  /** Sign-bit bucket code over the first `bits` dimensions — a
+    * deterministic random-hyperplane LSH (axis-aligned planes), giving
+    * 2^bits buckets.
+    */
+  private def bucketCode(v: Column, bits: Int): Column =
     array_join(
-      transform(slice(v, 1, 8), x => when(x >= 0, "1").otherwise("0")), "")
+      transform(slice(v, 1, bits), x => when(x >= 0, "1").otherwise("0")), "")
 
   /** LSH-bucketed ANN: top-5 cosine neighbors within the same sign-bucket.
     * The scale variant: candidates co-partitioned by bucket, so the join
@@ -75,7 +91,7 @@ object VectorOps {
       .embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", bucketCode(col("v")))
+      .withColumn("bucket", bucketCode(col("v"), signBits(spark)))
     val left = emb.select(col("bucket"), col("vec_id").as("query_id"),
                           col("v").as("qv"), col("nrm").as("qn"))
     val scored = emb
@@ -97,7 +113,7 @@ object VectorOps {
       .embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", bucketCode(col("v")))
+      .withColumn("bucket", bucketCode(col("v"), signBits(spark)))
     val right = emb.select(col("bucket"), col("vec_id").as("vec2"),
                            col("v").as("v2"), col("nrm").as("n2"))
     emb

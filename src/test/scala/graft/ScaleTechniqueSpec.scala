@@ -193,6 +193,26 @@ class ScaleTechniqueSpec extends SparkSpec {
     }
   }
 
+  test("sign-bit LSH width is session-tunable; wider codes refine buckets") {
+    val session = spark
+    import session.implicits._
+    def pairs(): Set[(Long, Long)] =
+      graft.operators.VectorOps.embedNearDup(spark, sf("sf0.001"))
+        .select("vec1", "vec2").as[(Long, Long)].collect().toSet
+    val p8 = pairs() // default 8 bits
+    try {
+      spark.conf.set("graft.ann.bits", "12")
+      val p12 = pairs()
+      // a 12-bit bucket match implies an 8-bit prefix match, so wider
+      // codes can only LOSE candidates — the recall/volume trade the
+      // knob exists to make
+      assert(p12.subsetOf(p8))
+      spark.conf.set("graft.ann.bits", "0")
+      intercept[IllegalArgumentException](
+        graft.operators.VectorOps.embedNearDup(spark, sf("sf0.001")))
+    } finally spark.conf.unset("graft.ann.bits")
+  }
+
   test("pointer-jumping on an empty pair set yields empty labels") {
     val session = spark
     import session.implicits._
