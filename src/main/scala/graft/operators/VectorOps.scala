@@ -74,6 +74,16 @@ object VectorOps {
     b
   }
 
+  /** IVF query-side probe count (`graft.ann.nprobe`, default 1 — the
+    * static oracle form): each query searches its n nearest coarse
+    * cells; members still live in exactly one.
+    */
+  private[graft] def ivfProbes(spark: SparkSession): Int = {
+    val n = spark.conf.get("graft.ann.nprobe", "1").toInt
+    require(n >= 1, s"graft.ann.nprobe=$n must be >= 1")
+    n
+  }
+
   /** Sign-bit bucket code over the first `bits` dimensions — a
     * deterministic random-hyperplane LSH (axis-aligned planes), giving
     * 2^bits buckets.
@@ -158,16 +168,21 @@ object VectorOps {
 
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("d2"), 6), col("label"))
-    val assigned = emb
+    val ranked = emb
       .crossJoin(broadcast(centroids))
       .withColumn("d2", dist2(col("v"), col("centroid")))
       .withColumn("rn", row_number().over(wCell))
+
+    // members live in exactly their nearest cell; QUERIES probe their
+    // `graft.ann.nprobe` nearest cells (default 1, the oracle form) —
+    // the standard IVF recall knob: more probed cells, more candidates
+    val assigned = ranked
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label").as("cell"), col("v"), col("nrm"))
 
-    val queries = assigned
-      .filter(col("vec_id") < 20)
-      .select(col("cell"), col("vec_id").as("query_id"),
+    val queries = ranked
+      .filter(col("vec_id") < 20 && col("rn") <= ivfProbes(spark))
+      .select(col("label").as("cell"), col("vec_id").as("query_id"),
               col("v").as("qv"), col("nrm").as("qn"))
     val scoredCell = assigned
       .join(queries, Seq("cell"))

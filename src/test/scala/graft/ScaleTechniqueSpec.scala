@@ -213,6 +213,28 @@ class ScaleTechniqueSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ann.bits")
   }
 
+  test("IVF nprobe is session-tunable; more probes never worsen any rank") {
+    val session = spark
+    import session.implicits._
+    def byRank(): Map[(Long, Long), Double] =
+      graft.operators.VectorOps.annIvf(spark, sf("sf0.001"))
+        .select("query_id", "rank", "cosine")
+        .as[(Long, Long, Double)].collect()
+        .map { case (q, r, c) => (q, r) -> c }.toMap
+    val one = byRank() // default nprobe=1
+    try {
+      spark.conf.set("graft.ann.nprobe", "3")
+      val three = byRank()
+      // probing more cells only ADDS candidates, so the cosine at every
+      // (query, rank) position can only improve or stay equal
+      assert(one.forall { case (k, c1) => three.get(k).forall(_ >= c1 - 1e-9) })
+      assert(three.nonEmpty)
+      spark.conf.set("graft.ann.nprobe", "0")
+      intercept[IllegalArgumentException](
+        graft.operators.VectorOps.annIvf(spark, sf("sf0.001")))
+    } finally spark.conf.unset("graft.ann.nprobe")
+  }
+
   test("pointer-jumping on an empty pair set yields empty labels") {
     val session = spark
     import session.implicits._
