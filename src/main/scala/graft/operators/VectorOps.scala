@@ -92,18 +92,49 @@ object VectorOps {
     array_join(
       transform(slice(v, 1, bits), x => when(x >= 0, "1").otherwise("0")), "")
 
+  /** Multi-probe flips (`graft.ann.multiprobe`, default 0 — the static
+    * oracle form): 1 probes every Hamming-1 neighbor code as well — the
+    * standard multi-probe LSH recall knob (a vector near a hyperplane
+    * lands on either side, so its true neighbors often sit one flipped
+    * bit away).
+    */
+  private[graft] def multiProbe(spark: SparkSession): Int = {
+    val m = spark.conf.get("graft.ann.multiprobe", "0").toInt
+    require(m == 0 || m == 1, s"graft.ann.multiprobe=$m must be 0 or 1")
+    m
+  }
+
+  /** The probe-code set for a bucket code: the exact code, plus every
+    * one-bit flip when multi-probe is on. Codes are distinct and a
+    * candidate lives in exactly one bucket, so no (query, candidate)
+    * pair can match twice.
+    */
+  private def probeCodes(bucket: Column, bits: Int, flips: Int): Column =
+    if (flips == 0) array(bucket)
+    else
+      concat(
+        array(bucket),
+        transform(sequence(lit(1), lit(bits)), i =>
+          concat(bucket.substr(lit(1), i - 1),
+                 when(bucket.substr(i, lit(1)) === "1", "0").otherwise("1"),
+                 bucket.substr(i + 1, lit(bits)))))
+
   /** LSH-bucketed ANN: top-5 cosine neighbors within the same sign-bucket.
     * The scale variant: candidates co-partitioned by bucket, so the join
     * fan-out is |bucket|², not |table|².
     */
   def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val bits = signBits(spark)
     val emb = Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", bucketCode(col("v"), signBits(spark)))
-    val left = emb.select(col("bucket"), col("vec_id").as("query_id"),
-                          col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("bucket", bucketCode(col("v"), bits))
+    // query side probes its own bucket (+ Hamming-1 codes under
+    // multi-probe); candidates stay in exactly their own bucket
+    val left = emb.select(
+      explode(probeCodes(col("bucket"), bits, multiProbe(spark))).as("bucket"),
+      col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = emb
       .join(left, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -213,6 +213,27 @@ class ScaleTechniqueSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ann.bits")
   }
 
+  test("multi-probe LSH probes Hamming-1 codes; never worsens any rank") {
+    val session = spark
+    import session.implicits._
+    def byRank(): Map[(Long, Long), Double] =
+      graft.operators.VectorOps.annLshBucketed(spark, sf("sf0.001"))
+        .select("query_id", "rank", "cosine")
+        .as[(Long, Long, Double)].collect()
+        .map { case (q, r, c) => (q, r) -> c }.toMap
+    val exact = byRank() // default: exact bucket only
+    try {
+      spark.conf.set("graft.ann.multiprobe", "1")
+      val probed = byRank()
+      // flipped-bit probes only ADD candidates
+      assert(exact.forall { case (k, c) => probed.get(k).forall(_ >= c - 1e-9) })
+      assert(probed.size >= exact.size)
+      spark.conf.set("graft.ann.multiprobe", "2")
+      intercept[IllegalArgumentException](
+        graft.operators.VectorOps.annLshBucketed(spark, sf("sf0.001")))
+    } finally spark.conf.unset("graft.ann.multiprobe")
+  }
+
   test("IVF nprobe is session-tunable; more probes never worsen any rank") {
     val session = spark
     import session.implicits._
