@@ -81,7 +81,78 @@ class CooldownStatefulProcessor
   }
 }
 
+/** Incrementally-carried moments companion for
+  * [[AnomalyListStateProcessor]]'s list buffer.
+  */
+case class BufferMoments(sum: Double, sumSquares: Double)
+
+/** The anomaly detector with its value buffer in LIST state — the state
+  * shape a 100-TB deployment wants: [[AnomalyStatefulProcessor]] stores
+  * the whole [[RollingStats]] case class in one ValueState cell, so
+  * every update rewrites all ~100 buffered doubles; a `ListState` keeps
+  * per-element rows in RocksDB, where `appendValue`/`appendList` is an
+  * O(new) write and only eviction compacts. The running moments ride a
+  * tiny companion ValueState cell rather than being recomputed from the
+  * buffer — recomputation would change the float accumulation order and
+  * break BIT parity with the other two detector forms
+  * (StatefulProcessorSpec asserts all three emit identical alerts).
+  */
+class AnomalyListStateProcessor
+    extends StatefulProcessor[String, Event, AnomalyAlert] {
+
+  @transient private var buffer: org.apache.spark.sql.streaming.ListState[Double] = _
+  @transient private var moments: ValueState[BufferMoments] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buffer = getHandle.getListState[Double](
+      "valueBuffer", Encoders.scalaDouble, TTLConfig.NONE)
+    moments = getHandle.getValueState[BufferMoments](
+      "moments", Encoders.product[BufferMoments], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: String,
+      inputRows: Iterator[Event],
+      timerValues: TimerValues): Iterator[AnomalyAlert] = {
+    val prior = if (buffer.exists()) buffer.get().toVector else Vector.empty
+    val mom = Option(moments.get()).getOrElse(BufferMoments(0.0, 0.0))
+    var st = RollingStats(prior, mom.sum, mom.sumSquares)
+    val newValues = Vector.newBuilder[Double]
+    val out = inputRows.toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+      .flatMap { e =>
+        st = st.add(e.value)
+        newValues += e.value
+        if (st.size >= AnomalyProcessor.MinSamples)
+          Some(AnomalyProcessor.score(e, st))
+        else None
+      }
+    val appended = newValues.result()
+    if (prior.size + appended.size <= st.maxSize) {
+      // no eviction yet: pure append writes
+      buffer.appendList(appended.toArray)
+    } else {
+      // eviction compaction: rewrite the ≤maxSize tail
+      buffer.put(st.values.toArray)
+    }
+    moments.update(BufferMoments(st.sum, st.sumSquares))
+    out.iterator
+  }
+}
+
 object TypedStatefulProcessors {
+
+  /** events → alerts with the ListState-buffered detector. */
+  def anomalyListStream(spark: SparkSession,
+                        events: Dataset[Event]): Dataset[AnomalyAlert] = {
+    import spark.implicits._
+    events
+      .filter(_.value > 0)
+      .groupByKey(_.event_type)
+      .transformWithState(new AnomalyListStateProcessor,
+                          TimeMode.None(),
+                          OutputMode.Update())
+  }
 
   /** events → EWMA levels via the native transformWithState operator. */
   def ewmaStream(spark: SparkSession,

@@ -93,6 +93,26 @@ class StatefulProcessorSpec extends AnyFunSuite {
       .sortBy(e => (e.ts.getTime, e.event_id))
   }
 
+  test("ListState-buffered detector emits exactly the ValueState detector's alerts") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+
+    def alerts(df: org.apache.spark.sql.DataFrame): Set[(Long, Double, Double, String)] =
+      df.as[AnomalyAlert].collect()
+        .map(a => (a.event_id, a.z_score, a.mad_score, a.severity)).toSet
+
+    val list = alerts(runStream[Event, AnomalyAlert](
+      "ls_alerts", events.toSeq,
+      in => TypedStatefulProcessors.anomalyListStream(spark, in.toDS())))
+    val value = alerts(runStream[Event, AnomalyAlert](
+      "vs_alerts", events.toSeq,
+      in => AnomalyStatefulProcessor.anomalyStream(spark, in.toDS())))
+
+    assert(list.nonEmpty)
+    assert(list == value)
+  }
+
   test("EWMA transformWithState matches flatMapGroupsWithState final levels") {
     val session = spark
     import session.implicits._
