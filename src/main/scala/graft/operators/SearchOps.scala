@@ -179,6 +179,58 @@ object SearchOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM mean log-probability per document — the next step up from
+    * [[docLogprob]]'s unigram model and the shape of a KenLM-style
+    * quality filter: contrib(i) = ln((c₂(wᵢ₋₁,wᵢ) + 0.5) / (c₁(wᵢ₋₁) +
+    * 0.5·V)) with corpus-level counts and add-½ smoothing over the
+    * unigram vocabulary V.
+    *
+    * Cross-engine: every ln argument this query evaluates is audited
+    * bit-identical between Java and DuckDB by `tools/ln_audit.py`
+    * (kind `bg2`) — the precondition for hash-exact log scoring; the
+    * per-doc mean is a fixed-order fold over position-sorted contribs.
+    * Shape: two count shuffles (bigram, unigram) + the posting join
+    * back — linear, standard LM-count dataflow.
+    */
+  def docLogprobBigram(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+              split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+                .as("t"))
+    val bigrams = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+              posexplode(transform(
+                sequence(lit(1), size(col("t")) - 1),
+                i => struct(element_at(col("t"), i).as("prev"),
+                            element_at(col("t"), i + 1).as("cur")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+              col("col.prev").as("prev"), col("col.cur").as("cur"))
+    val c2 = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = toks
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c1"))
+    val vsize = broadcast(c1.agg(count(lit(1)).as("v_size")))
+    bigrams
+      .join(c2, Seq("prev", "cur"))
+      .join(c1.withColumnRenamed("w", "prev"), Seq("prev"))
+      .crossJoin(vsize)
+      .withColumn("contrib",
+                  log((col("c2").cast("double") + lit(0.5)) /
+                    (col("c1").cast("double") + lit(0.5) * col("v_size"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           aggregate(
+             array_sort(collect_list(struct(col("pos"), col("contrib")))),
+             lit(0.0), (acc, x) => acc + x.getField("contrib")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+              round(col("s") / col("n_bigrams").cast("double"), 6)
+                .as("logprob_per_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-label discriminative vocabulary: χ² feature selection of tokens
     * against the language label (the standard contingency-table
     * statistic over [in-label × contains-token] document counts) — what
@@ -318,6 +370,34 @@ object SearchOps {
          |FROM s
          |ORDER BY ${QueryTerms.indices.map(i => s"s$i").reduceLeft((a, b) => s"($a + $b)")} DESC, doc_id
          |LIMIT 50""".stripMargin,
+    "doc_logprob_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, CAST(p.i AS BIGINT) AS pos, t[p.i] AS prev, t[p.i + 1] AS cur
+        |  FROM d, UNNEST(range(1, len(t))) p(i)
+        |),
+        |c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |u AS (SELECT u.w AS w FROM d, UNNEST(t) u(w)),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+        |vs AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM c1),
+        |c AS (
+        |  SELECT bg.doc_id, bg.pos,
+        |         ln((CAST(c2.c2 AS DOUBLE) + 0.5) / (CAST(c1.c1 AS DOUBLE) + 0.5 * v_size)) AS contrib
+        |  FROM bg
+        |  JOIN c2 ON bg.prev = c2.prev AND bg.cur = c2.cur
+        |  JOIN c1 ON bg.prev = c1.w
+        |  CROSS JOIN vs
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                                      list(contrib ORDER BY pos)),
+        |                         (a, x) -> a + x) / CAST(count(*) AS DOUBLE), 6)
+        |         AS logprob_per_bigram
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_logprob" ->
       s"""WITH tok AS ($tokSql),
          |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tok GROUP BY 1),

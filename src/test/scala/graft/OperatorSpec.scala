@@ -305,6 +305,19 @@ class OperatorSpec extends SparkSpec {
     assert(byP.head.getAs[Double]("weight") >= byP.head.getAs[Double]("p_raw") - 1e-9)
   }
 
+  test("bigram logprob: negative, and repetitive text scores higher") {
+    val session = spark
+    import session.implicits._
+    val dir = writeDocs(Seq(
+      (1L, Array.fill(20)("ping pong").mkString(" ")), // one dominant bigram
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "))   // all-distinct bigrams
+    ).toDF("doc_id", "text"))
+    val rows = SearchOps.docLogprobBigram(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.values.forall(_ < 0)) // smoothed probabilities are < 1
+    assert(rows(1L) > rows(2L)) // predictable text is more probable
+  }
+
   test("lsh_recall: caught ⊆ truth, probabilities bounded") {
     val r = DedupOps.lshRecall(spark, sf("sf0.001")).head()
     assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_true_pairs"))

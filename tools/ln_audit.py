@@ -39,6 +39,17 @@ for sfd in SFS:
         n AS (SELECT count(*) nd FROM documents)
         SELECT DISTINCT CAST(nd AS BIGINT), CAST(df AS BIGINT) FROM df, n""").fetchall():
         args.add(("bm", a, b))
+    # doc_logprob_bigram: ln((c2 + 0.5) / (c1 + 0.5 * V))
+    for a, b, v in con.execute("""WITH d AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)),'\\s+',' ','g'),' ') AS t FROM documents),
+        bg AS (SELECT t[p.i] AS prev, t[p.i+1] AS cur FROM d, UNNEST(range(1, len(t))) p(i)),
+        c2 AS (SELECT prev, cur, count(*) c2 FROM bg GROUP BY 1,2),
+        u AS (SELECT u.w AS w FROM d, UNNEST(t) u(w)),
+        c1 AS (SELECT w, count(*) c1 FROM u GROUP BY 1),
+        vs AS (SELECT count(*) v FROM c1)
+        SELECT DISTINCT CAST(c2.c2 AS BIGINT), CAST(c1.c1 AS BIGINT), CAST(v AS BIGINT)
+        FROM c2 JOIN c1 ON c2.prev = c1.w CROSS JOIN vs""").fetchall():
+        args.add(("bg2", a, b, v))
 
 work = Path(tempfile.mkdtemp(prefix="ln_audit"))
 out = work / "java_ln.txt"
@@ -46,7 +57,7 @@ out = work / "java_ln.txt"
 # per argument in main() hits javac's 64KB method-bytecode limit beyond a
 # few thousand distinct arguments (larger SFs / vocabularies).
 inp = work / "ln_args.csv"
-inp.write_text("".join(f"{kind},{a},{b}\n" for kind, a, b in sorted(args)))
+inp.write_text("".join(",".join(map(str, t)) + "\n" for t in sorted(args, key=lambda t: (t[0],) + t[1:])))
 src = f"""public class LnAudit {{ public static void main(String[] x) throws Exception {{
   java.io.BufferedReader r = new java.io.BufferedReader(new java.io.FileReader("{inp}"));
   java.io.PrintWriter w = new java.io.PrintWriter("{out}");
@@ -54,9 +65,13 @@ src = f"""public class LnAudit {{ public static void main(String[] x) throws Exc
   while ((line = r.readLine()) != null) {{
     String[] f = line.split(",");
     long a = Long.parseLong(f[1]), b = Long.parseLong(f[2]);
-    double v = f[0].equals("div") ? Math.log((double) a / b)
-                                  : Math.log(((double) a - b + 0.5) / (b + 0.5));
-    w.println(f[0] + "," + a + "," + b + "," + Double.doubleToLongBits(v));
+    double v;
+    if (f[0].equals("div")) v = Math.log((double) a / b);
+    else if (f[0].equals("bg2")) {{
+      long vs = Long.parseLong(f[3]);
+      v = Math.log(((double) a + 0.5) / ((double) b + 0.5 * vs));
+    }} else v = Math.log(((double) a - b + 0.5) / (b + 0.5));
+    w.println(line + "," + Double.doubleToLongBits(v));
   }}
   r.close(); w.close(); }} }}"""
 (work / "LnAudit.java").write_text(src)
@@ -65,10 +80,16 @@ subprocess.run(["java", "LnAudit"], cwd=work, check=True)
 
 bad = n = 0
 for line in out.read_text().splitlines():
-    kind, a, b, bits = line.split(",")
-    a, b, bits = int(a), int(b), int(bits)
-    sql = (f"SELECT ln(CAST({a} AS DOUBLE) / {b})" if kind == "div"
-           else f"SELECT ln((CAST({a} AS DOUBLE) - {b} + 0.5) / ({b} + 0.5))")
+    parts = line.split(",")
+    kind, bits = parts[0], int(parts[-1])
+    a, b = int(parts[1]), int(parts[2])
+    if kind == "div":
+        sql = f"SELECT ln(CAST({a} AS DOUBLE) / {b})"
+    elif kind == "bg2":
+        vv = int(parts[3])
+        sql = f"SELECT ln((CAST({a} AS DOUBLE) + 0.5) / (CAST({b} AS DOUBLE) + 0.5 * {vv}))"
+    else:
+        sql = f"SELECT ln((CAST({a} AS DOUBLE) - {b} + 0.5) / ({b} + 0.5))"
     v = con.execute(sql).fetchone()[0]
     db = struct.unpack("<q", struct.pack("<d", v))[0]
     n += 1
