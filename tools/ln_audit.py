@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
 """Audit cross-engine bit-identity of every ln() argument the log-scored
-queries (tfidf_topterms, bm25_search, doc_logprob) actually evaluate at a
-scale factor: Java's Math.log and DuckDB's ln are NOT bit-identical over
+queries (tfidf_topterms, bm25_search, doc_logprob, doc_logprob_bigram)
+actually evaluate at a scale factor: Java's Math.log and DuckDB's ln are NOT bit-identical over
 all of (0,1) (sampled ~0.2% of arguments differ in the last ulp), so any
 NEW log-based scoring must audit its real argument set like this before
 trusting hash equality.
 
 Usage: python3 tools/ln_audit.py [sfdir ...]   (default: sf0.01 sf0.1)
 Exit 0 iff every actual argument is bit-identical.
+
+Caveat shared with every tokenizing oracle here: Java \s includes
+vertical tab (U+000B), RE2's does not — corpora containing \x0B would
+tokenize differently across engines before ln is ever reached.
 """
 import struct, subprocess, sys, tempfile
 from pathlib import Path
@@ -57,7 +61,7 @@ out = work / "java_ln.txt"
 # per argument in main() hits javac's 64KB method-bytecode limit beyond a
 # few thousand distinct arguments (larger SFs / vocabularies).
 inp = work / "ln_args.csv"
-inp.write_text("".join(",".join(map(str, t)) + "\n" for t in sorted(args, key=lambda t: (t[0],) + t[1:])))
+inp.write_text("".join(",".join(map(str, t)) + "\n" for t in sorted(args)))
 src = f"""public class LnAudit {{ public static void main(String[] x) throws Exception {{
   java.io.BufferedReader r = new java.io.BufferedReader(new java.io.FileReader("{inp}"));
   java.io.PrintWriter w = new java.io.PrintWriter("{out}");
