@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding.round
 
@@ -181,16 +182,22 @@ object SearchOps {
 
   /** Bigram-LM mean log-probability per document — the next step up from
     * [[docLogprob]]'s unigram model and the shape of a KenLM-style
-    * quality filter: contrib(i) = ln((c₂(wᵢ₋₁,wᵢ) + 0.5) / (c₁(wᵢ₋₁) +
-    * 0.5·V)) with corpus-level counts and add-½ smoothing over the
-    * unigram vocabulary V.
+    * quality filter: contrib(i) = ln((c₂(wᵢ₋₁,wᵢ) + 0.5) /
+    * (c₁(wᵢ₋₁) + 0.5·V)) with corpus-level counts, where c₁ is the
+    * UNIGRAM count of the context word and V the vocabulary size,
+    * add-½ smoothed. (The textbook conditional divides by the context
+    * count Σ_w c₂ instead; that variant evaluates an ln argument whose
+    * Java/DuckDB results differ in the last ulp on this corpus — the
+    * audit below caught it — so the unigram form, whose full argument
+    * set IS bit-identical, is the one shipped with a hash oracle.)
     *
     * Cross-engine: every ln argument this query evaluates is audited
     * bit-identical between Java and DuckDB by `tools/ln_audit.py`
     * (kind `bg2`) — the precondition for hash-exact log scoring; the
     * per-doc mean is a fixed-order fold over position-sorted contribs.
-    * Shape: two count shuffles (bigram, unigram) + the posting join
-    * back — linear, standard LM-count dataflow.
+    * Shape: the pair count is a WINDOW count over the posting frame
+    * (no count-join-back, which would re-run the bigram explode per
+    * join side); the unigram counts join once on the context word.
     */
   def docLogprobBigram(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables
@@ -207,14 +214,14 @@ object SearchOps {
                             element_at(col("t"), i + 1).as("cur")))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
               col("col.prev").as("prev"), col("col.cur").as("cur"))
-    val c2 = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
     val c1 = toks
       .select(explode(col("t")).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("c1"))
     val vsize = broadcast(c1.agg(count(lit(1)).as("v_size")))
     bigrams
-      .join(c2, Seq("prev", "cur"))
+      .withColumn("c2",
+                  count(lit(1)).over(Window.partitionBy(col("prev"), col("cur"))))
       .join(c1.withColumnRenamed("w", "prev"), Seq("prev"))
       .crossJoin(vsize)
       .withColumn("contrib",
