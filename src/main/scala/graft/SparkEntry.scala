@@ -145,8 +145,10 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. `approx_distinct_users` is intentionally
-    * omitted (engine-specific HLL sketch → rows-only check).
+    * the same parquet tables. Every query has one — including
+    * `approx_distinct_users`, whose engine-specific HLL estimate is
+    * self-gated (`within_tolerance`) so the oracle checks the exact
+    * count plus the gate verdict rather than the sketch itself.
     */
   def oracleSql: Map[String, String] =
     (SeriesOps.oracles ++ KpiOps.oracles ++ AnomalyOps.oracles ++

@@ -217,48 +217,13 @@ object AnomalyOps {
     * stream (`read-api/main.py:385-400`, `alert-service/main.py:463-474`).
     * Re-deriving the full rolling-stats pipeline per consumer query would
     * do strictly more work than the reference; instead the scored frame is
-    * persisted once per dataset and every alert-family consumer reads it.
-    * MEMORY_AND_DISK: the store spills rather than OOMs; at cluster scale
-    * this would be a written table (Delta/parquet), same semantics.
-    * Results are bit-identical to the unpersisted plan (same plan, same
-    * partitioning) — Verify hashes prove it.
+    * persisted once per dataset ([[FrameStore]]) and every alert-family
+    * consumer reads it.
     */
-  // insertion-ordered so eviction is true FIFO (oldest entry first);
-  // all access is guarded by the map's own monitor
-  private val alertStore =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame]
-  private val MaxStoredFrames = 4
+  private val alertStore = new FrameStore(4)
 
-  private def scoredStore(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val hit = alertStore.synchronized(Option(alertStore.get(key)))
-    hit.getOrElse {
-      // build + persist OUTSIDE the lock: plan construction is expensive
-      // and must not serialize unrelated datasets' builds
-      val built = scored(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      alertStore.synchronized {
-        val race = alertStore.get(key)
-        if (race != null) {
-          built.unpersist(blocking = false) // another thread won
-          race
-        } else {
-          // bounded store: evict (and unpersist) the OLDEST frame so
-          // touching many datasets in one JVM (tests, multi-tenant
-          // sessions) can't pin unbounded block storage
-          if (alertStore.size >= MaxStoredFrames) {
-            val it = alertStore.entrySet().iterator()
-            if (it.hasNext) {
-              it.next().getValue.unpersist(blocking = false)
-              it.remove()
-            }
-          }
-          alertStore.put(key, built)
-          built
-        }
-      }
-    }
-  }
+  private def scoredStore(spark: SparkSession, dir: String): DataFrame =
+    alertStore.getOrBuild(spark, dir)(scored(spark, dir))
 
   /** Anomalies only, with the reference's alert fields: thresholds,
     * formatted description (`String.format`,

@@ -702,38 +702,56 @@ object DedupOps {
     * as duplicated; the per-doc output is the fraction of token
     * positions covered by at least one duplicated span.
     *
-    * Scale shape — ONE posting pass, linear all the way: the span
-    * occurrence count is a `count() over (partition by md5(span))`
-    * window (one shuffle on the fixed-width 128-bit key; at 100 TB the
-    * key bytes dominate shuffle volume, which is why the span text
-    * itself never shuffles), so the marked posting list feeds the
-    * single per-doc aggregation directly — no join back, and the
-    * posting subtree is consumed exactly once (a naive
-    * count-filter-join form re-executes the corpus scan and shingling
-    * once per consumer). Coverage union, gram count, and dup-gram count
-    * come out of one groupBy(doc_id) with three count-distincts over a
-    * bounded ×[[SpanTokens]] offset explode. The exact-substring
-    * alternative (distributed suffix array) trades this shape for
-    * global sorts; the n-gram form is the standard Spark substitute.
+    * Scale shape — skew-immune by construction: the span occurrence
+    * count is a `groupBy(gh).count` over the fixed-width 128-bit span
+    * hash (at 100 TB the key bytes dominate shuffle volume, which is
+    * why the span text itself never shuffles). Partial aggregation
+    * combines a hot span MAP-SIDE, so a boilerplate 5-gram occurring
+    * 10⁸ times reduces to one row per input partition before the
+    * shuffle — the window form this replaced
+    * (`count() over (partition by gh)`) materialized all 10⁸ posting
+    * rows in a single WindowExec task, and AQE cannot split window
+    * partitions. Dup hashes (`count ≥ 2` is the only thing any consumer
+    * reads, so the per-row count is never carried) then mark the
+    * posting list via a left join; if that join itself skews, AQE's
+    * skew-join splitting applies — joins CAN be split, windows can't.
+    * The grams frame feeds both the count and the join-back, so it is
+    * persisted once per dataset ([[FrameStore]]) rather than
+    * re-scanning and re-shingling the corpus per subtree; at cluster
+    * scale it would be a written intermediate table, same semantics.
+    * Coverage union, gram count, and dup-gram count come out of one
+    * groupBy(doc_id) with three count-distincts over a bounded
+    * ×[[SpanTokens]] offset explode. The exact-substring alternative
+    * (distributed suffix array) trades this shape for global sorts; the
+    * n-gram form is the standard Spark substitute.
     */
+  private val gramStore = new FrameStore(2)
+
   def dupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables
       .documents(spark, dir)
       .select(col("doc_id"),
               split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
                 .as("t"))
-    val grams = toks
-      .filter(size(col("t")) >= SpanTokens)
-      .select(col("doc_id"),
-              posexplode(transform(
-                sequence(lit(1), size(col("t")) - (SpanTokens - 1)),
-                i => md5(concat_ws(" ", slice(col("t"), i, lit(SpanTokens)))))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-              col("col").as("gh"))
-    val marked = grams.withColumn(
-      "dup",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("gh"))) >= 2)
+    val grams = gramStore.getOrBuild(spark, dir) {
+      toks
+        .filter(size(col("t")) >= SpanTokens)
+        .select(col("doc_id"),
+                posexplode(transform(
+                  sequence(lit(1), size(col("t")) - (SpanTokens - 1)),
+                  i => md5(concat_ws(" ", slice(col("t"), i, lit(SpanTokens)))))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+                col("col").as("gh"))
+    }
+    val dupHashes = grams
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("gh"), lit(true).as("dup"))
+    val marked = grams
+      .join(dupHashes, Seq("gh"), "left")
+      .select(col("doc_id"), col("pos"),
+              coalesce(col("dup"), lit(false)).as("dup"))
     // dup grams fan out to their covered offsets; non-dup grams keep one
     // null-offset row so the same aggregation counts them too
     val expanded = marked.select(
@@ -790,7 +808,14 @@ object DedupOps {
     *
     * Cost note: Levenshtein is O(|a|·|b|) per pair, which is exactly why
     * it runs only on the LSH-verified candidates (a vanishing fraction
-    * of the corpus) and never as a candidate generator.
+    * of the corpus) and never as a candidate generator. A length
+    * prefilter runs before it: Levenshtein distance is bounded below by
+    * the length difference, so edit_sim ≥ [[EditSimThreshold]] (0.8)
+    * requires |len(a) − len(b)| ≤ (1 − 0.8)·max(len) — a pair failing
+    * `5·|len(a) − len(b)| ≤ max(len)` provably cannot verify and is
+    * dropped without paying the O(|a|·|b|) pass (the 5× integer form is
+    * exact in both engines; a 0.2 float literal has a cross-engine
+    * decimal-vs-binary boundary).
     */
   def dedupVerifyEditdist(spark: SparkSession, dir: String): DataFrame = {
     val norm = Tables
@@ -801,6 +826,8 @@ object DedupOps {
       .select(col("doc1"), col("doc2"), col("jaccard"))
       .join(norm.select(col("doc_id").as("doc1"), col("norm").as("na")), "doc1")
       .join(norm.select(col("doc_id").as("doc2"), col("norm").as("nb")), "doc2")
+      .filter(abs(length(col("na")) - length(col("nb"))) * 5 <=
+        greatest(length(col("na")), length(col("nb"))))
       .withColumn("lev_dist", levenshtein(col("na"), col("nb")).cast("long"))
       .withColumn(
         "edit_sim",
@@ -1086,6 +1113,8 @@ object DedupOps {
           |FROM lsh l
           |JOIN nrm a ON l.doc1 = a.doc_id
           |JOIN nrm b ON l.doc2 = b.doc_id
+          |WHERE 5 * abs(length(a.norm) - length(b.norm))
+          |      <= greatest(length(a.norm), length(b.norm))
           |ORDER BY doc1, doc2""".stripMargin),
     // composed by concatenation (embedded '||' lines, see above); the
     // recursive CTE computes each doc's min reachable id = cluster label

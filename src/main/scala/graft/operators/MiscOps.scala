@@ -160,15 +160,33 @@ object MiscOps {
            count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Relative standard deviation passed to `approx_count_distinct` —
+    * HLL++'s accuracy knob (register count ~ (1.106/rsd)²).
+    */
+  private val HllRsd = 0.01
+
   /** HyperLogLog++ distinct estimate — the 100 TB path for count-distinct
-    * KPIs (constant memory per group vs the exact two-phase aggregate).
-    * Rows-only check: sketch estimates are engine-specific by design.
+    * KPIs (constant memory per group vs the exact two-phase aggregate) —
+    * SELF-GATED: the sketch estimate is engine-specific (no portable
+    * oracle), so the query also computes the exact count and emits
+    * `within_tolerance` = |estimate/exact − 1| ≤ 3·[[HllRsd]] (the 3σ
+    * acceptance bound — rsd IS the standard deviation of the relative
+    * error). The DuckDB oracle recomputes the exact count and a literal
+    * `true`, making rows+schema+hash all checkable without the sketch
+    * itself ever crossing engines. The exact aggregate exists only to
+    * power the gate; a production KPI would ship the estimate alone.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables
       .events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+      .agg(approx_count_distinct(col("user_id"), HllRsd).as("approx"),
+           count_distinct(col("user_id")).as("n_users_exact"))
+      .select(
+        col("event_type"), col("n_users_exact"),
+        (abs(col("approx").cast("double") /
+               col("n_users_exact").cast("double") - 1.0) <= 3 * HllRsd)
+          .as("within_tolerance"))
       .orderBy(col("event_type"))
 
   /** Distinct users per event type — the set-operation building block. */
@@ -243,6 +261,12 @@ object MiscOps {
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
     "distinct_users" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the estimate itself is engine-specific; the oracle checks the exact
+    // count and asserts the Spark side judged its own sketch in-tolerance
+    "approx_distinct_users" ->
+      s"""SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+         |       true AS within_tolerance
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
     "users_click_and_purchase" ->
       s"""SELECT DISTINCT user_id FROM $ev e WHERE event_type = 'click'

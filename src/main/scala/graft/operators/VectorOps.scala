@@ -108,16 +108,24 @@ object VectorOps {
     * one-bit flip when multi-probe is on. Codes are distinct and a
     * candidate lives in exactly one bucket, so no (query, candidate)
     * pair can match twice.
+    *
+    * The flip sequence is bounded by `length(bucket)`, NOT the
+    * configured bit width: when `graft.ann.bits` exceeds the embedding
+    * dimensionality, [[bucketCode]]'s slice truncates to dim chars, and
+    * flips past the code length would all degenerate to the same
+    * corrupted code (substr past end is empty) — duplicate probe rows
+    * that can never match, silently adding join fan-out instead of
+    * recall.
     */
-  private def probeCodes(bucket: Column, bits: Int, flips: Int): Column =
+  private[graft] def probeCodes(bucket: Column, flips: Int): Column =
     if (flips == 0) array(bucket)
     else
       concat(
         array(bucket),
-        transform(sequence(lit(1), lit(bits)), i =>
+        transform(sequence(lit(1), length(bucket)), i =>
           concat(bucket.substr(lit(1), i - 1),
                  when(bucket.substr(i, lit(1)) === "1", "0").otherwise("1"),
-                 bucket.substr(i + 1, lit(bits)))))
+                 bucket.substr(i + 1, length(bucket)))))
 
   /** LSH-bucketed ANN: top-5 cosine neighbors within the same sign-bucket.
     * The scale variant: candidates co-partitioned by bucket, so the join
@@ -133,7 +141,7 @@ object VectorOps {
     // query side probes its own bucket (+ Hamming-1 codes under
     // multi-probe); candidates stay in exactly their own bucket
     val left = emb.select(
-      explode(probeCodes(col("bucket"), bits, multiProbe(spark))).as("bucket"),
+      explode(probeCodes(col("bucket"), multiProbe(spark))).as("bucket"),
       col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = emb
       .join(left, Seq("bucket"))
@@ -148,7 +156,20 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs within buckets (≥ 0.9). */
+  /** Near-dup cosine threshold (`graft.ann.cosine`, default 0.3 — the
+    * static oracle form, calibrated to the synthetic embeddings' cosine
+    * spread; real text-embedding near-dup pipelines run 0.9+). Same
+    * validate-and-default pattern as the other ANN knobs.
+    */
+  private[graft] def cosineThreshold(spark: SparkSession): Double = {
+    val t = spark.conf.get("graft.ann.cosine", "0.3").toDouble
+    require(t >= -1.0 && t <= 1.0, s"graft.ann.cosine=$t must be in [-1, 1]")
+    t
+  }
+
+  /** Embedding-cosine near-duplicate pairs within buckets
+    * (cosine ≥ [[cosineThreshold]]).
+    */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables
       .embeddings(spark, dir)
@@ -162,7 +183,7 @@ object VectorOps {
       .filter(col("vec_id") < col("vec2"))
       .withColumn("cosine",
                   round(dot(col("v"), col("v2")) / (col("nrm") * col("n2")), 6))
-      .filter(col("cosine") >= 0.3)
+      .filter(col("cosine") >= cosineThreshold(spark))
       .select(col("vec_id").as("vec1"), col("vec2"), col("cosine"))
       .orderBy(col("vec1"), col("vec2"))
   }

@@ -53,6 +53,19 @@ class PlanSpec extends SparkSpec {
     assert(pushed == naive)
   }
 
+  test("dup_span_fraction counts spans without a window (hot-span skew-safe)") {
+    // the r4 form used count() over (partition by gh): one WindowExec task
+    // materializes every posting of a hot boilerplate span, and AQE cannot
+    // split window partitions. The groupBy+join form must never regress.
+    val plan = DedupOps.dupSpanFraction(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"unexpected WindowExec in:\n$plan")
+    assert(plan.toString.contains("HashAggregate"))
+  }
+
   test("column pruning reaches the scan (narrow ReadSchema)") {
     val p = planOf(SeriesOps.seriesAvg(spark, sf("sf0.01")))
     assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"))
@@ -183,12 +196,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("Join"))
   }
 
-  test("dup_span_fraction: windowed posting pass, corpus read at most twice") {
+  test("dup_span_fraction: both posting consumers read the cached grams frame") {
     val p = planOf(DedupOps.dupSpanFraction(spark, sf("sf0.001")))
-    // one posting scan + one per-doc base scan; the old
-    // count-filter-join shape read it four times
-    assert("Scan parquet".r.findAllIn(p).length <= 2)
-    assert(p.contains("Window"))
+    // the span count (groupBy) and the join-back both consume the
+    // FrameStore-persisted grams frame instead of re-scanning and
+    // re-shingling the corpus per subtree
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2)
   }
 
   test("alert routing broadcasts the rules table") {

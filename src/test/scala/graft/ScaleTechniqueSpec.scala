@@ -256,6 +256,39 @@ class ScaleTechniqueSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ann.nprobe")
   }
 
+  test("multi-probe flip set is bounded by the code length, not the bit knob") {
+    // graft.ann.bits > embedding dim truncates the bucket code to dim
+    // chars; flips past the code length used to degenerate to one
+    // corrupted code (substr past end is empty), silently replacing
+    // recall with duplicate join fan-out. The flip sequence must track
+    // length(bucket): a 3-char code probes exactly itself + 3 flips.
+    val session = spark
+    import session.implicits._
+    val codes = Seq("101").toDF("bucket")
+      .select(explode(graft.operators.VectorOps.probeCodes(col("bucket"), 1))
+        .as("p"))
+      .as[String].collect().toSeq
+    assert(codes == Seq("101", "001", "111", "100"))
+    assert(codes.distinct.size == 4 && codes.forall(_.length == 3))
+  }
+
+  test("near-dup cosine threshold is session-tunable; higher = subset") {
+    val session = spark
+    import session.implicits._
+    def pairs(): Set[(Long, Long)] =
+      graft.operators.VectorOps.embedNearDup(spark, sf("sf0.001"))
+        .select("vec1", "vec2").as[(Long, Long)].collect().toSet
+    val base = pairs() // default 0.3
+    try {
+      spark.conf.set("graft.ann.cosine", "0.5")
+      val strict = pairs()
+      assert(strict.subsetOf(base) && strict.size < base.size)
+      spark.conf.set("graft.ann.cosine", "1.5")
+      intercept[IllegalArgumentException](
+        graft.operators.VectorOps.embedNearDup(spark, sf("sf0.001")))
+    } finally spark.conf.unset("graft.ann.cosine")
+  }
+
   test("pointer-jumping on an empty pair set yields empty labels") {
     val session = spark
     import session.implicits._
