@@ -69,16 +69,19 @@ object Bench {
     // swing ±2s from GC/JIT transients (a first-execution Janino compile
     // occasionally lands on a measured run even after warmup); the
     // minimum is the steady-state figure the baseline's
-    // sustained-throughput thresholds describe.
-    def time(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // sustained-throughput thresholds describe. All three raw runs ship
+    // in the "runs" field so round-over-round comparisons can see the
+    // variance instead of guessing whether a delta is noise.
+    def time(names: Seq[String]): Seq[(String, Double, Seq[Double])] =
+      names.map { name =>
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count() }
+          catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, runs.min, runs)
       }
-      name -> runs.min
-    }
 
     val headlineTimes = time(headline)
     val extended = SparkEntry.queries.keySet.diff(headline.toSet).toSeq.sorted
@@ -91,12 +94,18 @@ object Bench {
     val eventsPerSec =
       if (headlineTotal > 0) events * headline.size / headlineTotal else 0.0
 
-    val qs = (headlineTimes ++ extendedTimes)
-      .map { case (k, v) => "\"" + k + "\":" + v }
+    val all = headlineTimes ++ extendedTimes
+    val qs = all
+      .map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rs = all
+      .map { case (k, _, runs) =>
+        "\"" + k + "\":" + runs.map(r => f"$r%.4f").mkString("[", ",", "]")
+      }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir",""" +
+        s""""queries":$qs,"runs":$rs,"sf":"$sfDir",""" +
         s""""extended_total":${extendedTimes.map(_._2).sum},""" +
         s""""events_rows":$events,"events_per_sec":$eventsPerSec}""")
     spark.stop()

@@ -15,8 +15,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * StreamingParitySpec still asserts end-to-end equality on multi-batch
   * splits. All require the RocksDB state store provider
   * ([[AnomalyStatefulProcessor.rocksdbConf]]).
+  *
+  * State lifetime is a constructor knob resolved from `graft.state.ttl`
+  * by the stream builders ([[StateTtl]]); the default is the
+  * reference-parity `TTLConfig.NONE`.
   */
-class EwmaStatefulProcessor
+class EwmaStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, Event, EwmaProcessor.EwmaLevel] {
   import EwmaProcessor._
 
@@ -24,7 +28,7 @@ class EwmaStatefulProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     level = getHandle.getValueState[EwmaState](
-      "ewmaLevel", Encoders.product[EwmaState], TTLConfig.NONE)
+      "ewmaLevel", Encoders.product[EwmaState], ttl)
 
   override def handleInputRows(
       key: String,
@@ -39,7 +43,7 @@ class EwmaStatefulProcessor
 /** Per-user transition pairing as a StatefulProcessor (one LastEvent of
   * state per user, exactly the Flink ValueState shape).
   */
-class TransitionStatefulProcessor
+class TransitionStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[Long, Event, TransitionProcessor.Transition] {
   import TransitionProcessor._
 
@@ -47,7 +51,7 @@ class TransitionStatefulProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     last = getHandle.getValueState[LastEvent](
-      "lastEvent", Encoders.product[LastEvent], TTLConfig.NONE)
+      "lastEvent", Encoders.product[LastEvent], ttl)
 
   override def handleInputRows(
       key: Long,
@@ -59,25 +63,58 @@ class TransitionStatefulProcessor
   }
 }
 
-/** Cooldown gate per (source, severity) as a StatefulProcessor. */
-class CooldownStatefulProcessor
+/** Cooldown gate per (source, severity) as a StatefulProcessor.
+  *
+  * Under event-time mode ([[TypedStatefulProcessors.cooldownStreamWithExpiry]])
+  * the processor also registers one timer per key at `lastFired +
+  * CooldownMillis` and CLEARS the key's state when the watermark passes
+  * it — at that point the gate is provably open (any in-watermark alert
+  * has `ts − lastFired ≥ cooldown`, and an absent lastFired fires too),
+  * so dropping the state cannot change any future verdict while keeping
+  * the store O(keys alerting within one cooldown window) instead of
+  * O(every (source, severity) ever seen). Same one-live-timer-per-key
+  * discipline as [[SessionStatefulProcessor]].
+  */
+class CooldownStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[(String, String), AnomalyAlert,
                               CooldownProcessor.FiredAlert] {
   import CooldownProcessor._
 
   @transient private var lastFired: ValueState[LastFired] = _
+  @transient private var useTimers: Boolean = false
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     lastFired = getHandle.getValueState[LastFired](
-      "lastFired", Encoders.product[LastFired], TTLConfig.NONE)
+      "lastFired", Encoders.product[LastFired], ttl)
+    useTimers = timeMode == TimeMode.EventTime()
+  }
 
   override def handleInputRows(
       key: (String, String),
       inputRows: Iterator[AnomalyAlert],
       timerValues: TimerValues): Iterator[FiredAlert] = {
     val (last, out) = advance(Option(lastFired.get()).map(_.tsMillis), inputRows)
-    last.foreach(l => lastFired.update(LastFired(l)))
+    last.foreach { l =>
+      lastFired.update(LastFired(l))
+      if (useTimers) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(l + CooldownMillis)
+      }
+    }
     out.iterator
+  }
+
+  override def handleExpiredTimer(
+      key: (String, String),
+      timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[FiredAlert] = {
+    val s = lastFired.get()
+    // a stale timer (re-armed later by a newer firing) expires before
+    // the gate is definitively open — ignore it
+    if (s != null && expiredTimerInfo.getExpiryTimeInMs >= s.tsMillis + CooldownMillis)
+      lastFired.clear()
+    Iterator.empty
   }
 }
 
@@ -97,7 +134,7 @@ case class BufferMoments(sum: Double, sumSquares: Double)
   * break BIT parity with the other two detector forms
   * (StatefulProcessorSpec asserts all three emit identical alerts).
   */
-class AnomalyListStateProcessor
+class AnomalyListStateProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, Event, AnomalyAlert] {
 
   @transient private var buffer: org.apache.spark.sql.streaming.ListState[Double] = _
@@ -105,9 +142,9 @@ class AnomalyListStateProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     buffer = getHandle.getListState[Double](
-      "valueBuffer", Encoders.scalaDouble, TTLConfig.NONE)
+      "valueBuffer", Encoders.scalaDouble, ttl)
     moments = getHandle.getValueState[BufferMoments](
-      "moments", Encoders.product[BufferMoments], TTLConfig.NONE)
+      "moments", Encoders.product[BufferMoments], ttl)
   }
 
   override def handleInputRows(
@@ -146,11 +183,12 @@ object TypedStatefulProcessors {
   def anomalyListStream(spark: SparkSession,
                         events: Dataset[Event]): Dataset[AnomalyAlert] = {
     import spark.implicits._
+    val ttl = StateTtl.of(spark)
     events
       .filter(_.value > 0)
       .groupByKey(_.event_type)
-      .transformWithState(new AnomalyListStateProcessor,
-                          TimeMode.None(),
+      .transformWithState(new AnomalyListStateProcessor(ttl),
+                          StateTtl.timeMode(ttl),
                           OutputMode.Update())
   }
 
@@ -158,10 +196,11 @@ object TypedStatefulProcessors {
   def ewmaStream(spark: SparkSession,
                  events: Dataset[Event]): Dataset[EwmaProcessor.EwmaLevel] = {
     import spark.implicits._
+    val ttl = StateTtl.of(spark)
     events
       .groupByKey(_.event_type)
-      .transformWithState(new EwmaStatefulProcessor,
-                          TimeMode.None(),
+      .transformWithState(new EwmaStatefulProcessor(ttl),
+                          StateTtl.timeMode(ttl),
                           OutputMode.Update())
   }
 
@@ -170,10 +209,11 @@ object TypedStatefulProcessors {
       spark: SparkSession,
       events: Dataset[Event]): Dataset[TransitionProcessor.Transition] = {
     import spark.implicits._
+    val ttl = StateTtl.of(spark)
     events
       .groupByKey(_.user_id)
-      .transformWithState(new TransitionStatefulProcessor,
-                          TimeMode.None(),
+      .transformWithState(new TransitionStatefulProcessor(ttl),
+                          StateTtl.timeMode(ttl),
                           OutputMode.Update())
   }
 
@@ -182,11 +222,31 @@ object TypedStatefulProcessors {
       spark: SparkSession,
       alerts: Dataset[AnomalyAlert]): Dataset[CooldownProcessor.FiredAlert] = {
     import spark.implicits._
+    val ttl = StateTtl.of(spark)
     alerts
       .filter(_.is_anomaly)
       .groupByKey(a => (a.event_type, a.severity))
-      .transformWithState(new CooldownStatefulProcessor,
-                          TimeMode.None(),
+      .transformWithState(new CooldownStatefulProcessor(ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update())
+  }
+
+  /** Cooldown gate with event-time state expiry: a watermark drives the
+    * per-key timer that clears `lastFired` once the cooldown window has
+    * definitively passed (see [[CooldownStatefulProcessor]]). Identical
+    * fired-alert output to [[cooldownStream]] for in-watermark data —
+    * StatefulProcessorSpec asserts the parity and the eviction.
+    */
+  def cooldownStreamWithExpiry(
+      spark: SparkSession,
+      alerts: Dataset[AnomalyAlert]): Dataset[CooldownProcessor.FiredAlert] = {
+    import spark.implicits._
+    alerts
+      .filter(_.is_anomaly)
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(a => (a.event_type, a.severity))
+      .transformWithState(new CooldownStatefulProcessor(),
+                          TimeMode.EventTime(),
                           OutputMode.Update())
   }
 }

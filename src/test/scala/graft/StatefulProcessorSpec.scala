@@ -330,6 +330,96 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(s.head.n_events == 2L)
   }
 
+  test("graft.state.ttl evicts idle per-user transition state") {
+    val session = spark
+    import session.implicits._
+    def ev(id: Long, uid: Long, t: Long, tp: String): Event =
+      Event(id, new java.sql.Timestamp(t), uid, tp, 1.0)
+
+    // same two-batch feed, with and without a TTL between the batches:
+    // user 1's second event pairs with the first ONLY if the stored
+    // LastEvent survived the idle wall-clock gap. A processing-time-TTL
+    // query schedules continuous no-data batches for eviction, so
+    // processAllAvailable / AvailableNow never settle (the production
+    // posture is a ProcessingTime trigger interval); instead batch 2
+    // carries a SENTINEL pair for user 2 — two events in one batch
+    // always emit a pair regardless of TTL — and the test polls the
+    // sink for it, which proves batch 2 is fully processed, then stops
+    // the query and inspects user 1's rows.
+    def user1Pairs(name: String, ttlMs: Option[Long]): Long = {
+      ttlMs.foreach(ms => spark.conf.set("graft.state.ttl", ms.toString))
+      try {
+        val input = MemoryStream[Event](spark, 2)
+        val q = TypedStatefulProcessors.transitionStream(spark, input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update).start()
+        try {
+          input.addData(ev(1, 1L, 1704067200000L, "click"))
+          // wait for batch 1 (user 1's LastEvent stored), not by drain
+          val t0 = System.nanoTime()
+          while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+                 System.nanoTime() - t0 < 60e9.toLong) Thread.sleep(50)
+          Thread.sleep(1500) // > the 400 ms TTL, a no-op without one
+          input.addData(Seq(ev(2, 1L, 1704067260000L, "view"),
+                            ev(3, 2L, 1704067260000L, "click"),
+                            ev(4, 2L, 1704067261000L, "view")))
+          val t1 = System.nanoTime()
+          while (spark.table(name).filter(col("user_id") === 2L).isEmpty &&
+                 System.nanoTime() - t1 < 60e9.toLong) Thread.sleep(100)
+        } finally q.stop()
+        assert(spark.table(name).filter(col("user_id") === 2L).count() == 1L)
+        spark.table(name).filter(col("user_id") === 1L).count()
+      } finally spark.conf.unset("graft.state.ttl")
+    }
+
+    assert(user1Pairs("ttl_none", None) == 1L) // parity default: pairs
+    assert(user1Pairs("ttl_on", Some(400L)) == 0L) // state expired: no pair
+    // validation mirrors the other knobs
+    spark.conf.set("graft.state.ttl", "junk")
+    try intercept[IllegalArgumentException](StateTtl.of(spark))
+    finally spark.conf.unset("graft.state.ttl")
+  }
+
+  test("cooldown timers clear state once the watermark passes the gate") {
+    val session = spark
+    import session.implicits._
+    def al(id: Long, src: String, t: String): AnomalyAlert =
+      AnomalyAlert(id, src, java.sql.Timestamp.valueOf(t),
+                   200.0, 50, 50, 5, 50, 3, 5.0, 5.0,
+                   is_anomaly = true, "critical", "z-score")
+
+    val ckpt = Files.createTempDirectory("cdexpiry").toString
+    val input = MemoryStream[AnomalyAlert](spark, 2)
+    val q = TypedStatefulProcessors.cooldownStreamWithExpiry(spark, input.toDS())
+      .writeStream.format("memory").queryName("cd_expiry")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(al(1, "web", "2024-01-01 10:00:00")) // fires, arms 10:05
+      q.processAllAvailable()
+      input.addData(al(2, "web", "2024-01-01 10:02:00")) // in cooldown: suppressed
+      q.processAllAvailable()
+      input.addData(al(3, "api", "2024-01-01 11:00:00")) // fires; advances watermark
+      q.processAllAvailable()
+      // the watermark from batch 3 (10:59:50) exceeds web's 10:05 gate;
+      // this batch processes the expired timer and clears web's state
+      input.addData(al(4, "api", "2024-01-01 11:00:01")) // in cooldown: suppressed
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // output parity with the non-expiry gate on the same feed
+    val fired = spark.table("cd_expiry").as[CooldownProcessor.FiredAlert]
+      .collect().map(_.event_id).toSet
+    assert(fired == Set(1L, 3L))
+
+    // the state store itself shows the eviction: web's lastFired is gone,
+    // api's (still inside its own cooldown window) remains
+    val state = spark.read.format("statestore")
+      .option("stateVarName", "lastFired")
+      .load(ckpt)
+    assert(state.count() == 1L)
+  }
+
   test("KPI sink recovers from checkpoint without duplicating batches") {
     val session = spark
     import session.implicits._
