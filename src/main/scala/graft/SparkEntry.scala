@@ -134,6 +134,7 @@ object SparkEntry {
     "dup_span_fraction" -> (DedupOps.dupSpanFraction _),
     "dedup_verify_editdist" -> (DedupOps.dedupVerifyEditdist _),
     "lsh_recall" -> (DedupOps.lshRecall _),
+    "recall_matrix" -> (CalibrationOps.recallMatrix _),
     // training-data pipeline: chunking + source mixing
     "chunk_documents" -> (PipelineOps.chunkDocuments _),
     "source_mix_weights" -> (PipelineOps.sourceMixWeights _),
@@ -155,6 +156,6 @@ object SparkEntry {
       MiscOps.oracles ++ OlapOps.oracles ++ DedupOps.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles ++
       TemporalOps.oracles ++ PipelineOps.oracles ++ SearchOps.oracles ++
-      FunnelOps.oracles)
+      FunnelOps.oracles ++ CalibrationOps.oracles)
       .map { case (k, v) => k -> graft.functions.Rounding.fixSql(v) }
 }

@@ -41,7 +41,7 @@ object DedupOps {
   private val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
-  private val JaccardThreshold = 0.5
+  private[operators] val JaccardThreshold = 0.5
 
   /** Session-tunable (k, bands) with the dev defaults above. */
   private[graft] def minhashConf(spark: SparkSession): (Int, Int) = {
@@ -69,7 +69,7 @@ object DedupOps {
     * removed). The cap is part of the operator's semantics and the
     * DuckDB oracles apply it identically.
     */
-  private val MaxBucket = 256
+  private[operators] val MaxBucket = 256
 
   /** Upper-triangle (i < j) pair expansion over a sorted in-bucket
     * member list — THE idiom behind every bucketed candidate generator
@@ -135,6 +135,14 @@ object DedupOps {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val (k, nBands) = minhashConf(spark)
+    minhashLshPairs(spark, dir, k, nBands)
+  }
+
+  /** [[dedupMinhashLsh]] at an EXPLICIT (k, bands) — the building block
+    * [[CalibrationOps.recallMatrix]] sweeps across its grid.
+    */
+  private[operators] def minhashLshPairs(spark: SparkSession, dir: String,
+                                         k: Int, nBands: Int): DataFrame = {
     val rowsPerBand = k / nBands
     val bands = shingled(spark, dir)
       .withColumn("sig",
@@ -375,7 +383,7 @@ object DedupOps {
 
   // ---- DuckDB oracles ----------------------------------------------------
 
-  private val shingleSql =
+  private[operators] val shingleSql =
     """WITH n AS (SELECT doc_id, source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
       |tok AS (SELECT doc_id, source, norm, string_split(norm, ' ') AS tokens FROM n),
       |sh AS (
@@ -392,8 +400,8 @@ object DedupOps {
     * prepended 0 accumulator), permutations are (aᵢ·h₀ + bᵢ) mod M in
     * exact BIGINT arithmetic.
     */
-  private def sigSql(k: Int): String =
-    s"""hs AS (
+  private[operators] def sigSql(k: Int, suffix: String = ""): String =
+    s"""hs$suffix AS (
        |  SELECT doc_id, shingles,
        |         list_transform(shingles, s ->
        |           list_reduce(
@@ -403,7 +411,7 @@ object DedupOps {
        |             (a, c) -> (a * 257 + c) % 1000000007)) AS hs
        |  FROM sh
        |),
-       |sig AS (
+       |sig$suffix AS (
        |  SELECT doc_id, shingles,
        |         list_transform(range(0, $k),
        |           i -> list_aggregate(
@@ -411,7 +419,7 @@ object DedupOps {
        |                    h0 -> ((2654435761 * (i + 1)) % 1000000007 * h0
        |                           + (22695477 * (i + 1)) % 1000000007) % 1000000007),
        |                  'min')) AS sig
-       |  FROM hs
+       |  FROM hs$suffix
        |)""".stripMargin
 
   private lazy val minhashLshSql: String =
@@ -787,7 +795,7 @@ object DedupOps {
     * corpus with sparse/offset ids needs a rank-based lowest-N sample
     * instead, at the cost of one extra shuffle.
     */
-  private val RecallSampleDocs = 500
+  private[operators] val RecallSampleDocs = 500
 
   /** SQL form of (1−s^r)^b at the STATIC (NumHashes, Bands) the DuckDB
     * oracles encode, as explicit left-assoc products (no pow —
@@ -856,13 +864,20 @@ object DedupOps {
     * pairs is a fixed-order fold (sorted pair list) so the oracle
     * comparison stays bit-exact.
     */
-  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    // truth via posting-list expansion, NOT a nested-loop self-join: a
-    // pair with zero shared shingles cannot reach the threshold, so
-    // grouping postings by shingle and counting shared postings per
-    // co-occurring pair yields the identical truth set at
-    // postings + collisions cost instead of |sample|² array
-    // intersections (measured ~6 s → ~0.5 s on the 500-doc sample)
+  /** One-row aggregate of the bounded-sample truth set: `n_true_pairs`
+    * plus the sorted `(doc1, doc2, j)` pair list (`ps`) that the
+    * fixed-order expected-recall folds consume. Shared by [[lshRecall]]
+    * and [[CalibrationOps.recallMatrix]].
+    *
+    * Truth via posting-list expansion, NOT a nested-loop self-join: a
+    * pair with zero shared shingles cannot reach the threshold, so
+    * grouping postings by shingle and counting shared postings per
+    * co-occurring pair yields the identical truth set at
+    * postings + collisions cost instead of |sample|² array
+    * intersections (measured ~6 s → ~0.5 s on the 500-doc sample).
+    */
+  private[operators] def sampleTruth(spark: SparkSession,
+                                     dir: String): DataFrame = {
     val ex = Tables
       .documents(spark, dir)
       .filter(col("doc_id") < RecallSampleDocs)
@@ -889,15 +904,36 @@ object DedupOps {
                       (col("n1") + col("n2") - col("n_common")),
                     6).as("j"))
       .filter(col("j") >= JaccardThreshold)
-    val (k, nBands) = minhashConf(spark)
-    val rowsPerBand = k / nBands
-    // analytic catch probability via explicit multiplication (no pow —
-    // cross-engine last-ulp drift); fixed-order fold over sorted pairs
-    def powN(c: Column, n: Int): Column = (1 until n).foldLeft(c)((a, _) => a * c)
-    val t = truth.agg(
+    truth.agg(
       count(lit(1)).as("n_true_pairs"),
       sort_array(collect_list(struct(col("doc1"), col("doc2"), col("j"))))
         .as("ps"))
+  }
+
+  /** Explicit left-assoc n-fold product — the no-`pow` form every
+    * analytic s-curve here uses (pow has cross-engine last-ulp drift).
+    */
+  private[operators] def powN(c: Column, n: Int): Column =
+    (1 until n).foldLeft(c)((a, _) => a * c)
+
+  /** Mean analytic catch probability 1−(1−s^rows)^bands over the `ps`
+    * truth pairs (fixed-order fold over the sorted list), 6 dp.
+    */
+  private[operators] def expectedRecall(ps: Column, nTrue: Column,
+                                        bands: Int, rows: Int): Column =
+    round(
+      aggregate(
+        transform(ps,
+                  p => lit(1.0) - powN(lit(1.0) - powN(p.getField("j"), rows),
+                                       bands)),
+        lit(0.0), (acc, x) => acc + x) /
+        greatest(nTrue, lit(1L)),
+      6)
+
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (k, nBands) = minhashConf(spark)
+    val rowsPerBand = k / nBands
+    val t = sampleTruth(spark, dir)
     val caught = dedupMinhashLsh(spark, dir)
       .filter(col("doc1") < RecallSampleDocs && col("doc2") < RecallSampleDocs)
       .agg(count(lit(1)).as("n_caught"))
@@ -907,15 +943,8 @@ object DedupOps {
         round(col("n_caught").cast("double") /
                 greatest(col("n_true_pairs"), lit(1L)),
               6).as("recall"),
-        round(
-          aggregate(
-            transform(col("ps"),
-                      p => lit(1.0) - powN(lit(1.0) - powN(p.getField("j"),
-                                                           rowsPerBand),
-                                           nBands)),
-            lit(0.0), (acc, x) => acc + x) /
-            greatest(col("n_true_pairs"), lit(1L)),
-          6).as("expected_recall"))
+        expectedRecall(col("ps"), col("n_true_pairs"), nBands, rowsPerBand)
+          .as("expected_recall"))
   }
 
   private lazy val simhashPairsSql: String =

@@ -27,10 +27,10 @@ object VectorOps {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.vecDot(a, b)
 
-  private def norm(c: Column): Column =
+  private[operators] def norm(c: Column): Column =
     graft.functions.VectorExprs.vecNorm(c)
 
   /** Brute-force cosine top-10 neighbors for query vectors (vec_id < 20)
@@ -88,7 +88,7 @@ object VectorOps {
     * deterministic random-hyperplane LSH (axis-aligned planes), giving
     * 2^bits buckets.
     */
-  private def bucketCode(v: Column, bits: Int): Column =
+  private[operators] def bucketCode(v: Column, bits: Int): Column =
     array_join(
       transform(slice(v, 1, bits), x => when(x >= 0, "1").otherwise("0")), "")
 
