@@ -8,12 +8,14 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   */
 class GateInvariantSpec extends SparkSpec {
 
-  test("every oracle key names a registered query; only the HLL sketch is rows-only") {
+  test("every oracle key names a registered query; every query has an oracle") {
     val queries = SparkEntry.queries.keySet
     val oracles = SparkEntry.oracleSql.keySet
     assert(oracles.subsetOf(queries),
            s"oracles without queries: ${oracles.diff(queries)}")
-    assert(queries.diff(oracles) == Set("approx_distinct_users"),
+    // since r5 even the HLL sketch query is oracle-checked (it
+    // self-gates via within_tolerance) — no rows-only queries remain
+    assert(queries.diff(oracles).isEmpty,
            s"queries without oracles: ${queries.diff(oracles)}")
   }
 
