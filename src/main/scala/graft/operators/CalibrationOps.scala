@@ -46,7 +46,12 @@ object CalibrationOps {
   private val SignGrid = Seq((4, 0), (4, 1), (8, 0), (8, 1))
 
   def recallMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val t = DedupOps.sampleTruth(spark, dir)
+    // the two shared truth frames are tiny (one aggregate row; 100
+    // (query, neighbor) pairs) but expensive to derive — localCheckpoint
+    // materializes each ONCE so the per-grid-row union branches read the
+    // result instead of re-running the truth subtree 4× each (the same
+    // eager-materialization idiom as dedup_clusters' round frames)
+    val t = DedupOps.sampleTruth(spark, dir).localCheckpoint(true)
     val minhashRows = MinhashGrid.map { case (k, b) =>
       val caught = DedupOps
         .minhashLshPairs(spark, dir, k, b)
@@ -66,19 +71,32 @@ object CalibrationOps {
           DedupOps.expectedRecall(col("ps"), col("n_true_pairs"), b, k / b)
             .as("expected_recall"))
     }
-    val signRows = SignGrid.map { case (bits, probe) =>
-      signLshRow(spark, dir, bits, probe)
+    val signRows = {
+      val (truth, emb, queries) = signTruth(spark, dir)
+      SignGrid.map { case (bits, probe) =>
+        signLshRow(truth, emb, queries, bits, probe)
+      }
     }
     (minhashRows ++ signRows)
       .reduce(_ unionByName _)
       .orderBy(col("family"), col("param_a"), col("param_b"))
   }
 
-  /** One `sign_lsh` matrix row: recall of the bucketed top-5 against
-    * the exact top-5 at (bits, probe).
+  private def top5(scored: DataFrame): DataFrame =
+    graft.plans.TopK
+      .perKey(scored, Seq("query_id"),
+              Seq("cosine" -> false, "vec_id" -> true), 5, "rank")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+  private val cosine =
+    round(VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+
+  /** Exact cosine top-5 truth (+ the frames it derives from) — built
+    * ONCE and shared by every `sign_lsh` grid row; only the bucketed
+    * candidate side depends on (bits, probe).
     */
-  private def signLshRow(spark: SparkSession, dir: String,
-                         bits: Int, probe: Int): DataFrame = {
+  private def signTruth(spark: SparkSession,
+                        dir: String): (DataFrame, DataFrame, DataFrame) = {
     val emb = Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
@@ -87,19 +105,19 @@ object CalibrationOps {
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("nrm").as("qn"))
-
-    def top5(scored: DataFrame): DataFrame =
-      graft.plans.TopK
-        .perKey(scored, Seq("query_id"),
-                Seq("cosine" -> false, "vec_id" -> true), 5, "rank")
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
-    val cosine =
-      round(VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
     val truth = top5(
       emb
         .join(broadcast(queries), col("vec_id") =!= col("query_id"))
         .withColumn("cosine", cosine))
+      .localCheckpoint(true)
+    (truth, emb, queries)
+  }
+
+  /** One `sign_lsh` matrix row: recall of the bucketed top-5 against
+    * the exact top-5 at (bits, probe).
+    */
+  private def signLshRow(truth: DataFrame, emb: DataFrame, queries: DataFrame,
+                         bits: Int, probe: Int): DataFrame = {
     // Hamming≤probe as a join predicate over the two codes — the
     // probe-set explode of annLshBucketed expressed as a distance test
     // (identical match set; the oracle states it the same way)
