@@ -135,6 +135,7 @@ object SparkEntry {
     "dedup_verify_editdist" -> (DedupOps.dedupVerifyEditdist _),
     "lsh_recall" -> (DedupOps.lshRecall _),
     "recall_matrix" -> (CalibrationOps.recallMatrix _),
+    "cluster_representatives" -> (DedupOps.clusterRepresentatives _),
     // training-data pipeline: chunking + source mixing
     "chunk_documents" -> (PipelineOps.chunkDocuments _),
     "source_mix_weights" -> (PipelineOps.sourceMixWeights _),

@@ -478,6 +478,46 @@ object DedupOps {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClustersImpl(spark, dir, DriverUnionFindMaxPairs)
 
+  /** Canonical-document selection per near-dup cluster — the decision
+    * stage after [[dedupClusters]]: a dedup pipeline keeps ONE document
+    * per duplicate family, and min-id (the cluster label) is the naive
+    * choice; production pipelines keep the BEST one. Representative =
+    * highest [[TextOps.textQuality]] `quality_score`, ties to the
+    * lowest doc_id, with the token accounting (`tokens_dropped`) a
+    * training-data budget wants. Only multi-member clusters emit a row
+    * (singletons have nothing to decide).
+    *
+    * Scale shape: the argmax is a `max(struct(quality, −doc_id,
+    * n_tokens))` AGGREGATE — partial-combinable, so a boilerplate
+    * mega-cluster reduces map-side instead of materializing one window
+    * partition (the same skew reasoning as dup_span_fraction's count).
+    */
+  def clusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val members = dedupClusters(spark, dir)
+      .filter(col("cluster_size") >= 2)
+      .select(col("doc_id"), col("cluster_id"))
+    val quality = TextOps
+      .textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    members
+      .join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("quality_score").as("q"),
+                   (-col("doc_id")).as("neg_id"),
+                   col("n_tokens").as("rep_tokens"))).as("m"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_tokens")).as("tokens_total"))
+      .select(
+        col("cluster_id"),
+        (-col("m.neg_id")).as("rep_doc_id"),
+        col("m.q").as("rep_quality"),
+        col("n_members"),
+        col("tokens_total"),
+        (col("tokens_total") - col("m.rep_tokens")).as("tokens_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Pair-count ceiling for the driver union-find fast path. Pairs are
     * streamed with `toLocalIterator` (one partition resident at a time),
     * so driver heap at the threshold is the union-find map itself —
@@ -1165,6 +1205,66 @@ object DedupOps {
           |       l.doc_id = l.cluster_id AS is_canonical
           |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
           |ORDER BY l.doc_id""".stripMargin),
+    // same recursive-CTE labels as dedup_clusters, then the text_quality
+    // formulas pick the representative (quality DESC, doc_id ASC)
+    "cluster_representatives" -> (
+      "WITH RECURSIVE pairs AS (SELECT doc1, doc2 FROM (\n" + minhashLshSql +
+        "\n) mp),\n" +
+        s"""edges AS (
+          |  SELECT doc1 AS a, doc2 AS b FROM pairs
+          |  UNION ALL SELECT doc2, doc1 FROM pairs
+          |),
+          |reach(doc_id, m) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.m
+          |),
+          |lab AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id),
+          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1),
+          |mem AS (
+          |  SELECT l.doc_id, l.cluster_id FROM lab l
+          |  JOIN sz s ON l.cluster_id = s.cluster_id
+          |  WHERE s.cluster_size >= 2
+          |),
+          |qt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+          |qs AS (
+          |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+          |         CAST(len(list_filter(tokens, t -> t IN ${TextOps.stopList})) AS BIGINT) AS n_stopwords,
+          |         CAST(len(list_distinct(tokens)) AS BIGINT) AS n_unique
+          |  FROM qt
+          |),
+          |qr AS (
+          |  SELECT *, round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+          |            round(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS unique_ratio
+          |  FROM qs
+          |),
+          |qq AS (
+          |  SELECT doc_id, n_tokens,
+          |         round((CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
+          |               + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END)
+          |               + unique_ratio * 0.25, 6) AS quality_score
+          |  FROM qr
+          |),
+          |j AS (
+          |  SELECT mem.cluster_id, qq.doc_id, qq.quality_score, qq.n_tokens
+          |  FROM mem JOIN qq USING (doc_id)
+          |),
+          |rep AS (
+          |  SELECT cluster_id, doc_id, quality_score, n_tokens,
+          |         row_number() OVER (PARTITION BY cluster_id
+          |           ORDER BY quality_score DESC, doc_id) AS rn
+          |  FROM j
+          |),
+          |ag AS (
+          |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+          |         CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+          |  FROM j GROUP BY 1
+          |)
+          |SELECT ag.cluster_id, r.doc_id AS rep_doc_id,
+          |       r.quality_score AS rep_quality, ag.n_members, ag.tokens_total,
+          |       ag.tokens_total - r.n_tokens AS tokens_dropped
+          |FROM ag JOIN rep r ON ag.cluster_id = r.cluster_id AND r.rn = 1
+          |ORDER BY ag.cluster_id""".stripMargin),
     "simhash_signatures" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tok AS (SELECT doc_id, string_split(norm, ' ') AS tokens FROM n),

@@ -193,7 +193,7 @@ object TextOps {
 
   // ---- DuckDB oracles ----------------------------------------------------
 
-  private val stopList = Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+  private[operators] val stopList = Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
   /** k-gram power-sum form of the rolling hash for the oracle:
     * hash(i) = Σ_j ascii(m[i+j]) · 257^(k−1−j) mod 1e9+7 — term products

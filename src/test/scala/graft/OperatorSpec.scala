@@ -340,4 +340,28 @@ class OperatorSpec extends SparkSpec {
       .count()
     assert(total == filtered)
   }
+
+  test("cluster representatives are members with maximal quality") {
+    val session = spark
+    import session.implicits._
+    val reps = DedupOps.clusterRepresentatives(spark, sf("sf0.001"))
+    val members = DedupOps.dedupClusters(spark, sf("sf0.001"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("cluster_id"), col("doc_id"))
+    val quality = TextOps.textQuality(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("quality_score"))
+    // every representative belongs to its cluster...
+    assert(reps.join(members,
+                     reps("cluster_id") === members("cluster_id") &&
+                       reps("rep_doc_id") === members("doc_id")).count() ==
+      reps.count())
+    // ...and no member of the cluster has strictly higher quality
+    val better = reps
+      .join(members, "cluster_id")
+      .join(quality, "doc_id")
+      .filter(col("quality_score") > col("rep_quality"))
+      .count()
+    assert(better == 0)
+    assert(reps.count() > 0)
+  }
 }
