@@ -141,12 +141,33 @@ object StreamJob {
       }
       .start()
 
+    // ingest dedup: first occurrence per event_id to the deduped cold
+    // store — idempotent ingestion for an at-least-once transport
+    // (the fixture has no replays, so the count equals events; the
+    // replay path is spec-exercised in StatefulProcessorSpec)
+    val dedupQuery = TypedStatefulProcessors
+      .dedupStream(spark, events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"))
+        .as[Event])
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_dedup")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/deduped_events")
+        ()
+      }
+      .start()
+
     kpiQuery.awaitTermination()
     alertQuery.awaitTermination()
     sessionQuery.awaitTermination()
     timerSessionQuery.awaitTermination()
     ewmaQuery.awaitTermination()
     transQuery.awaitTermination()
+    dedupQuery.awaitTermination()
 
     // Second job, exactly the reference topology: the alert service
     // consumes the anomaly job's output topic (`alerts.v1` ≙ the alerts
@@ -205,7 +226,9 @@ object StreamJob {
       "ewma_levels" -> (try spark.read.parquet(s"$outDir/ewma_levels").count()
                         catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "transitions" -> (try spark.read.parquet(s"$outDir/transitions").count()
-                        catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+                        catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
+      "deduped_events" -> (try spark.read.parquet(s"$outDir/deduped_events").count()
+                           catch { case _: org.apache.spark.sql.AnalysisException => 0L })
     )
   }
 

@@ -118,6 +118,47 @@ class CooldownStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** Streaming ingest dedup — first occurrence per event_id wins, every
+  * replay is dropped: the idempotent-ingestion stage in front of a cold
+  * store when the transport is at-least-once (the reference's Kafka →
+  * TimescaleDB path re-delivers on consumer restart; its insert relies
+  * on the table's primary key to reject replays — here the dedup is an
+  * explicit operator, so ANY sink downstream is safe, not just one with
+  * a unique index).
+  *
+  * State is one boolean per key, the minimum possible; at 100 TB the
+  * key space is unbounded, which is exactly what `graft.state.ttl`
+  * bounds — a replay arriving after the TTL re-inserts, the standard
+  * at-least-once dedup-window trade (Kafka's own exactly-once idempotent
+  * producer makes the same one: a bounded id window, not forever).
+  *
+  * Within one batch the winner is deterministic: min (ts, then the full
+  * tuple order) — so a duplicate delivered in the same micro-batch as
+  * its original cannot race.
+  */
+class DedupStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, Event, Event] {
+
+  @transient private var seen: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean](
+      "seen", Encoders.scalaBoolean, ttl)
+
+  override def handleInputRows(
+      key: Long,
+      inputRows: Iterator[Event],
+      timerValues: TimerValues): Iterator[Event] = {
+    if (seen.exists()) Iterator.empty
+    else {
+      seen.update(true)
+      val first = inputRows.toSeq
+        .minBy(e => (e.ts.getTime, e.user_id, e.event_type, e.value))
+      Iterator.single(first)
+    }
+  }
+}
+
 /** Incrementally-carried moments companion for
   * [[AnomalyListStateProcessor]]'s list buffer.
   */
@@ -188,6 +229,20 @@ object TypedStatefulProcessors {
       .filter(_.value > 0)
       .groupByKey(_.event_type)
       .transformWithState(new AnomalyListStateProcessor(ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update())
+  }
+
+  /** events → first-occurrence events (ingest dedup) via
+    * transformWithState; see [[DedupStatefulProcessor]].
+    */
+  def dedupStream(spark: SparkSession,
+                  events: Dataset[Event]): Dataset[Event] = {
+    import spark.implicits._
+    val ttl = StateTtl.of(spark)
+    events
+      .groupByKey(_.event_id)
+      .transformWithState(new DedupStatefulProcessor(ttl),
                           StateTtl.timeMode(ttl),
                           OutputMode.Update())
   }

@@ -330,6 +330,29 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(s.head.n_events == 2L)
   }
 
+  test("streaming ingest dedup keeps exactly the batch first-occurrences") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+    // inject replays: every 7th event is re-delivered two batches later
+    // with a LATER ts (an at-least-once redelivery, not a new event)
+    val replays = events.zipWithIndex.collect { case (e, i) if i % 7 == 0 =>
+      e.copy(ts = new java.sql.Timestamp(e.ts.getTime + 123456L))
+    }
+    val feed = (events ++ replays).toSeq
+
+    val streamed = runStream[Event, Event](
+      "tws_dedup", feed,
+      in => TypedStatefulProcessors.dedupStream(spark, in.toDS()))
+      .as[Event].collect()
+
+    // first occurrence per event_id == the original events (replays all
+    // carry later timestamps), and nothing is emitted twice
+    assert(streamed.length == events.length)
+    assert(streamed.map(e => e.event_id -> e.ts).toMap ==
+      events.map(e => e.event_id -> e.ts).toMap)
+  }
+
   test("graft.state.ttl evicts idle per-user transition state") {
     val session = spark
     import session.implicits._
