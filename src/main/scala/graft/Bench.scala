@@ -100,7 +100,12 @@ object Bench {
       .mkString("{", ",", "}")
     val rs = all
       .map { case (k, _, runs) =>
-        "\"" + k + "\":" + runs.map(r => f"$r%.4f").mkString("[", ",", "]")
+        // Locale.ROOT: the f-interpolator uses the JVM default locale,
+        // and a comma-decimal locale would emit invalid JSON
+        "\"" + k + "\":" + runs
+          .map(r => String.format(java.util.Locale.ROOT, "%.4f",
+                                  Double.box(r)))
+          .mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
     println(

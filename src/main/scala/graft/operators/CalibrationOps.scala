@@ -45,13 +45,17 @@ object CalibrationOps {
     */
   private val SignGrid = Seq((4, 0), (4, 1), (8, 0), (8, 1))
 
+  // the two shared truth frames are tiny (one aggregate row; 100
+  // (query, neighbor) pairs) but expensive to derive — each is persisted
+  // once per dataset (FrameStore) so the per-grid-row union branches all
+  // reference ONE cached plan instead of re-running the truth subtree
+  // 4× each. Lazy on purpose: plan-only inspection (schema, explain)
+  // must not trigger cluster work, which an eager localCheckpoint would.
+  private val truthStore = new FrameStore(2)
+  private val signTruthStore = new FrameStore(2)
+
   def recallMatrix(spark: SparkSession, dir: String): DataFrame = {
-    // the two shared truth frames are tiny (one aggregate row; 100
-    // (query, neighbor) pairs) but expensive to derive — localCheckpoint
-    // materializes each ONCE so the per-grid-row union branches read the
-    // result instead of re-running the truth subtree 4× each (the same
-    // eager-materialization idiom as dedup_clusters' round frames)
-    val t = DedupOps.sampleTruth(spark, dir).localCheckpoint(true)
+    val t = truthStore.getOrBuild(spark, dir)(DedupOps.sampleTruth(spark, dir))
     val minhashRows = MinhashGrid.map { case (k, b) =>
       val caught = DedupOps
         .minhashLshPairs(spark, dir, k, b)
@@ -105,11 +109,11 @@ object CalibrationOps {
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
               col("nrm").as("qn"))
-    val truth = top5(
-      emb
-        .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-        .withColumn("cosine", cosine))
-      .localCheckpoint(true)
+    val truth = signTruthStore.getOrBuild(spark, dir)(
+      top5(
+        emb
+          .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+          .withColumn("cosine", cosine)))
     (truth, emb, queries)
   }
 

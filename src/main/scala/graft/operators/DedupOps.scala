@@ -383,6 +383,24 @@ object DedupOps {
 
   // ---- DuckDB oracles ----------------------------------------------------
 
+  /** Connected-component label CTEs (edges→reach→lab→sz) over a `pairs`
+    * CTE the caller defines — ONE definition of the cluster labeling,
+    * shared by the `dedup_clusters` and `cluster_representatives`
+    * oracles.
+    */
+  private val clusterLabelSql: String =
+    """edges AS (
+      |  SELECT doc1 AS a, doc2 AS b FROM pairs
+      |  UNION ALL SELECT doc2, doc1 FROM pairs
+      |),
+      |reach(doc_id, m) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.m
+      |),
+      |lab AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)""".stripMargin
+
   private[operators] val shingleSql =
     """WITH n AS (SELECT doc_id, source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
       |tok AS (SELECT doc_id, source, norm, string_split(norm, ' ') AS tokens FROM n),
@@ -742,6 +760,8 @@ object DedupOps {
     */
   private val SpanTokens = 5
 
+  private val gramStore = new FrameStore(2)
+
   /** Duplicated-span fraction per document — the n-gram approximation of
     * exact-substring dedup ("Deduplicating Training Data Makes Language
     * Models Better", Lee et al., ACL '22): every positional
@@ -773,8 +793,6 @@ object DedupOps {
     * (distributed suffix array) trades this shape for global sorts; the
     * n-gram form is the standard Spark substitute.
     */
-  private val gramStore = new FrameStore(2)
-
   def dupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables
       .documents(spark, dir)
@@ -860,10 +878,15 @@ object DedupOps {
     * prefilter runs before it: Levenshtein distance is bounded below by
     * the length difference, so edit_sim ≥ [[EditSimThreshold]] (0.8)
     * requires |len(a) − len(b)| ≤ (1 − 0.8)·max(len) — a pair failing
-    * `5·|len(a) − len(b)| ≤ max(len)` provably cannot verify and is
-    * dropped without paying the O(|a|·|b|) pass (the 5× integer form is
-    * exact in both engines; a 0.2 float literal has a cross-engine
-    * decimal-vs-binary boundary).
+    * `5·|len(a) − len(b)| ≤ max(len) + 1` provably cannot verify and is
+    * dropped without paying the O(|a|·|b|) pass. The 5× integer form is
+    * exact in both engines (a 0.2 float literal has a cross-engine
+    * decimal-vs-binary boundary); the +1 slack covers the 6-dp
+    * round-up boundary (raw edit_sim in [0.7999995, 0.8) rounds to
+    * 0.8), which stays a strict superset of the verifying pairs for
+    * any document up to 400k chars. Pairs dropped here previously
+    * appeared with `verified = false`; consumers counting unverified
+    * candidates should count LSH pairs instead.
     */
   def dedupVerifyEditdist(spark: SparkSession, dir: String): DataFrame = {
     val norm = Tables
@@ -875,7 +898,7 @@ object DedupOps {
       .join(norm.select(col("doc_id").as("doc1"), col("norm").as("na")), "doc1")
       .join(norm.select(col("doc_id").as("doc2"), col("norm").as("nb")), "doc2")
       .filter(abs(length(col("na")) - length(col("nb"))) * 5 <=
-        greatest(length(col("na")), length(col("nb"))))
+        greatest(length(col("na")), length(col("nb"))) + 1)
       .withColumn("lev_dist", levenshtein(col("na"), col("nb")).cast("long"))
       .withColumn(
         "edit_sim",
@@ -1183,67 +1206,26 @@ object DedupOps {
           |JOIN nrm a ON l.doc1 = a.doc_id
           |JOIN nrm b ON l.doc2 = b.doc_id
           |WHERE 5 * abs(length(a.norm) - length(b.norm))
-          |      <= greatest(length(a.norm), length(b.norm))
+          |      <= greatest(length(a.norm), length(b.norm)) + 1
           |ORDER BY doc1, doc2""".stripMargin),
     // composed by concatenation (embedded '||' lines, see above); the
     // recursive CTE computes each doc's min reachable id = cluster label
     "dedup_clusters" -> (
       "WITH RECURSIVE pairs AS (SELECT doc1, doc2 FROM (\n" + minhashLshSql +
-        "\n) mp),\n" +
-        """edges AS (
-          |  SELECT doc1 AS a, doc2 AS b FROM pairs
-          |  UNION ALL SELECT doc2, doc1 FROM pairs
-          |),
-          |reach(doc_id, m) AS (
-          |  SELECT doc_id, doc_id FROM documents
-          |  UNION
-          |  SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.m
-          |),
-          |lab AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id),
-          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
-          |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+        "\n) mp),\n" + clusterLabelSql + "\n" +
+        """SELECT l.doc_id, l.cluster_id, s.cluster_size,
           |       l.doc_id = l.cluster_id AS is_canonical
           |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
           |ORDER BY l.doc_id""".stripMargin),
-    // same recursive-CTE labels as dedup_clusters, then the text_quality
-    // formulas pick the representative (quality DESC, doc_id ASC)
+    // the shared cluster labels, then the shared text_quality formulas
+    // pick the representative (quality DESC, doc_id ASC)
     "cluster_representatives" -> (
       "WITH RECURSIVE pairs AS (SELECT doc1, doc2 FROM (\n" + minhashLshSql +
-        "\n) mp),\n" +
-        s"""edges AS (
-          |  SELECT doc1 AS a, doc2 AS b FROM pairs
-          |  UNION ALL SELECT doc2, doc1 FROM pairs
-          |),
-          |reach(doc_id, m) AS (
-          |  SELECT doc_id, doc_id FROM documents
-          |  UNION
-          |  SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.m
-          |),
-          |lab AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id),
-          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1),
-          |mem AS (
+        "\n) mp),\n" + clusterLabelSql + ",\n" + TextOps.qualityCteSql + ",\n" +
+        """mem AS (
           |  SELECT l.doc_id, l.cluster_id FROM lab l
           |  JOIN sz s ON l.cluster_id = s.cluster_id
           |  WHERE s.cluster_size >= 2
-          |),
-          |qt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
-          |qs AS (
-          |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
-          |         CAST(len(list_filter(tokens, t -> t IN ${TextOps.stopList})) AS BIGINT) AS n_stopwords,
-          |         CAST(len(list_distinct(tokens)) AS BIGINT) AS n_unique
-          |  FROM qt
-          |),
-          |qr AS (
-          |  SELECT *, round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-          |            round(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS unique_ratio
-          |  FROM qs
-          |),
-          |qq AS (
-          |  SELECT doc_id, n_tokens,
-          |         round((CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
-          |               + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END)
-          |               + unique_ratio * 0.25, 6) AS quality_score
-          |  FROM qr
           |),
           |j AS (
           |  SELECT mem.cluster_id, qq.doc_id, qq.quality_score, qq.n_tokens

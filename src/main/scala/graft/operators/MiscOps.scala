@@ -169,12 +169,17 @@ object MiscOps {
     * KPIs (constant memory per group vs the exact two-phase aggregate) —
     * SELF-GATED: the sketch estimate is engine-specific (no portable
     * oracle), so the query also computes the exact count and emits
-    * `within_tolerance` = |estimate/exact − 1| ≤ 3·[[HllRsd]] (the 3σ
-    * acceptance bound — rsd IS the standard deviation of the relative
-    * error). The DuckDB oracle recomputes the exact count and a literal
-    * `true`, making rows+schema+hash all checkable without the sketch
-    * itself ever crossing engines. The exact aggregate exists only to
-    * power the gate; a production KPI would ship the estimate alone.
+    * `within_tolerance` = |estimate/exact − 1| ≤ 5·[[HllRsd]]. The
+    * DuckDB oracle recomputes the exact count and a literal `true`,
+    * making rows+schema+hash all checkable without the sketch itself
+    * ever crossing engines. The bound is 5σ, not the rsd itself: rsd is
+    * the STANDARD DEVIATION of the relative error, so a 1σ gate would
+    * fail a perfectly healthy sketch on ~1/3 of groups; 5σ still
+    * catches every gross failure (wrong column, wrong rsd wiring,
+    * broken merge) while the chance of an in-spec sketch tripping it is
+    * negligible at any scale factor. `greatest(…, 1)` guards the
+    * empty-group division. The exact aggregate exists only to power the
+    * gate; a production KPI would ship the estimate alone.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -185,7 +190,8 @@ object MiscOps {
       .select(
         col("event_type"), col("n_users_exact"),
         (abs(col("approx").cast("double") /
-               col("n_users_exact").cast("double") - 1.0) <= 3 * HllRsd)
+               greatest(col("n_users_exact"), lit(1L)).cast("double") - 1.0)
+          <= 5 * HllRsd)
           .as("within_tolerance"))
       .orderBy(col("event_type"))
 

@@ -195,6 +195,34 @@ object TextOps {
 
   private[operators] val stopList = Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** Quality-score oracle CTE chain (qt→qs→qr→qq; `qq` carries every
+    * output column) — ONE definition of the scoring formula, shared by
+    * the `text_quality` oracle and `cluster_representatives` so the two
+    * can never drift. Names are prefixed `q` to compose into WITH
+    * chains that already define other CTEs.
+    */
+  private[operators] val qualityCteSql: String =
+    s"""qt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+       |qs AS (
+       |  SELECT doc_id,
+       |         CAST(len(tokens) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(tokens, t -> t IN $stopList)) AS BIGINT) AS n_stopwords,
+       |         CAST(len(list_distinct(tokens)) AS BIGINT) AS n_unique
+       |  FROM qt
+       |),
+       |qr AS (
+       |  SELECT *, round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       |            round(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS unique_ratio
+       |  FROM qs
+       |),
+       |qq AS (
+       |  SELECT doc_id, n_tokens, n_stopwords, n_unique, stopword_ratio, unique_ratio,
+       |         round((CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
+       |               + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END)
+       |               + unique_ratio * 0.25, 6) AS quality_score
+       |  FROM qr
+       |)""".stripMargin
+
   /** k-gram power-sum form of the rolling hash for the oracle:
     * hash(i) = Σ_j ascii(m[i+j]) · 257^(k−1−j) mod 1e9+7 — term products
     * stay < 1.3e11 and the 8-term sum < 2^63, so int64 SQL arithmetic is
@@ -270,24 +298,10 @@ object TextOps {
         |             / greatest(len(tokens), 1), 6) AS avg_token_len
         |FROM t ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
-         |s AS (
-         |  SELECT doc_id,
-         |         CAST(len(tokens) AS BIGINT) AS n_tokens,
-         |         CAST(len(list_filter(tokens, t -> t IN $stopList)) AS BIGINT) AS n_stopwords,
-         |         CAST(len(list_distinct(tokens)) AS BIGINT) AS n_unique
-         |  FROM t
-         |),
-         |r AS (
-         |  SELECT *, round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-         |            round(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS unique_ratio
-         |  FROM s
-         |)
+      s"""WITH $qualityCteSql
          |SELECT doc_id, n_tokens, n_stopwords, n_unique, stopword_ratio, unique_ratio,
-         |       round((CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
-         |             + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END)
-         |             + unique_ratio * 0.25, 6) AS quality_score
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |       quality_score
+         |FROM qq ORDER BY doc_id""".stripMargin,
     "text_langid" -> langidSql,
     "langid_confusion" ->
       s"""WITH p AS (SELECT * FROM ($langidSql) z),
