@@ -208,13 +208,13 @@ object DedupOps {
     * is one shuffle on the shingle key + one on the pair key).
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // with_size barrier: one shingle pass per doc per join side — the
-    // explode + size references otherwise each re-run the shingling
-    val ex = Tables
-      .documents(spark, dir)
+    // reads the persisted shingle frame; with_size pairs each shingle
+    // with the set size in one pass so the explode + size references
+    // don't each re-traverse the array
+    val ex = shingled(spark, dir)
       .select(col("source"), col("doc_id"),
-              explode(graft.functions.TextExprs.withSize(
-                graft.functions.TextExprs.wordShingles(col("text"), 3))).as("p"))
+              explode(graft.functions.TextExprs.withSize(col("shingles")))
+                .as("p"))
       .select(col("source"), col("doc_id"), col("p.x").as("shingle"),
               col("p.n").as("n_sh"))
     // in-bucket pair expansion (the LSH-bucket trick): ONE posting
@@ -956,12 +956,11 @@ object DedupOps {
     */
   private[operators] def sampleTruth(spark: SparkSession,
                                      dir: String): DataFrame = {
-    val ex = Tables
-      .documents(spark, dir)
+    val ex = shingled(spark, dir)
       .filter(col("doc_id") < RecallSampleDocs)
       .select(col("doc_id"),
-              explode(graft.functions.TextExprs.withSize(
-                graft.functions.TextExprs.wordShingles(col("text"), 3))).as("p"))
+              explode(graft.functions.TextExprs.withSize(col("shingles")))
+                .as("p"))
       .select(col("doc_id"), col("p.x").as("shingle"), col("p.n").as("n_sh"))
     val truth = ex
       .groupBy(col("shingle"))

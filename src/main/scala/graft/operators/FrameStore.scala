@@ -21,7 +21,7 @@ import org.apache.spark.storage.StorageLevel
   * multi-tenant sessions) can't pin unbounded block storage; evicted
   * frames are unpersisted (non-blocking).
   */
-private[operators] final class FrameStore(maxFrames: Int) {
+private[graft] final class FrameStore(maxFrames: Int) {
 
   private val store =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame]
