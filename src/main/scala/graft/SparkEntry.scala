@@ -53,6 +53,7 @@ object SparkEntry {
     "events_dedup" -> (MiscOps.eventsDedup _),
     "distinct_users" -> (MiscOps.distinctUsers _),
     "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
+    "approx_p95_gated" -> (MiscOps.approxP95Gated _),
     // temporal operators (additive: sessionization, as-of, range join)
     "sessionize" -> (TemporalOps.sessionize _),
     "concurrent_sessions" -> (TemporalOps.concurrentSessions _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "embed_quantize" -> (VectorOps.embedQuantize _),
     "embed_rp_sketch" -> (VectorOps.embedRpSketch _),
     "label_centroids" -> (VectorOps.labelCentroids _),
+    "kmeans_centroids" -> (VectorOps.kmeansCentroids _),
     // corpus search / relevance scoring
     "tfidf_topterms" -> (SearchOps.tfidfTopterms _),
     "bm25_search" -> (SearchOps.bm25Search _),

@@ -195,6 +195,44 @@ object MiscOps {
           .as("within_tolerance"))
       .orderBy(col("event_type"))
 
+  /** `percentile_approx` accuracy knob: the GK-sketch guarantee is rank
+    * error ≤ n/accuracy.
+    */
+  private val P95Accuracy = 100
+
+  /** Approximate p95 with a RANK-ERROR self-gate — the quantile-sketch
+    * sibling of [[approxDistinctUsers]], and the more robust gate
+    * design: instead of comparing the sketch VALUE (engine-specific),
+    * the query counts how many values sit at or below the sketch's
+    * output and checks that rank against the target in exact integer
+    * arithmetic — `|100·rank − 95·n| ≤ 2·n + 100`, i.e. twice the
+    * documented ε = 1/[[P95Accuracy]] rank guarantee plus one element
+    * of slack, so an in-spec sketch can never trip it. The join-back
+    * rank pass is the standard sketch-validation shape (one extra scan,
+    * only run when auditing). Portable outputs only: the exact
+    * interpolated p95 rides along, the sketch value itself never
+    * crosses engines.
+    */
+  def approxP95Gated(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val sk = ev
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.95), lit(P95Accuracy))
+             .as("approx"),
+           count(lit(1)).as("n_values"),
+           round(percentile(col("value"), lit(0.95)), 6).as("p95_exact"))
+    ev.join(sk, "event_type")
+      .groupBy(col("event_type"), col("n_values"), col("p95_exact"),
+               col("approx"))
+      .agg(sum(when(col("value") <= col("approx"), 1L).otherwise(0L))
+        .as("rank_le"))
+      .select(
+        col("event_type"), col("n_values"), col("p95_exact"),
+        (abs(col("rank_le") * 100 - col("n_values") * 95) <=
+          col("n_values") * 2 + 100).as("within_tolerance"))
+      .orderBy(col("event_type"))
+  }
+
   /** Distinct users per event type — the set-operation building block. */
   private def usersOf(spark: SparkSession, dir: String, t: String): DataFrame =
     Tables
@@ -272,6 +310,13 @@ object MiscOps {
     // count and asserts the Spark side judged its own sketch in-tolerance
     "approx_distinct_users" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+         |       true AS within_tolerance
+         |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rank-gated quantile sketch: the oracle checks the exact
+    // interpolated p95 and the gate verdict, never the sketch value
+    "approx_p95_gated" ->
+      s"""SELECT event_type, count(*) AS n_values,
+         |       round(quantile_cont(value, 0.95), 6) AS p95_exact,
          |       true AS within_tolerance
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
     "users_click_and_purchase" ->

@@ -319,6 +319,76 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Cell count / Lloyd iterations for [[kmeansCentroids]] — dev-scale
+    * constants the static oracle encodes (production IVF trains
+    * √n-to-thousands of cells over many iterations on a sample; the
+    * dataflow per iteration is identical).
+    */
+  private val KmeansCells = 10
+  private val KmeansIters = 2
+
+  /** IVF coarse-quantizer TRAINING — the piece [[annIvf]] takes as
+    * given (its cells come from labels): [[KmeansIters]] deterministic
+    * Lloyd iterations. Init is the first [[KmeansCells]] vectors
+    * (deterministic, the standard "first-k sample" seeding for an
+    * oracle-checkable fixture; k-means++ would need a portable RNG);
+    * each iteration assigns every vector to its nearest centroid
+    * (squared distance rounded to 6 dp BEFORE the argmin so both
+    * engines break ties identically, ties → lowest cell) and recomputes
+    * centroids as element-wise means rounded to 6 dp (so the next
+    * iteration measures against bit-identical centers — same idiom as
+    * [[annIvf]]).
+    *
+    * Scale shape: assignment is a broadcast of the tiny centroid table
+    * against one pass over the vectors; the argmin is a
+    * `min(struct(dist, cell))` AGGREGATE (partial-combinable, no
+    * window); the mean is one groupBy(cell, pos) — per iteration that
+    * is one broadcast pass + one shuffle on (cells × dims) keys, the
+    * canonical distributed-Lloyd plan. Output is long-form
+    * (cell, pos, c) + member counts: scalar-only, so the oracle gate
+    * can sort and hash it.
+    */
+  def kmeansCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    var cents = emb
+      .filter(col("vec_id") < KmeansCells)
+      .select(col("vec_id").as("cell"),
+              transform(col("v"), x => round(x.cast("double"), 6))
+                .as("centroid"))
+    var lastAssigned: DataFrame = null
+    for (_ <- 1 to KmeansIters) {
+      val assigned = emb
+        .crossJoin(broadcast(cents))
+        .withColumn(
+          "d",
+          round(graft.functions.VectorExprs.vecDist2(col("v"), col("centroid")),
+                6))
+        .groupBy(col("vec_id"), col("v"))
+        .agg(min(struct(col("d"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("v"), col("m.cell").as("cell"))
+      lastAssigned = assigned
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .getField("c").as("centroid"))
+    }
+    val counts = lastAssigned
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    cents
+      .select(col("cell"), posexplode(col("centroid")))
+      .select(col("cell"), col("pos").cast("long").as("pos"),
+              col("col").as("c"))
+      .join(counts, "cell")
+      .select(col("cell"), col("pos"), col("c"), col("n_members"))
+      .orderBy(col("cell"), col("pos"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   /** Shared CTE: double-cast vectors + norms via the same left fold. */
@@ -336,7 +406,44 @@ object VectorOps {
   private val dotSql =
     "list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]), (a, b) -> a + b)"
 
+  /** One unrolled Lloyd iteration (assign → mean → re-list), reading
+    * centroids `c{i-1}` and defining `a$i`/`m$i`/`c$i` — generated from
+    * the same constants the Spark loop uses.
+    */
+  private def kmeansIterSql(i: Int): String =
+    s"""a$i AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT ve.vec_id, ve.v, c.cell,
+       |           row_number() OVER (PARTITION BY ve.vec_id
+       |             ORDER BY round(list_reduce(list_transform(range(1, len(ve.v) + 1),
+       |                      j -> (ve.v[j] - c.centroid[j]) * (ve.v[j] - c.centroid[j])), (a, b) -> a + b), 6), c.cell) AS rn
+       |    FROM ve, c${i - 1} c
+       |  ) WHERE rn = 1
+       |),
+       |m$i AS (
+       |  SELECT cell, r.pos, round(avg(v[r.pos]), 6) AS c
+       |  FROM a$i, UNNEST(range(1, len(v) + 1)) r(pos)
+       |  GROUP BY cell, r.pos
+       |),
+       |c$i AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM m$i GROUP BY cell)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "kmeans_centroids" -> {
+      val iters = (1 to KmeansIters).map(kmeansIterSql).mkString(",\n")
+      s"""WITH ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS centroid
+         |  FROM ve WHERE vec_id < $KmeansCells
+         |),
+         |$iters,
+         |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+         |        FROM a$KmeansIters GROUP BY cell)
+         |SELECT cell, pos, c, n_members FROM (
+         |  SELECT f.cell, CAST(r.pos - 1 AS BIGINT) AS pos, f.centroid[r.pos] AS c
+         |  FROM c$KmeansIters f, UNNEST(range(1, len(centroid) + 1)) r(pos)
+         |) x JOIN cnt USING (cell)
+         |ORDER BY cell, pos""".stripMargin
+    },
     "embed_rp_sketch" -> {
       val cols = (0 until SketchDims)
         .map { i =>
