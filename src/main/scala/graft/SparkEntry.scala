@@ -138,6 +138,7 @@ object SparkEntry {
     "lsh_recall" -> (DedupOps.lshRecall _),
     "recall_matrix" -> (CalibrationOps.recallMatrix _),
     "cluster_representatives" -> (DedupOps.clusterRepresentatives _),
+    "cascade_savings" -> (DedupOps.cascadeSavings _),
     // training-data pipeline: chunking + source mixing
     "chunk_documents" -> (PipelineOps.chunkDocuments _),
     "source_mix_weights" -> (PipelineOps.sourceMixWeights _),

@@ -508,6 +508,22 @@ object DedupOps {
     * min-label loop runs unchanged. Both paths are bit-identical
     * (asserted in SearchFunnelSpec) and hit the same oracle.
     */
+  /** The cascade verdicts rolled up per (source, reason) with the
+    * character volume each stage saves — the budget report a dedup
+    * pipeline run actually publishes (what fraction of each source
+    * survives, and where the rest went). One join to the (doc_id,
+    * source, n_chars) projection + one aggregation over ≤ 4·sources
+    * groups.
+    */
+  def cascadeSavings(spark: SparkSession, dir: String): DataFrame =
+    dedupCascade(spark, dir)
+      .join(Tables.documents(spark, dir)
+              .select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id")
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("source"), col("reason"))
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClustersImpl(spark, dir, DriverUnionFindMaxPairs)
 
@@ -1074,37 +1090,50 @@ object DedupOps {
         |)
         |SELECT doc1, doc2, hamming FROM ham WHERE hamming <= 3 ORDER BY doc1, doc2""".stripMargin
 
+  /** Full cascade-verdict oracle (exact → minhash → simhash attribution
+    * per doc) — shared by `dedup_cascade` and `cascade_savings`.
+    */
+  private lazy val cascadeSql: String = {
+    val exd =
+      """WITH exd AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           min(doc_id) OVER (
+        |             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS canon
+        |    FROM documents
+        |  ) WHERE doc_id <> canon
+        |)""".stripMargin
+    val verdict =
+      """verdict AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN exd.doc_id IS NOT NULL THEN 'exact_duplicate'
+        |              WHEN mhd.doc_id IS NOT NULL THEN 'minhash_near_dup'
+        |              WHEN shd.doc_id IS NOT NULL THEN 'simhash_near_dup'
+        |              ELSE 'kept' END AS reason
+        |  FROM documents d
+        |  LEFT JOIN exd ON d.doc_id = exd.doc_id
+        |  LEFT JOIN mhd ON d.doc_id = mhd.doc_id
+        |  LEFT JOIN shd ON d.doc_id = shd.doc_id
+        |)
+        |SELECT doc_id, reason = 'kept' AS kept, reason
+        |FROM verdict ORDER BY doc_id""".stripMargin
+    exd + ",\nmhd AS (SELECT DISTINCT doc2 AS doc_id FROM (\n" +
+      minhashLshSql + "\n) mhq),\nshd AS (SELECT DISTINCT doc2 AS doc_id FROM (\n" +
+      simhashPairsSql + "\n) shq),\n" + verdict
+  }
+
   val oracles: Map[String, String] = Map(
     // composed by plain concatenation: the embedded pair queries contain
     // lines starting with '||', which stripMargin would mangle
-    "dedup_cascade" -> {
-      val exd =
-        """WITH exd AS (
-          |  SELECT doc_id FROM (
-          |    SELECT doc_id,
-          |           min(doc_id) OVER (
-          |             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS canon
-          |    FROM documents
-          |  ) WHERE doc_id <> canon
-          |)""".stripMargin
-      val verdict =
-        """verdict AS (
-          |  SELECT d.doc_id,
-          |         CASE WHEN exd.doc_id IS NOT NULL THEN 'exact_duplicate'
-          |              WHEN mhd.doc_id IS NOT NULL THEN 'minhash_near_dup'
-          |              WHEN shd.doc_id IS NOT NULL THEN 'simhash_near_dup'
-          |              ELSE 'kept' END AS reason
-          |  FROM documents d
-          |  LEFT JOIN exd ON d.doc_id = exd.doc_id
-          |  LEFT JOIN mhd ON d.doc_id = mhd.doc_id
-          |  LEFT JOIN shd ON d.doc_id = shd.doc_id
-          |)
-          |SELECT doc_id, reason = 'kept' AS kept, reason
-          |FROM verdict ORDER BY doc_id""".stripMargin
-      exd + ",\nmhd AS (SELECT DISTINCT doc2 AS doc_id FROM (\n" +
-        minhashLshSql + "\n) mhq),\nshd AS (SELECT DISTINCT doc2 AS doc_id FROM (\n" +
-        simhashPairsSql + "\n) shq),\n" + verdict
-    },
+    "dedup_cascade" -> cascadeSql,
+    // the cascade verdicts rolled up per (source, reason) with the
+    // characters each stage saves — the budget report a pipeline run
+    // actually publishes
+    "cascade_savings" ->
+      ("SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs,\n" +
+        "       CAST(sum(n_chars) AS BIGINT) AS n_chars FROM (\n" + cascadeSql +
+        "\n) cv JOIN (SELECT doc_id, source, n_chars FROM documents) dm USING (doc_id)\n" +
+        "GROUP BY source, reason ORDER BY source, reason"),
     "contamination_check" ->
       s"""WITH n AS (SELECT doc_id, source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS m FROM documents),
          |h AS (
