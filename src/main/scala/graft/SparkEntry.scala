@@ -97,6 +97,7 @@ object SparkEntry {
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),
     "text_langid" -> (TextOps.textLangId _),
+    "gopher_rules" -> (TextOps.gopherRules _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_winnow" -> (TextOps.textWinnow _),
     // training-data pipeline: similarity search

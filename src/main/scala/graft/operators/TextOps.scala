@@ -81,6 +81,75 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style quality rule panel (the appendix-A heuristics of
+    * Rae et al. 2021, re-expressed on the whitespace tokenizer): each
+    * rule is its own boolean column so a pipeline run can audit WHY a
+    * document was dropped — the additive form web-corpus filters
+    * (Gopher/FineWeb/Dolma) actually publish, where [[textQuality]]
+    * collapses everything into one score. Rules: word count in
+    * [50, 100000]; mean word length in [3, 10]; ≥ 2 stopwords;
+    * ≥ 80% of tokens contain a letter; duplicate-bigram fraction
+    * ≤ 0.2 (the repetition family of [[textRepetition]]). `keep` is
+    * the conjunction.
+    *
+    * Scale shape: pure per-row map over one scan — no shuffle, fully
+    * codegen'd; at 100 TB this is the cheapest stage of the filter
+    * chain and fuses with whatever scan feeds it.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables
+      .documents(spark, dir)
+      .withColumn("tokens", tokensCol)
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .withColumn("sum_len",
+                  aggregate(col("tokens"), lit(0L), (a, t) => a + length(t)))
+      .withColumn("mean_word_len",
+                  round(col("sum_len").cast("double") / col("n_tokens"), 6))
+      .withColumn(
+        "n_stopwords",
+        size(filter(col("tokens"), t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("n_alpha",
+                  size(filter(col("tokens"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("alpha_ratio",
+                  round(col("n_alpha").cast("double") / col("n_tokens"), 6))
+      .withColumn(
+        "bg",
+        when(size(col("tokens")) >= 2,
+             transform(sequence(lit(1), size(col("tokens")) - 1),
+                       i =>
+                         concat_ws(" ", element_at(col("tokens"), i),
+                                   element_at(col("tokens"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("n_bigrams", size(col("bg")).cast("long"))
+      .withColumn("n_dup_bigrams",
+                  (size(col("bg")) - size(array_distinct(col("bg")))).cast("long"))
+      .withColumn(
+        "dup_bigram_ratio",
+        round(col("n_dup_bigrams").cast("double") /
+                greatest(col("n_bigrams"), lit(1L)),
+              6))
+      // rule predicates in exact integer form (5·x ≥ 4·n ⇔ x/n ≥ 0.8):
+      // no float literal ever sits on a decision boundary, so Spark and
+      // the DuckDB oracle can never disagree on a tie
+      .withColumn("r_word_count", col("n_tokens").between(50L, 100000L))
+      .withColumn("r_mean_word_len",
+                  col("sum_len") >= lit(3L) * col("n_tokens") &&
+                    col("sum_len") <= lit(10L) * col("n_tokens"))
+      .withColumn("r_stopwords", col("n_stopwords") >= 2L)
+      .withColumn("r_alpha", lit(5L) * col("n_alpha") >= lit(4L) * col("n_tokens"))
+      .withColumn("r_repetition",
+                  lit(5L) * col("n_dup_bigrams") <= col("n_bigrams"))
+      .withColumn("keep",
+                  col("r_word_count") && col("r_mean_word_len") &&
+                    col("r_stopwords") && col("r_alpha") && col("r_repetition"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+              col("n_stopwords"), col("alpha_ratio"), col("dup_bigram_ratio"),
+              col("r_word_count"), col("r_mean_word_len"), col("r_stopwords"),
+              col("r_alpha"), col("r_repetition"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic: English marker-token ratio (n-gram/stopword
     * scoring). Predicts 'en' when markers exceed 5% of tokens, else
     * 'other' — deterministic, so oracle-checkable; accuracy vs the `lang`
@@ -270,6 +339,40 @@ object TextOps {
         |       round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
         |             / greatest(len(bg), 1), 6) AS dup_ratio
         |FROM b ORDER BY doc_id""".stripMargin,
+    // rule predicates in exact integer form — mirrors the Spark side, so
+    // no float literal sits on a decision boundary in either engine
+    "gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |         CAST(list_sum(list_transform(tokens, x -> length(x))) AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter(tokens, x -> x IN $stopList)) AS BIGINT) AS n_stopwords,
+         |         CAST(len(list_filter(tokens, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |         list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i + 1]) AS bg
+         |  FROM t
+         |),
+         |r AS (
+         |  SELECT doc_id, n_tokens, sum_len, n_stopwords, n_alpha,
+         |         CAST(len(bg) AS BIGINT) AS n_bigrams,
+         |         CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_dup_bigrams
+         |  FROM s
+         |)
+         |SELECT doc_id, n_tokens,
+         |       round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS mean_word_len,
+         |       n_stopwords,
+         |       round(CAST(n_alpha AS DOUBLE) / n_tokens, 6) AS alpha_ratio,
+         |       round(CAST(n_dup_bigrams AS DOUBLE) / greatest(n_bigrams, 1), 6) AS dup_bigram_ratio,
+         |       n_tokens BETWEEN 50 AND 100000 AS r_word_count,
+         |       (sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens) AS r_mean_word_len,
+         |       n_stopwords >= 2 AS r_stopwords,
+         |       5 * n_alpha >= 4 * n_tokens AS r_alpha,
+         |       5 * n_dup_bigrams <= n_bigrams AS r_repetition,
+         |       ((n_tokens BETWEEN 50 AND 100000) AND sum_len >= 3 * n_tokens
+         |         AND sum_len <= 10 * n_tokens AND n_stopwords >= 2
+         |         AND 5 * n_alpha >= 4 * n_tokens
+         |         AND 5 * n_dup_bigrams <= n_bigrams) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_winnow" ->
       s"""WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS m FROM documents),
          |h AS (
