@@ -135,6 +135,7 @@ object SparkEntry {
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "text_repetition" -> (TextOps.textRepetition _),
     "dup_span_fraction" -> (DedupOps.dupSpanFraction _),
+    "strip_dup_spans" -> (DedupOps.stripDupSpans _),
     "dedup_verify_editdist" -> (DedupOps.dedupVerifyEditdist _),
     "lsh_recall" -> (DedupOps.lshRecall _),
     "recall_matrix" -> (CalibrationOps.recallMatrix _),

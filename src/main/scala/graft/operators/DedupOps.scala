@@ -824,14 +824,23 @@ object DedupOps {
     * (distributed suffix array) trades this shape for global sorts; the
     * n-gram form is the standard Spark substitute.
     */
-  def dupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables
+  /** Normalized token arrays of every document — the tokenization the
+    * whole span family (fraction, strip) shares.
+    */
+  private def spanToks(spark: SparkSession, dir: String): DataFrame =
+    Tables
       .documents(spark, dir)
       .select(col("doc_id"),
               split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
                 .as("t"))
-    val grams = gramStore.getOrBuild(spark, dir) {
-      toks
+
+  /** (doc_id, pos, gh) posting list of every [[SpanTokens]]-gram span
+    * hash, persisted once per dataset ([[FrameStore]]) — the shared
+    * intermediate of [[dupSpanFraction]] and [[stripDupSpans]].
+    */
+  private def spanGrams(spark: SparkSession, dir: String): DataFrame =
+    gramStore.getOrBuild(spark, dir) {
+      spanToks(spark, dir)
         .filter(size(col("t")) >= SpanTokens)
         .select(col("doc_id"),
                 posexplode(transform(
@@ -840,6 +849,10 @@ object DedupOps {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
                 col("col").as("gh"))
     }
+
+  def dupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spanToks(spark, dir)
+    val grams = spanGrams(spark, dir)
     val dupHashes = grams
       .groupBy(col("gh"))
       .agg(count(lit(1)).as("n"))
@@ -872,6 +885,61 @@ object DedupOps {
         round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
                 col("n_tokens"),
               6).as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The transformation [[dupSpanFraction]]'s detection exists for:
+    * remove every token position covered by a duplicated span and
+    * reconstruct the cleaned document — span-level boilerplate removal
+    * (the paragraph/line-dedup stage of published web-corpus pipelines,
+    * expressed on the same 5-gram spans the detector uses). ALL
+    * occurrences of a duplicated span are stripped; keeping one
+    * canonical copy is a document-granularity decision that belongs to
+    * [[dedupCascade]]/[[clusterRepresentatives]], not to this
+    * token-level pass.
+    *
+    * Scale shape: identical skew-safe skeleton to [[dupSpanFraction]]
+    * (partial-aggregated `groupBy(gh)`, semi-join back onto the
+    * persisted grams frame — no window, so no hot-span single-task
+    * partition; the anti-join on (doc_id, cp) is AQE-splittable). The
+    * rebuild is one `groupBy(doc_id)` whose collect_list is bounded by
+    * the document's own length — the same row the `text` column
+    * already holds, so it introduces no new skew class. The covered
+    * frame keeps duplicate (doc_id, cp) rows: an anti-join is an
+    * existence check, so deduplicating them first would buy nothing
+    * and cost a shuffle.
+    */
+  def stripDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spanToks(spark, dir)
+    val grams = spanGrams(spark, dir)
+    val dupHashes = grams
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("gh"))
+    val covered = grams
+      .join(dupHashes, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+              explode(sequence(col("pos"), col("pos") + (SpanTokens - 1)))
+                .as("cp"))
+    val posTok = toks
+      .select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("cp"),
+              col("col").as("tok"))
+    val rebuilt = posTok
+      .join(covered, Seq("doc_id", "cp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+           concat_ws(
+             " ",
+             transform(array_sort(collect_list(struct(col("cp"), col("tok")))),
+                       s => s.getField("tok"))).as("cleaned_text"))
+    toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+              coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+              coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1090,6 +1158,30 @@ object DedupOps {
         |)
         |SELECT doc1, doc2, hamming FROM ham WHERE hamming <= 3 ORDER BY doc1, doc2""".stripMargin
 
+  /** Shared span-coverage CTE chain (d→g→dupg→dg→cov: normalized
+    * tokens, span-hash postings, duplicated hashes, dup postings,
+    * covered token positions) — ONE definition for the
+    * `dup_span_fraction` and `strip_dup_spans` oracles so the two can
+    * never drift.
+    */
+  private lazy val spanCovSql: String =
+    s"""d AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, CAST(p.i AS BIGINT) AS pos,
+       |         md5(array_to_string(t[p.i:p.i + ${SpanTokens - 1}], ' ')) AS gh
+       |  FROM d, UNNEST(range(1, len(t) - ${SpanTokens - 2})) p(i)
+       |),
+       |dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+       |dg AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gh)),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + o.o AS cp
+       |  FROM dg, UNNEST(range(0, $SpanTokens)) o(o)
+       |)""".stripMargin
+
   /** Full cascade-verdict oracle (exact → minhash → simhash attribution
     * per doc) — shared by `dedup_cascade` and `cascade_savings`.
     */
@@ -1180,24 +1272,8 @@ object DedupOps {
         |SELECT source, n_docs, n_unique,
         |       round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
         |FROM s ORDER BY source""".stripMargin,
-    "dup_span_fraction" ->
-      s"""WITH d AS (
-        |  SELECT doc_id,
-        |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-        |  FROM documents
-        |),
-        |g AS (
-        |  SELECT doc_id, CAST(p.i AS BIGINT) AS pos,
-        |         md5(array_to_string(t[p.i:p.i + ${SpanTokens - 1}], ' ')) AS gh
-        |  FROM d, UNNEST(range(1, len(t) - ${SpanTokens - 2})) p(i)
-        |),
-        |dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
-        |dg AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gh)),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, pos + o.o AS cp
-        |  FROM dg, UNNEST(range(0, $SpanTokens)) o(o)
-        |),
-        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d)
+    "dup_span_fraction" -> (s"WITH $spanCovSql,\n" +
+      s"""base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d)
         |SELECT b.doc_id, b.n_tokens,
         |       coalesce(ng.n, 0) AS n_grams,
         |       coalesce(nd.n, 0) AS n_dup_grams,
@@ -1207,7 +1283,28 @@ object DedupOps {
         |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1) ng USING (doc_id)
         |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1) nd USING (doc_id)
         |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cov GROUP BY 1) cv USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+    "strip_dup_spans" -> (s"WITH $spanCovSql,\n" +
+      s"""pt AS (
+        |  SELECT doc_id, CAST(p.i AS BIGINT) AS cp, t[p.i] AS tok
+        |  FROM d, UNNEST(range(1, len(t) + 1)) p(i)
+        |),
+        |kept AS (
+        |  SELECT pt.doc_id, pt.cp, pt.tok FROM pt
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.doc_id = pt.doc_id AND cov.cp = pt.cp)
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        |         string_agg(tok, ' ' ORDER BY cp) AS cleaned_text
+        |  FROM kept GROUP BY doc_id
+        |),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d)
+        |SELECT b.doc_id, b.n_tokens,
+        |       coalesce(a.kept_tokens, 0) AS kept_tokens,
+        |       coalesce(a.cleaned_text, '') AS cleaned_text
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     "lsh_recall" -> (
       shingleSql + ",\n" +
         s"""truth AS (

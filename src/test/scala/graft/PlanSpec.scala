@@ -66,6 +66,43 @@ class PlanSpec extends SparkSpec {
     assert(plan.toString.contains("HashAggregate"))
   }
 
+  test("strip_dup_spans inherits the skew-safe no-window shape") {
+    // same guarantee as dup_span_fraction: dup-span detection must stay
+    // groupBy+join (AQE-splittable) — never a window partitioned by the
+    // span hash, which a hot boilerplate span would serialize
+    val plan = DedupOps.stripDupSpans(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"unexpected WindowExec in:\n$plan")
+  }
+
+  test("cluster_representatives picks its argmax without a window") {
+    // the representative is max(struct(quality, -doc_id)) inside the
+    // cluster aggregation — a rank-over-window form would materialize
+    // every mega-cluster in one task
+    val plan = DedupOps.clusterRepresentatives(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"unexpected WindowExec in:\n$plan")
+  }
+
+  test("kmeans assignment broadcasts the centroid set") {
+    // emb ⨯ cents must plan as a broadcast nested-loop (tiny centroid
+    // side shipped to every task), never a shuffled cartesian product
+    val p = planOf(VectorOps.kmeansCentroids(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("gopher_rules is a pure per-row map (no shuffle before the sort)") {
+    val p = planOf(TextOps.gopherRules(spark, sf("sf0.001")))
+    assert(!p.contains("hashpartitioning"), s"unexpected shuffle in:\n$p")
+  }
+
   test("column pruning reaches the scan (narrow ReadSchema)") {
     val p = planOf(SeriesOps.seriesAvg(spark, sf("sf0.01")))
     assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"))
