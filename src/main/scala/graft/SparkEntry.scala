@@ -141,6 +141,7 @@ object SparkEntry {
     "recall_matrix" -> (CalibrationOps.recallMatrix _),
     "cluster_representatives" -> (DedupOps.clusterRepresentatives _),
     "cascade_savings" -> (DedupOps.cascadeSavings _),
+    "quality_by_verdict" -> (DedupOps.qualityByVerdict _),
     // training-data pipeline: chunking + source mixing
     "chunk_documents" -> (PipelineOps.chunkDocuments _),
     "source_mix_weights" -> (PipelineOps.sourceMixWeights _),

@@ -524,6 +524,35 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("source"), col("reason"))
 
+  /** Quality-score distribution per cascade verdict — the calibration
+    * report that tells a pipeline whether its dedup stages are dropping
+    * low-quality boilerplate (healthy) or eating unique high-quality
+    * text (a bug). The average is computed in exact integer micro-units
+    * (floor(q·10⁶ + 0.5), summed as BIGINT) so it is independent of
+    * partition summation order — a plain fp `avg` over a 100 TB group
+    * is nondeterministic in the last ulp and would flap the oracle
+    * hash. One join to the pure-map quality frame + an aggregation
+    * over ≤ 4 verdict groups (low-cardinality groupBy: partial
+    * aggregation absorbs everything map-side).
+    */
+  def qualityByVerdict(spark: SparkSession, dir: String): DataFrame =
+    dedupCascade(spark, dir)
+      .join(TextOps.textQuality(spark, dir)
+              .select(col("doc_id"), col("quality_score")),
+            "doc_id")
+      .groupBy(col("reason"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(floor(col("quality_score") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("sq"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .select(col("reason"), col("n_docs"),
+              round(col("sq").cast("double") / col("n_docs") / lit(1000000.0), 6)
+                .as("avg_quality"),
+              col("min_quality"), col("max_quality"))
+      .orderBy(col("reason"))
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClustersImpl(spark, dir, DriverUnionFindMaxPairs)
 
@@ -1226,6 +1255,16 @@ object DedupOps {
         "       CAST(sum(n_chars) AS BIGINT) AS n_chars FROM (\n" + cascadeSql +
         "\n) cv JOIN (SELECT doc_id, source, n_chars FROM documents) dm USING (doc_id)\n" +
         "GROUP BY source, reason ORDER BY source, reason"),
+    // avg in exact integer micro-units — see qualityByVerdict's scaladoc
+    "quality_by_verdict" ->
+      ("WITH " + TextOps.qualityCteSql + "\n" +
+        "SELECT cv.reason, CAST(count(*) AS BIGINT) AS n_docs,\n" +
+        "       round(CAST(sum(CAST(floor(qq.quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)\n" +
+        "             / count(*) / 1000000.0, 6) AS avg_quality,\n" +
+        "       min(qq.quality_score) AS min_quality,\n" +
+        "       max(qq.quality_score) AS max_quality\n" +
+        "FROM (\n" + cascadeSql + "\n) cv JOIN qq USING (doc_id)\n" +
+        "GROUP BY cv.reason ORDER BY cv.reason"),
     "contamination_check" ->
       s"""WITH n AS (SELECT doc_id, source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS m FROM documents),
          |h AS (
