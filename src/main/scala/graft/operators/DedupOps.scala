@@ -364,7 +364,20 @@ object DedupOps {
     * Each underlying stage is the already-oracle-checked operator above;
     * this query composes their outputs in one plan.
     */
-  def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
+  def dedupCascade(spark: SparkSession, dir: String): DataFrame =
+    cascadeVerdict(spark, dir).orderBy(col("doc_id"))
+
+  /** Per-dataset persisted verdict frame (doc_id, kept, reason) — three
+    * rows wide, so cheap to cache; shared by [[dedupCascade]],
+    * [[cascadeSavings]] and [[qualityByVerdict]] so the embedded LSH +
+    * SimHash pipelines run once per dataset, not once per consumer (at
+    * cluster scale this is the written verdict table every downstream
+    * stage joins against).
+    */
+  private val cascadeStore = new FrameStore(2)
+
+  private def cascadeVerdict(spark: SparkSession, dir: String): DataFrame =
+    cascadeStore.getOrBuild(spark, dir) {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val exactDrop = dedupExact(spark, dir)
       .filter(col("n_copies") > 1)
@@ -393,7 +406,6 @@ object DedupOps {
                   coalesce(col("r1"), col("r2"), col("r3"), lit("kept")))
       .withColumn("kept", col("reason") === "kept")
       .select(col("doc_id"), col("kept"), col("reason"))
-      .orderBy(col("doc_id"))
   }
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -516,7 +528,7 @@ object DedupOps {
     * groups.
     */
   def cascadeSavings(spark: SparkSession, dir: String): DataFrame =
-    dedupCascade(spark, dir)
+    cascadeVerdict(spark, dir)
       .join(Tables.documents(spark, dir)
               .select(col("doc_id"), col("source"), col("n_chars")),
             "doc_id")
@@ -536,7 +548,7 @@ object DedupOps {
     * aggregation absorbs everything map-side).
     */
   def qualityByVerdict(spark: SparkSession, dir: String): DataFrame =
-    dedupCascade(spark, dir)
+    cascadeVerdict(spark, dir)
       .join(TextOps.textQuality(spark, dir)
               .select(col("doc_id"), col("quality_score")),
             "doc_id")
