@@ -364,4 +364,59 @@ class OperatorSpec extends SparkSpec {
     assert(better == 0)
     assert(reps.count() > 0)
   }
+
+  test("strip_dup_spans removes exactly the planted shared block") {
+    val session = spark
+    import session.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val dir = writeDocs(Seq(
+      (1L, s"one two three four five six seven $shared"),
+      (2L, s"$shared eight nine ten eleven twelve thirteen"),
+      (3L, "totally unrelated words with no overlap at all in here present")
+    ).toDF("doc_id", "text"))
+    val rows = DedupOps.stripDupSpans(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rows(1L) == ((13L, 7L, "one two three four five six seven")))
+    assert(rows(2L) == ((12L, 6L, "eight nine ten eleven twelve thirteen")))
+    assert(rows(3L) == ((11L,
+      11L, "totally unrelated words with no overlap at all in here present")))
+  }
+
+  test("gopher_rules: each rule trips on its own planted violation") {
+    val session = spark
+    import session.implicits._
+    val filler = (1 to 48).map(i => f"word$i%02d").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, s"the a $filler"),              // 50 varied tokens, 2 stopwords
+      (2L, "the a cat"),                   // too short
+      (3L, (1 to 50).map(i => f"term$i%02d").mkString(" ")), // no stopwords
+      (4L, "the a " + Seq.fill(48)("spam").mkString(" ")),   // repetition
+      (5L, "the a " + Seq.fill(48)("x").mkString(" "))       // mean len 1.24
+    ).toDF("doc_id", "text"))
+    val r = TextOps.gopherRules(spark, dir)
+      .collect()
+      .map(row => row.getLong(0) -> row)
+      .toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("r_word_count") && !r(2L).getAs[Boolean]("keep"))
+    assert(r(3L).getAs[Boolean]("r_word_count") &&
+      !r(3L).getAs[Boolean]("r_stopwords"))
+    assert(!r(4L).getAs[Boolean]("r_repetition"))
+    assert(!r(5L).getAs[Boolean]("r_mean_word_len"))
+  }
+
+  test("cascade accounting partitions the corpus exactly") {
+    val savings = DedupOps.cascadeSavings(spark, sf("sf0.001"))
+    val byVerdict = DedupOps.qualityByVerdict(spark, sf("sf0.001"))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val nDocs = docs.count()
+    val nChars = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    // every document lands in exactly one (source, reason) bucket, and
+    // the character budget is conserved
+    assert(savings.agg(sum(col("n_docs"))).head.getLong(0) == nDocs)
+    assert(savings.agg(sum(col("n_chars"))).head.getLong(0) == nChars)
+    assert(byVerdict.agg(sum(col("n_docs"))).head.getLong(0) == nDocs)
+  }
 }
