@@ -98,6 +98,7 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality _),
     "text_langid" -> (TextOps.textLangId _),
     "gopher_rules" -> (TextOps.gopherRules _),
+    "tokenizer_fertility" -> (TextOps.tokenizerFertility _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_winnow" -> (TextOps.textWinnow _),
     // training-data pipeline: similarity search

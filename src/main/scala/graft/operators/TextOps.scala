@@ -81,6 +81,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility per source slice: corpus-level chars-per-piece
+    * and pieces-per-word for the BPE-ish pre-tokenizer vs whitespace
+    * words — the standard report for how a tokenizer "spends" its
+    * budget on each corpus source (fertility ↑ means more pieces per
+    * word, i.e. the tokenizer fits that slice poorly). Ratios are
+    * derived from exact integer sums, so they are independent of
+    * partition summation order at any scale. One pure-map pass + a
+    * source-cardinality aggregation (partial agg absorbs everything
+    * map-side).
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("nt", size(tokensCol).cast("long"))
+      .withColumn(
+        "nb",
+        size(regexp_extract_all(lower(col("text")), lit(BpePieceRegex), lit(0)))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           sum(col("nt")).as("sum_ws_tokens"),
+           sum(col("nb")).as("sum_bpe_pieces"))
+      .select(
+        col("source"), col("n_docs"), col("sum_chars"), col("sum_ws_tokens"),
+        col("sum_bpe_pieces"),
+        round(col("sum_chars").cast("double") / col("sum_bpe_pieces"), 6)
+          .as("chars_per_piece"),
+        round(col("sum_bpe_pieces").cast("double") / col("sum_ws_tokens"), 6)
+          .as("pieces_per_word"))
+      .orderBy(col("source"))
+
   /** Gopher-style quality rule panel (the appendix-A heuristics of
     * Rae et al. 2021, re-expressed on the whitespace tokenizer): each
     * rule is its own boolean column so a pipeline run can audit WHY a
@@ -339,6 +371,20 @@ object TextOps {
         |       round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
         |             / greatest(len(bg), 1), 6) AS dup_ratio
         |FROM b ORDER BY doc_id""".stripMargin,
+    "tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT source, n_chars,
+        |         len(string_split_regex(trim(text), '\s+')) AS nt,
+        |         len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS nb
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(nt) AS BIGINT) AS sum_ws_tokens,
+        |       CAST(sum(nb) AS BIGINT) AS sum_bpe_pieces,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / sum(nb), 6) AS chars_per_piece,
+        |       round(CAST(sum(nb) AS DOUBLE) / sum(nt), 6) AS pieces_per_word
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // rule predicates in exact integer form — mirrors the Spark side, so
     // no float literal sits on a decision boundary in either engine
     "gopher_rules" ->
