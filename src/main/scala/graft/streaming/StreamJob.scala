@@ -161,6 +161,34 @@ object StreamJob {
       }
       .start()
 
+    // corpus-ingest dedup: the documents table replayed as a stream
+    // (≙ a crawler/mirror feed), online exact dedup by content hash —
+    // the count equals the batch dedup_exact distinct-hash count
+    // (first-occurrence semantics spec'd in StatefulProcessorSpec)
+    val stageDocs = s"$outDir/staged_docs"
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+                .as("content_hash"),
+              col("source"))
+      .write.mode("overwrite").parquet(stageDocs)
+    val docsIn = spark.readStream
+      .schema(spark.read.parquet(stageDocs).schema)
+      .parquet(stageDocs)
+      .as[IngestDoc]
+    val docDedupQuery = TypedStatefulProcessors
+      .docDedupStream(spark, docsIn)
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_doc_dedup")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/deduped_docs")
+        ()
+      }
+      .start()
+
     kpiQuery.awaitTermination()
     alertQuery.awaitTermination()
     sessionQuery.awaitTermination()
@@ -168,6 +196,7 @@ object StreamJob {
     ewmaQuery.awaitTermination()
     transQuery.awaitTermination()
     dedupQuery.awaitTermination()
+    docDedupQuery.awaitTermination()
 
     // Second job, exactly the reference topology: the alert service
     // consumes the anomaly job's output topic (`alerts.v1` ≙ the alerts
@@ -228,7 +257,9 @@ object StreamJob {
       "transitions" -> (try spark.read.parquet(s"$outDir/transitions").count()
                         catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "deduped_events" -> (try spark.read.parquet(s"$outDir/deduped_events").count()
-                           catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+                           catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
+      "deduped_docs" -> (try spark.read.parquet(s"$outDir/deduped_docs").count()
+                         catch { case _: org.apache.spark.sql.AnalysisException => 0L })
     )
   }
 

@@ -159,6 +159,44 @@ class DedupStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** One document on the streaming-ingest path: id, the md5 of its
+  * normalized text (the dedup key — computed BEFORE the keyed shuffle
+  * so only 32 hash chars plus metadata ever move, never the text), and
+  * its source tag.
+  */
+case class IngestDoc(doc_id: Long, content_hash: String, source: String)
+
+/** Streaming corpus-ingest dedup: the batch [[graft.operators.DedupOps]]
+  * `dedup_exact` semantics (normalized-text md5, min doc_id is
+  * canonical) applied online — the shape an always-on training-data
+  * ingestion service runs, where re-crawls and mirror feeds deliver the
+  * same document text arbitrarily far apart. First occurrence per
+  * content hash survives; a duplicate arriving in the same micro-batch
+  * as its original loses deterministically (min doc_id). Same state
+  * posture as [[DedupStatefulProcessor]]: one boolean per hash, key
+  * space unbounded → bounded by `graft.state.ttl` at deployment scale.
+  */
+class DocDedupStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, IngestDoc, IngestDoc] {
+
+  @transient private var seen: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean](
+      "seenDoc", Encoders.scalaBoolean, ttl)
+
+  override def handleInputRows(
+      key: String,
+      inputRows: Iterator[IngestDoc],
+      timerValues: TimerValues): Iterator[IngestDoc] = {
+    if (seen.exists()) Iterator.empty
+    else {
+      seen.update(true)
+      Iterator.single(inputRows.minBy(_.doc_id))
+    }
+  }
+}
+
 /** Incrementally-carried moments companion for
   * [[AnomalyListStateProcessor]]'s list buffer.
   */
@@ -243,6 +281,20 @@ object TypedStatefulProcessors {
     events
       .groupByKey(_.event_id)
       .transformWithState(new DedupStatefulProcessor(ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update())
+  }
+
+  /** document stream → first occurrence per content hash (streaming
+    * corpus-ingest dedup); see [[DocDedupStatefulProcessor]].
+    */
+  def docDedupStream(spark: SparkSession,
+                     docs: Dataset[IngestDoc]): Dataset[IngestDoc] = {
+    import spark.implicits._
+    val ttl = StateTtl.of(spark)
+    docs
+      .groupByKey(_.content_hash)
+      .transformWithState(new DocDedupStatefulProcessor(ttl),
                           StateTtl.timeMode(ttl),
                           OutputMode.Update())
   }

@@ -353,6 +353,27 @@ class StatefulProcessorSpec extends AnyFunSuite {
       events.map(e => e.event_id -> e.ts).toMap)
   }
 
+  test("streaming corpus dedup: one survivor per content hash, min doc_id wins") {
+    val session = spark
+    import session.implicits._
+    // runStream splits 5 rows into micro-batches [10,3], [7,20], [9]:
+    // ids 10 and 3 share a hash INSIDE one batch (min wins), 20 replays
+    // that hash two batches later (state wins), 7 and 9 are unique
+    val docs = Seq(
+      IngestDoc(10L, "h_a", "s1"),
+      IngestDoc(3L, "h_a", "s1"),
+      IngestDoc(7L, "h_b", "s2"),
+      IngestDoc(20L, "h_a", "s3"),
+      IngestDoc(9L, "h_c", "s1"))
+    val streamed = runStream[IngestDoc, IngestDoc](
+      "tws_doc_dedup", docs,
+      in => TypedStatefulProcessors.docDedupStream(spark, in.toDS()))
+      .as[IngestDoc].collect()
+    assert(streamed.length == 3)
+    assert(streamed.map(d => d.content_hash -> d.doc_id).toMap ==
+      Map("h_a" -> 3L, "h_b" -> 7L, "h_c" -> 9L))
+  }
+
   test("graft.state.ttl evicts idle per-user transition state") {
     val session = spark
     import session.implicits._
