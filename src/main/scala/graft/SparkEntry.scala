@@ -130,6 +130,7 @@ object SparkEntry {
     "doc_length_histogram" -> (PipelineOps.docLengthHistogram _),
     "dataset_split" -> (PipelineOps.datasetSplit _),
     "vocab_coverage" -> (PipelineOps.vocabCoverage _),
+    "approx_top_tokens" -> (PipelineOps.approxTopTokens _),
     "dedup_rate_by_source" -> (DedupOps.dedupRateBySource _),
     "events_hourly_heatmap" -> (FunnelOps.eventsHourlyHeatmap _),
     // dedup clustering + repetition signals

@@ -62,6 +62,46 @@ object PipelineOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(100)
 
+  /** Heavy-hitter tokens via the mergeable Misra–Gries sketch
+    * ([[graft.functions.TopKSketch]]), self-gated like the HLL query:
+    * each surviving token's estimate is joined against its exact count
+    * and `within_bound` asserts est ≤ exact ≤ est + max_err — the
+    * sketch guarantee, checkable row-by-row by a portable oracle. With
+    * the default `graft.topk.k` = 64 (above the corpus vocabulary) the
+    * summary is provably exact and order-independent (see the sketch
+    * scaladoc), so est = exact and max_err = 0 hash-match exactly; at
+    * 100 TB one lowers k to the memory budget and keeps the same gate.
+    * The exact side is the same one-shuffle token aggregation
+    * [[vocabTopK]] uses; the sketch side adds NO shuffle beyond the
+    * single-row final merge (one k-entry summary per partition).
+    */
+  def approxTopTokens(spark: SparkSession, dir: String): DataFrame = {
+    val k = spark.conf.get("graft.topk.k", "64").toInt
+    require(k >= 1, s"graft.topk.k must be >= 1: $k")
+    val pairs = Tables
+      .documents(spark, dir)
+      .select(explode(graft.functions.TextExprs.tokenCounts(col("text")))
+        .as("tc"))
+      .select(col("tc.token").as("token"), col("tc.tf").cast("long").as("tf"))
+    val summary = pairs
+      .agg(graft.functions.TopKSketch
+        .topTokens(k)(col("token"), col("tf")).as("mg"))
+      .select(explode(col("mg.items")).as("it"))
+      .select(col("it.token").as("token"), col("it.est").as("est_count"),
+              col("it.maxerr").as("max_err"))
+    val exact = pairs.groupBy(col("token")).agg(sum(col("tf")).as("exact_count"))
+    summary
+      .join(exact, Seq("token"), "left")
+      .withColumn("exact_count", coalesce(col("exact_count"), lit(0L)))
+      .withColumn("within_bound",
+                  col("est_count") <= col("exact_count") &&
+                    col("exact_count") <= col("est_count") + col("max_err"))
+      .select(col("token"), col("est_count"), col("max_err"),
+              col("exact_count"), col("within_bound"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(25)
+  }
+
   /** Token budget per packed training sequence. */
   private val PackBudget = 512
 
@@ -416,6 +456,19 @@ object PipelineOps {
          |SELECT event_id, event_type, ts, user_id, value, bucket
          |FROM h WHERE bucket < ($ratesSqlCase)
          |ORDER BY event_id""".stripMargin,
+    // the sketch is provably exact at the default k (> corpus vocab), so
+    // the oracle states est = exact, max_err = 0, gate true — any
+    // nondeterminism or bound violation on the Spark side breaks the hash
+    "approx_top_tokens" ->
+      """WITH t AS (
+        |  SELECT u.token
+        |  FROM documents,
+        |       UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) u(token)
+        |),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count FROM t GROUP BY token)
+        |SELECT token, exact_count AS est_count, CAST(0 AS BIGINT) AS max_err,
+        |       exact_count, true AS within_bound
+        |FROM c ORDER BY est_count DESC, token LIMIT 25""".stripMargin,
     "vocab_topk" ->
       """WITH t AS (
         |  SELECT doc_id, u.token
