@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_exact" -> (DedupOps.dedupExact _),
     "minhash_signatures" -> (DedupOps.minhashSignatures _),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh _),
+    "shingle_containment" -> (DedupOps.shingleContainment _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "simhash_signatures" -> (DedupOps.simhashSignatures _),
     "simhash_pairs" -> (DedupOps.simhashPairs _),

@@ -153,11 +153,12 @@ object DedupOps {
     minhashLshPairs(spark, dir, k, nBands)
   }
 
-  /** [[dedupMinhashLsh]] at an EXPLICIT (k, bands) — the building block
-    * [[CalibrationOps.recallMatrix]] sweeps across its grid.
+  /** LSH candidate pairs scored with exact shingle overlap, BEFORE the
+    * Jaccard threshold — the shared stage of [[minhashLshPairs]] (which
+    * filters) and [[shingleContainment]] (which scores asymmetrically).
     */
-  private[operators] def minhashLshPairs(spark: SparkSession, dir: String,
-                                         k: Int, nBands: Int): DataFrame = {
+  private def lshScoredPairs(spark: SparkSession, dir: String,
+                             k: Int, nBands: Int): DataFrame = {
     val rowsPerBand = k / nBands
     val bands = shingled(spark, dir)
       .withColumn("sig",
@@ -191,12 +192,56 @@ object DedupOps {
       .select(
         col("doc1"), col("doc2"),
         size(array_intersect(col("s1"), col("s2"))).cast("long").as("n_common"),
-        (size(col("s1")) + size(col("s2"))).as("n_total"))
-      .select(
-        col("doc1"), col("doc2"), col("n_common"),
-        round(col("n_common").cast("double") / (col("n_total") - col("n_common")),
-              6).as("jaccard"))
+        size(col("s1")).cast("long").as("s1_size"),
+        size(col("s2")).cast("long").as("s2_size"))
+      .withColumn(
+        "jaccard",
+        round(col("n_common").cast("double") /
+                (col("s1_size") + col("s2_size") - col("n_common")),
+              6))
+  }
+
+  /** [[dedupMinhashLsh]] at an EXPLICIT (k, bands) — the building block
+    * [[CalibrationOps.recallMatrix]] sweeps across its grid:
+    * [[lshScoredPairs]] thresholded to the published near-dup verdicts.
+    */
+  private[operators] def minhashLshPairs(spark: SparkSession, dir: String,
+                                         k: Int, nBands: Int): DataFrame =
+    lshScoredPairs(spark, dir, k, nBands)
       .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc1"), col("doc2"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+
+  /** Asymmetric shingle containment over the LSH candidate pairs:
+    * c1 = |A∩B|/|A| and c2 = |A∩B|/|B| alongside the symmetric Jaccard.
+    * Containment is the signal Jaccard structurally misses — a short
+    * document fully embedded in a long one (a quote, an excerpt, a
+    * mirrored fragment) has c_short ≈ 1 while Jaccard stays below any
+    * dedup threshold; `containment_only` flags exactly those pairs
+    * (max containment ≥ 0.8 in exact integer form, Jaccard below the
+    * near-dup threshold). Candidate-limited by construction: MinHash
+    * banding collides on SYMMETRIC similarity, so containment-only
+    * recall is bounded by band luck — documented honestly; the full
+    * one-sided answer at corpus scale is the fingerprint-join shape of
+    * [[contaminationCheck]], which this complements for in-corpus
+    * pairs. Same skew posture as every LSH consumer (bucketed
+    * candidates, MaxBucket guard, AQE-splittable joins).
+    */
+  def shingleContainment(spark: SparkSession, dir: String): DataFrame = {
+    val (k, nBands) = minhashConf(spark)
+    lshScoredPairs(spark, dir, k, nBands)
+      .select(
+        col("doc1"), col("doc2"), col("n_common"), col("s1_size"),
+        col("s2_size"),
+        round(col("n_common").cast("double") / col("s1_size"), 6)
+          .as("containment1"),
+        round(col("n_common").cast("double") / col("s2_size"), 6)
+          .as("containment2"),
+        col("jaccard"),
+        (((lit(5L) * col("n_common") >= lit(4L) * col("s1_size")) ||
+          (lit(5L) * col("n_common") >= lit(4L) * col("s2_size"))) &&
+          (lit(3L) * col("n_common") < col("s1_size") + col("s2_size")))
+          .as("containment_only"))
       .orderBy(col("doc1"), col("doc2"))
   }
 
@@ -486,11 +531,29 @@ object DedupOps {
          |scored AS (
          |  SELECT doc1, doc2,
          |         CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_common,
+         |         CAST(len(x.shingles) AS BIGINT) AS s1_size,
+         |         CAST(len(y.shingles) AS BIGINT) AS s2_size,
          |         round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
          |               / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))), 6) AS jaccard
          |  FROM cand JOIN sh x ON cand.doc1 = x.doc_id JOIN sh y ON cand.doc2 = y.doc_id
          |)
-         |SELECT * FROM scored WHERE jaccard >= $JaccardThreshold ORDER BY doc1, doc2""".stripMargin
+         |SELECT doc1, doc2, n_common, jaccard FROM scored WHERE jaccard >= $JaccardThreshold ORDER BY doc1, doc2""".stripMargin
+
+  /** [[minhashLshSql]] with the containment projection instead of the
+    * Jaccard threshold — shares every CTE up through `scored`.
+    */
+  private lazy val containmentSql: String = {
+    val upToScored =
+      minhashLshSql.substring(0, minhashLshSql.lastIndexOf("SELECT doc1"))
+    upToScored +
+      """SELECT doc1, doc2, n_common, s1_size, s2_size,
+        |       round(CAST(n_common AS DOUBLE) / s1_size, 6) AS containment1,
+        |       round(CAST(n_common AS DOUBLE) / s2_size, 6) AS containment2,
+        |       jaccard,
+        |       ((5 * n_common >= 4 * s1_size OR 5 * n_common >= 4 * s2_size)
+        |         AND 3 * n_common < s1_size + s2_size) AS containment_only
+        |FROM scored ORDER BY doc1, doc2""".stripMargin
+  }
 
   /** Near-duplicate CLUSTERS: connected components over the verified
     * MinHash-LSH pair graph ([[dedupMinhashLsh]]), labelling every
@@ -1267,6 +1330,7 @@ object DedupOps {
         "       CAST(sum(n_chars) AS BIGINT) AS n_chars FROM (\n" + cascadeSql +
         "\n) cv JOIN (SELECT doc_id, source, n_chars FROM documents) dm USING (doc_id)\n" +
         "GROUP BY source, reason ORDER BY source, reason"),
+    "shingle_containment" -> containmentSql,
     // avg in exact integer micro-units — see qualityByVerdict's scaladoc
     "quality_by_verdict" ->
       ("WITH " + TextOps.qualityCteSql + "\n" +
