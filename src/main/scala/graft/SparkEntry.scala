@@ -139,6 +139,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.textRepetition _),
     "dup_span_fraction" -> (DedupOps.dupSpanFraction _),
     "strip_dup_spans" -> (DedupOps.stripDupSpans _),
+    "ngram_novelty" -> (DedupOps.ngramNovelty _),
     "dedup_verify_editdist" -> (DedupOps.dedupVerifyEditdist _),
     "lsh_recall" -> (DedupOps.lshRecall _),
     "recall_matrix" -> (CalibrationOps.recallMatrix _),

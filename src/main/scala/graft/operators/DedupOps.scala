@@ -1047,6 +1047,43 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus novelty curve: for every document, how many of its
+    * [[SpanTokens]]-gram spans appear for the FIRST time in the corpus
+    * (first occurrence = minimum doc_id over the span hash, the same
+    * deterministic canonical rule as [[dedupExact]]) — the
+    * diversity-growth signal a data-curation loop watches to decide
+    * when a source is mined out (novelty → 0 means new documents are
+    * recombinations of spans the corpus already has).
+    *
+    * Scale shape: one partial-aggregated `groupBy(gh).min(doc_id)` over
+    * the persisted grams frame (hot spans combine map-side, same
+    * skew-immunity argument as [[dupSpanFraction]]) joined back to the
+    * per-doc distinct-gram counts; no window, no re-shingle.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = spanGrams(spark, dir).select(col("doc_id"), col("gh")).distinct()
+    val firstOwner = spanGrams(spark, dir)
+      .groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val per = grams
+      .join(firstOwner, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("n_novel_grams"))
+    spanToks(spark, dir)
+      .select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        coalesce(col("n_novel_grams"), lit(0L)).as("n_novel_grams"),
+        round(coalesce(col("n_novel_grams"), lit(0L)).cast("double") /
+                greatest(coalesce(col("n_distinct_grams"), lit(0L)), lit(1L)),
+              6).as("novelty_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-similarity threshold for [[dedupVerifyEditdist]]. */
   private val EditSimThreshold = 0.8
 
@@ -1398,6 +1435,22 @@ object DedupOps {
         |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1) ng USING (doc_id)
         |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1) nd USING (doc_id)
         |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cov GROUP BY 1) cv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+    "ngram_novelty" -> (s"WITH $spanCovSql,\n" +
+      s"""gd AS (SELECT DISTINCT doc_id, gh FROM g),
+        |fo AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh),
+        |per AS (
+        |  SELECT gd.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_grams,
+        |         CAST(sum(CASE WHEN fo.first_doc = gd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel_grams
+        |  FROM gd JOIN fo USING (gh) GROUP BY gd.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(per.n_distinct_grams, 0) AS n_distinct_grams,
+        |       coalesce(per.n_novel_grams, 0) AS n_novel_grams,
+        |       round(CAST(coalesce(per.n_novel_grams, 0) AS DOUBLE)
+        |             / greatest(coalesce(per.n_distinct_grams, 0), 1), 6) AS novelty_ratio
+        |FROM d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
     "strip_dup_spans" -> (s"WITH $spanCovSql,\n" +
       s"""pt AS (
