@@ -54,6 +54,7 @@ object SparkEntry {
     "distinct_users" -> (MiscOps.distinctUsers _),
     "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
     "approx_p95_gated" -> (MiscOps.approxP95Gated _),
+    "hll_by_day" -> (MiscOps.hllByDay _),
     // temporal operators (additive: sessionization, as-of, range join)
     "sessionize" -> (TemporalOps.sessionize _),
     "concurrent_sessions" -> (TemporalOps.concurrentSessions _),

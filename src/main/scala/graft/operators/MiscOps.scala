@@ -233,6 +233,65 @@ object MiscOps {
       .orderBy(col("event_type"))
   }
 
+  /** log₂ of the DataSketches HLL register count for [[hllByDay]] —
+    * 2¹² registers ⇒ relative standard error ≈ 1.04/√2¹² ≈ 1.6 %, and a
+    * sketch of at most a few KB per day regardless of cardinality.
+    */
+  private val HllLgK = 12
+
+  /** 5σ relative-error gate for [[hllByDay]] (same 5σ rationale as
+    * [[approxDistinctUsers]]: rsd is a standard deviation, a 1σ gate
+    * would fail healthy sketches on ~1/3 of groups).
+    */
+  private val HllSketchTol = 5 * 1.04 / math.sqrt((1 << HllLgK).toDouble)
+
+  /** Per-day DataSketches HLL sketches of distinct users, MERGED into a
+    * corpus-wide total with `hll_union_agg` — the 100 TB re-aggregation
+    * pattern: persist one tiny (2¹²-register) sketch per partition-day
+    * and answer any date-range distinct-user question by unioning the
+    * covered days' sketches, never rescanning the events. The union is
+    * associative and commutative, so Spark partial-aggregates it
+    * map-side and the final reduce touches |days| rows, not |events|.
+    * (This is `approx_count_distinct`'s missing half: HLL++ emits only
+    * a final estimate, while the DataSketches column functions expose
+    * the sketch BYTES as a value that can be stored and re-merged.)
+    *
+    * SELF-GATED like [[approxDistinctUsers]]: sketch bytes and
+    * estimates are engine-specific, so the portable output is the exact
+    * per-day count, the exact total, and two 5σ verdicts (`day_ok` for
+    * each day's estimate, `merged_ok` for the unioned estimate). The
+    * exact aggregates — and the second events scan that computes the
+    * exact total — exist only to power the audit gate; production ships
+    * the sketches alone.
+    */
+  def hllByDay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val daily = ev
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), HllLgK).as("sketch"),
+           count_distinct(col("user_id")).as("n_users_exact"))
+    val mergedEst = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("merged_est"))
+    val totalExact = ev.agg(count_distinct(col("user_id")).as("n_total_exact"))
+    val gateTotal = mergedEst
+      .crossJoin(totalExact)
+      .select(
+        col("n_total_exact"),
+        (abs(col("merged_est").cast("double") /
+               greatest(col("n_total_exact"), lit(1L)).cast("double") - 1.0)
+          <= HllSketchTol).as("merged_ok"))
+    daily
+      .select(
+        col("day"), col("n_users_exact"),
+        (abs(hll_sketch_estimate(col("sketch")).cast("double") /
+               greatest(col("n_users_exact"), lit(1L)).cast("double") - 1.0)
+          <= HllSketchTol).as("day_ok"))
+      .crossJoin(broadcast(gateTotal))
+      .orderBy(col("day"))
+  }
+
   /** Distinct users per event type — the set-operation building block. */
   private def usersOf(spark: SparkSession, dir: String, t: String): DataFrame =
     Tables
@@ -311,6 +370,16 @@ object MiscOps {
     "approx_distinct_users" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
          |       true AS within_tolerance
+         |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mergeable HLL rollup: the oracle checks the exact per-day and
+    // total counts plus the two gate verdicts; sketch bytes/estimates
+    // never cross engines
+    "hll_by_day" ->
+      s"""SELECT date_trunc('day', ts) AS day,
+         |       count(DISTINCT user_id) AS n_users_exact,
+         |       true AS day_ok,
+         |       (SELECT count(DISTINCT user_id) FROM $ev e2) AS n_total_exact,
+         |       true AS merged_ok
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
     // rank-gated quantile sketch: the oracle checks the exact
     // interpolated p95 and the gate verdict, never the sketch value

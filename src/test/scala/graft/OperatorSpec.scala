@@ -419,4 +419,22 @@ class OperatorSpec extends SparkSpec {
     assert(savings.agg(sum(col("n_chars"))).head.getLong(0) == nChars)
     assert(byVerdict.agg(sum(col("n_docs"))).head.getLong(0) == nDocs)
   }
+
+  test("hll_by_day: both sketch gates hold and exact counts reconcile") {
+    val df = MiscOps.hllByDay(spark, sf("sf0.001")).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // a healthy in-spec sketch never trips the 5σ gates
+    assert(rows.forall(_.getAs[Boolean]("day_ok")))
+    assert(rows.forall(_.getAs[Boolean]("merged_ok")))
+    // the merged total is a DISTINCT union, not a sum of days: users
+    // active on several days must be counted once
+    val total = rows.head.getAs[Long]("n_total_exact")
+    val sumOfDays = rows.map(_.getAs[Long]("n_users_exact")).sum
+    assert(total <= sumOfDays)
+    val exactTotal = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id")).distinct().count()
+    assert(total == exactTotal)
+    df.unpersist()
+  }
 }
