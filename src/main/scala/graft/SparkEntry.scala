@@ -116,6 +116,7 @@ object SparkEntry {
     "tfidf_topterms" -> (SearchOps.tfidfTopterms _),
     "bm25_search" -> (SearchOps.bm25Search _),
     "doc_logprob" -> (SearchOps.docLogprob _),
+    "perplexity_buckets" -> (SearchOps.perplexityBuckets _),
     "doc_logprob_bigram" -> (SearchOps.docLogprobBigram _),
     "chi2_label_terms" -> (SearchOps.chi2LabelTerms _),
     "langid_confusion" -> (TextOps.langidConfusion _),

@@ -238,6 +238,65 @@ object SearchOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    * documents split into head / middle / tail terciles by their
+    * unigram-LM mean log-probability ([[docLogprob]] — the cheap
+    * perplexity proxy), the standard curation move that keeps the
+    * fluent third, samples the middle, and drops the tail.
+    *
+    * Deliberately WINDOW-FREE (an `ntile` over a per-language window
+    * materializes each language's whole corpus in one task — the same
+    * hot-partition shape dup_span_fraction had to shed): cutoffs are
+    * per-language exact nearest-rank-floor terciles computed with one
+    * mergeable sorted-list AGGREGATE (same dataflow as A2's p95; a
+    * 100 TB run swaps in `approx_percentile` with identical shape),
+    * then bucket assignment is a broadcast join + pure map, and the
+    * final rollup is a low-cardinality groupBy. Ties at a cutoff
+    * resolve by VALUE (≤), so identical texts land in identical
+    * buckets — value-deterministic where ntile's id-tiebreak is not.
+    * The bucket average is summed in integer micro-units so it is
+    * independent of partition order (same idiom as quality_by_verdict).
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = docLogprob(spark, dir)
+      .select(col("doc_id"), col("logprob_per_token"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+            "doc_id")
+    // 1.0/3.0 (not n/3.0) so both engines evaluate bit-identical doubles:
+    // floor(300 * (1.0/3.0)) = 99 but floor(300/3.0) = 100.
+    val cuts = byLang
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("logprob_per_token"))).as("sorted"),
+           count(lit(1)).as("n"))
+      .select(
+        col("lang"),
+        element_at(col("sorted"),
+                   floor(col("n") * lit(1.0 / 3.0)).cast("int") + 1)
+          .as("cut_low"),
+        element_at(col("sorted"),
+                   floor(col("n") * lit(2.0 / 3.0)).cast("int") + 1)
+          .as("cut_high"))
+    byLang
+      .join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+                  when(col("logprob_per_token") <= col("cut_low"), "tail")
+                    .when(col("logprob_per_token") <= col("cut_high"), "middle")
+                    .otherwise("head"))
+      .groupBy(col("lang"), col("bucket"), col("cut_low"), col("cut_high"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(floor(col("logprob_per_token") * lit(1000000.0) + lit(0.5))
+          .cast("long")).as("slp"),
+        min(col("logprob_per_token")).as("min_logprob"),
+        max(col("logprob_per_token")).as("max_logprob"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+              round(col("slp").cast("double") / col("n_docs") / lit(1000000.0),
+                    6).as("avg_logprob"),
+              col("min_logprob"), col("max_logprob"),
+              col("cut_low"), col("cut_high"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** Per-label discriminative vocabulary: χ² feature selection of tokens
     * against the language label (the standard contingency-table
     * statistic over [in-label × contains-token] document counts) — what
@@ -295,6 +354,28 @@ object SearchOps {
       |FROM documents,
       |     UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) u(token)
       |GROUP BY 1, 2""".stripMargin
+
+  /** Shared CTE chain ending in `lp(doc_id, n_tokens, logprob_per_token)`
+    * — ONE definition of the unigram-LM score, used by the
+    * `doc_logprob` and `perplexity_buckets` oracles.
+    */
+  private val lpCtes =
+    s"""tok AS ($tokSql),
+       |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tok GROUP BY 1),
+       |t AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_tokens FROM v),
+       |c AS (
+       |  SELECT doc_id, tok.token AS token, tf,
+       |         tf * ln(CAST(ctf AS DOUBLE) / CAST(t_tokens AS DOUBLE)) AS contrib
+       |  FROM tok JOIN v ON tok.token = v.token CROSS JOIN t
+       |),
+       |lp AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                                        list(contrib ORDER BY token)),
+       |                           (a, x) -> a + x) / CAST(sum(tf) AS DOUBLE), 6)
+       |           AS logprob_per_token
+       |  FROM c GROUP BY doc_id
+       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "chi2_label_terms" ->
@@ -406,19 +487,34 @@ object SearchOps {
         |         AS logprob_per_bigram
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_logprob" ->
-      s"""WITH tok AS ($tokSql),
-         |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tok GROUP BY 1),
-         |t AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_tokens FROM v),
-         |c AS (
-         |  SELECT doc_id, tok.token AS token, tf,
-         |         tf * ln(CAST(ctf AS DOUBLE) / CAST(t_tokens AS DOUBLE)) AS contrib
-         |  FROM tok JOIN v ON tok.token = v.token CROSS JOIN t
+      s"""WITH $lpCtes
+         |SELECT doc_id, n_tokens, logprob_per_token
+         |FROM lp ORDER BY doc_id""".stripMargin,
+    "perplexity_buckets" ->
+      s"""WITH $lpCtes,
+         |bl AS (
+         |  SELECT d.lang, lp.doc_id, lp.logprob_per_token AS l
+         |  FROM lp JOIN documents d ON lp.doc_id = d.doc_id
+         |),
+         |cuts AS (
+         |  SELECT lang,
+         |         list_sort(list(l))[CAST(floor(count(*) * (CAST(1.0 AS DOUBLE) / 3.0)) AS INT) + 1] AS cut_low,
+         |         list_sort(list(l))[CAST(floor(count(*) * (CAST(2.0 AS DOUBLE) / 3.0)) AS INT) + 1] AS cut_high
+         |  FROM bl GROUP BY lang
+         |),
+         |b AS (
+         |  SELECT bl.lang, l, cut_low, cut_high,
+         |         CASE WHEN l <= cut_low THEN 'tail'
+         |              WHEN l <= cut_high THEN 'middle'
+         |              ELSE 'head' END AS bucket
+         |  FROM bl JOIN cuts ON bl.lang = cuts.lang
          |)
-         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |                                      list(contrib ORDER BY token)),
-         |                         (a, x) -> a + x) / CAST(sum(tf) AS DOUBLE), 6)
-         |         AS logprob_per_token
-         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       round(CAST(sum(CAST(floor(l * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |               / count(*) / 1000000.0, 6) AS avg_logprob,
+         |       min(l) AS min_logprob, max(l) AS max_logprob,
+         |       cut_low, cut_high
+         |FROM b GROUP BY lang, bucket, cut_low, cut_high
+         |ORDER BY lang, bucket""".stripMargin
   )
 }

@@ -46,6 +46,29 @@ class SearchFunnelSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("perplexity_buckets: terciles partition each lang; head beats tail") {
+    val df = SearchOps.perplexityBuckets(spark, sf("sf0.001")).cache()
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // every doc lands in exactly one bucket
+    assert(df.agg(sum(col("n_docs"))).head.getLong(0) == docs.count())
+    val perLang = df.collect().groupBy(_.getAs[String]("lang"))
+    perLang.values.foreach { rows =>
+      val byBucket = rows.map(r => r.getAs[String]("bucket") -> r).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      // bucket ranges respect the cutoffs and order: tail ≤ middle ≤ head
+      for (r <- rows) {
+        assert(r.getAs[Double]("min_logprob") <= r.getAs[Double]("max_logprob"))
+        assert(r.getAs[Double]("cut_low") <= r.getAs[Double]("cut_high"))
+      }
+      for (t <- byBucket.get("tail"); h <- byBucket.get("head"))
+        assert(t.getAs[Double]("max_logprob") < h.getAs[Double]("min_logprob"))
+      // terciles: no bucket holds more than half the language's docs
+      val n = rows.map(_.getAs[Long]("n_docs")).sum
+      assert(rows.forall(_.getAs[Long]("n_docs") <= (n + 1) / 2))
+    }
+    df.unpersist()
+  }
+
   test("funnel_conversion: counts shrink down the funnel, head rate is 1") {
     val rows = FunnelOps
       .funnelConversion(spark, sf("sf0.001"))
