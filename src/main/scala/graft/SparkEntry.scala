@@ -128,6 +128,7 @@ object SparkEntry {
     // pipeline-health audits
     "fk_integrity" -> (OlapOps.fkIntegrity _),
     "key_skew_profile" -> (OlapOps.keySkewProfile _),
+    "zorder_layout" -> (LayoutOps.zorderLayout _),
     // cross-dimensional aggregation / profiling
     "kpi_cube" -> (OlapOps.kpiCube _),
     "doc_length_histogram" -> (PipelineOps.docLengthHistogram _),
@@ -169,6 +170,6 @@ object SparkEntry {
       MiscOps.oracles ++ OlapOps.oracles ++ DedupOps.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles ++
       TemporalOps.oracles ++ PipelineOps.oracles ++ SearchOps.oracles ++
-      FunnelOps.oracles ++ CalibrationOps.oracles)
+      FunnelOps.oracles ++ CalibrationOps.oracles ++ LayoutOps.oracles)
       .map { case (k, v) => k -> graft.functions.Rounding.fixSql(v) }
 }

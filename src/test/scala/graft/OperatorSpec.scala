@@ -420,6 +420,29 @@ class OperatorSpec extends SparkSpec {
     assert(byVerdict.agg(sum(col("n_docs"))).head.getLong(0) == nDocs)
   }
 
+  test("zorder_layout: z-order files prune both dims; linear files don't") {
+    val df = LayoutOps.zorderLayout(spark, sf("sf0.001")).cache()
+    val nEvents = Tables.events(spark, sf("sf0.001")).count()
+    // both layouts partition the table
+    val byLayout = df.groupBy("layout").agg(sum("n_rows").as("n")).collect()
+      .map(r => r.getAs[String]("layout") -> r.getAs[Long]("n")).toMap
+    assert(byLayout == Map("zorder" -> nEvents, "linear" -> nEvents))
+    // envelopes are sane fractions
+    assert(df.filter(col("user_span_frac") <= 0 || col("user_span_frac") > 1 ||
+      col("minute_span_frac") <= 0 || col("minute_span_frac") > 1).isEmpty)
+    def meanFrac(layout: String, c: String): Double = df
+      .filter(col("layout") === layout)
+      .agg(avg(col(c))).head.getDouble(0)
+    // the point of z-order: each file covers a small rectangle of
+    // (user, minute) space, so BOTH dimensions prune; arrival order
+    // scatters users across every file
+    assert(meanFrac("zorder", "user_span_frac") <
+      meanFrac("linear", "user_span_frac") / 2)
+    assert(meanFrac("zorder", "minute_span_frac") <
+      meanFrac("linear", "minute_span_frac"))
+    df.unpersist()
+  }
+
   test("hll_by_day: both sketch gates hold and exact counts reconcile") {
     val df = MiscOps.hllByDay(spark, sf("sf0.001")).cache()
     val rows = df.collect()
