@@ -108,6 +108,7 @@ object SparkEntry {
     "ann_lsh_bucketed" -> (VectorOps.annLshBucketed _),
     "ann_ivf" -> (VectorOps.annIvf _),
     "embed_near_dup" -> (VectorOps.embedNearDup _),
+    "semdedup" -> (VectorOps.semdedup _),
     "embed_quantize" -> (VectorOps.embedQuantize _),
     "embed_rp_sketch" -> (VectorOps.embedRpSketch _),
     "label_centroids" -> (VectorOps.labelCentroids _),

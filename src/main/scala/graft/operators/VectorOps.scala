@@ -348,45 +348,116 @@ object VectorOps {
     * (cell, pos, c) + member counts: scalar-only, so the oracle gate
     * can sort and hash it.
     */
-  def kmeansCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-    var cents = emb
-      .filter(col("vec_id") < KmeansCells)
-      .select(col("vec_id").as("cell"),
-              transform(col("v"), x => round(x.cast("double"), 6))
-                .as("centroid"))
-    var lastAssigned: DataFrame = null
-    for (_ <- 1 to KmeansIters) {
-      val assigned = emb
-        .crossJoin(broadcast(cents))
-        .withColumn(
-          "d",
-          round(graft.functions.VectorExprs.vecDist2(col("v"), col("centroid")),
-                6))
-        .groupBy(col("vec_id"), col("v"))
-        .agg(min(struct(col("d"), col("cell"))).as("m"))
-        .select(col("vec_id"), col("v"), col("m.cell").as("cell"))
-      lastAssigned = assigned
-      cents = assigned
-        .select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(round(avg(col("col").cast("double")), 6).as("c"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
-          .getField("c").as("centroid"))
+  /** E-step → M-step mean: centroids of an assignment, rounded to 6 dp
+    * (ONE definition of the Lloyd mean, used per-iteration and for the
+    * final output).
+    */
+  private def meansOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .getField("c").as("centroid"))
+
+  /** Per-dataset persisted Lloyd assignment, shared by
+    * [[kmeansCentroids]] and [[semdedup]] (same rationale as
+    * DedupOps' cascade store: the iterative clustering runs once per
+    * dataset, and at cluster scale this is the written assignment table
+    * downstream curation stages join against).
+    */
+  private val assignStore = new FrameStore(2)
+
+  /** (vec_id, v, cell) after [[KmeansIters]] deterministic Lloyd
+    * iterations — see [[kmeansCentroids]] for init/tie-break rules.
+    */
+  private[operators] def kmeansAssign(spark: SparkSession,
+                                      dir: String): DataFrame =
+    assignStore.getOrBuild(spark, dir) {
+      val emb = Tables
+        .embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("v"))
+      var cents = emb
+        .filter(col("vec_id") < KmeansCells)
+        .select(col("vec_id").as("cell"),
+                transform(col("v"), x => round(x.cast("double"), 6))
+                  .as("centroid"))
+      var lastAssigned: DataFrame = null
+      for (_ <- 1 to KmeansIters) {
+        val assigned = emb
+          .crossJoin(broadcast(cents))
+          .withColumn(
+            "d",
+            round(graft.functions.VectorExprs.vecDist2(col("v"),
+                                                       col("centroid")),
+                  6))
+          .groupBy(col("vec_id"), col("v"))
+          .agg(min(struct(col("d"), col("cell"))).as("m"))
+          .select(col("vec_id"), col("v"), col("m.cell").as("cell"))
+        lastAssigned = assigned
+        cents = meansOf(assigned)
+      }
+      lastAssigned
     }
-    val counts = lastAssigned
+
+  def kmeansCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansAssign(spark, dir)
+    val counts = assigned
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"))
-    cents
+    meansOf(assigned)
       .select(col("cell"), posexplode(col("centroid")))
       .select(col("cell"), col("pos").cast("long").as("pos"),
               col("col").as("c"))
       .join(counts, "cell")
       .select(col("cell"), col("pos"), col("c"), col("n_members"))
       .orderBy(col("cell"), col("pos"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication INSIDE k-means cells — cluster the embedding space
+    * coarsely, then call two documents duplicates when their cosine
+    * inside the same cell clears [[cosineThreshold]] (`graft.ann.cosine`;
+    * the paper uses 0.95+ on real text embeddings, the default 0.3 is
+    * calibrated to this synthetic corpus' cosine spread). A vector is
+    * DROPPED when a lower-id cell-mate is that similar — the
+    * keep-one-per-semantic-neighborhood rule; `dup_of` names the
+    * lowest such partner so the verdict is auditable.
+    *
+    * This is the missing middle ground between [[embedNearDup]] (LSH
+    * buckets: recall bounded by the s-curve) and exact all-pairs
+    * (O(n²)): the paper's observation is that semantic duplicates
+    * share a coarse cluster, so the pair search is Σ|cell|² ≪ n² and
+    * each cell's expansion is an independent task — the same
+    * bounded-bucket scale shape as the MinHash LSH family (a hot cell
+    * is capped by k-means balance, and production runs k ∝ √n cells).
+    * Shares the persisted Lloyd assignment with [[kmeansCentroids]];
+    * the drop rule is a partial-combinable `min(struct)` aggregate —
+    * no window, no driver loop.
+    */
+  def semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val tau = cosineThreshold(spark)
+    val assigned = kmeansAssign(spark, dir).withColumn("nrm", norm(col("v")))
+    val mates = assigned.select(col("cell"), col("vec_id").as("vec2"),
+                                col("v").as("v2"), col("nrm").as("n2"))
+    val dupOf = assigned
+      .join(mates, Seq("cell"))
+      .filter(col("vec2") < col("vec_id"))
+      .withColumn("cosine",
+                  round(dot(col("v"), col("v2")) / (col("nrm") * col("n2")),
+                        6))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("vec2"), col("cosine"))).as("m"))
+      .select(col("vec_id"), col("m.vec2").as("dup_of"),
+              col("m.cosine").as("dup_cosine"))
+    assigned
+      .select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("kept"),
+              col("dup_of"), col("dup_cosine"))
+      .orderBy(col("vec_id"))
   }
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -443,6 +514,33 @@ object VectorOps {
          |  FROM c$KmeansIters f, UNNEST(range(1, len(centroid) + 1)) r(pos)
          |) x JOIN cnt USING (cell)
          |ORDER BY cell, pos""".stripMargin
+    },
+    "semdedup" -> {
+      val iters = (1 to KmeansIters).map(kmeansIterSql).mkString(",\n")
+      s"""WITH ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS centroid
+         |  FROM ve WHERE vec_id < $KmeansCells
+         |),
+         |$iters,
+         |n AS (
+         |  SELECT vec_id, v, cell,
+         |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+         |  FROM a$KmeansIters
+         |),
+         |p AS (
+         |  SELECT a.vec_id, b.vec_id AS vec2,
+         |         round(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+         |                 / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM n a JOIN n b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |),
+         |d AS (
+         |  SELECT vec_id, min(vec2) AS dup_of, arg_min(cosine, vec2) AS dup_cosine
+         |  FROM p WHERE cosine >= 0.3 GROUP BY vec_id
+         |)
+         |SELECT n.vec_id, n.cell, d.dup_of IS NULL AS kept, d.dup_of, d.dup_cosine
+         |FROM n LEFT JOIN d ON n.vec_id = d.vec_id
+         |ORDER BY n.vec_id""".stripMargin
     },
     "embed_rp_sketch" -> {
       val cols = (0 until SketchDims)

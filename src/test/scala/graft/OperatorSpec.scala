@@ -443,6 +443,28 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("semdedup: verdict partitions the corpus; cell minima survive; knob gates") {
+    val df = VectorOps.semdedup(spark, sf("sf0.001")).cache()
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    assert(df.count() == emb.count())
+    // dropped rows carry an auditable lower-id partner above the bar
+    val badDrop = df.filter(!col("kept") &&
+      (col("dup_of").isNull || col("dup_of") >= col("vec_id") ||
+        col("dup_cosine") < 0.3))
+    val badKeep = df.filter(col("kept") && col("dup_of").isNotNull)
+    assert(badDrop.isEmpty && badKeep.isEmpty)
+    // the lowest-id member of every cell has no lower mate → always kept
+    val cellMin = df.groupBy("cell").agg(min("vec_id").as("vec_id"))
+    assert(df.join(cellMin, Seq("cell", "vec_id")).filter(!col("kept")).isEmpty)
+    assert(df.filter(!col("kept")).count() > 0) // non-degenerate at default τ
+    df.unpersist()
+    // τ = 1.0 keeps everything (no identical vectors in the corpus)
+    spark.conf.set("graft.ann.cosine", "1.0")
+    try assert(VectorOps.semdedup(spark, sf("sf0.001"))
+      .filter(!col("kept")).isEmpty)
+    finally spark.conf.unset("graft.ann.cosine")
+  }
+
   test("hll_by_day: both sketch gates hold and exact counts reconcile") {
     val df = MiscOps.hllByDay(spark, sf("sf0.001")).cache()
     val rows = df.collect()
