@@ -241,6 +241,41 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).length >= 2)
   }
 
+  test("perplexity_buckets assigns buckets without a per-lang window") {
+    // tercile cutoffs are a mergeable aggregate + broadcast join; an
+    // ntile() over a per-language window would materialize each
+    // language's whole corpus in one task
+    val plan = SearchOps.perplexityBuckets(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"unexpected WindowExec in:\n$plan")
+    assert(plan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("zorder_layout is map + aggregate: no sort, window, or shuffle join") {
+    val plan = LayoutOps.zorderLayout(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val p = plan.toString
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"unexpected WindowExec in:\n$plan")
+    // global min/max stats reach the row computation as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("semdedup pair search joins on the cell key, never all-pairs") {
+    val p = planOf(VectorOps.semdedup(spark, sf("sf0.001")))
+    // the in-cell expansion must be an equi-join on cell (bounded
+    // fan-out); a cartesian product would be the O(n^2) shape SemDeDup
+    // exists to avoid
+    assert(!p.contains("CartesianProduct"),
+           s"all-pairs expansion in semdedup plan:\n$p")
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
