@@ -130,6 +130,7 @@ object SparkEntry {
     "fk_integrity" -> (OlapOps.fkIntegrity _),
     "key_skew_profile" -> (OlapOps.keySkewProfile _),
     "zorder_layout" -> (LayoutOps.zorderLayout _),
+    "bloom_semi_join" -> (SkewOps.bloomSemiJoin _),
     // cross-dimensional aggregation / profiling
     "kpi_cube" -> (OlapOps.kpiCube _),
     "doc_length_histogram" -> (PipelineOps.docLengthHistogram _),
@@ -171,6 +172,7 @@ object SparkEntry {
       MiscOps.oracles ++ OlapOps.oracles ++ DedupOps.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles ++
       TemporalOps.oracles ++ PipelineOps.oracles ++ SearchOps.oracles ++
-      FunnelOps.oracles ++ CalibrationOps.oracles ++ LayoutOps.oracles)
+      FunnelOps.oracles ++ CalibrationOps.oracles ++ LayoutOps.oracles ++
+      SkewOps.oracles)
       .map { case (k, v) => k -> graft.functions.Rounding.fixSql(v) }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
 
 /** Skew-mitigation utilities for cluster-scale joins.
   *
@@ -35,4 +37,84 @@ object SkewOps {
     l.join(r, leftKey === rightKey && l("__salt") === r("__salt"))
       .drop("__salt")
   }
+
+  /** Bloom sizing for [[bloomSemiJoin]]: fixed so the filter bytes — and
+    * therefore the candidate set the audit counts — are deterministic
+    * run-to-run. 2¹⁷ bits ≈ 16 KB handles the build side at every test
+    * SF with fpp ≪ 1 %; at a real 100 TB build cardinality these scale
+    * to the worst case (an undersized bloom prunes less, never lies).
+    */
+  private val BloomEstItems = 8192L
+  private val BloomNumBits = 1L << 17
+
+  /** Bloom-pruned semi-join: the fact-table scan filter that
+    * `InjectRuntimeFilter` plants automatically inside one query, made
+    * EXPLICIT as a reusable pipeline stage (build a key filter once,
+    * prune many scans). Build side: partkeys of small parts
+    * (`p_size <= 5`, ~12 % of lineitem). The probe side drops ~87 % of
+    * fact rows at the SCAN — before any exchange — via
+    * [[graft.functions.BloomExprs.mightContain]] (a scalar-subquery
+    * bloom, evaluated once, riding into every task as a literal); the
+    * exact semi-join then clears the bloom's false positives, so the
+    * visible result is EXACTLY the plain semi-join aggregate — which is
+    * what the DuckDB oracle checks. At 100 TB this ordering is the
+    * whole game: the shuffle moves the pruned 13 %, not the table.
+    *
+    * Self-gated like the sketch queries: `bloom_pruned` (the filter
+    * actually dropped rows) and `fp_ok` (false-positive overhead ≤ 1 %
+    * of the table) are computed from candidate/exact/total counts the
+    * audit takes on the same frames; the oracle expects both `true`.
+    * The counting passes exist only for the audit — production keeps
+    * the filter inline (one pass) and reads these rates from task
+    * metrics instead.
+    */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables
+      .part(spark, dir)
+      .filter(col("p_size") <= 5)
+      .select(col("p_partkey"))
+    val bloom = keys.agg(
+      graft.functions.BloomExprs
+        .bloomAgg(xxhash64(col("p_partkey")), BloomEstItems, BloomNumBits)
+        .as("bf"))
+    val li = Tables.lineitem(spark, dir)
+    val candidates = li.filter(
+      graft.functions.BloomExprs
+        .mightContain(bloom, xxhash64(col("l_partkey"))))
+    val exact =
+      candidates.join(keys, col("l_partkey") === col("p_partkey"), "left_semi")
+    val audit = broadcast(
+      candidates
+        .agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(li.agg(count(lit(1)).as("n_total")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(
+          (col("n_candidates") < col("n_total")).as("bloom_pruned"),
+          ((col("n_candidates") - col("n_exact")).cast("double") <=
+            col("n_total").cast("double") * lit(0.01)).as("fp_ok")))
+    exact
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count_distinct(col("l_partkey")).as("n_parts"))
+      .crossJoin(audit)
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    // the bloom is engine-specific; the oracle checks the exact
+    // semi-join aggregate the pipeline must reproduce, plus the two
+    // audit gate verdicts
+    "bloom_semi_join" ->
+      """WITH keys AS (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       true AS bloom_pruned, true AS fp_ok
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM keys)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

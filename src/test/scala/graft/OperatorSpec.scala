@@ -465,6 +465,29 @@ class OperatorSpec extends SparkSpec {
     finally spark.conf.unset("graft.ann.cosine")
   }
 
+  test("bloom_semi_join: equals the plain semi-join; bloom prunes at the scan") {
+    val df = SkewOps.bloomSemiJoin(spark, sf("sf0.001")).cache()
+    assert(df.filter(!col("bloom_pruned") || !col("fp_ok")).isEmpty)
+    // the bloom path must be invisible in the result: same rows as the
+    // un-pruned semi-join aggregate
+    val keys = Tables.part(spark, sf("sf0.001"))
+      .filter(col("p_size") <= 5).select("p_partkey")
+    val plain = Tables.lineitem(spark, sf("sf0.001"))
+      .join(keys, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+           graft.functions.Rounding.round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count_distinct(col("l_partkey")).as("n_parts"))
+    assert(df.select("l_returnflag", "n_rows", "sum_qty", "n_parts")
+      .exceptAll(plain).isEmpty)
+    assert(plain.exceptAll(
+      df.select("l_returnflag", "n_rows", "sum_qty", "n_parts")).isEmpty)
+    // the probe filter is planted in the plan (scan-side pruning)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"bloom probe missing from plan:\n$p")
+    df.unpersist()
+  }
+
   test("hll_by_day: both sketch gates hold and exact counts reconcile") {
     val df = MiscOps.hllByDay(spark, sf("sf0.001")).cache()
     val rows = df.collect()
