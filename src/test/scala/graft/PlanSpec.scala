@@ -276,6 +276,20 @@ class PlanSpec extends SparkSpec {
            s"all-pairs expansion in semdedup plan:\n$p")
   }
 
+  test("no registered query plans a CartesianProduct (repo-wide sweep)") {
+    // blanket scale-hygiene gate over the full query surface: every
+    // cross-frame combination must be a broadcast of a tiny side
+    // (BroadcastNestedLoopJoin over a one-row stats frame is fine) or a
+    // keyed join — an unkeyed CartesianProduct is always a scale bug
+    val dir = sf("sf0.001")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

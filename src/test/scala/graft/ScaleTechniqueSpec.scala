@@ -9,6 +9,25 @@ import org.apache.spark.sql.functions._
   */
 class ScaleTechniqueSpec extends SparkSpec {
 
+  test("undersized bloom degrades to pruning less, never to wrong rows") {
+    // no-false-negative law: however small the filter, the exact
+    // semi-join behind it must still see every true match — verified by
+    // probing a 64-bit bloom (saturated, ~everything passes) against
+    // the full key set
+    val keys = Tables.part(spark, sf("sf0.001"))
+      .filter(col("p_size") <= 5).select("p_partkey")
+    val bloom = keys.agg(graft.functions.BloomExprs
+      .bloomAgg(xxhash64(col("p_partkey")), 4L, 64L).as("bf"))
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val candidates = li.filter(graft.functions.BloomExprs
+      .mightContain(bloom, xxhash64(col("l_partkey"))))
+    val exactThroughBloom = candidates
+      .join(keys, col("l_partkey") === col("p_partkey"), "left_semi").count()
+    val plain = li
+      .join(keys, col("l_partkey") === col("p_partkey"), "left_semi").count()
+    assert(exactThroughBloom == plain)
+  }
+
   test("bucketed tables co-locate the join: no exchange in the plan") {
     val li = Tables.lineitem(spark, sf("sf0.001"))
     val o = Tables.orders(spark, sf("sf0.001"))
