@@ -55,6 +55,7 @@ object SparkEntry {
     "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
     "approx_p95_gated" -> (MiscOps.approxP95Gated _),
     "hll_by_day" -> (MiscOps.hllByDay _),
+    "kll_by_day" -> (MiscOps.kllByDay _),
     // temporal operators (additive: sessionization, as-of, range join)
     "sessionize" -> (TemporalOps.sessionize _),
     "concurrent_sessions" -> (TemporalOps.concurrentSessions _),

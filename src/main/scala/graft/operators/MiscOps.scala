@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding.round
 import org.apache.spark.sql.types._
@@ -292,6 +292,71 @@ object MiscOps {
       .orderBy(col("day"))
   }
 
+  /** Rank-error tolerance for [[kllByDay]]'s gates: the DataSketches KLL
+    * default (k=200) guarantees ≤ ~1.65 % normalized rank error at 99 %
+    * confidence, and below k items the sketch is exact (error ≤ 1/n) —
+    * `max(0.05, 2/n)` covers both regimes with margin at every SF.
+    */
+  private def kllTol(n: Column): Column =
+    greatest(lit(0.05), lit(2.0) / n.cast("double"))
+
+  /** Per-day KLL quantile sketches of event values, MERGED into a
+    * corpus-wide p95 — [[hllByDay]]'s twin for quantiles: persist one
+    * ~KB sketch per partition-day and answer any date-range percentile
+    * question by merging the covered days' sketches
+    * (`kll_merge_agg_double`), never rescanning the events. Like all
+    * DataSketches aggs the union is associative/commutative, so Spark
+    * partial-aggregates map-side and the final reduce touches |days|
+    * rows. (`percentile_approx` has no storable/mergeable sketch value;
+    * the KLL column functions expose the bytes.)
+    *
+    * SELF-GATED in RANK space, the error KLL actually bounds: the
+    * sketch's p95 estimate is joined back against the day's values and
+    * `day_ok` asserts |rank(est) − 0.95| ≤ [[kllTol]]; `merged_ok`
+    * asserts the same for the merged sketch against the whole corpus.
+    * The portable outputs are the exact nearest-rank-floor p95s (same
+    * semantics as A2's [[graft.functions.ExactPercentile]]) and the two
+    * verdicts; sketch bytes and estimates never cross engines.
+    */
+  def kllByDay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("value"))
+    val daily = ev
+      .groupBy(col("day"))
+      .agg(expr("kll_sketch_agg_double(value)").as("sketch"),
+           count(lit(1)).as("n_values"),
+           graft.functions.ExactPercentile.p95(col("value")).as("p95_exact"))
+    val dayEst = daily.withColumn(
+      "est", expr("kll_sketch_get_quantile_double(sketch, 0.95)"))
+    val dayGate = ev
+      .join(broadcast(dayEst.select(col("day"), col("est"))), "day")
+      .groupBy(col("day"))
+      .agg((sum(when(col("value") <= col("est"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("rank_of_est"))
+    val mergedEst = daily.agg(
+      expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sketch), 0.95)")
+        .as("mest"))
+    val totalGate = ev
+      .crossJoin(broadcast(mergedEst))
+      .agg(
+        graft.functions.ExactPercentile.p95(col("value"))
+          .as("p95_total_exact"),
+        count(lit(1)).as("n_total"),
+        (sum(when(col("value") <= col("mest"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("rank_of_mest"))
+      .select(col("p95_total_exact"),
+              (abs(col("rank_of_mest") - 0.95) <= kllTol(col("n_total")))
+                .as("merged_ok"))
+    dayEst
+      .join(dayGate, "day")
+      .select(col("day"), col("n_values"), col("p95_exact"),
+              (abs(col("rank_of_est") - 0.95) <= kllTol(col("n_values")))
+                .as("day_ok"))
+      .crossJoin(broadcast(totalGate))
+      .orderBy(col("day"))
+  }
+
   /** Distinct users per event type — the set-operation building block. */
   private def usersOf(spark: SparkSession, dir: String, t: String): DataFrame =
     Tables
@@ -379,6 +444,19 @@ object MiscOps {
          |       count(DISTINCT user_id) AS n_users_exact,
          |       true AS day_ok,
          |       (SELECT count(DISTINCT user_id) FROM $ev e2) AS n_total_exact,
+         |       true AS merged_ok
+         |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mergeable KLL rollup: oracle checks the exact nearest-rank p95s
+    // (per day + corpus) and the two rank-error gate verdicts; sketch
+    // bytes/estimates never cross engines
+    "kll_by_day" ->
+      s"""SELECT date_trunc('day', ts) AS day,
+         |       CAST(count(*) AS BIGINT) AS n_values,
+         |       list_sort(list(value))[CAST(floor(count(*) * 0.95) AS INT) + 1]
+         |         AS p95_exact,
+         |       true AS day_ok,
+         |       (SELECT list_sort(list(value))[CAST(floor(count(*) * 0.95) AS INT) + 1]
+         |        FROM $ev e2) AS p95_total_exact,
          |       true AS merged_ok
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
     // rank-gated quantile sketch: the oracle checks the exact

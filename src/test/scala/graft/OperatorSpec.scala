@@ -420,6 +420,23 @@ class OperatorSpec extends SparkSpec {
     assert(byVerdict.agg(sum(col("n_docs"))).head.getLong(0) == nDocs)
   }
 
+  test("kll_by_day: rank gates hold; exact p95s bracket the data") {
+    val df = MiscOps.kllByDay(spark, sf("sf0.001")).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("day_ok")))
+    assert(rows.forall(_.getAs[Boolean]("merged_ok")))
+    // nearest-rank p95 is an actual data value ≤ the max
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val vmax = ev.agg(max(col("value"))).head.getDouble(0)
+    assert(rows.forall(r => r.getAs[Double]("p95_exact") <= vmax))
+    // corpus p95 sits within the envelope of the daily p95s
+    val total = rows.head.getAs[Double]("p95_total_exact")
+    val dayP = rows.map(_.getAs[Double]("p95_exact"))
+    assert(total >= dayP.min && total <= dayP.max)
+    df.unpersist()
+  }
+
   test("zorder_layout: z-order files prune both dims; linear files don't") {
     val df = LayoutOps.zorderLayout(spark, sf("sf0.001")).cache()
     val nEvents = Tables.events(spark, sf("sf0.001")).count()
