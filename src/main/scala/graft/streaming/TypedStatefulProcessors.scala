@@ -256,7 +256,80 @@ class AnomalyListStateProcessor(ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** One per-day distinct-users update from the streaming sketch path:
+  * UTC epoch day, cumulative events folded into the day's sketch, and
+  * the sketch's current estimate.
+  */
+case class DayUsers(epoch_day: Long, n_seen: Long, est_users: Double)
+
+/** Day-keyed distinct-user HLL maintained ONLINE — the streaming half
+  * of [[graft.operators.MiscOps.hllByDay]]'s store-and-re-merge
+  * pattern: the batch query builds each day's sketch by scanning the
+  * day; this processor FOLDS events into the day's sketch as they
+  * arrive, so the live dashboard reads a current estimate without any
+  * rescan, and the persisted sketch bytes remain unionable across days
+  * exactly like the batch ones.
+  *
+  * Register-identical to Spark's own `hll_sketch_agg(user_id, lgK)`:
+  * same DataSketches `HllSketch(lgK, HLL_8)` (the aggregate's
+  * hardwired target type), same `update(long)` hashing, and HLL
+  * register maxing is insertion-order-free — so the streaming estimate
+  * after the last batch EQUALS the batch SQL estimate bit-for-bit
+  * (StatefulProcessorSpec asserts this across a 3-batch split). State
+  * is the ~KB updatable sketch image per day: O(days) entries, the one
+  * keyed-state family here that is naturally BOUNDED without a TTL
+  * (the key space is the calendar), though `graft.state.ttl` applies
+  * all the same.
+  */
+class HllStatefulProcessor(lgK: Int = 12, ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, Event, DayUsers] {
+  import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+
+  @transient private var sketchBytes: ValueState[Array[Byte]] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sketchBytes = getHandle.getValueState[Array[Byte]](
+      "hllBytes", Encoders.BINARY, ttl)
+    seen = getHandle.getValueState[Long]("hllSeen", Encoders.scalaLong, ttl)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      inputRows: Iterator[Event],
+      timerValues: TimerValues): Iterator[DayUsers] = {
+    val sketch = Option(sketchBytes.get())
+      .map(HllSketch.heapify)
+      .getOrElse(new HllSketch(lgK, TgtHllType.HLL_8))
+    var n = if (seen.exists()) seen.get() else 0L
+    inputRows.foreach { e => sketch.update(e.user_id); n += 1 }
+    sketchBytes.update(sketch.toUpdatableByteArray)
+    seen.update(n)
+    Iterator.single(DayUsers(key, n, sketch.getEstimate))
+  }
+}
+
 object TypedStatefulProcessors {
+
+  /** Milliseconds per UTC day — [[hllDayStream]]'s key derivation
+    * (`ts div MillisPerDay`), equal to `date_trunc('day', ts)` under the
+    * session's UTC zone.
+    */
+  private val MillisPerDay = 86400000L
+
+  /** events → per-day (cumulative count, live distinct-user estimate)
+    * via the sketch-folding processor; see [[HllStatefulProcessor]].
+    */
+  def hllDayStream(spark: SparkSession,
+                   events: Dataset[Event]): Dataset[DayUsers] = {
+    import spark.implicits._
+    val ttl = StateTtl.of(spark)
+    events
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, MillisPerDay))
+      .transformWithState(new HllStatefulProcessor(ttl = ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update())
+  }
 
   /** events → alerts with the ListState-buffered detector. */
   def anomalyListStream(spark: SparkSession,

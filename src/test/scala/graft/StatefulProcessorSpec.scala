@@ -505,4 +505,37 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(all >= 6)
     assert(batches.length >= 2)
   }
+
+  test("streaming per-day HLL equals hll_sketch_agg bit-for-bit after 3 batches") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+
+    val updates = runStream[Event, DayUsers](
+      "hll_days", events.toSeq,
+      in => TypedStatefulProcessors.hllDayStream(spark, in.toDS()))
+      .as[DayUsers].collect()
+    // final state per day = the row with the highest cumulative count
+    val streamed = updates.groupBy(_.epoch_day).map { case (d, rows) =>
+      d -> rows.maxBy(_.n_seen).est_users
+    }
+
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("CAST(ts AS LONG) DIV 86400 AS epoch_day", "user_id")
+      .groupBy("epoch_day")
+      .agg(org.apache.spark.sql.functions
+        .expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(streamed.keySet == batch.keySet)
+    // same DataSketches type + lgK + update(long) → identical registers →
+    // identical estimates (hll_sketch_estimate rounds its double to long)
+    streamed.foreach { case (d, est) =>
+      assert(Math.round(est) == batch(d), s"day $d")
+    }
+    // cumulative counts cover every event exactly once
+    assert(updates.groupBy(_.epoch_day).values
+      .map(_.maxBy(_.n_seen).n_seen).sum == events.length)
+  }
 }
