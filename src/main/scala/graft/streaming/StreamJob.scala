@@ -161,6 +161,25 @@ object StreamJob {
       }
       .start()
 
+    // live distinct-users dashboard: per-day HLL sketches folded online
+    // (streaming twin of the batch hll_by_day rollup; register-identical
+    // to hll_sketch_agg — parity spec'd in StatefulProcessorSpec)
+    val hllQuery = TypedStatefulProcessors
+      .hllDayStream(spark, events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"))
+        .as[Event])
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_hll")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/hll_days")
+        ()
+      }
+      .start()
+
     // corpus-ingest dedup: the documents table replayed as a stream
     // (≙ a crawler/mirror feed), online exact dedup by content hash —
     // the count equals the batch dedup_exact distinct-hash count
@@ -196,6 +215,7 @@ object StreamJob {
     ewmaQuery.awaitTermination()
     transQuery.awaitTermination()
     dedupQuery.awaitTermination()
+    hllQuery.awaitTermination()
     docDedupQuery.awaitTermination()
 
     // Second job, exactly the reference topology: the alert service
@@ -259,7 +279,10 @@ object StreamJob {
       "deduped_events" -> (try spark.read.parquet(s"$outDir/deduped_events").count()
                            catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "deduped_docs" -> (try spark.read.parquet(s"$outDir/deduped_docs").count()
-                         catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+                         catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
+      "hll_days" -> (try spark.read.parquet(s"$outDir/hll_days")
+                       .select("epoch_day").distinct().count()
+                     catch { case _: org.apache.spark.sql.AnalysisException => 0L })
     )
   }
 
