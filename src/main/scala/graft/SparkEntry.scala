@@ -56,6 +56,7 @@ object SparkEntry {
     "approx_p95_gated" -> (MiscOps.approxP95Gated _),
     "hll_by_day" -> (MiscOps.hllByDay _),
     "kll_by_day" -> (MiscOps.kllByDay _),
+    "theta_overlap" -> (MiscOps.thetaOverlap _),
     // temporal operators (additive: sessionization, as-of, range join)
     "sessionize" -> (TemporalOps.sessionize _),
     "concurrent_sessions" -> (TemporalOps.concurrentSessions _),

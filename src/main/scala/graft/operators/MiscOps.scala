@@ -292,6 +292,70 @@ object MiscOps {
       .orderBy(col("day"))
   }
 
+  /** Estimate-vs-exact gate for [[thetaOverlap]]: theta sketches stay
+    * EXACT below their nominal 2¹² entries (every test SF) and hold
+    * ~2 % relative standard error beyond, so 5 % relative with an
+    * absolute floor of 1 is a never-flaps-when-healthy bound.
+    */
+  private def thetaOk(est: Column, exact: Column): Column =
+    abs(est.cast("double") - exact.cast("double")) <=
+      greatest(lit(1.0), exact.cast("double") * lit(0.05))
+
+  /** Pairwise audience overlap via theta sketches — the SET-OPERATION
+    * sketch family: unlike HLL (union-only; intersection exists just as
+    * noisy inclusion–exclusion), theta sketches support direct
+    * `theta_intersection` / `theta_difference` / `theta_union`, so ONE
+    * per-segment sketch table answers every pairwise overlap question.
+    * That replaces the quadratic exact shape — re-joining the user set
+    * per segment pair — with |segments|² operations on KB-sized
+    * sketches: build sketches in one scan, then every "how many users
+    * did both A and B" is sketch algebra, no rescan, and the sketches
+    * re-merge across partitions/days like [[hllByDay]]'s.
+    *
+    * SELF-GATED: the exact per-pair counts (computed here only to power
+    * the audit — they ARE the quadratic shape theta replaces) ship with
+    * three [[thetaOk]] verdicts (intersection, union, A∖B); the oracle
+    * re-derives the exact counts and expects all-true. Pairs share no
+    * user → no row, matching the oracle's inner join.
+    */
+  def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val perType = ev
+      .groupBy(col("event_type"))
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"),
+           count_distinct(col("user_id")).as("n_exact"))
+    val u = ev.distinct()
+    val exactPairs = u
+      .as("a")
+      .join(u.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+               col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_intersect_exact"))
+    exactPairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+                                     col("sk").as("sk_a"),
+                                     col("n_exact").as("n_a_exact"))),
+            "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+                                     col("sk").as("sk_b"),
+                                     col("n_exact").as("n_b_exact"))),
+            "type_b")
+      .withColumn("n_union_exact",
+                  col("n_a_exact") + col("n_b_exact") - col("n_intersect_exact"))
+      .select(
+        col("type_a"), col("type_b"), col("n_a_exact"), col("n_b_exact"),
+        col("n_intersect_exact"), col("n_union_exact"),
+        thetaOk(expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))"),
+                col("n_intersect_exact")).as("intersect_ok"),
+        thetaOk(expr("theta_sketch_estimate(theta_union(sk_a, sk_b))"),
+                col("n_union_exact")).as("union_ok"),
+        thetaOk(expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))"),
+                col("n_a_exact") - col("n_intersect_exact")).as("diff_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Rank-error tolerance for [[kllByDay]]'s gates: the DataSketches KLL
     * default (k=200) guarantees ≤ ~1.65 % normalized rank error at 99 %
     * confidence, and below k items the sketch is exact (error ≤ 1/n) —
@@ -446,6 +510,25 @@ object MiscOps {
          |       (SELECT count(DISTINCT user_id) FROM $ev e2) AS n_total_exact,
          |       true AS merged_ok
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // theta set-operation sketches: oracle re-derives the exact pair
+    // counts and the three gate verdicts; sketch bytes stay in-engine
+    "theta_overlap" ->
+      s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM $ev e),
+         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+         |p AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         CAST(count(*) AS BIGINT) AS n_intersect_exact
+         |  FROM u a JOIN u b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2
+         |)
+         |SELECT type_a, type_b, ta.n AS n_a_exact, tb.n AS n_b_exact,
+         |       n_intersect_exact,
+         |       ta.n + tb.n - n_intersect_exact AS n_union_exact,
+         |       true AS intersect_ok, true AS union_ok, true AS diff_ok
+         |FROM p JOIN t ta ON p.type_a = ta.event_type
+         |       JOIN t tb ON p.type_b = tb.event_type
+         |ORDER BY type_a, type_b""".stripMargin,
     // mergeable KLL rollup: oracle checks the exact nearest-rank p95s
     // (per day + corpus) and the two rank-error gate verdicts; sketch
     // bytes/estimates never cross engines

@@ -420,6 +420,28 @@ class OperatorSpec extends SparkSpec {
     assert(byVerdict.agg(sum(col("n_docs"))).head.getLong(0) == nDocs)
   }
 
+  test("theta_overlap: set algebra reconciles and all sketch gates hold") {
+    val df = MiscOps.thetaOverlap(spark, sf("sf0.001")).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Boolean]("intersect_ok") &&
+      r.getAs[Boolean]("union_ok") && r.getAs[Boolean]("diff_ok")))
+    // exact set identities: 0 ≤ |A∩B| ≤ min(|A|,|B|), |A∪B| ≤ |A|+|B|,
+    // max(|A|,|B|) ≤ |A∪B|
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a_exact"), r.getAs[Long]("n_b_exact"))
+      val (ni, nu) = (r.getAs[Long]("n_intersect_exact"),
+                      r.getAs[Long]("n_union_exact"))
+      assert(ni >= 0 && ni <= math.min(na, nb))
+      assert(nu >= math.max(na, nb) && nu <= na + nb)
+    }
+    // pair frame covers exactly the type pairs sharing ≥1 user
+    val nTypes = Tables.events(spark, sf("sf0.001"))
+      .select("event_type").distinct().count()
+    assert(rows.length <= nTypes * (nTypes - 1) / 2)
+    df.unpersist()
+  }
+
   test("kll_by_day: rank gates hold; exact p95s bracket the data") {
     val df = MiscOps.kllByDay(spark, sf("sf0.001")).cache()
     val rows = df.collect()
