@@ -156,6 +156,8 @@ object SparkEntry {
     // training-data pipeline: chunking + source mixing
     "chunk_documents" -> (PipelineOps.chunkDocuments _),
     "source_mix_weights" -> (PipelineOps.sourceMixWeights _),
+    // training-data pipeline: privacy pass
+    "pii_scrub" -> (PrivacyOps.piiScrub _),
     // training-data pipeline: multimodal plumbing (stub decode)
     "media_meta" -> (MultimodalOps.mediaMeta _),
     "frame_sample" -> (MultimodalOps.frameSample _),
@@ -175,6 +177,6 @@ object SparkEntry {
       TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles ++
       TemporalOps.oracles ++ PipelineOps.oracles ++ SearchOps.oracles ++
       FunnelOps.oracles ++ CalibrationOps.oracles ++ LayoutOps.oracles ++
-      SkewOps.oracles)
+      SkewOps.oracles ++ PrivacyOps.oracles)
       .map { case (k, v) => k -> graft.functions.Rounding.fixSql(v) }
 }

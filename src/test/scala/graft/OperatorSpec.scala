@@ -420,6 +420,22 @@ class OperatorSpec extends SparkSpec {
     assert(byVerdict.agg(sum(col("n_docs"))).head.getLong(0) == nDocs)
   }
 
+  test("pii_scrub: every pattern class is masked and counted") {
+    val rows = PrivacyOps.piiScrub(spark, sf("sf0.001")).collect()
+    assert(rows.length == 1500) // one per order
+    rows.foreach { r =>
+      val s = r.getAs[String]("scrubbed")
+      // nothing PII-shaped survives the scrub
+      assert(!s.contains("@") && !s.contains("Customer#") && !s.contains("555-"))
+      assert(!s.matches(".*\\d{4,}.*"))
+      // the rendered line always carries exactly one email/phone/name
+      assert(r.getAs[Long]("n_emails") == 1L)
+      assert(r.getAs[Long]("n_phones") == 1L)
+      assert(r.getAs[Long]("n_names") == 1L)
+      assert(s.contains("[EMAIL]") && s.contains("[PHONE]") && s.contains("[NAME]"))
+    }
+  }
+
   test("theta_overlap: set algebra reconciles and all sketch gates hold") {
     val df = MiscOps.thetaOverlap(spark, sf("sf0.001")).cache()
     val rows = df.collect()
