@@ -63,6 +63,7 @@ object SparkEntry {
     "asof_join" -> (TemporalOps.asofJoin _),
     "range_join" -> (TemporalOps.rangeJoin _),
     "latest_events" -> (TemporalOps.latestEvents _),
+    "scd2_intervals" -> (TemporalOps.scd2Intervals _),
     "click_attribution" -> (TemporalOps.clickAttribution _),
     // training-data pipeline: dataset construction
     "stratified_sample" -> (PipelineOps.stratifiedSample _),

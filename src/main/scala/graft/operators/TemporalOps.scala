@@ -260,7 +260,50 @@ object TemporalOps {
        |  FROM s
        |)""".stripMargin
 
+  /** SCD type-2 history construction: collapse each user's status
+    * timeline (the derived ok/warning/error band, [[Tables.eventsWithStatus]])
+    * into validity intervals — one row per consecutive RUN of the same
+    * value, `[valid_from, valid_to)` with `valid_to` NULL on the open
+    * (current) version. The standard warehouse dimension-history shape
+    * (Kimball SCD2), built change-log-style from the raw event stream.
+    *
+    * Shuffle-minimal: detect run starts with `lag` ≠ current, keep only
+    * those rows, then `row_number` (version) and `lead` (interval close)
+    * — every window shares ONE partitioning (user_id) and ONE sort
+    * (ts, event_id), so the whole operator is a single shuffle + single
+    * sort, no groupBy re-shuffle on (user, run). The (ts, event_id)
+    * sort key makes the run segmentation a deterministic total order
+    * (ts alone can collide). At 100 TB this is the same plan per key —
+    * window partitions are per-user and bounded by per-user activity.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .eventsWithStatus(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("status"))
+      .withColumn("prev", lag(col("status"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("status"),
+              col("ts").as("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "scd2_intervals" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |s AS (SELECT user_id, ts, event_id, ${Tables.statusSql} AS status FROM e),
+         |c AS (
+         |  SELECT *, lag(status) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM s
+         |),
+         |r AS (SELECT * FROM c WHERE prev IS NULL OR prev <> status)
+         |SELECT user_id,
+         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version,
+         |       status, ts AS valid_from,
+         |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         |FROM r ORDER BY user_id, version""".stripMargin,
     "sessionize" ->
       s"""$sessionCtesSql
          |SELECT user_id, min(ts) AS session_start,

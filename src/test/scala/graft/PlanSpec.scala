@@ -90,6 +90,15 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, s"unexpected WindowExec in:\n$plan")
   }
 
+  test("scd2_intervals runs all three windows off one shuffle") {
+    // lag-filter, row_number and lead share partitioning (user_id) and
+    // sort (ts, event_id): EnsureRequirements must plan exactly ONE
+    // hash exchange (the final orderBy adds a range exchange only)
+    val p = planOf(TemporalOps.scd2Intervals(spark, sf("sf0.001")))
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange in:\n$p")
+  }
+
   test("kmeans assignment broadcasts the centroid set") {
     // emb ⨯ cents must plan as a broadcast nested-loop (tiny centroid
     // side shipped to every task), never a shuffled cartesian product

@@ -87,6 +87,28 @@ class TemporalPipelineSpec extends SparkSpec {
     assert(u7.getAs[Long]("event_id") == 9L)
   }
 
+  test("scd2 intervals tile each user's timeline with alternating runs") {
+    val rows = TemporalOps.scd2Intervals(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(_.getAs[Int]("version"))
+      assert(sorted.head.getAs[Int]("version") == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // half-open intervals tile: this valid_to IS the next valid_from
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"))
+          // a run only ends when the status actually changes
+          assert(a.getAs[String]("status") != b.getAs[String]("status"))
+          assert(b.getAs[Int]("version") == a.getAs[Int]("version") + 1)
+        case _ => ()
+      }
+      // exactly one open (current) version per user, and it is the last
+      assert(sorted.init.forall(_.getAs[java.sql.Timestamp]("valid_to") != null))
+      assert(sorted.last.getAs[java.sql.Timestamp]("valid_to") == null)
+    }
+  }
+
   test("stratified sample is deterministic and respects per-type rates") {
     val dir = sf("sf0.001")
     val a = PipelineOps.stratifiedSample(spark, dir).collect()
