@@ -157,6 +157,7 @@ object SparkEntry {
     // training-data pipeline: chunking + source mixing
     "chunk_documents" -> (PipelineOps.chunkDocuments _),
     "source_mix_weights" -> (PipelineOps.sourceMixWeights _),
+    "temperature_resample" -> (PipelineOps.temperatureResample _),
     // training-data pipeline: privacy pass
     "pii_scrub" -> (PrivacyOps.piiScrub _),
     // training-data pipeline: multimodal plumbing (stub decode)

@@ -425,6 +425,59 @@ object PipelineOps {
       .orderBy(col("source"))
   }
 
+  /** Materialized temperature resampling — [[sourceMixWeights]]'s rule
+    * APPLIED: each language's documents are replicated/thinned to hit
+    * the α=0.5-tempered share (mixing key is `lang`, the classic
+    * multilingual mix; the synthetic corpus is en-heavy by language but
+    * uniform by `source`, which would make a source mix a no-op). The
+    * per-doc copy count is `floor(rate)` plus one more iff a
+    * deterministic hash draw falls under the fractional remainder — the
+    * epoch-repetition form mT5/XLM-R-style pipelines use for
+    * low-resource upsampling, with expected output size exactly N.
+    *
+    * Scale shape: tiny groupBy for per-lang counts, broadcast of the
+    * 5-row rate table, then a pure codegen'd map + explode — no window,
+    * no per-lang partition (a `row_number`-based "take first nₗ"
+    * selection would serialize each language in one task; the hash-rate
+    * form has no hot partition at any corpus size). Determinism: rate =
+    * N / (sqrt(nₗ) · Σ√) uses only IEEE-exact or correctly-rounded ops
+    * with a fixed-order Σ, so Spark and DuckDB agree bit-for-bit; the
+    * fractional draw compares 20-bit md5 residues against
+    * `(rate−⌊rate⌋)·2²⁰` built from the same exact pieces.
+    */
+  def temperatureResample(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val rates = docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(
+        col("lang"),
+        (sum(col("n_docs")).over(all).cast("double") /
+          (sqrt(col("n_docs").cast("double")) *
+            sum(sqrt(col("n_docs").cast("double"))).over(all))).as("rate"))
+    docs
+      .join(broadcast(rates), "lang")
+      .withColumn("base", floor(col("rate")))
+      // 20-bit md5 residue: the polynomial hash is NOT avalanche-mixed
+      // for short numeric ids (consecutive ids → banded residues), so
+      // the fractional draw uses md5 — portable to the oracle via the
+      // strpos-hex-digit expansion already used by the sketch oracles
+      .withColumn("hmod",
+                  conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
+                    .cast("long"))
+      .withColumn("n_copies",
+                  col("base") +
+                    when(col("hmod").cast("double") <
+                           (col("rate") - col("base").cast("double")) * lit(1048576.0),
+                         lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"),
+              explode(sequence(lit(1L), col("n_copies"))).as("copy_index"))
+      .orderBy(col("doc_id"), col("copy_index"))
+  }
+
   val oracles: Map[String, String] = Map(
     "chunk_documents" ->
       s"""WITH d AS (
@@ -439,6 +492,39 @@ object PipelineOps {
          |       md5(array_to_string(t[(1 + p.i * $ChunkStride):(p.i * $ChunkStride + $ChunkTokens)], ' ')) AS chunk_hash
          |FROM d, UNNEST(range(0, (greatest(1, len(t) - ${ChunkTokens - ChunkStride}) + ${ChunkStride - 1}) // $ChunkStride)) p(i)
          |ORDER BY doc_id, chunk_index""".stripMargin,
+    "temperature_resample" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+         |r AS (
+         |  SELECT lang,
+         |         CAST(sum(n_docs) OVER w AS DOUBLE) /
+         |         (sqrt(CAST(n_docs AS DOUBLE)) * sum(sqrt(CAST(n_docs AS DOUBLE))) OVER w) AS rate
+         |  FROM c
+         |  WINDOW w AS (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |),
+         |d AS (
+         |  SELECT doc_id, lang, rate, md5(CAST(doc_id AS VARCHAR)) AS mh
+         |  FROM documents JOIN r USING (lang)
+         |),
+         |h AS (
+         |  SELECT doc_id, lang, rate, floor(rate) AS base,
+         |         (strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) * 65536 +
+         |         (strpos('0123456789abcdef', substr(mh, 2, 1)) - 1) * 4096 +
+         |         (strpos('0123456789abcdef', substr(mh, 3, 1)) - 1) * 256 +
+         |         (strpos('0123456789abcdef', substr(mh, 4, 1)) - 1) * 16 +
+         |         (strpos('0123456789abcdef', substr(mh, 5, 1)) - 1) AS hmod
+         |  FROM d
+         |),
+         |n AS (
+         |  SELECT doc_id, lang,
+         |         CAST(base AS BIGINT) +
+         |         CASE WHEN CAST(hmod AS DOUBLE) < (rate - base) * 1048576.0
+         |              THEN 1 ELSE 0 END AS n_copies
+         |  FROM h
+         |)
+         |SELECT doc_id, lang, CAST(u.i AS BIGINT) AS copy_index
+         |FROM n, UNNEST(range(1, n_copies + 1)) u(i)
+         |WHERE n_copies >= 1
+         |ORDER BY doc_id, copy_index""".stripMargin,
     "source_mix_weights" ->
       """WITH s AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs

@@ -109,6 +109,33 @@ class TemporalPipelineSpec extends SparkSpec {
     }
   }
 
+  test("temperature resample flattens the language mix toward α=0.5") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = PipelineOps.temperatureResample(spark, sf("sf0.001")).collect()
+    val after = out.groupBy(_.getAs[String]("lang")).map { case (l, rs) => l -> rs.length.toLong }
+    val n = before.values.sum.toDouble
+    // total size preserved in expectation (hash draw is ±O(√n) around it)
+    assert(math.abs(out.length - n) / n < 0.05)
+    // tempered target share: sqrt(n_l)/Σsqrt — achieved share must land
+    // nearer the target than the raw share for every language
+    val sumSqrt = before.values.map(v => math.sqrt(v.toDouble)).sum
+    before.foreach { case (l, nl) =>
+      val target = math.sqrt(nl.toDouble) / sumSqrt
+      val raw = nl / n
+      val achieved = after(l) / out.length.toDouble
+      assert(math.abs(achieved - target) < math.abs(raw - target) ||
+        math.abs(raw - target) < 0.01,
+        s"$l: raw=$raw target=$target achieved=$achieved")
+    }
+    // no document is ever dropped AND repeated inconsistently: copies are 1..k
+    out.groupBy(r => r.getAs[Long]("doc_id")).values.foreach { copies =>
+      val idx = copies.map(_.getAs[Long]("copy_index")).sorted
+      assert(idx.toSeq == (1L to idx.length).toSeq)
+    }
+  }
+
   test("stratified sample is deterministic and respects per-type rates") {
     val dir = sf("sf0.001")
     val a = PipelineOps.stratifiedSample(spark, dir).collect()
