@@ -64,6 +64,7 @@ object SparkEntry {
     "range_join" -> (TemporalOps.rangeJoin _),
     "latest_events" -> (TemporalOps.latestEvents _),
     "scd2_intervals" -> (TemporalOps.scd2Intervals _),
+    "cdc_merge" -> (TemporalOps.cdcMerge _),
     "click_attribution" -> (TemporalOps.clickAttribution _),
     // training-data pipeline: dataset construction
     "stratified_sample" -> (PipelineOps.stratifiedSample _),

@@ -290,7 +290,72 @@ object TemporalOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** CDC MERGE materialization (the lakehouse upsert/compaction shape):
+    * the pre-cutoff event stream is the base snapshot, post-cutoff
+    * events are the change batch — each an upsert, except `error`
+    * events which are tombstones (deletes). Latest-wins by the unique
+    * (ts, event_id) order; surviving rows are classified
+    * inserted / updated / unchanged the way a MERGE audit reports.
+    *
+    * Scale shape: ONE groupBy(user_id) doing everything — the
+    * latest-wins pick is `max(struct(ts, event_id, …))` (an aggregate
+    * argmax with map-side partial combine, never a row_number window
+    * that would serialize a hot key's history in one task), and the
+    * base/change presence bits fold in the same pass. This is the
+    * compaction kernel a 100 TB CDC table runs per micro-batch; AQE can
+    * split any skewed aggregation partition, which it cannot do for
+    * window partitions.
+    */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+              (col("event_type") === "error" && col("ts") >= cut).as("is_del"),
+              (col("ts") < cut).as("in_base"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("is_del"), col("value"))).as("last"),
+        max(when(col("in_base"), 1).otherwise(0)).as("has_base"),
+        max(when(!col("in_base"), 1).otherwise(0)).as("has_chg"))
+      .filter(!col("last.is_del"))
+      .select(
+        col("user_id"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("value"),
+        when(col("has_base") === 0, "inserted")
+          .when(col("has_chg") === 0, "unchanged")
+          .otherwise("updated").as("merge_action"))
+      .orderBy(col("user_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "cdc_merge" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |f AS (
+         |  SELECT *,
+         |         (event_type = 'error' AND ts >= TIMESTAMP '2024-01-21') AS is_del
+         |  FROM e
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |                               ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM f
+         |),
+         |a AS (
+         |  SELECT user_id,
+         |         max(CASE WHEN ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) AS has_base,
+         |         max(CASE WHEN ts >= TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) AS has_chg
+         |  FROM f GROUP BY 1
+         |)
+         |SELECT r.user_id, r.ts AS last_ts, r.event_id AS last_event_id, r.value,
+         |       CASE WHEN has_base = 0 THEN 'inserted'
+         |            WHEN has_chg = 0 THEN 'unchanged'
+         |            ELSE 'updated' END AS merge_action
+         |FROM r JOIN a USING (user_id)
+         |WHERE rn = 1 AND NOT is_del
+         |ORDER BY user_id""".stripMargin,
     "scd2_intervals" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |s AS (SELECT user_id, ts, event_id, ${Tables.statusSql} AS status FROM e),

@@ -109,6 +109,33 @@ class TemporalPipelineSpec extends SparkSpec {
     }
   }
 
+  test("cdc merge: tombstones delete, classification matches presence") {
+    val dir = sf("sf0.001")
+    val rows = TemporalOps.cdcMerge(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val cut = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+    val ev = graft.Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    val out = rows.map(r => r.getAs[Long]("user_id") -> r).toMap
+    byUser.foreach { case (u, es) =>
+      val last = es.maxBy(e => (e.getAs[java.sql.Timestamp]("ts").getTime,
+                                e.getAs[Long]("event_id")))
+      val lastIsTombstone = last.getAs[String]("event_type") == "error" &&
+        !last.getAs[java.sql.Timestamp]("ts").before(cut)
+      if (lastIsTombstone) assert(!out.contains(u), s"user $u should be deleted")
+      else {
+        val r = out(u)
+        assert(r.getAs[Long]("last_event_id") == last.getAs[Long]("event_id"))
+        val hasBase = es.exists(_.getAs[java.sql.Timestamp]("ts").before(cut))
+        val hasChg = es.exists(!_.getAs[java.sql.Timestamp]("ts").before(cut))
+        val expected =
+          if (!hasBase) "inserted" else if (!hasChg) "unchanged" else "updated"
+        assert(r.getAs[String]("merge_action") == expected)
+      }
+    }
+  }
+
   test("temperature resample flattens the language mix toward α=0.5") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     val before = docs.groupBy("lang").count().collect()
