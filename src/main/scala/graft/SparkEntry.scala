@@ -135,6 +135,7 @@ object SparkEntry {
     "key_skew_profile" -> (OlapOps.keySkewProfile _),
     "zorder_layout" -> (LayoutOps.zorderLayout _),
     "bloom_semi_join" -> (SkewOps.bloomSemiJoin _),
+    "salted_join_agg" -> (SkewOps.saltedJoinAgg _),
     // cross-dimensional aggregation / profiling
     "kpi_cube" -> (OlapOps.kpiCube _),
     "doc_length_histogram" -> (PipelineOps.docLengthHistogram _),

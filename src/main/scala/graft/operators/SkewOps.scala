@@ -101,9 +101,43 @@ object SkewOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** [[saltedJoin]] as a named end-to-end query: orders ⋈ customer on
+    * custkey with 8-way salting, aggregated per market segment (exact
+    * integer cents). The oracle is the PLAIN join + aggregate — the
+    * whole point of salting is that the result is row-for-row identical
+    * while the hot key's probe rows fan out over `salts` tasks.
+    *
+    * At test SFs customer is broadcast-sized and the salt is pure
+    * overhead — the query exists to state the technique end-to-end on
+    * real tables. ScaleTechniqueSpec pins the fan-out/equivalence
+    * properties on a hot-key fixture; PlanSpec pins that the physical
+    * join key includes the salt (the shape AQE cannot produce on its
+    * own for a single hot key).
+    */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              floor(col("o_totalprice") * lit(100) + lit(0.5)).as("cents"))
+    val cust = Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    saltedJoin(orders, cust, col("o_custkey"), col("c_custkey"),
+               col("o_orderkey"), salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // plain-join equivalence: the salt must be invisible in the result
+    "salted_join_agg" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bloom is engine-specific; the oracle checks the exact
     // semi-join aggregate the pipeline must reproduce, plus the two
     // audit gate verdicts

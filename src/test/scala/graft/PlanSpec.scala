@@ -99,6 +99,14 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected 1 hash exchange in:\n$p")
   }
 
+  test("salted_join_agg joins on (key, salt), not key alone") {
+    // the salt column must survive into the physical join keys — that
+    // fan-out is the entire skew mitigation; result parity with the
+    // unsalted join is pinned in ScaleTechniqueSpec
+    val p = planOf(SkewOps.saltedJoinAgg(spark, sf("sf0.001")))
+    assert(p.contains("__salt"), s"salt column absent from plan:\n$p")
+  }
+
   test("kmeans assignment broadcasts the centroid set") {
     // emb ⨯ cents must plan as a broadcast nested-loop (tiny centroid
     // side shipped to every task), never a shuffled cartesian product
