@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh _),
     "shingle_containment" -> (DedupOps.shingleContainment _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
+    "ssjoin_prefix" -> (DedupOps.ssjoinPrefix _),
     "simhash_signatures" -> (DedupOps.simhashSignatures _),
     "simhash_pairs" -> (DedupOps.simhashPairs _),
     "dedup_cascade" -> (DedupOps.dedupCascade _),

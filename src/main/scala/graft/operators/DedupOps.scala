@@ -296,6 +296,98 @@ object DedupOps {
       .orderBy(col("source"), col("doc1"), col("doc2"))
   }
 
+  /** Jaccard threshold for [[ssjoinPrefix]] — high enough that the
+    * prefix keeps ~40 % of each set, low enough that the synthetic
+    * corpus has real matches (28 pairs at sf0.001).
+    */
+  private[operators] val SsjoinThreshold = 0.6
+
+  /** Candidate pairs for [[ssjoinPrefix]] via PREFIX FILTERING
+    * (SSJoin, Chaudhuri et al. ICDE'06; AllPairs, Bayardo et al.
+    * WWW'07) — the EXACT-join complement to MinHash LSH: instead of
+    * probabilistic bucketing, each document indexes only its
+    * `|x| − ⌈t·|x|⌉ + 1` rarest shingles under a global
+    * (document-frequency, shingle) total order. Any pair with
+    * J ≥ t has overlap ≥ ⌈t·|x|⌉ against BOTH sets (J ≤ min/max, so
+    * the bound holds for the larger set too), and by the prefix lemma
+    * the first common token in the global order must land inside both
+    * prefixes — candidates are GUARANTEED complete, no recall curve to
+    * tune. Rarest-first ordering makes the surviving postings the
+    * longest-tail shingles, so bucket sizes (and the O(|bucket|²)
+    * expansion) collapse vs full-posting pairing; the AllPairs length
+    * filter `min ≥ ⌈t·max⌉` prunes size-incompatible pairs before any
+    * verification.
+    *
+    * Shape: one posting shuffle for df, one join-back, one
+    * groupBy(doc) to sort-and-slice each prefix (array ops, no
+    * window), one groupBy(shingle) for in-bucket expansion. NO
+    * [[MaxBucket]] cap here — the cap would forfeit the completeness
+    * guarantee that lets the oracle be the exact truth. The skew bound
+    * is structural instead: a prefix bucket for shingle g holds only
+    * docs whose RAREST ⌈0.4·n⌉ shingles include g, so bucket size ≤
+    * df(g) and hot (boilerplate) shingles never enter the index unless
+    * a doc consists almost entirely of hot shingles — the corpus state
+    * `dedup_exact`/`strip_dup_spans` exist to clean up upstream.
+    */
+  private[graft] def ssjoinPrefixCandidates(spark: SparkSession,
+                                            dir: String): DataFrame = {
+    val t = SsjoinThreshold
+    val posts = shingled(spark, dir)
+      .select(col("doc_id"),
+              explode(graft.functions.TextExprs.withSize(col("shingles")))
+                .as("p"))
+      .select(col("doc_id"), col("p.x").as("shingle"), col("p.n").as("n_sh"))
+    val dfreq = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    posts
+      .join(dfreq, "shingle")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
+      .select(col("doc_id"), col("n_sh"),
+              explode(slice(col("ord"), lit(1),
+                            (col("n_sh") - ceil(col("n_sh") * lit(t)) + 1)
+                              .cast("int"))).as("q"))
+      .select(col("q.shingle").as("shingle"), col("doc_id"), col("n_sh"))
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(inBucketPairs(col("ds"))((a, b) =>
+        struct(a.getField("doc_id").as("doc1"), a.getField("n_sh").as("n1"),
+               b.getField("doc_id").as("doc2"), b.getField("n_sh").as("n2")))
+        .as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.n1").as("n1"),
+              col("p.doc2").as("doc2"), col("p.n2").as("n2"))
+      .distinct()
+      .filter(least(col("n1"), col("n2")) >=
+        ceil(greatest(col("n1"), col("n2")) * lit(t)))
+  }
+
+  /** Exact set-similarity self-join at J ≥ [[SsjoinThreshold]]:
+    * [[ssjoinPrefixCandidates]] then exact verification — candidates
+    * join back to the persisted shingle frame (twice, by doc id) and
+    * `array_intersect` computes the true overlap, doc-pair-local like
+    * [[dedupVerifyEditdist]]'s precision pass. Because prefix filtering
+    * is complete, the oracle is the full exact truth (corpus-wide
+    * all-pairs in DuckDB) — a hash match PROVES no pair was lost to
+    * candidate generation, which no LSH query here can claim.
+    */
+  def ssjoinPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val t = SsjoinThreshold
+    val sh = shingled(spark, dir).select(col("doc_id"), col("shingles"))
+    ssjoinPrefixCandidates(spark, dir)
+      .join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc2") === col("sb.doc_id"))
+      .select(col("doc1"), col("doc2"), col("n1"), col("n2"),
+              size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+                .cast("long").as("n_common"))
+      .filter(col("n_common").cast("double") /
+        (col("n1") + col("n2") - col("n_common")) >= t)
+      .select(col("doc1"), col("doc2"), col("n_common"),
+              round(col("n_common").cast("double") /
+                      (col("n1") + col("n2") - col("n_common")),
+                    6).as("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   /** 64-bit SimHash per document from md5-derived token-hash bits with
     * term-frequency weights (Charikar, STOC '02). Pure per-row array math
     * — an elementwise integer fold over the token list, no shuffle until
@@ -1576,6 +1668,17 @@ object DedupOps {
         |       string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY ni) AS simhash
         |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "simhash_pairs" -> simhashPairsSql,
+    // exact truth, no prefix: a hash match proves candidate completeness
+    "ssjoin_prefix" ->
+      s"""$shingleSql
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+         |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |      / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= $SsjoinThreshold
+         |ORDER BY 1, 2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$shingleSql
          |SELECT a.source AS source, a.doc_id AS doc1, b.doc_id AS doc2,

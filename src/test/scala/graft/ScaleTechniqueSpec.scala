@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.SkewOps
+import graft.operators.{DedupOps, SkewOps}
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale join techniques, demonstrated and guarded: bucketed
@@ -74,6 +74,28 @@ class ScaleTechniqueSpec extends SparkSpec {
     val full = Tables.events(spark, sf("sf0.001"))
       .filter(to_date(col("ts")) === "2024-01-05").count()
     assert(filtered.count() == full && full > 0)
+  }
+
+  test("ssjoin prefix index is complete AND smaller than full postings") {
+    val dir = sf("sf0.001")
+    val cands = DedupOps.ssjoinPrefixCandidates(spark, dir)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val results = DedupOps.ssjoinPrefix(spark, dir)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // completeness: every true pair came through the candidate set
+    // (the oracle hash-match proves results == exact truth)
+    assert(results.nonEmpty && results.subsetOf(cands))
+    // pruning: the prefix index expands far fewer pair slots than the
+    // full posting index (Σ C(df,2) over all shingles)
+    val fullSlots = graft.Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextExprs.wordShingles(col("text"), 3))
+        .as("s"))
+      .groupBy("s").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0)
+    assert(cands.size < fullSlots / 2,
+      s"prefix candidates ${cands.size} vs full posting slots $fullSlots")
   }
 
   test("salted join equals the plain join on a hot-key fixture") {
