@@ -189,7 +189,9 @@ object StreamJob {
       .select(col("doc_id"),
               md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
                 .as("content_hash"),
-              col("source"))
+              col("source"), col("lang"),
+              split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+                .as("tokens"))
       .write.mode("overwrite").parquet(stageDocs)
     val docsIn = spark.readStream
       .schema(spark.read.parquet(stageDocs).schema)
@@ -208,6 +210,27 @@ object StreamJob {
       }
       .start()
 
+    // live corpus-composition dashboard: per-language Misra–Gries top
+    // tokens folded online (streaming twin of batch approx_top_tokens;
+    // exact at k=64 > corpus vocab — parity spec'd in
+    // StatefulProcessorSpec)
+    val topTokQuery = TypedStatefulProcessors
+      .topTokensStream(spark, spark.readStream
+        .schema(spark.read.parquet(stageDocs).schema)
+        .parquet(stageDocs)
+        .select(col("lang"), col("tokens"))
+        .as[DocTokens])
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_toptok")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/top_tokens")
+        ()
+      }
+      .start()
+
     kpiQuery.awaitTermination()
     alertQuery.awaitTermination()
     sessionQuery.awaitTermination()
@@ -217,6 +240,7 @@ object StreamJob {
     dedupQuery.awaitTermination()
     hllQuery.awaitTermination()
     docDedupQuery.awaitTermination()
+    topTokQuery.awaitTermination()
 
     // Second job, exactly the reference topology: the alert service
     // consumes the anomaly job's output topic (`alerts.v1` ≙ the alerts
@@ -282,7 +306,10 @@ object StreamJob {
                          catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "hll_days" -> (try spark.read.parquet(s"$outDir/hll_days")
                        .select("epoch_day").distinct().count()
-                     catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+                     catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
+      "top_token_langs" -> (try spark.read.parquet(s"$outDir/top_tokens")
+                              .select("lang").distinct().count()
+                            catch { case _: org.apache.spark.sql.AnalysisException => 0L })
     )
   }
 

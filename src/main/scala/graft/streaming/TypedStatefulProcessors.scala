@@ -309,6 +309,62 @@ class HllStatefulProcessor(lgK: Int = 12, ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** Tokenized document on the streaming top-tokens path (normalization
+  * and splitting happen in codegen'd columns BEFORE the keyed shuffle).
+  */
+case class DocTokens(lang: String, tokens: Seq[String])
+
+/** One live heavy-hitter estimate: per-language token with its
+  * Misra–Gries undercount estimate and summary-wide error bound.
+  */
+case class LangTokenEst(lang: String, token: String, est: Long, maxerr: Long)
+
+/** Per-language heavy-hitter (top-token) summaries maintained ONLINE —
+  * the streaming half of [[graft.operators.PipelineOps]]'
+  * `approx_top_tokens`: the same mergeable Misra–Gries core
+  * ([[graft.functions.TopKSketch]] — reduce/compress shared, not
+  * reimplemented) folded per micro-batch into one O(k) ValueState cell
+  * per language. Each batch re-emits the language's current top 10, so
+  * a live corpus-composition dashboard reads current heavy hitters
+  * with no rescan.
+  *
+  * Parity: MG estimates are invariant under update/merge order only in
+  * their BOUNDS, but with k above the stream's distinct-token count no
+  * compression ever fires and the summary is exact counts — so the
+  * final streaming emission equals the batch aggregator's summary
+  * exactly (StatefulProcessorSpec asserts this across a 3-batch
+  * split); adversarial small-k bound behavior is SketchSpec's
+  * ScalaCheck territory. State: one ≤k-entry map per language — O(k)
+  * bytes per key, the bounded-memory posture the batch scaladoc
+  * promises, now held across unbounded stream length.
+  */
+class TopTokensStatefulProcessor(k: Int = 64,
+                                 ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, DocTokens, LangTokenEst] {
+  import graft.functions.{MgState, TopKSketch}
+
+  private val sketch = new TopKSketch(k)
+  @transient private var state: ValueState[MgState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[MgState](
+      "mgTokens", Encoders.kryo[MgState], ttl)
+
+  override def handleInputRows(
+      key: String,
+      inputRows: Iterator[DocTokens],
+      timerValues: TimerValues): Iterator[LangTokenEst] = {
+    var s = Option(state.get()).getOrElse(sketch.zero)
+    inputRows.foreach { d =>
+      d.tokens.foreach { t => s = sketch.reduce(s, (t, 1L)) }
+    }
+    state.update(s)
+    sketch.finish(s).items.take(10)
+      .map(i => LangTokenEst(key, i.token, i.est, i.maxerr))
+      .iterator
+  }
+}
+
 object TypedStatefulProcessors {
 
   /** Milliseconds per UTC day — [[hllDayStream]]'s key derivation
@@ -327,6 +383,20 @@ object TypedStatefulProcessors {
     events
       .groupByKey(e => Math.floorDiv(e.ts.getTime, MillisPerDay))
       .transformWithState(new HllStatefulProcessor(ttl = ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update())
+  }
+
+  /** tokenized docs → per-language live top-token estimates via the
+    * Misra–Gries-folding processor; see [[TopTokensStatefulProcessor]].
+    */
+  def topTokensStream(spark: SparkSession,
+                      docs: Dataset[DocTokens]): Dataset[LangTokenEst] = {
+    import spark.implicits._
+    val ttl = StateTtl.of(spark)
+    docs
+      .groupByKey(_.lang)
+      .transformWithState(new TopTokensStatefulProcessor(ttl = ttl),
                           StateTtl.timeMode(ttl),
                           OutputMode.Update())
   }

@@ -538,4 +538,35 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(updates.groupBy(_.epoch_day).values
       .map(_.maxBy(_.n_seen).n_seen).sum == events.length)
   }
+
+  test("streaming top-tokens equals the batch Misra–Gries summary after 3 batches") {
+    val session = spark
+    import session.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("lang",
+        "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ') AS tokens")
+      .as[DocTokens].collect().sortBy(_.lang)
+
+    val updates = runStream[DocTokens, LangTokenEst](
+      "top_tokens", docs.toSeq,
+      in => TypedStatefulProcessors.topTokensStream(spark, in.toDS()))
+      .as[LangTokenEst].collect()
+    // final emission per lang = rows with the highest estimate total
+    // (estimates only grow across batches at exact k)
+    val streamed = updates.groupBy(_.lang).map { case (l, rows) =>
+      val best = rows.groupBy(_.token).map { case (_, v) => v.maxBy(_.est) }
+      l -> best.toSeq.sortBy(e => (-e.est, e.token)).take(10)
+        .map(e => (e.token, e.est, e.maxerr))
+    }
+
+    // batch truth: exact per-(lang, token) counts — k=64 > vocab, so the
+    // sketch never compresses and est = exact, maxerr = 0
+    val batch = docs.groupBy(_.lang).map { case (l, ds) =>
+      val counts = ds.flatMap(_.tokens).groupBy(identity)
+        .map { case (t, o) => (t, o.length.toLong, 0L) }
+      l -> counts.toSeq.sortBy(e => (-e._2, e._1)).take(10)
+    }
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (l, top) => assert(top == batch(l), s"lang $l") }
+  }
 }
