@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * All schemas are fixed and known (see TESTDATA.md); we never use
   * `inferSchema`. The only normalization applied at load time is the
-  * `events.ts` column: the parquet files store `TIMESTAMP(NANOS)`, which
-  * Spark's vectorized reader rejects outright. We read it as a raw long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-  * the same truncation DuckDB's `CAST(ts AS TIMESTAMP)` performs, so
-  * oracle comparisons line up exactly.
+  * `events.ts` column: the parquet files store µs timestamps WITHOUT the
+  * UTC-adjusted flag, which Spark reads as `TIMESTAMP_NTZ`; every session
+  * here pins `spark.sql.session.timeZone=UTC`, so casting to the session
+  * `TIMESTAMP` type is value-identical and keeps the whole downstream
+  * surface (timestamp literals, `window()`, `date_trunc`) on one type.
+  * DuckDB reads the same files as naive `TIMESTAMP` — the oracle and
+  * Spark see identical wall-clock values.
   *
   * Scale notes: these are plain columnar scans; predicates and column
   * pruning push down to parquet (verify with `.explain` →
@@ -24,39 +26,34 @@ object Tables {
     * (reference: `ingestors/kafka-producer/event_producer.py:47-103`).
     * Columns: event_id, ts (µs), user_id, event_type, value, props(JSON).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .parquet(s"$dir/events.parquet")
-      // integer ns→µs division (expr `div`): ns since 2024 exceed the
-      // 53-bit double mantissa, so a float division would corrupt values.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Events restricted to a time range, with the predicate applied to the
-    * RAW nanosecond long before the µs conversion — `timestamp_micros(ts
-    * div 1000)` is opaque to parquet filter pushdown, so filtering after
+    * RAW `ts` column BEFORE the NTZ→session-type cast — a filter on
+    * `cast(ts)` is opaque to parquet filter pushdown, so filtering after
     * conversion reads every row group; this form pushes
     * `GreaterThanOrEqual/LessThanOrEqual(ts, …)` into the scan and prunes
     * row groups by min/max stats (the 100 TB path for time-sliced reads).
+    * The bound literals are typed to match the stored column (NTZ for the
+    * driver tables, session TIMESTAMP for test fixtures written by
+    * Spark) so the comparison stays pushdown-eligible either way.
     */
   def eventsTimeRange(spark: SparkSession,
                       dir: String,
                       fromIso: String,
                       toIso: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def ns(iso: String): Long =
-      java.time.LocalDateTime
-        .parse(iso.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC)
-        .toEpochMilli * 1000000L
-    // bounds chosen so the raw-ns compare is EXACTLY equivalent to the
-    // µs-truncated BETWEEN: floor(ns/1000) ∈ [from_µs, to_µs] ⟺
-    // ns ∈ [from_µs·1000, to_µs·1000 + 999]
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .filter(col("ts") >= ns(fromIso) && col("ts") <= ns(toIso) + 999L)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val litType = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType => "timestamp_ntz"
+      case _                                           => "timestamp"
+    }
+    raw
+      .filter(col("ts") >= lit(fromIso).cast(litType) &&
+        col("ts") <= lit(toIso).cast(litType))
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** The reference flattens each event to typed fields and derives a

@@ -122,7 +122,7 @@ class PlanSpec extends SparkSpec {
 
   test("column pruning reaches the scan (narrow ReadSchema)") {
     val p = planOf(SeriesOps.seriesAvg(spark, sf("sf0.01")))
-    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"))
+    assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>"))
   }
 
   test("minhash signature is computed once, before the band explode") {
@@ -226,9 +226,9 @@ class PlanSpec extends SparkSpec {
 
   test("funnel/cohort scans prune to the three event columns") {
     val p = planOf(FunnelOps.funnelConversion(spark, sf("sf0.001")))
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"))
+    assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string>"))
     val c = planOf(FunnelOps.cohortRetention(spark, sf("sf0.001")))
-    assert(c.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"))
+    assert(c.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"))
   }
 
   test("kpi_cube: one Expand pass, no repeated scans") {

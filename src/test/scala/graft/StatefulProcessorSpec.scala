@@ -21,7 +21,6 @@ class StatefulProcessorSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config(AnomalyStatefulProcessor.rocksdbConf._1,
             AnomalyStatefulProcessor.rocksdbConf._2)
     .getOrCreate()

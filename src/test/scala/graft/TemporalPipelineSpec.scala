@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 class TemporalPipelineSpec extends SparkSpec {
 
-  /** Write an events.parquet fixture (ts in epoch NANOS, as the driver
+  /** Write an events.parquet fixture (ts as a µs timestamp, as the driver
     * tables store it) and return its directory.
     */
   private def eventsDir(rows: Seq[(Long, String, Long, String, Double)]): String = {
@@ -19,11 +19,11 @@ class TemporalPipelineSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ev").toString
     rows
       .map { case (id, iso, uid, typ, v) =>
-        val ns = java.time.LocalDateTime
+        val ms = java.time.LocalDateTime
           .parse(iso.replace(' ', 'T'))
           .toInstant(java.time.ZoneOffset.UTC)
-          .toEpochMilli * 1000000L
-        (id, ns, uid, typ, v, "{}")
+          .toEpochMilli
+        (id, new java.sql.Timestamp(ms), uid, typ, v, "{}")
       }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
