@@ -65,6 +65,7 @@ object SparkEntry {
     "latest_events" -> (TemporalOps.latestEvents _),
     "scd2_intervals" -> (TemporalOps.scd2Intervals _),
     "cdc_merge" -> (TemporalOps.cdcMerge _),
+    "incr_agg_merge" -> (TemporalOps.incrAggMerge _),
     "click_attribution" -> (TemporalOps.clickAttribution _),
     // training-data pipeline: dataset construction
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
@@ -163,6 +164,8 @@ object SparkEntry {
     "temperature_resample" -> (PipelineOps.temperatureResample _),
     // training-data pipeline: privacy pass
     "pii_scrub" -> (PrivacyOps.piiScrub _),
+    "k_anonymity" -> (PrivacyOps.kAnonymity _),
+    "compaction_plan" -> (LayoutOps.compactionPlan _),
     // training-data pipeline: multimodal plumbing (stub decode)
     "media_meta" -> (MultimodalOps.mediaMeta _),
     "frame_sample" -> (MultimodalOps.frameSample _),

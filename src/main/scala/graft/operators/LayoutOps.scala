@@ -104,6 +104,57 @@ object LayoutOps {
       .orderBy(col("layout"), col("file_id"))
   }
 
+  /** Small-file compaction planner (the `OPTIMIZE`/bin-packing pass of a
+    * lakehouse table): group each date partition's files into contiguous
+    * arrival-order bins of ≈`target` bytes, so the rewrite job that
+    * follows turns many small files into few target-sized ones without
+    * destroying the time-locality the reads prune on.
+    *
+    * The "files" are the per-(date, hour) manifest a streaming ingest
+    * actually produces (one commit per trigger interval); byte size is
+    * an exact integer proxy (16 B fixed + `length(props)` per row) so
+    * the oracle can replay the packing bit-for-bit. Bin assignment is
+    * next-fit on the running total: a file joins bin
+    * `⌊cum_before / target⌋` — deterministic, one pass, oversized files
+    * keep a bin to themselves and never split. Only a date's LAST bin
+    * may come out under target; [[graft.OperatorSpec]] pins that.
+    *
+    * Scale shape: one shuffle builds the manifest (partial-aggregated
+    * groupBy over the raw table); everything after — the running-sum
+    * window, the bin rollup — runs on the MANIFEST (one row per file:
+    * metadata scale, ~10⁶ rows for a 100 TB table), partitioned by date
+    * so no window partition outgrows a day's file count. The planner
+    * never moves data; the rewrite is a separate write keyed by
+    * (event_date, bin_id). Target defaults to 4 KiB at test scale
+    * (stands in for the production 128 MiB) and is session-tunable via
+    * `graft.compact.target`.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = spark.conf.get("graft.compact.target", "4096").toLong
+    require(target > 0, s"graft.compact.target=$target must be positive")
+    val manifest = Tables
+      .events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("event_date"),
+              hour(col("ts")).cast("long").as("file_hour"),
+              (lit(16L) + length(col("props")).cast("long")).as("row_bytes"))
+      .groupBy(col("event_date"), col("file_hour"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("row_bytes")).as("file_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_date"))
+      .orderBy(col("file_hour"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    manifest
+      .withColumn("cum", sum(col("file_bytes")).over(w))
+      .withColumn("bin_id", expr(s"(cum - file_bytes) div ${target}L"))
+      .groupBy(col("event_date"), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+           sum(col("file_bytes")).as("bin_bytes"),
+           min(col("file_hour")).as("first_hour"),
+           max(col("file_hour")).as("last_hour"))
+      .orderBy(col("event_date"), col("bin_id"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   /** SQL twin of [[spread8]] as stepwise CTE columns (`p1`/`p2`/`p3`). */
@@ -125,6 +176,30 @@ object LayoutOps {
        |FROM keyed GROUP BY $fileCol""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "compaction_plan" ->
+      s"""WITH m AS (
+         |  SELECT date_trunc('day', ts) AS event_date,
+         |         CAST(hour(ts) AS BIGINT) AS file_hour,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(16 + length(props)) AS BIGINT) AS file_bytes
+         |  FROM (${Tables.eventsSql}) ev GROUP BY 1, 2
+         |),
+         |c AS (
+         |  SELECT *,
+         |         CAST(sum(file_bytes) OVER (
+         |           PARTITION BY event_date ORDER BY file_hour
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |  FROM m
+         |)
+         |SELECT event_date,
+         |       CAST((cum - file_bytes) // 4096 AS BIGINT) AS bin_id,
+         |       count(*) AS n_files,
+         |       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |       CAST(sum(file_bytes) AS BIGINT) AS bin_bytes,
+         |       min(file_hour) AS first_hour, max(file_hour) AS last_hour
+         |FROM c GROUP BY 1, 2
+         |ORDER BY event_date, bin_id""".stripMargin,
     "zorder_layout" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id,

@@ -68,11 +68,92 @@ object PrivacyOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** k-anonymity suppression/generalization audit over the customer
+    * quasi-identifiers (market segment × nation): every released group
+    * must contain ≥ k individuals. Groups below k climb a fixed
+    * generalization lattice — nation → `*` (level 1), then segment → `*`
+    * (level 2); a level-2 residual still below k is flagged
+    * `suppressed = true` (it must be withheld entirely).
+    *
+    * Scale shape: ONE shuffle over the raw table (the level-0
+    * `groupBy`); the lattice climb re-aggregates the GROUP-COUNT frame
+    * (≤ |segment|·|nation| rows — metadata scale, not data scale), which
+    * is persisted via [[FrameStore]] so the three lattice levels share
+    * one scan. At 100 TB the raw table is touched exactly once, and
+    * partial aggregation absorbs any hot QI value map-side.
+    *
+    * k defaults to 10 and is session-tunable via `graft.privacy.k`
+    * (validated positive), following the `graft.ann.*` knob pattern.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = spark.conf.get("graft.privacy.k", "10").toInt
+    require(k > 0, s"graft.privacy.k=$k must be positive")
+    val g0 = qiCounts.getOrBuild(spark, dir) {
+      Tables
+        .customer(spark, dir)
+        .groupBy(col("c_mktsegment").as("qi_segment"),
+                 col("c_nationkey").cast("string").as("qi_nation"))
+        .agg(count(lit(1)).as("n_rows"))
+    }
+    val pass0 = g0
+      .filter(col("n_rows") >= k)
+      .select(col("qi_segment"), col("qi_nation"), col("n_rows"),
+              lit(0).cast("int").as("gen_level"),
+              lit(false).as("suppressed"))
+    val g1 = g0
+      .filter(col("n_rows") < k)
+      .groupBy(col("qi_segment"))
+      .agg(sum(col("n_rows")).as("n_rows"))
+    val pass1 = g1
+      .filter(col("n_rows") >= k)
+      .select(col("qi_segment"), lit("*").as("qi_nation"), col("n_rows"),
+              lit(1).cast("int").as("gen_level"),
+              lit(false).as("suppressed"))
+    val pass2 = g1
+      .filter(col("n_rows") < k)
+      .agg(sum(col("n_rows")).as("n_rows"))
+      .filter(col("n_rows").isNotNull)
+      .select(lit("*").as("qi_segment"), lit("*").as("qi_nation"),
+              col("n_rows"), lit(2).cast("int").as("gen_level"),
+              (col("n_rows") < k).as("suppressed"))
+    pass0
+      .unionByName(pass1)
+      .unionByName(pass2)
+      .orderBy(col("gen_level"), col("qi_segment"), col("qi_nation"))
+  }
+
+  /** QI group-count frame, shared by the three lattice levels. */
+  private val qiCounts = new FrameStore(4)
+
   /** DuckDB oracles. Plain (non-interpolated) triple-quoted strings so
     * `\d`/`\b` stay literal; DuckDB `regexp_replace` needs the explicit
     * 'g' flag to match Spark's replace-all default.
     */
   val oracles: Map[String, String] = Map(
+    "k_anonymity" ->
+      """WITH g0 AS (
+        |  SELECT c_mktsegment AS qi_segment,
+        |         CAST(c_nationkey AS VARCHAR) AS qi_nation,
+        |         count(*) AS n_rows
+        |  FROM customer GROUP BY 1, 2
+        |), g1 AS (
+        |  SELECT qi_segment, CAST(sum(n_rows) AS BIGINT) AS n_rows
+        |  FROM g0 WHERE n_rows < 10 GROUP BY 1
+        |), g2 AS (
+        |  SELECT CAST(sum(n_rows) AS BIGINT) AS n_rows
+        |  FROM g1 WHERE n_rows < 10
+        |)
+        |SELECT * FROM (
+        |  SELECT qi_segment, qi_nation, n_rows,
+        |         CAST(0 AS INTEGER) AS gen_level, FALSE AS suppressed
+        |  FROM g0 WHERE n_rows >= 10
+        |  UNION ALL
+        |  SELECT qi_segment, '*', n_rows, CAST(1 AS INTEGER), FALSE
+        |  FROM g1 WHERE n_rows >= 10
+        |  UNION ALL
+        |  SELECT '*', '*', n_rows, CAST(2 AS INTEGER), n_rows < 10
+        |  FROM g2 WHERE n_rows IS NOT NULL
+        |) ORDER BY gen_level, qi_segment, qi_nation""".stripMargin,
     "pii_scrub" ->
       """WITH lines AS (
         |  SELECT o_orderkey,

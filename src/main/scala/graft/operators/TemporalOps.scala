@@ -330,7 +330,57 @@ object TemporalOps {
       .orderBy(col("user_id"))
   }
 
+  /** Incremental materialized-view maintenance: the per-user KPI
+    * snapshot (count / sum / last-seen) is kept current by MERGING the
+    * delta batch's PARTIAL aggregate states into the base snapshot's,
+    * never re-reading the base data — `count` states add, `sum` states
+    * add, `max` states take the greater. The cutoff splits the event
+    * stream into base (before) and delta (after); the DuckDB oracle
+    * computes the same view by full recomputation over all events, so
+    * the hash gate IS the algebraic proof that merge(partial(base),
+    * partial(delta)) = agg(base ∪ delta) — the invariant every
+    * incremental pipeline (Delta MERGE of agg states, Flink retract
+    * streams, cube refresh) rests on.
+    *
+    * Sums are exact integer micro-units (`floor(value·10⁶ + 0.5)`), so
+    * state merging is associative bit-for-bit — the property that lets
+    * a 100 TB refresh touch only the delta. Scale shape: both partials
+    * partial-aggregate map-side, shuffle once on `user_id`, and the
+    * full-outer merge join reuses that same hash partitioning (no third
+    * shuffle); the base side would be the stored state table read
+    * co-partitioned.
+    */
+  def incrAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+               .as("sum_micros"),
+             max(col("ts")).as("last_ts"))
+    val events = Tables.events(spark, dir)
+    val base = partial(events.filter(col("ts") < cut)).alias("s")
+    val delta = partial(events.filter(col("ts") >= cut)).alias("d")
+    base
+      .join(delta, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        (coalesce(col("s.n_events"), lit(0L)) +
+          coalesce(col("d.n_events"), lit(0L))).as("n_events"),
+        (coalesce(col("s.sum_micros"), lit(0L)) +
+          coalesce(col("d.sum_micros"), lit(0L))).as("sum_micros"),
+        greatest(col("s.last_ts"), col("d.last_ts")).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "incr_agg_merge" ->
+      s"""WITH e AS (${Tables.eventsSql})
+         |SELECT user_id, count(*) AS n_events,
+         |       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+         |            AS BIGINT) AS sum_micros,
+         |       max(ts) AS last_ts
+         |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin,
     "cdc_merge" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |f AS (

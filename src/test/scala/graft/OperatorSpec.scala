@@ -436,6 +436,79 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("k_anonymity: released groups meet k, rows conserved, lattice climbs") {
+    val dir = sf("sf0.001")
+    val total = Tables.customer(spark, dir).count()
+    val out = PrivacyOps.kAnonymity(spark, dir).collect()
+    // every row of the input is accounted for exactly once in the release
+    assert(out.map(_.getAs[Long]("n_rows")).sum == total)
+    // every non-suppressed group satisfies k-anonymity at k=10
+    out.filter(!_.getAs[Boolean]("suppressed"))
+      .foreach(r => assert(r.getAs[Long]("n_rows") >= 10L))
+    // suppression can only happen at the top of the lattice
+    out.filter(_.getAs[Boolean]("suppressed"))
+      .foreach(r => assert(r.getAs[Int]("gen_level") == 2))
+    // sf0.001 has sub-k (segment, nation) cells, so the lattice must climb
+    assert(out.exists(_.getAs[Int]("gen_level") > 0))
+    // absurd k forces everything into the level-2 residual, still conserved
+    spark.conf.set("graft.privacy.k", "1000000")
+    try {
+      val all = PrivacyOps.kAnonymity(spark, dir).collect()
+      assert(all.length == 1 && all.head.getAs[Long]("n_rows") == total &&
+        all.head.getAs[Boolean]("suppressed"))
+      spark.conf.set("graft.privacy.k", "0")
+      intercept[IllegalArgumentException] {
+        PrivacyOps.kAnonymity(spark, dir)
+      }
+    } finally spark.conf.unset("graft.privacy.k")
+  }
+
+  test("incr_agg_merge: merged partials equal the full recompute") {
+    val dir = sf("sf0.001")
+    val merged = TemporalOps.incrAggMerge(spark, dir)
+    val direct = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+             .as("sum_micros"),
+           max(col("ts")).as("last_ts"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    // both the base-only and delta-only paths are actually exercised
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"))
+  }
+
+  test("compaction_plan: conserves rows/bytes, bins are contiguous and bounded") {
+    val dir = sf("sf0.001")
+    val plan = LayoutOps.compactionPlan(spark, dir).collect()
+    val nEvents = Tables.events(spark, dir).count()
+    assert(plan.map(_.getAs[Long]("n_rows")).sum == nEvents)
+    assert(plan.forall(r => r.getAs[Long]("n_files") >= 1 &&
+      r.getAs[Long]("bin_bytes") > 0))
+    // within a day: bin ids strictly increase and hour ranges never overlap
+    plan.groupBy(_.getAs[java.sql.Timestamp]("event_date")).foreach {
+      case (_, bins) =>
+        val sorted = bins.sortBy(_.getAs[Long]("bin_id"))
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Long]("bin_id") < b.getAs[Long]("bin_id"))
+            assert(a.getAs[Long]("last_hour") < b.getAs[Long]("first_hour"))
+          case _ => ()
+        }
+        // next-fit bound: can't use more bins than byte quanta (+1 tail)
+        val bytes = sorted.map(_.getAs[Long]("bin_bytes")).sum
+        assert(sorted.length <= bytes / 4096 + 1)
+    }
+    // a huge target packs each day into a single bin
+    spark.conf.set("graft.compact.target", (1L << 40).toString)
+    try {
+      val one = LayoutOps.compactionPlan(spark, dir).collect()
+      assert(one.forall(_.getAs[Long]("bin_id") == 0L))
+      assert(one.map(_.getAs[Long]("n_rows")).sum == nEvents)
+    } finally spark.conf.unset("graft.compact.target")
+  }
+
   test("theta_overlap: set algebra reconciles and all sketch gates hold") {
     val df = MiscOps.thetaOverlap(spark, sf("sf0.001")).cache()
     val rows = df.collect()
