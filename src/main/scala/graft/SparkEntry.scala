@@ -131,6 +131,7 @@ object SparkEntry {
     "funnel_conversion" -> (FunnelOps.funnelConversion _),
     "cohort_retention" -> (FunnelOps.cohortRetention _),
     "event_transitions" -> (FunnelOps.eventTransitions _),
+    "pagerank_types" -> (FunnelOps.pagerankTypes _),
     "user_value_quartiles" -> (OlapOps.userValueQuartiles _),
     // pipeline-health audits
     "fk_integrity" -> (OlapOps.fkIntegrity _),

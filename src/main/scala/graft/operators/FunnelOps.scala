@@ -116,7 +116,125 @@ object FunnelOps {
 
   // ---- DuckDB oracles ----------------------------------------------------
 
+  /** Fixed-point scale for [[pagerankTypes]]: 10¹⁰ rank units = mass 1.
+    * Chosen so every intermediate (`rank·cnt`, `85·Σcontrib`) stays far
+    * inside BIGINT on both engines at any test SF.
+    */
+  private val PrScale = 10000000000L
+
+  /** PageRank iterations — fixed so the oracle can unroll them. */
+  private val PrIters = 10
+
+  /** PageRank over the event-type transition graph (damping 0.85,
+    * [[PrIters]] power iterations) — the iterative-graph-algorithm shape
+    * (join ranks to edges → aggregate contributions → refresh ranks)
+    * that complements [[graft.operators.DedupOps]]' connected
+    * components. Everything is FIXED-POINT integer arithmetic
+    * ([[PrScale]] units, `div` floor division), so the result is
+    * bit-exact across engines and across any partitioning/summation
+    * order — the same trick the repo's micro-unit money sums use, here
+    * making a 10-step iterative float algorithm oracle-checkable.
+    * Dangling mass and floor remainders are dropped (PageRank with an
+    * implicit sink), so ranks sum to ≤ one mass unit; each node keeps at
+    * least the teleport floor `0.15/N`.
+    *
+    * Scale shape: the edge list is one shuffle over the raw table
+    * (map-side combined); each iteration joins ranks (|V| rows) to
+    * edges (|V|² max) and re-aggregates — all metadata-scale frames
+    * here, and at a 100 TB edge list the same loop holds with ranks
+    * broadcast. `localCheckpoint` per iteration caps lineage growth
+    * exactly as [[DedupOps]]' star-contraction loop does. The node-set
+    * cardinality is read driver-side once (a handful of event types —
+    * the teleport constant needs it).
+    */
+  def pagerankTypes(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val outc = edges.groupBy(col("src")).agg(sum(col("cnt")).as("out_cnt"))
+    val withOut = edges
+      .join(outc, "src")
+      .localCheckpoint()
+    val nodes = withOut
+      .select(col("src").as("node"))
+      .union(withOut.select(col("dst")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val teleport = (15L * PrScale) / (100L * n)
+    var ranks = nodes.select(col("node"), lit(PrScale / n).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val contribs = withOut
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(rank * cnt) div out_cnt").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+                (lit(teleport) +
+                  expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+      .select(col("node").as("event_type"), col("rank").as("rank_scaled"),
+              expr(s"(rank * 1000000) div ${PrScale}L").as("rank_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle twin of one [[pagerankTypes]] iteration, as a CTE. */
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT nd.node,
+       |         CAST((15 * ${PrScale}) // (100 * n.nn)
+       |              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+       |  FROM nodes nd CROSS JOIN n
+       |  LEFT JOIN (
+       |    SELECT e.dst, CAST(sum((r.rank * e.cnt) // e.out_cnt) AS BIGINT) AS s
+       |    FROM edges e JOIN $prev r ON r.node = e.src
+       |    GROUP BY e.dst
+       |  ) c ON c.dst = nd.node
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pagerank_types" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |t AS (
+         |  SELECT event_type AS src,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS dst
+         |  FROM e
+         |),
+         |e0 AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t WHERE dst IS NOT NULL GROUP BY 1, 2
+         |),
+         |edges AS (
+         |  SELECT e0.*, o.out_cnt
+         |  FROM e0 JOIN (SELECT src, CAST(sum(cnt) AS BIGINT) AS out_cnt
+         |                FROM e0 GROUP BY 1) o USING (src)
+         |),
+         |nodes AS (
+         |  SELECT DISTINCT node
+         |  FROM (SELECT src AS node FROM edges
+         |        UNION ALL SELECT dst FROM edges)
+         |),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+         |r0 AS (
+         |  SELECT node, CAST(${PrScale} // n.nn AS BIGINT) AS rank
+         |  FROM nodes CROSS JOIN n
+         |),
+         |${(1 to PrIters).map(i => prIterSql(s"r${i - 1}", s"r$i")).mkString(",\n")}
+         |SELECT node AS event_type, rank AS rank_scaled,
+         |       CAST((rank * 1000000) // ${PrScale} AS BIGINT) AS rank_ppm
+         |FROM r$PrIters ORDER BY event_type""".stripMargin,
     "events_hourly_heatmap" ->
       s"""SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
          |       CAST(hour(ts) AS BIGINT) AS hour,

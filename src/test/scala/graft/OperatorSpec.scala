@@ -463,6 +463,23 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.unset("graft.privacy.k")
   }
 
+  test("pagerank_types: mass bounded, teleport floor held, deterministic") {
+    val dir = sf("sf0.001")
+    val ranks = FunnelOps.pagerankTypes(spark, dir).collect()
+    val n = ranks.length
+    assert(n >= 2)
+    val scale = 10000000000L
+    val teleport = 15L * scale / (100L * n)
+    // every node keeps at least the teleport floor; total mass never
+    // exceeds one unit (floor remainders + dangling mass only leak)
+    ranks.foreach(r => assert(r.getAs[Long]("rank_scaled") >= teleport))
+    val total = ranks.map(_.getAs[Long]("rank_scaled")).sum
+    assert(total <= scale && total >= scale / 2)
+    // fixed-point arithmetic: a rerun is bit-identical
+    val again = FunnelOps.pagerankTypes(spark, dir).collect()
+    assert(ranks.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("incr_agg_merge: merged partials equal the full recompute") {
     val dir = sf("sf0.001")
     val merged = TemporalOps.incrAggMerge(spark, dir)
