@@ -166,6 +166,7 @@ object SparkEntry {
     // training-data pipeline: privacy pass
     "pii_scrub" -> (PrivacyOps.piiScrub _),
     "k_anonymity" -> (PrivacyOps.kAnonymity _),
+    "dp_counts" -> (PrivacyOps.dpCounts _),
     "compaction_plan" -> (LayoutOps.compactionPlan _),
     // training-data pipeline: multimodal plumbing (stub decode)
     "media_meta" -> (MultimodalOps.mediaMeta _),

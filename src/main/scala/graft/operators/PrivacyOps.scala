@@ -125,11 +125,88 @@ object PrivacyOps {
   /** QI group-count frame, shared by the three lattice levels. */
   private val qiCounts = new FrameStore(4)
 
+  /** 256-entry quantized inverse-CDF table for Laplace(b=1) noise, in
+    * milli-units: entry i is `round(1000 · L⁻¹((i+0.5)/256))`. Generated
+    * ONCE here on the driver and embedded as integer literals into BOTH
+    * the Spark plan and the DuckDB oracle SQL, so no transcendental
+    * function is ever evaluated per-engine (Java's `Math.log` and
+    * DuckDB's `ln` differ in the last ulp on ~0.2 % of arguments — the
+    * `ln_audit` lesson). Quantizing the draw to 8 bits costs a
+    * negligible ε-accounting correction and is standard practice for
+    * reproducible DP releases.
+    */
+  private[graft] val DpNoiseMillis: Array[Long] = Array.tabulate(256) { i =>
+    val u = (i + 0.5) / 256.0
+    val x = if (u < 0.5) math.log(2.0 * u) else -math.log(2.0 - 2.0 * u)
+    Math.round(1000.0 * x)
+  }
+
+  /** ε=1 differentially-private per-segment order counts: Laplace noise
+    * with sensitivity 1 (each customer places orders in exactly one
+    * segment per row; the count query's L1 sensitivity to one row is 1),
+    * drawn DETERMINISTICALLY by seeded inversion — the md5 of
+    * (salt ‖ segment) picks a [[DpNoiseMillis]] entry, the same
+    * "seeded noise for reproducible releases" pattern as the md5
+    * fractional draws elsewhere. One noisy count per disjoint segment ⇒
+    * parallel composition ⇒ total budget ε=1.
+    *
+    * Everything stays in exact integers (counts ·1000 + noise millis),
+    * so the oracle gate checks the full release bit-for-bit. `n_orders`
+    * is emitted for the AUDIT ONLY — the release artifact is
+    * `noisy_millis` (and the salt would be secret in production; it is
+    * session-tunable via `graft.privacy.salt` so a new release epoch
+    * redraws all noise).
+    *
+    * Scale shape: broadcast dim join + one partial-aggregated groupBy;
+    * the noise lookup is a pure codegen'd map over the aggregate's
+    * (tiny) output.
+    */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val salt = spark.conf.get("graft.privacy.salt", "epoch0")
+    val noise = array(DpNoiseMillis.map(lit(_)): _*)
+    Tables
+      .orders(spark, dir)
+      .select(col("o_custkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+              .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("idx",
+                  conv(substring(md5(concat(lit(salt), lit("|"),
+                                            col("c_mktsegment"))), 1, 2),
+                       16, 10).cast("int"))
+      .select(
+        col("c_mktsegment"), col("n_orders"),
+        element_at(noise, col("idx") + 1).as("noise_millis"))
+      .withColumn("noisy_millis",
+                  col("n_orders") * lit(1000L) + col("noise_millis"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** DuckDB oracles. Plain (non-interpolated) triple-quoted strings so
     * `\d`/`\b` stay literal; DuckDB `regexp_replace` needs the explicit
     * 'g' flag to match Spark's replace-all default.
     */
   val oracles: Map[String, String] = Map(
+    "dp_counts" ->
+      s"""WITH g AS (
+         |  SELECT c_mktsegment, count(*) AS n_orders
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1
+         |), i AS (
+         |  SELECT c_mktsegment, n_orders,
+         |         (strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) * 16 +
+         |         (strpos('0123456789abcdef', substr(mh, 2, 1)) - 1) AS idx
+         |  FROM (SELECT *, md5('epoch0|' || c_mktsegment) AS mh FROM g)
+         |)
+         |SELECT c_mktsegment, n_orders,
+         |       CAST(${DpNoiseMillis.mkString("[", ", ", "]")}[idx + 1]
+         |            AS BIGINT) AS noise_millis,
+         |       CAST(n_orders * 1000 +
+         |            ${DpNoiseMillis.mkString("[", ", ", "]")}[idx + 1]
+         |            AS BIGINT) AS noisy_millis
+         |FROM i ORDER BY c_mktsegment""".stripMargin,
     "k_anonymity" ->
       """WITH g0 AS (
         |  SELECT c_mktsegment AS qi_segment,

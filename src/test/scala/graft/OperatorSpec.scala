@@ -463,6 +463,32 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.unset("graft.privacy.k")
   }
 
+  test("dp_counts: noise table sane, release integral, salt redraws noise") {
+    // the quantized inverse-CDF table is symmetric-ish, median-centered,
+    // and bounded by the analytic tails of Laplace(b=1) at 1/512 mass
+    val t = PrivacyOps.DpNoiseMillis
+    assert(t.length == 256 && t.head < 0 && t.last > 0)
+    assert(t.sliding(2).forall(p => p(0) <= p(1))) // monotone inverse CDF
+    assert(math.abs(t.head) <= 6000 && t.last <= 6000) // |ln(1/256)|·1000 ≈ 5545
+    val dir = sf("sf0.001")
+    val out = PrivacyOps.dpCounts(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("noisy_millis") ==
+        r.getAs[Long]("n_orders") * 1000L + r.getAs[Long]("noise_millis"))
+      assert(t.contains(r.getAs[Long]("noise_millis")))
+    }
+    // a new release epoch (salt) redraws noise but never touches counts
+    spark.conf.set("graft.privacy.salt", "epoch1")
+    try {
+      val redrawn = PrivacyOps.dpCounts(spark, dir).collect()
+      assert(redrawn.map(_.getAs[Long]("n_orders")).toSeq ==
+        out.map(_.getAs[Long]("n_orders")).toSeq)
+      assert(redrawn.map(_.getAs[Long]("noise_millis")).toSeq !=
+        out.map(_.getAs[Long]("noise_millis")).toSeq)
+    } finally spark.conf.unset("graft.privacy.salt")
+  }
+
   test("pagerank_types: mass bounded, teleport floor held, deterministic") {
     val dir = sf("sf0.001")
     val ranks = FunnelOps.pagerankTypes(spark, dir).collect()
