@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding.round
@@ -146,6 +146,63 @@ object SearchOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(50)
       .select(col("doc_id"), col("n_terms"), round(col("score"), 6).as("bm25"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-doc
+    * `logP_target − logP_corpus` under two add-half-smoothed unigram
+    * LMs over the SHARED vocabulary — the target LM is fit on the
+    * English subset (the "domain" a pretraining pipeline up-samples
+    * toward), the reference LM on the whole corpus. Positive weight =
+    * more target-like; resampling proportional to `exp(weight)` is the
+    * DSIR selection step (the weight itself is what a pipeline stores).
+    *
+    * Cross-engine exactness: both ln arguments are correctly-rounded
+    * rationals of exact integers (`(ctf+0.5)/(T+0.5·V)` — the
+    * `doc_logprob_bigram` argument family), and `tools/ln_audit.py`
+    * bit-audits every argument this query actually evaluates; the
+    * per-doc sum is the token-sorted sequential fold shared by every
+    * log-scored query here. Scale shape: one token shuffle (map-side
+    * combined) builds BOTH LMs in a single pass (conditional sums), the
+    * totals row broadcasts, and the per-doc fold is the same
+    * one-aggregation shape as [[docLogprob]].
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val terms = termFreqs(spark, dir)
+    val vocab = terms
+      .join(docs, "doc_id")
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("ctf_all"),
+           sum(when(col("lang") === "en", col("tf")).otherwise(0L))
+             .as("ctf_tgt"))
+    val totals = broadcast(
+      vocab.agg(sum(col("ctf_all")).as("t_all"),
+                sum(col("ctf_tgt")).as("t_tgt"),
+                count(lit(1)).as("v")))
+    def lnSmoothed(ctf: Column, t: Column): Column =
+      log((ctf.cast("double") + lit(0.5)) /
+        (t.cast("double") + lit(0.5) * col("v").cast("double")))
+    val contribs = terms
+      .join(vocab, "token")
+      .crossJoin(totals)
+      .withColumn("contrib",
+                  col("tf").cast("double") *
+                    (lnSmoothed(col("ctf_tgt"), col("t_tgt")) -
+                      lnSmoothed(col("ctf_all"), col("t_all"))))
+    contribs
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("token"), col("contrib")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("s"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+              round(col("s") / col("n_tokens").cast("double"), 6)
+                .as("dsir_weight"))
+      .orderBy(col("doc_id"))
   }
 
   /** Unigram language-model score per document: mean token log-probability
@@ -490,6 +547,42 @@ object SearchOps {
       s"""WITH $lpCtes
          |SELECT doc_id, n_tokens, logprob_per_token
          |FROM lp ORDER BY doc_id""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH tok AS ($tokSql),
+         |dl AS (SELECT doc_id, lang FROM documents),
+         |v AS (
+         |  SELECT token,
+         |         CAST(sum(tf) AS BIGINT) AS ctf_all,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END)
+         |              AS BIGINT) AS ctf_tgt
+         |  FROM tok JOIN dl USING (doc_id) GROUP BY 1
+         |),
+         |t AS (
+         |  SELECT CAST(sum(ctf_all) AS BIGINT) AS t_all,
+         |         CAST(sum(ctf_tgt) AS BIGINT) AS t_tgt,
+         |         CAST(count(*) AS BIGINT) AS v
+         |  FROM v
+         |),
+         |c AS (
+         |  SELECT doc_id, tok.token AS token, tf,
+         |         tf * (ln((CAST(ctf_tgt AS DOUBLE) + 0.5)
+         |                  / (CAST(t_tgt AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+         |             - ln((CAST(ctf_all AS DOUBLE) + 0.5)
+         |                  / (CAST(t_all AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
+         |           AS contrib
+         |  FROM tok JOIN v ON tok.token = v.token CROSS JOIN t
+         |),
+         |w AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                                        list(contrib ORDER BY token)),
+         |                           (a, x) -> a + x) / CAST(sum(tf) AS DOUBLE), 6)
+         |           AS dsir_weight
+         |  FROM c GROUP BY doc_id
+         |)
+         |SELECT w.doc_id, d.lang, n_tokens, dsir_weight
+         |FROM w JOIN documents d ON w.doc_id = d.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
     "perplexity_buckets" ->
       s"""WITH $lpCtes,
          |bl AS (

@@ -463,6 +463,24 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.unset("graft.privacy.k")
   }
 
+  test("dsir_weights: target-language docs score above the rest") {
+    val rows = SearchOps.dsirWeights(spark, sf("sf0.001")).collect()
+    assert(rows.length == 500)
+    def mean(lang: String => Boolean) = {
+      val v = rows.filter(r => lang(r.getAs[String]("lang")))
+        .map(_.getAs[Double]("dsir_weight"))
+      v.sum / v.length
+    }
+    // the importance weight must separate the target domain: English
+    // docs average strictly above the non-English rest
+    assert(mean(_ == "en") > mean(_ != "en"))
+    // weights are per-token log-ratios: bounded magnitude, never NaN
+    rows.foreach { r =>
+      val w = r.getAs[Double]("dsir_weight")
+      assert(!w.isNaN && math.abs(w) < 20.0)
+    }
+  }
+
   test("dp_counts: noise table sane, release integral, salt redraws noise") {
     // the quantized inverse-CDF table is symmetric-ish, median-centered,
     // and bounded by the analytic tails of Laplace(b=1) at 1/512 mass

@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Audit cross-engine bit-identity of every ln() argument the log-scored
-queries (tfidf_topterms, bm25_search, doc_logprob, doc_logprob_bigram)
+queries (tfidf_topterms, bm25_search, doc_logprob, doc_logprob_bigram,
+dsir_weights)
 actually evaluate at a scale factor: Java's Math.log and DuckDB's ln are NOT bit-identical over
 all of (0,1) (sampled ~0.2% of arguments differ in the last ulp), so any
 NEW log-based scoring must audit its real argument set like this before
@@ -53,6 +54,17 @@ for sfd in SFS:
         vs AS (SELECT count(*) v FROM c1)
         SELECT DISTINCT CAST(c2.c2 AS BIGINT), CAST(c1.c1 AS BIGINT), CAST(v AS BIGINT)
         FROM c2 JOIN c1 ON c2.prev = c1.w CROSS JOIN vs""").fetchall():
+        args.add(("bg2", a, b, v))
+    # dsir_weights: ln((ctf + 0.5) / (T + 0.5 * V)) under both the
+    # target-English and full-corpus unigram LMs (same functional form
+    # as the bg2 family, so it reuses that audit kind)
+    for a, b, v in con.execute(TOK + """, dl AS (SELECT doc_id, lang FROM documents),
+        lm AS (SELECT token, sum(tf) ca, sum(CASE WHEN lang='en' THEN tf ELSE 0 END) ct
+               FROM td JOIN dl USING (doc_id) GROUP BY 1),
+        tt AS (SELECT sum(ca) ta, sum(ct) tt, count(*) vv FROM lm)
+        SELECT DISTINCT CAST(ca AS BIGINT), CAST(ta AS BIGINT), CAST(vv AS BIGINT) FROM lm, tt
+        UNION
+        SELECT DISTINCT CAST(ct AS BIGINT), CAST(tt AS BIGINT), CAST(vv AS BIGINT) FROM lm, tt""").fetchall():
         args.add(("bg2", a, b, v))
 
 work = Path(tempfile.mkdtemp(prefix="ln_audit"))
