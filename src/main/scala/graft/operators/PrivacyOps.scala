@@ -125,6 +125,32 @@ object PrivacyOps {
   /** QI group-count frame, shared by the three lattice levels. */
   private val qiCounts = new FrameStore(4)
 
+  /** l-diversity audit — k-anonymity's necessary companion: a group can
+    * satisfy k yet leak its sensitive attribute if every member shares
+    * one value (the homogeneity attack, Machanavajjhala et al. 2007).
+    * Here the quasi-identifiers are (segment, nation) as in
+    * [[kAnonymity]] and the sensitive attribute is the account-balance
+    * band (`floor(acctbal/1000)` — banding by double `floor` is
+    * bit-exact across engines); a released group needs ≥ l DISTINCT
+    * bands. One shuffle, `count_distinct` partial-aggregates map-side
+    * (band cardinality ≤ 11, so the distinct state is tiny per group).
+    * l defaults to 3, session-tunable via `graft.privacy.l`.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.conf.get("graft.privacy.l", "3").toInt
+    require(l > 0, s"graft.privacy.l=$l must be positive")
+    Tables
+      .customer(spark, dir)
+      .select(col("c_mktsegment").as("qi_segment"),
+              col("c_nationkey").cast("string").as("qi_nation"),
+              floor(col("c_acctbal") / lit(1000.0)).cast("long").as("band"))
+      .groupBy(col("qi_segment"), col("qi_nation"))
+      .agg(count(lit(1)).as("n_rows"),
+           count_distinct(col("band")).as("n_bands"))
+      .withColumn("l_ok", col("n_bands") >= l)
+      .orderBy(col("qi_segment"), col("qi_nation"))
+  }
+
   /** 256-entry quantized inverse-CDF table for Laplace(b=1) noise, in
     * milli-units: entry i is `round(1000 · L⁻¹((i+0.5)/256))`. Generated
     * ONCE here on the driver and embedded as integer literals into BOTH
@@ -189,6 +215,17 @@ object PrivacyOps {
     * 'g' flag to match Spark's replace-all default.
     */
   val oracles: Map[String, String] = Map(
+    "l_diversity" ->
+      """SELECT c_mktsegment AS qi_segment,
+        |       CAST(c_nationkey AS VARCHAR) AS qi_nation,
+        |       count(*) AS n_rows,
+        |       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+        |            AS BIGINT) AS n_bands,
+        |       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+        |         AS l_ok
+        |FROM customer
+        |GROUP BY 1, 2
+        |ORDER BY qi_segment, qi_nation""".stripMargin,
     "dp_counts" ->
       s"""WITH g AS (
          |  SELECT c_mktsegment, count(*) AS n_orders

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding.round
 
@@ -85,6 +85,60 @@ object SeriesOps {
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
       .agg(round(percentile(col("value"), lit(0.95)), 6).as("p95_value"))
       .orderBy(col("event_type"), col("bucket"))
+
+  /** Robust per-type statistics: exact nearest-rank p05/p95 cutoffs,
+    * the winsorized mean (values clamped into [p05, p95]) and the
+    * trimmed mean (values outside dropped) — the outlier-resistant
+    * aggregates an anomaly-prone metric stream needs alongside plain
+    * averages. Nearest-rank index is `⌊n·q⌋+1` (1-based), matching
+    * [[graft.functions.ExactPercentile]]'s floor semantics.
+    *
+    * Exactness over scale, explicitly: exact order statistics need the
+    * per-key multiset, so this buffers each type's values in one
+    * aggregation (the documented [[graft.functions.ExactPercentile]]
+    * caveat — groups here are the handful of event types). The 100 TB
+    * form keeps the IDENTICAL clamp + micro-unit sum (a pure map +
+    * partial aggregation) but takes its cutoffs from the mergeable KLL
+    * sketch family already in the library (`kll_by_day`) instead of the
+    * exact sort. All sums are exact integer micro-units folded over the
+    * SORTED list, so both engines agree bit-for-bit.
+    */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    def micros(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5)).cast("long")
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("lst"),
+           count(lit(1)).as("n"))
+      .withColumn("p05",
+                  element_at(col("lst"),
+                             (floor(col("n").cast("double") * lit(0.05)) +
+                               lit(1)).cast("int")))
+      .withColumn("p95",
+                  element_at(col("lst"),
+                             (floor(col("n").cast("double") * lit(0.95)) +
+                               lit(1)).cast("int")))
+      .withColumn("winsor_sum",
+                  aggregate(col("lst"), lit(0L),
+                            (acc, x) =>
+                              acc + micros(least(greatest(x, col("p05")),
+                                                 col("p95")))))
+      .withColumn("trim",
+                  filter(col("lst"),
+                         x => x >= col("p05") && x <= col("p95")))
+      .withColumn("n_trim", size(col("trim")).cast("long"))
+      .withColumn("trim_sum",
+                  aggregate(col("trim"), lit(0L), (acc, x) => acc + micros(x)))
+      .select(
+        col("event_type"), col("n"), col("p05"), col("p95"),
+        round(col("winsor_sum").cast("double") / lit(1000000.0) /
+                col("n").cast("double"), 6).as("winsor_mean"),
+        col("n_trim"),
+        round(col("trim_sum").cast("double") / lit(1000000.0) /
+                col("n_trim").cast("double"), 6).as("trim_mean"))
+      .orderBy(col("event_type"))
+  }
 
   /** `/series` with the optional conjunctive predicates of the read API
     * (time range + source filter, read-api/main.py:316-334): the filter is
@@ -216,6 +270,35 @@ object SeriesOps {
     "series_p95" ->
       s"""SELECT event_type, date_trunc('hour', ts) AS bucket, round(quantile_cont(value, 0.95), 6) AS p95_value
          |FROM $ev e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "robust_stats" ->
+      s"""WITH g AS (
+         |  SELECT event_type, list_sort(list(value)) AS lst,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM $ev e GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT event_type, n, lst,
+         |         lst[CAST(floor(CAST(n AS DOUBLE) * 0.05) AS INT) + 1] AS p05,
+         |         lst[CAST(floor(CAST(n AS DOUBLE) * 0.95) AS INT) + 1] AS p95
+         |  FROM g
+         |),
+         |t AS (
+         |  SELECT *, list_filter(lst, x -> x >= p05 AND x <= p95) AS trim
+         |  FROM c
+         |)
+         |SELECT event_type, n, p05, p95,
+         |       round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(lst, x -> CAST(floor(
+         |                  least(greatest(x, p05), p95) * 1000000 + 0.5)
+         |                  AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+         |             / 1000000.0 / CAST(n AS DOUBLE), 6) AS winsor_mean,
+         |       CAST(len(trim) AS BIGINT) AS n_trim,
+         |       round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(trim, x -> CAST(floor(
+         |                  x * 1000000 + 0.5) AS BIGINT))), (a, b) -> a + b)
+         |               AS DOUBLE)
+         |             / 1000000.0 / CAST(len(trim) AS DOUBLE), 6) AS trim_mean
+         |FROM t ORDER BY event_type""".stripMargin,
     "series_filtered" ->
       s"""SELECT event_type, date_trunc('minute', ts) AS bucket, round(avg(value), 6) AS avg_value, count(*) AS n_events
          |FROM $ev e

@@ -463,6 +463,40 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.unset("graft.privacy.k")
   }
 
+  test("robust_stats: cutoffs order, clamping bounds the mean, trim subset") {
+    val rows = SeriesOps.robustStats(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p05 = r.getAs[Double]("p05")
+      val p95 = r.getAs[Double]("p95")
+      assert(p05 <= p95)
+      // clamped and trimmed means live inside the clamp interval
+      assert(r.getAs[Double]("winsor_mean") >= p05 - 1e-6 &&
+        r.getAs[Double]("winsor_mean") <= p95 + 1e-6)
+      assert(r.getAs[Double]("trim_mean") >= p05 - 1e-6 &&
+        r.getAs[Double]("trim_mean") <= p95 + 1e-6)
+      // trimming drops ≈10% of rows, never more than ~12%
+      val n = r.getAs[Long]("n").toDouble
+      val kept = r.getAs[Long]("n_trim").toDouble
+      assert(kept <= n && kept >= n * 0.88)
+    }
+  }
+
+  test("l_diversity: bands counted per group, homogeneous fixture flagged") {
+    val rows = PrivacyOps.lDiversity(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bands") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Boolean]("l_ok") == (r.getAs[Long]("n_bands") >= 3L))
+    }
+    // raising l to an impossible level flags every group
+    spark.conf.set("graft.privacy.l", "1000")
+    try {
+      assert(PrivacyOps.lDiversity(spark, sf("sf0.001")).collect()
+        .forall(!_.getAs[Boolean]("l_ok")))
+    } finally spark.conf.unset("graft.privacy.l")
+  }
+
   test("dsir_weights: target-language docs score above the rest") {
     val rows = SearchOps.dsirWeights(spark, sf("sf0.001")).collect()
     assert(rows.length == 500)
