@@ -342,23 +342,43 @@ object DedupOps {
       .join(dfreq, "shingle")
       .groupBy(col("doc_id"), col("n_sh"))
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
+      // posexplode: the PREFIX POSITION of each indexed shingle rides
+      // along for the PPJoin positional bound below
       .select(col("doc_id"), col("n_sh"),
-              explode(slice(col("ord"), lit(1),
-                            (col("n_sh") - ceil(col("n_sh") * lit(t)) + 1)
-                              .cast("int"))).as("q"))
-      .select(col("q.shingle").as("shingle"), col("doc_id"), col("n_sh"))
+              posexplode(slice(col("ord"), lit(1),
+                               (col("n_sh") - ceil(col("n_sh") * lit(t)) + 1)
+                                 .cast("int"))).as(Seq("pos", "q")))
+      .select(col("q.shingle").as("shingle"), col("doc_id"), col("n_sh"),
+              col("pos"))
       .groupBy(col("shingle"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"),
+                                          col("pos")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(inBucketPairs(col("ds"))((a, b) =>
         struct(a.getField("doc_id").as("doc1"), a.getField("n_sh").as("n1"),
-               b.getField("doc_id").as("doc2"), b.getField("n_sh").as("n2")))
+               a.getField("pos").as("p1"),
+               b.getField("doc_id").as("doc2"), b.getField("n_sh").as("n2"),
+               b.getField("pos").as("p2")))
         .as("p"))
       .select(col("p.doc1").as("doc1"), col("p.n1").as("n1"),
-              col("p.doc2").as("doc2"), col("p.n2").as("n2"))
-      .distinct()
+              col("p.p1").as("p1"),
+              col("p.doc2").as("doc2"), col("p.n2").as("n2"),
+              col("p.p2").as("p2"))
+      // both filters run BEFORE the distinct so pruned pairs never enter
+      // the dedup shuffle. (1) AllPairs length filter; (2) PPJoin
+      // positional bound (Xiao et al. WWW'08): J ≥ t needs overlap
+      // α = ⌈t/(1+t)·(n1+n2)⌉, and a pair first meeting at prefix
+      // positions (p1, p2) can overlap at most 1 + min(n1−p1−1, n2−p2−1);
+      // keeping the pair if ANY shared prefix token passes is a superset
+      // of "the FIRST shared token passes", so completeness holds.
+      // t/(1+t) = 0.375 is binary-exact, so α is exact on both engines.
       .filter(least(col("n1"), col("n2")) >=
         ceil(greatest(col("n1"), col("n2")) * lit(t)))
+      .filter(lit(1) + least(col("n1") - col("p1") - 1,
+                             col("n2") - col("p2") - 1) >=
+        ceil((col("n1") + col("n2")).cast("double") * lit(t / (1 + t))))
+      .select(col("doc1"), col("n1"), col("doc2"), col("n2"))
+      .distinct()
   }
 
   /** Exact set-similarity self-join at J ≥ [[SsjoinThreshold]]:
@@ -372,7 +392,11 @@ object DedupOps {
     */
   def ssjoinPrefix(spark: SparkSession, dir: String): DataFrame = {
     val t = SsjoinThreshold
-    val sh = shingled(spark, dir).select(col("doc_id"), col("shingles"))
+    // broadcast the shingle arrays to both verification joins: the doc
+    // side is |corpus| rows of bounded arrays (MBs), the candidate side
+    // is the O(pairs) frame — shuffling pairs twice through sort-merge
+    // joins dominated this query's bench time before the hint
+    val sh = broadcast(shingled(spark, dir).select(col("doc_id"), col("shingles")))
     ssjoinPrefixCandidates(spark, dir)
       .join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc2") === col("sb.doc_id"))
