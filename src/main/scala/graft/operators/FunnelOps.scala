@@ -142,10 +142,13 @@ object FunnelOps {
     * (map-side combined); each iteration joins ranks (|V| rows) to
     * edges (|V|² max) and re-aggregates — all metadata-scale frames
     * here, and at a 100 TB edge list the same loop holds with ranks
-    * broadcast. `localCheckpoint` per iteration caps lineage growth
-    * exactly as [[DedupOps]]' star-contraction loop does. The node-set
-    * cardinality is read driver-side once (a handful of event types —
-    * the teleport constant needs it).
+    * broadcast. The edge and node frames are `localCheckpoint`ed ONCE
+    * (they feed all ten iterations — without pinning, each DAG
+    * occurrence would recompute the window+groupBy subtree); the rank
+    * frames themselves stay lazy lineage, ten tiny joins deep, so the
+    * whole refinement runs as ONE job instead of ten scheduler
+    * round-trips. The node-set cardinality is read driver-side once (a
+    * handful of event types — the teleport constant needs it).
     */
   def pagerankTypes(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -181,7 +184,6 @@ object FunnelOps {
         .select(col("node"),
                 (lit(teleport) +
                   expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
     }
     ranks
       .select(col("node").as("event_type"), col("rank").as("rank_scaled"),

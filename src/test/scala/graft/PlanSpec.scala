@@ -120,6 +120,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), s"unexpected shuffle in:\n$p")
   }
 
+  test("incr_agg_merge: full-outer merge reuses the groupBy partitioning") {
+    val p = planOf(TemporalOps.incrAggMerge(spark, sf("sf0.001")))
+    assert(p.contains("FullOuter"))
+    // two aggregation exchanges on user_id, and NO third one for the
+    // join — the merge join must consume the partials' partitioning
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 2, p)
+  }
+
+  test("dp_counts: dim side broadcasts, no sort-merge join") {
+    val p = planOf(PrivacyOps.dpCounts(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
+  test("compaction_plan: the window runs on the manifest, after aggregation") {
+    val df = LayoutOps.compactionPlan(spark, sf("sf0.001"))
+    val p = planOf(df)
+    // exactly one window (the running sum), fed by the manifest
+    // aggregate — never a window over raw event rows
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    val op = df.queryExecution.optimizedPlan.toString
+    assert(op.indexOf("Window") > -1 && op.indexOf("Aggregate") > -1)
+    // in the optimized tree the window's child subtree contains the
+    // manifest aggregate (tree prints root-first: Window above Aggregate)
+    assert(op.indexOf("Window") < op.lastIndexOf("Aggregate"))
+  }
+
   test("column pruning reaches the scan (narrow ReadSchema)") {
     val p = planOf(SeriesOps.seriesAvg(spark, sf("sf0.01")))
     assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>"))
