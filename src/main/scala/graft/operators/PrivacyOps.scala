@@ -151,6 +151,77 @@ object PrivacyOps {
       .orderBy(col("qi_segment"), col("qi_nation"))
   }
 
+  /** t-closeness audit — the distributional tightening of
+    * [[lDiversity]] (Li et al. ICDE'07): a group passes only if its
+    * sensitive-attribute DISTRIBUTION stays within Earth-Mover's
+    * Distance t of the global one, closing the skewness/similarity
+    * attacks l-diversity misses. The sensitive attribute is the ordered
+    * account-balance band of [[lDiversity]]; for ordered categories EMD
+    * is the mean absolute difference of cumulative distributions
+    * (Σᵢ|P≤ᵢ − Q≤ᵢ| / (m−1)).
+    *
+    * Everything is EXACT INTEGER arithmetic until the final display
+    * division: with group cumulative counts `ccum` (denominator n_g)
+    * and global `gcum` (denominator N), Σ|ccum·N − gcum·n_g| is the EMD
+    * numerator in units of 1/((m−1)·n_g·N), and the t = 0.25 gate is
+    * the cross-multiplied `4·Σ ≤ (m−1)·n_g·N` — no float ever decides
+    * the verdict. (At ~10⁹-row groups the cross products approach the
+    * BIGINT range; a production build moves these two columns to
+    * DECIMAL(38,0), same algebra.)
+    *
+    * Scale shape: one shuffle for (group, band) counts; the dense
+    * group×band grid, the per-group cumulative window, and the global
+    * join all run on the GROUP-COUNT frame (≤ lattice × 11 bands —
+    * metadata scale); the global band histogram broadcasts.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Tables
+      .customer(spark, dir)
+      .select(col("c_mktsegment").as("qi_segment"),
+              col("c_nationkey").cast("string").as("qi_nation"),
+              floor(col("c_acctbal") / lit(1000.0)).cast("long").as("band"))
+    val groupBand = bands
+      .groupBy(col("qi_segment"), col("qi_nation"), col("band"))
+      .agg(count(lit(1)).as("c"))
+    val globalBand = groupBand
+      .groupBy(col("band"))
+      .agg(sum(col("c")).as("g"))
+    val groups = groupBand
+      .groupBy(col("qi_segment"), col("qi_nation"))
+      .agg(sum(col("c")).as("n_g"))
+    val grid = groups
+      .crossJoin(broadcast(globalBand))
+      .join(groupBand, Seq("qi_segment", "qi_nation", "band"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qi_segment"), col("qi_nation"))
+      .orderBy(col("band"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = broadcast(
+      globalBand.agg(sum(col("g")).as("n_total"),
+                     count(lit(1)).as("m_bands")))
+    grid
+      .withColumn("ccum", sum(col("c")).over(w))
+      .withColumn("gcum", sum(col("g")).over(w))
+      .crossJoin(totals)
+      .groupBy(col("qi_segment"), col("qi_nation"))
+      .agg(
+        max(col("n_g")).as("n_rows"),
+        // the last band's cumulative diff is identically 0 (both cums hit
+        // their totals), so summing all m terms equals summing m−1
+        sum(abs(col("ccum") * col("n_total") - col("gcum") * col("n_g")))
+          .as("emd_num"),
+        max((col("m_bands") - 1) * col("n_g") * col("n_total"))
+          .as("emd_den"))
+      .select(
+        col("qi_segment"), col("qi_nation"), col("n_rows"), col("emd_num"),
+        round(col("emd_num").cast("double") / col("emd_den").cast("double"),
+              6).as("emd"),
+        (col("emd_num") * 4 <= col("emd_den")).as("t_ok"))
+      .orderBy(col("qi_segment"), col("qi_nation"))
+  }
+
   /** 256-entry quantized inverse-CDF table for Laplace(b=1) noise, in
     * milli-units: entry i is `round(1000 · L⁻¹((i+0.5)/256))`. Generated
     * ONCE here on the driver and embedded as integer literals into BOTH
@@ -215,6 +286,47 @@ object PrivacyOps {
     * 'g' flag to match Spark's replace-all default.
     */
   val oracles: Map[String, String] = Map(
+    "t_closeness" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment AS qi_segment,
+        |         CAST(c_nationkey AS VARCHAR) AS qi_nation,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer
+        |),
+        |gb AS (SELECT qi_segment, qi_nation, band,
+        |              CAST(count(*) AS BIGINT) AS c
+        |       FROM b GROUP BY 1, 2, 3),
+        |gband AS (SELECT band, CAST(sum(c) AS BIGINT) AS g
+        |          FROM gb GROUP BY 1),
+        |grp AS (SELECT qi_segment, qi_nation, CAST(sum(c) AS BIGINT) AS n_g
+        |        FROM gb GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total,
+        |               CAST(count(*) AS BIGINT) AS m_bands FROM gband),
+        |grid AS (
+        |  SELECT grp.qi_segment, grp.qi_nation, grp.n_g, gband.band, gband.g,
+        |         COALESCE(gb.c, 0) AS c
+        |  FROM grp CROSS JOIN gband
+        |  LEFT JOIN gb ON gb.qi_segment = grp.qi_segment
+        |             AND gb.qi_nation = grp.qi_nation AND gb.band = gband.band
+        |),
+        |cums AS (
+        |  SELECT *, CAST(sum(c) OVER w AS BIGINT) AS ccum,
+        |            CAST(sum(g) OVER w AS BIGINT) AS gcum
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY qi_segment, qi_nation ORDER BY band
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT qi_segment, qi_nation, max(n_g) AS n_rows,
+        |       CAST(sum(abs(ccum * n_total - gcum * n_g)) AS BIGINT)
+        |         AS emd_num,
+        |       round(CAST(sum(abs(ccum * n_total - gcum * n_g)) AS DOUBLE)
+        |             / CAST(max((m_bands - 1) * n_g * n_total) AS DOUBLE), 6)
+        |         AS emd,
+        |       CAST(sum(abs(ccum * n_total - gcum * n_g)) AS BIGINT) * 4
+        |         <= max((m_bands - 1) * n_g * n_total) AS t_ok
+        |FROM cums CROSS JOIN tot
+        |GROUP BY 1, 2
+        |ORDER BY qi_segment, qi_nation""".stripMargin,
     "l_diversity" ->
       """SELECT c_mktsegment AS qi_segment,
         |       CAST(c_nationkey AS VARCHAR) AS qi_nation,

@@ -497,6 +497,22 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.unset("graft.privacy.l")
   }
 
+  test("t_closeness: EMD bounded in [0,1], verdict matches the integer gate") {
+    val rows = PrivacyOps.tCloseness(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val emd = r.getAs[Double]("emd")
+      assert(emd >= 0.0 && emd <= 1.0)
+      // the float display value agrees with the exact integer verdict
+      assert(r.getAs[Boolean]("t_ok") == (emd <= 0.25 + 1e-9) ||
+        math.abs(emd - 0.25) < 1e-6)
+    }
+    // the whole-population "group" would have EMD 0; tiny groups drift:
+    // at least one group must be flagged at sf0.001 (cells of 1-6 rows)
+    assert(rows.exists(!_.getAs[Boolean]("t_ok")))
+    assert(rows.exists(_.getAs[Boolean]("t_ok")))
+  }
+
   test("dsir_weights: target-language docs score above the rest") {
     val rows = SearchOps.dsirWeights(spark, sf("sf0.001")).collect()
     assert(rows.length == 500)
