@@ -42,7 +42,8 @@ object StreamJob {
 
   private def runImpl(spark: SparkSession, sfDir: String,
                       outDir: String): Map[String, Long] = {
-    // stage the ns-timestamp parquet as a µs-typed streaming input dir
+    // stage the events table as the streaming input dir (drops props,
+    // normalizes ts via Tables.events)
     val stageDir = s"$outDir/staged_events"
     graft.Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -180,6 +181,26 @@ object StreamJob {
       }
       .start()
 
+    // per-user snapshot store: streaming incremental view maintenance
+    // (the transformWithState twin of the batch incr_agg_merge — parity
+    // spec'd in StatefulProcessorSpec); the store's latest row per user
+    // IS the materialized view
+    val snapQuery = TypedStatefulProcessors
+      .userSnapshotStream(spark, events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"))
+        .as[Event])
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_usersnap")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/user_snapshots")
+        ()
+      }
+      .start()
+
     // corpus-ingest dedup: the documents table replayed as a stream
     // (≙ a crawler/mirror feed), online exact dedup by content hash —
     // the count equals the batch dedup_exact distinct-hash count
@@ -239,6 +260,7 @@ object StreamJob {
     transQuery.awaitTermination()
     dedupQuery.awaitTermination()
     hllQuery.awaitTermination()
+    snapQuery.awaitTermination()
     docDedupQuery.awaitTermination()
     topTokQuery.awaitTermination()
 
@@ -304,6 +326,9 @@ object StreamJob {
                            catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "deduped_docs" -> (try spark.read.parquet(s"$outDir/deduped_docs").count()
                          catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
+      "user_snapshots" -> (try spark.read.parquet(s"$outDir/user_snapshots")
+                             .select("user_id").distinct().count()
+                           catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "hll_days" -> (try spark.read.parquet(s"$outDir/hll_days")
                        .select("epoch_day").distinct().count()
                      catch { case _: org.apache.spark.sql.AnalysisException => 0L }),

@@ -159,6 +159,53 @@ class DedupStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** Per-user running KPI snapshot: the streaming MATERIALIZED-VIEW row
+  * that [[graft.operators.TemporalOps.incrAggMerge]] maintains in batch.
+  * `last_ts_micros` keeps the full µs precision of the event time.
+  */
+case class UserSnapshot(user_id: Long,
+                        n_events: Long,
+                        sum_micros: Long,
+                        last_ts_micros: Long)
+
+/** Streaming incremental view maintenance — the transformWithState twin
+  * of the batch `incr_agg_merge` operator: each micro-batch's rows fold
+  * into the per-user snapshot with the SAME associative integer algebra
+  * (counts add, micro-unit sums add, max keeps the later timestamp), so
+  * the snapshot after ANY batch split equals the batch recompute —
+  * StatefulProcessorSpec asserts it against `incr_agg_merge` itself.
+  * State is one fixed-size row per user (the minimal upsert-store
+  * shape); key cardinality is unbounded, bounded in deployment by
+  * `graft.state.ttl` like the dedup processors.
+  */
+class UserSnapshotStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, Event, UserSnapshot] {
+
+  @transient private var snap: ValueState[UserSnapshot] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    snap = getHandle.getValueState[UserSnapshot](
+      "userSnap", Encoders.product[UserSnapshot], ttl)
+
+  override def handleInputRows(
+      key: Long,
+      inputRows: Iterator[Event],
+      timerValues: TimerValues): Iterator[UserSnapshot] = {
+    val prev = Option(snap.get())
+      .getOrElse(UserSnapshot(key, 0L, 0L, Long.MinValue))
+    val next = inputRows.foldLeft(prev) { (a, e) =>
+      val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+      UserSnapshot(key,
+                   a.n_events + 1L,
+                   a.sum_micros +
+                     math.floor(e.value * 1000000.0 + 0.5).toLong,
+                   math.max(a.last_ts_micros, micros))
+    }
+    snap.update(next)
+    Iterator.single(next)
+  }
+}
+
 /** One document on the streaming-ingest path: id, the md5 of its
   * normalized text (the dedup key — computed BEFORE the keyed shuffle
   * so only 32 hash chars plus metadata ever move, never the text), and
@@ -410,6 +457,20 @@ object TypedStatefulProcessors {
       .filter(_.value > 0)
       .groupByKey(_.event_type)
       .transformWithState(new AnomalyListStateProcessor(ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update())
+  }
+
+  /** events → per-user running snapshots (streaming incremental view
+    * maintenance); see [[UserSnapshotStatefulProcessor]].
+    */
+  def userSnapshotStream(spark: SparkSession,
+                         events: Dataset[Event]): Dataset[UserSnapshot] = {
+    import spark.implicits._
+    val ttl = StateTtl.of(spark)
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserSnapshotStatefulProcessor(ttl),
                           StateTtl.timeMode(ttl),
                           OutputMode.Update())
   }

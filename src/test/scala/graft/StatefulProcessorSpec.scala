@@ -92,6 +92,45 @@ class StatefulProcessorSpec extends AnyFunSuite {
       .sortBy(e => (e.ts.getTime, e.event_id))
   }
 
+  test("user snapshot stream converges to the batch incr_agg_merge view") {
+    val session = spark
+    import session.implicits._
+
+    val events = Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    val input = MemoryStream[Event](spark, 3)
+    val snaps = TypedStatefulProcessors.userSnapshotStream(spark, input.toDS())
+    val q = snaps.toDF().writeStream
+      .format("memory")
+      .queryName("tws_user_snaps")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      events.grouped(300).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    // final snapshot per user = the row with the highest event count
+    val streamed = spark.table("tws_user_snaps").as[UserSnapshot].collect()
+      .groupBy(_.user_id)
+      .map { case (_, v) => v.maxBy(_.n_events) }
+      .map(s => (s.user_id, s.n_events, s.sum_micros, s.last_ts_micros))
+      .toSet
+
+    val batch = graft.operators.TemporalOps
+      .incrAggMerge(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "n_events", "sum_micros", "unix_micros(last_ts)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    assert(streamed == batch)
+  }
+
   test("ListState-buffered detector emits exactly the ValueState detector's alerts") {
     val session = spark
     import session.implicits._
