@@ -37,6 +37,19 @@ object Rounding {
     math.floor(x * s + 0.5) / s
   }
 
+  /** Exact integer micro-units: `⌊x·10⁶ + 0.5⌋` as a long — the
+    * round-half-up fixed-point encoding every money/metric sum uses so
+    * aggregation is associative bit-for-bit. One definition shared by
+    * the batch operators, the streaming snapshot processor, and the
+    * parity specs; the DuckDB oracles write the same formula inline.
+    */
+  def microUnits(c: Column): Column =
+    floor(c * lit(1000000) + lit(0.5)).cast("long")
+
+  /** Scalar twin of [[microUnits]] for streaming state code. */
+  def microUnitsScalar(x: Double): Long =
+    math.floor(x * 1000000.0 + 0.5).toLong
+
   /** Rewrite every `round(expr, p)` in a SQL string into the
     * floor-formula (balanced-parenthesis aware, innermost-first).
     */

@@ -371,12 +371,14 @@ object DedupOps {
       // positions (p1, p2) can overlap at most 1 + min(n1−p1−1, n2−p2−1);
       // keeping the pair if ANY shared prefix token passes is a superset
       // of "the FIRST shared token passes", so completeness holds.
-      // t/(1+t) = 0.375 is binary-exact, so α is exact on both engines.
+      // the factor is written as the literal 0.375 (= t/(1+t) for t=0.6),
+      // which IS binary-exact — computing 0.6/1.6 in doubles lands one ulp
+      // low, which would still be conservative but belie this comment.
       .filter(least(col("n1"), col("n2")) >=
         ceil(greatest(col("n1"), col("n2")) * lit(t)))
       .filter(lit(1) + least(col("n1") - col("p1") - 1,
                              col("n2") - col("p2") - 1) >=
-        ceil((col("n1") + col("n2")).cast("double") * lit(t / (1 + t))))
+        ceil((col("n1") + col("n2")).cast("double") * lit(0.375)))
       .select(col("doc1"), col("n1"), col("doc2"), col("n2"))
       .distinct()
   }

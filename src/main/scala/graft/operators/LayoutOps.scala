@@ -116,8 +116,11 @@ object LayoutOps {
     * the oracle can replay the packing bit-for-bit. Bin assignment is
     * next-fit on the running total: a file joins bin
     * `⌊cum_before / target⌋` — deterministic, one pass, oversized files
-    * keep a bin to themselves and never split. Only a date's LAST bin
-    * may come out under target; [[graft.OperatorSpec]] pins that.
+    * never split (they own the quantum they start in, and their
+    * overshoot may strand one small successor bin — the price of
+    * single-pass determinism vs true bin packing). Bins are contiguous
+    * hour runs with conserved rows/bytes; [[graft.OperatorSpec]] pins
+    * those invariants and the next-fit bin-count bound.
     *
     * Scale shape: one shuffle builds the manifest (partial-aggregated
     * groupBy over the raw table); everything after — the running-sum

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Rounding.round
 
 /** PII detection + redaction — the privacy pass every training-data
   * pipeline runs before text leaves the ingest tier (the reference has

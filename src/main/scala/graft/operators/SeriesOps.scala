@@ -104,8 +104,7 @@ object SeriesOps {
     * SORTED list, so both engines agree bit-for-bit.
     */
   def robustStats(spark: SparkSession, dir: String): DataFrame = {
-    def micros(c: Column): Column =
-      floor(c * lit(1000000) + lit(0.5)).cast("long")
+    val micros = graft.functions.Rounding.microUnits _
     Tables
       .events(spark, dir)
       .groupBy(col("event_type"))

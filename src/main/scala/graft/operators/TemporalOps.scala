@@ -355,7 +355,7 @@ object TemporalOps {
     def partial(df: DataFrame): DataFrame =
       df.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-             sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+             sum(graft.functions.Rounding.microUnits(col("value")))
                .as("sum_micros"),
              max(col("ts")).as("last_ts"))
     val events = Tables.events(spark, dir)

@@ -175,8 +175,13 @@ case class UserSnapshot(user_id: Long,
   * the snapshot after ANY batch split equals the batch recompute —
   * StatefulProcessorSpec asserts it against `incr_agg_merge` itself.
   * State is one fixed-size row per user (the minimal upsert-store
-  * shape); key cardinality is unbounded, bounded in deployment by
-  * `graft.state.ttl` like the dedup processors.
+  * shape). Key cardinality is unbounded — but NOTE the TTL caveat:
+  * unlike the dedup processors (where expiry merely re-admits a
+  * duplicate), expiring a snapshot RESETS that user's running
+  * aggregates, a silent correctness loss for the view. A bounded
+  * deployment therefore compacts idle snapshots to the cold store
+  * (foreachBatch MERGE, the batch incr_agg_merge exactly) before
+  * letting state expire, rather than relying on TTL alone.
   */
 class UserSnapshotStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[Long, Event, UserSnapshot] {
@@ -198,7 +203,7 @@ class UserSnapshotStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
       UserSnapshot(key,
                    a.n_events + 1L,
                    a.sum_micros +
-                     math.floor(e.value * 1000000.0 + 0.5).toLong,
+                     graft.functions.Rounding.microUnitsScalar(e.value),
                    math.max(a.last_ts_micros, micros))
     }
     snap.update(next)

@@ -581,7 +581,7 @@ class OperatorSpec extends SparkSpec {
       .events(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-           sum(floor(col("value") * 1000000 + lit(0.5)).cast("long"))
+           sum(graft.functions.Rounding.microUnits(col("value")))
              .as("sum_micros"),
            max(col("ts")).as("last_ts"))
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
