@@ -92,6 +92,7 @@ object SparkEntry {
     "q1_pricing" -> (OlapOps.q1Pricing _),
     "q3_shipping" -> (OlapOps.q3Shipping _),
     "q5_local_supplier" -> (OlapOps.q5LocalSupplier _),
+    "q7_nation_volume" -> (OlapOps.q7NationVolume _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

@@ -349,7 +349,70 @@ object OlapOps {
 
   // ---- DuckDB oracles ----------------------------------------------------
 
+  /** TPC-H Q7 (volume shipping), generalized: cross-border revenue per
+    * (supplier nation, customer nation, ship year) for 1995–1996, one
+    * row per UNORDERED nation pair (`supp < cust` lexically). Revenue is
+    * the exact integer-cent form `⌊price·(1−discount)·100 + 0.5⌋` per
+    * row — identical double ops both engines, then an order-free long
+    * sum, so no float aggregate ever crosses the oracle.
+    *
+    * Scale shape: the date filter sits on the lineitem scan (row-group
+    * pruning); customer/supplier/nation broadcast (AQE falls back to
+    * shuffle when a dim outgrows the hint); the only fact shuffle is the
+    * lineitem⋈orders join, and the final groupBy key space is tiny
+    * (nation² × years), so partial aggregation collapses map-side.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val nc = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+              .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+              .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") < col("cust_nation"))
+      .select(col("supp_nation"), col("cust_nation"),
+              year(col("l_shipdate")).cast("long").as("l_year"),
+              floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+                      lit(100) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       count(*) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM (
+        |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |              AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND ns.n_name < nc.n_name
+        |)
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     "order_backlog" ->
       """SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
         |       count(*) AS n_orders,

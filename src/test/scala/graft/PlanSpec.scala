@@ -120,6 +120,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), s"unexpected shuffle in:\n$p")
   }
 
+  test("q7_nation_volume: dims broadcast, ship-date bounds reach the scan") {
+    val p = planOf(OlapOps.q7NationVolume(spark, sf("sf0.01")))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,") &&
+      p.contains("LessThan(l_shipdate,"))
+  }
+
   test("incr_agg_merge: full-outer merge reuses the groupBy partitioning") {
     val p = planOf(TemporalOps.incrAggMerge(spark, sf("sf0.001")))
     assert(p.contains("FullOuter"))
