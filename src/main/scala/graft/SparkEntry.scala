@@ -77,6 +77,7 @@ object SparkEntry {
     "quality_filter" -> (PipelineOps.qualityFilter _),
     "profile_events" -> (PipelineOps.profileEvents _),
     "bpe_first_merges" -> (PipelineOps.bpeFirstMerges _),
+    "bpe_encode" -> (PipelineOps.bpeEncode _),
     "contamination_check" -> (DedupOps.contaminationCheck _),
     // set operations over the event stream
     "users_click_and_purchase" -> (MiscOps.usersClickAndPurchase _),

@@ -496,6 +496,108 @@ case class PolyHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document statistics of a BPE encode under a FIXED, priority-
+  * ordered merge vocabulary (the list `bpe_first_merges` learns): each
+  * whitespace word starts as single characters and repeatedly joins the
+  * best-ranked adjacent pair, exactly the classic BPE apply loop
+  * (Sennrich et al. 2016). Emits exact token/char counts plus two
+  * self-gates — `round_trip` (concatenating every word's pieces
+  * reproduces the word: the encode is lossless) and `bounds_ok`
+  * (piece count within the provable [⌈chars/2⌉ ∨ words, chars] band
+  * for bigram merges). The piece count itself stays internal: like the
+  * sketch estimates, it is not SQL-reproducible, so the oracle checks
+  * the exact counts and the gates (`FunctionsSpec` pins exact piece
+  * sequences on fixtures instead).
+  *
+  * The merge list is metadata (top-k pairs), shipped as a literal into
+  * the expression — at 100 TB the encode is a pure codegen-stage map
+  * with zero shuffles; learning the merges is the separate
+  * `bpe_first_merges` aggregation.
+  */
+case class BpeEncodeStatsExpr(child: Expression, merges: Seq[String])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode_stats expects a string column, got ${child.dataType}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("round_trip", BooleanType, nullable = false),
+    StructField("bounds_ok", BooleanType, nullable = false)))
+
+  override def prettyName: String = "bpe_encode_stats"
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case (p, i) =>
+      if (!m.containsKey(p)) m.put(p, i)
+    }
+    m
+  }
+
+  /** Classic BPE apply: always join the best-ranked pair's FIRST
+    * occurrence; stop when no adjacent pair is in the vocabulary.
+    */
+  private def encode(word: String): Seq[String] = {
+    var pieces = word.map(_.toString).toVector
+    var merging = true
+    while (merging && pieces.length > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < pieces.length - 1) {
+        val r = rank.get(pieces(i) + pieces(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) merging = false
+      else
+        pieces = (pieces.take(best) :+ (pieces(best) + pieces(best + 1))) ++
+          pieces.drop(best + 2)
+    }
+    pieces
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = input
+      .asInstanceOf[UTF8String]
+      .trim()
+      .toLowerCase
+      .toString
+      .split("\\s+")
+    var nWords = 0L
+    var nChars = 0L
+    var nPieces = 0L
+    var nonEmptyWords = 0L
+    var roundTrip = true
+    tokens.foreach { w =>
+      nWords += 1
+      nChars += w.length
+      if (w.nonEmpty) {
+        nonEmptyWords += 1
+        val p = encode(w)
+        nPieces += p.length
+        if (p.mkString != w) roundTrip = false
+      }
+    }
+    // bigram merges can at best halve a word; at worst they do nothing
+    val boundsOk = nPieces <= nChars &&
+      2L * nPieces >= nChars && nPieces >= nonEmptyWords
+    org.apache.spark.sql.catalyst.InternalRow(
+      nWords, nChars, nPieces, roundTrip, boundsOk)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeEncodeStatsExpr = copy(child = newChild)
+}
+
 object TextExprs {
 
   def polyHash(c: Column): Column =
@@ -518,6 +620,9 @@ object TextExprs {
       HammingHexExpr(GraftSqlBridge.toExpr(a), GraftSqlBridge.toExpr(b)))
   def wordShingles(c: Column, n: Int): Column =
     GraftSqlBridge.toCol(ShinglesExpr(GraftSqlBridge.toExpr(c), n))
+
+  def bpeEncodeStats(c: Column, merges: Seq[String]): Column =
+    GraftSqlBridge.toCol(BpeEncodeStatsExpr(GraftSqlBridge.toExpr(c), merges))
 
   def minhashSignature(c: Column, k: Int): Column =
     GraftSqlBridge.toCol(MinHashSigExpr(GraftSqlBridge.toExpr(c), k))

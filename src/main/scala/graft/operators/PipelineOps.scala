@@ -203,6 +203,37 @@ object PipelineOps {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(20)
 
+  /** Distributed BPE ENCODE under the vocabulary [[bpeFirstMerges]]
+    * learns: the apply half of the tokenizer pair (learn = aggregation,
+    * apply = pure map). The merge list is collected once on the driver
+    * (top-k pairs — metadata) and ships as a literal inside
+    * [[graft.functions.BpeEncodeStatsExpr]]; the encode itself touches
+    * each document exactly once with zero shuffles, the 100 TB
+    * tokenization shape. Output: exact word/char counts plus the
+    * `round_trip_ok` (lossless) and `bounds_ok` (piece count inside the
+    * provable bigram-merge band) self-gates — the piece count stays
+    * engine-internal like the sketch estimates, with FunctionsSpec
+    * pinning exact piece sequences on fixtures.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFirstMerges(spark, dir)
+      .select(col("pair"))
+      .collect()
+      .map(_.getString(0))
+      .toIndexedSeq
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+              graft.functions.TextExprs.bpeEncodeStats(col("text"), merges)
+                .as("s"))
+      .select(col("doc_id"),
+              col("s.n_words").as("n_words"),
+              col("s.n_chars").as("n_chars"),
+              col("s.round_trip").as("round_trip_ok"),
+              col("s.bounds_ok").as("bounds_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/valid/test split summary: every document lands
     * in a split by `poly_hash(doc_id) mod 100` (train < 90, valid < 95,
     * else test) — reproducible across engines, runs, and retries, the
@@ -627,6 +658,16 @@ object PipelineOps {
         |       max(n_tokens) AS max_tokens,
         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bpe_encode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |       CAST(length(array_to_string(t, '')) AS BIGINT) AS n_chars,
+        |       true AS round_trip_ok, true AS bounds_ok
+        |FROM d ORDER BY doc_id""".stripMargin,
     "bpe_first_merges" ->
       """WITH t AS (
         |  SELECT u.token

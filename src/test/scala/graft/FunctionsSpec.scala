@@ -38,6 +38,36 @@ class FunctionsSpec extends SparkSpec {
     assert(got == xs.sorted.apply((1000 * 0.95).toInt))
   }
 
+  test("BpeEncodeStatsExpr applies merges by rank and round-trips") {
+    val session = spark
+    import session.implicits._
+    def stats(text: String, merges: Seq[String]) =
+      Seq(text).toDF("text")
+        .select(graft.functions.TextExprs.bpeEncodeStats(col("text"), merges)
+          .as("s"))
+        .select("s.n_words", "s.n_chars", "s.n_pieces", "s.round_trip",
+                "s.bounds_ok")
+        .head()
+    // "low" with lo<ow: "lo"+"w" (rank decides, not position)
+    val a = stats("low", Seq("lo", "ow"))
+    assert(a.getLong(2) == 2 && a.getBoolean(3) && a.getBoolean(4))
+    // same word, ow ranked first: "l"+"ow"
+    val b = stats("low", Seq("ow", "lo"))
+    assert(b.getLong(2) == 2 && b.getBoolean(3))
+    // "lower" with only "lo": lo|w|e|r = 4 pieces, 5 chars, 1 word
+    val c = stats("lower", Seq("lo"))
+    assert(c.getLong(0) == 1 && c.getLong(1) == 5 && c.getLong(2) == 4)
+    // no applicable merges: one piece per char
+    val d = stats("abc def", Seq("zz"))
+    assert(d.getLong(0) == 2 && d.getLong(1) == 6 && d.getLong(2) == 6)
+    // more merges never increase the piece count (monotonicity)
+    val text = "banana bandana cabana"
+    val p1 = stats(text, Seq("an")).getLong(2)
+    val p2 = stats(text, Seq("an", "ba", "na")).getLong(2)
+    assert(p2 <= p1)
+    assert(stats(text, Seq("an", "ba", "na")).getBoolean(3)) // round trip
+  }
+
   test("Rounding.fixSql rewrites nested round() calls") {
     val in = "SELECT round(avg(x), 6) AS a, round(round(y, 4) / z, 2) AS b FROM t"
     val out = Rounding.fixSql(in)
