@@ -94,6 +94,7 @@ object SparkEntry {
     "q3_shipping" -> (OlapOps.q3Shipping _),
     "q5_local_supplier" -> (OlapOps.q5LocalSupplier _),
     "q7_nation_volume" -> (OlapOps.q7NationVolume _),
+    "q10_returned_customers" -> (OlapOps.q10ReturnedCustomers _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

@@ -391,7 +391,48 @@ object OlapOps {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    * lost to returns (`l_returnflag = 'R'`) with their nation. Exact
+    * integer-cent revenue per row → order-free long sum, then a
+    * distributed top-k (`TakeOrderedAndProject`, plan-guarded) — the
+    * shuffle moves only per-customer partials, and the limit means the
+    * driver receives 20 rows regardless of table size.
+    */
+  def q10ReturnedCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"),
+              floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+                      lit(100) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("lost_cents"))
+      .join(broadcast(Tables.customer(spark, dir)
+              .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+              col("n_items"), col("lost_cents"))
+      .orderBy(col("lost_cents").desc, col("c_custkey"))
+      .limit(20)
+
   val oracles: Map[String, String] = Map(
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |                           + 0.5) AS BIGINT)) AS BIGINT) AS lost_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, l_year,
         |       count(*) AS n_rows,

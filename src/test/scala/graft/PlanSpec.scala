@@ -127,6 +127,12 @@ class PlanSpec extends SparkSpec {
       p.contains("LessThan(l_shipdate,"))
   }
 
+  test("q10_returned_customers: distributed top-k, returnflag at the scan") {
+    val p = planOf(OlapOps.q10ReturnedCustomers(spark, sf("sf0.01")))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+  }
+
   test("incr_agg_merge: full-outer merge reuses the groupBy partitioning") {
     val p = planOf(TemporalOps.incrAggMerge(spark, sf("sf0.001")))
     assert(p.contains("FullOuter"))
