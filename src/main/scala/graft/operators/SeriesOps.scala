@@ -139,6 +139,54 @@ object SeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** Per-type linear trend (OLS of value against time) — the "is this
+    * metric drifting" question a monitoring surface answers next to the
+    * EWMA level. All five regression sums are EXACT LONG integers (x =
+    * whole seconds since the key's first event, ≤ a few 10⁶; y = value
+    * millis), so partial aggregation is associative bit-for-bit and
+    * order-free; the closed-form slope/intercept/r² then combine those
+    * exact longs with IDENTICALLY-ORDERED double arithmetic on both
+    * engines — deterministic because the inputs are exact and the ops
+    * are the same IEEE sequence, the repo's standard float discipline.
+    *
+    * Scale shape: one groupBy for the per-key epoch (min ts), broadcast
+    * back (key space = event types), then ONE partial-aggregated sum
+    * pass — at 100 TB this is two scans and one tiny shuffle; no
+    * window, no sort, no per-key buffering (contrast [[robustStats]]'s
+    * exact order statistics).
+    */
+  def trendOls(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+              // milli-units (not micro): y² must stay in long range when
+              // summed over a key's rows — 10⁶ y-millis squared ×10⁵ rows
+              // is 10¹⁷, safely inside 2⁶³
+              floor(col("value") * lit(1000) + lit(0.5)).cast("long").as("y"))
+    val t0 = ev.groupBy(col("event_type")).agg(min(col("us")).as("us0"))
+    val sums = ev
+      .join(broadcast(t0), "event_type")
+      .select(col("event_type"), expr("(us - us0) div 1000000").as("x"),
+              col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+           sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"))
+    def d(c: Column): Column = c.cast("double")
+    val cov = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val varX = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val varY = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    sums
+      .select(
+        col("event_type"), col("n"),
+        round(cov / varX, 6).as("slope_millis_per_sec"),
+        round((d(col("sy")) - (cov / varX) * d(col("sx"))) / d(col("n")), 6)
+          .as("intercept_millis"),
+        round((cov * cov) / (varX * varY), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   /** `/series` with the optional conjunctive predicates of the read API
     * (time range + source filter, read-api/main.py:316-334): the filter is
     * pushed to the parquet scan (partition/row-group pruning at scale).
@@ -269,6 +317,39 @@ object SeriesOps {
     "series_p95" ->
       s"""SELECT event_type, date_trunc('hour', ts) AS bucket, round(quantile_cont(value, 0.95), 6) AS p95_value
          |FROM $ev e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "trend_ols" -> {
+      val cov =
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val varx =
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      val vary =
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+      s"""WITH e AS ($ev),
+         |b AS (
+         |  SELECT event_type, epoch_us(ts) AS us,
+         |         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+         |  FROM e
+         |),
+         |t0 AS (SELECT event_type, min(us) AS us0 FROM b GROUP BY 1),
+         |x AS (
+         |  SELECT b.event_type, (us - us0) // 1000000 AS x, y
+         |  FROM b JOIN t0 USING (event_type)
+         |),
+         |s AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM x GROUP BY 1
+         |)
+         |SELECT event_type, n,
+         |       round($cov / $varx, 6) AS slope_millis_per_sec,
+         |       round((CAST(sy AS DOUBLE) - ($cov / $varx) * CAST(sx AS DOUBLE))
+         |               / CAST(n AS DOUBLE), 6) AS intercept_millis,
+         |       round(($cov * $cov) / ($varx * $vary), 6) AS r2
+         |FROM s ORDER BY event_type""".stripMargin
+    },
     "robust_stats" ->
       s"""WITH g AS (
          |  SELECT event_type, list_sort(list(value)) AS lst,

@@ -463,6 +463,32 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.unset("graft.privacy.k")
   }
 
+  test("trend_ols: recovers a planted linear trend exactly") {
+    val session = spark
+    import session.implicits._
+    // y = 2.5x + 10 (in value units; slope 2500 millis/sec), plus one
+    // noisy key to check r2 < 1 stays bounded
+    val rows = (0 until 100).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+       1L, "linear", 10.0 + 2.5 * i, "{}")
+    } ++ (0 until 100).map { i =>
+      (1000L + i, new java.sql.Timestamp(1700000000000L + i * 1000L),
+       1L, "flat", 7.0 + (if (i % 2 == 0) 1.0 else -1.0), "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ols").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SeriesOps.trendOls(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val lin = out("linear")
+    assert(math.abs(lin.getAs[Double]("slope_millis_per_sec") - 2500.0) < 1e-6)
+    assert(math.abs(lin.getAs[Double]("intercept_millis") - 10000.0) < 1e-6)
+    assert(math.abs(lin.getAs[Double]("r2") - 1.0) < 1e-9)
+    val flat = out("flat")
+    assert(math.abs(flat.getAs[Double]("slope_millis_per_sec")) < 25.0)
+    assert(flat.getAs[Double]("r2") < 0.05)
+  }
+
   test("robust_stats: cutoffs order, clamping bounds the mean, trim subset") {
     val rows = SeriesOps.robustStats(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
