@@ -43,6 +43,7 @@ object SparkEntry {
     "anomaly_score" -> (AnomalyOps.anomalyScore _),
     "anomaly_score_window" -> (AnomalyOps.anomalyScoreWindow _),
     "anomaly_alerts" -> (AnomalyOps.anomalyAlerts _),
+    "anomaly_regions" -> (AnomalyOps.anomalyRegions _),
     "alerts_filter" -> (AnomalyOps.alertsFilter _),
     "alerts_stats" -> (AnomalyOps.alertsStats _),
     "alert_cooldown" -> (AnomalyOps.alertCooldown _),

@@ -230,6 +230,35 @@ object AnomalyOps {
     * `AnomalyDetectionJob.java:339-366` T9/F8). The alertId UUID is
     * replaced by the deterministic event_id so the oracle can hash-match.
     */
+  /** Incident aggregation: consecutive anomalies of one source merge
+    * into REGIONS when separated by ≤ 10 minutes — the alert-fatigue
+    * reducer between a detector and a pager (one incident row, not 50
+    * alert rows). Implemented with `session_window` in a groupBy, NOT a
+    * lag/cumsum window over each type's full history: the gap-merge
+    * then partial-aggregates and stays skew-safe however long one
+    * source's anomaly history grows (the same reasoning as
+    * [[graft.operators.TemporalOps.sessionize]], whose streaming twin
+    * this shares). Boundary is adjacent-inclusive (a gap of exactly 10
+    * minutes merges), matching `session_window`; the oracle replays
+    * that rule with lag/cumsum islands.
+    */
+  def anomalyRegions(spark: SparkSession, dir: String): DataFrame =
+    scoredStore(spark, dir)
+      .filter(col("is_anomaly"))
+      .groupBy(col("event_type"),
+               session_window(col("ts"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_alerts"),
+           min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+           sum(when(col("severity") === "critical", 1L).otherwise(0L))
+             .as("n_critical"),
+           round(max(greatest(abs(col("z_score")), abs(col("mad_score")))), 6)
+             .as("peak_score"))
+      .select(col("event_type"), col("start_ts"), col("end_ts"),
+              expr("(unix_micros(end_ts) - unix_micros(start_ts)) div 1000000")
+                .as("duration_secs"),
+              col("n_alerts"), col("n_critical"), col("peak_score"))
+      .orderBy(col("event_type"), col("start_ts"))
+
   def anomalyAlerts(spark: SparkSession, dir: String): DataFrame =
     scoredStore(spark, dir)
       .filter(col("is_anomaly"))
@@ -427,6 +456,34 @@ object AnomalyOps {
       .orderBy(col("anomaly_type"), col("severity"))
 
   val oracles: Map[String, String] = Map(
+    "anomaly_regions" ->
+      s"""$scoredSql,
+         |an AS (SELECT * FROM final WHERE is_anomaly),
+         |brk AS (
+         |  SELECT *,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+         |              THEN 1 ELSE 0 END AS is_break
+         |  FROM an
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+         |),
+         |isl AS (
+         |  SELECT *, CAST(sum(is_break) OVER (PARTITION BY event_type
+         |              ORDER BY ts, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS BIGINT) AS island
+         |  FROM brk
+         |)
+         |SELECT event_type, min(ts) AS start_ts, max(ts) AS end_ts,
+         |       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+         |            AS BIGINT) AS duration_secs,
+         |       count(*) AS n_alerts,
+         |       CAST(sum(CASE WHEN severity = 'critical' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_critical,
+         |       round(max(greatest(abs(z_score), abs(mad_score))), 6)
+         |         AS peak_score
+         |FROM isl GROUP BY event_type, island
+         |ORDER BY event_type, start_ts""".stripMargin,
     "detector_agreement" ->
       s"""$scoredSql
          |SELECT anomaly_type, severity, count(*) AS n_events

@@ -463,6 +463,28 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.unset("graft.privacy.k")
   }
 
+  test("anomaly_regions: partitions alerts into gap-separated incidents") {
+    val dir = sf("sf0.001")
+    val regions = AnomalyOps.anomalyRegions(spark, dir).collect()
+    val nAlerts = AnomalyOps.anomalyAlerts(spark, dir).count()
+    assert(regions.map(_.getAs[Long]("n_alerts")).sum == nAlerts)
+    regions.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("start_ts").getTime)
+      sorted.foreach { r =>
+        assert(!r.getAs[java.sql.Timestamp]("end_ts")
+          .before(r.getAs[java.sql.Timestamp]("start_ts")))
+        assert(r.getAs[Long]("n_critical") <= r.getAs[Long]("n_alerts"))
+      }
+      // consecutive incidents of one source are separated by > 10 min
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[java.sql.Timestamp]("start_ts").getTime -
+            a.getAs[java.sql.Timestamp]("end_ts").getTime > 600000L)
+        case _ => ()
+      }
+    }
+  }
+
   test("trend_ols: recovers a planted linear trend exactly") {
     val session = spark
     import session.implicits._
