@@ -140,6 +140,7 @@ object SparkEntry {
     "cohort_retention" -> (FunnelOps.cohortRetention _),
     "event_transitions" -> (FunnelOps.eventTransitions _),
     "pagerank_types" -> (FunnelOps.pagerankTypes _),
+    "window_funnel" -> (FunnelOps.windowFunnel _),
     "dsir_weights" -> (SearchOps.dsirWeights _),
     "user_value_quartiles" -> (OlapOps.userValueQuartiles _),
     // pipeline-health audits

@@ -116,6 +116,89 @@ object FunnelOps {
 
   // ---- DuckDB oracles ----------------------------------------------------
 
+  /** Window for [[windowFunnel]], in µs (7 days). */
+  private val FunnelWindowMicros = 604800000000L
+
+  /** "Not reached" sentinel for the funnel fold: far BELOW any real µs
+    * timestamp, chosen so `event_us − sentinel` cannot overflow BIGINT
+    * — which makes the window check self-guarding (`t − NEG ≫ window`
+    * is always false), so no explicit reached-test is needed.
+    */
+  private val FunnelSentinel = -1000000000000000000L
+
+  /** ClickHouse-`windowFunnel`-style sequence matching: the deepest
+    * view → click → purchase chain each user completes with the WHOLE
+    * chain inside a 7-day window of its first event, reported as a
+    * depth histogram. Unlike [[funnelConversion]] (min-ts stage
+    * semantics, no window), this is true windowed sequence matching:
+    * a purchase only counts if some view-started chain reaches it in
+    * time.
+    *
+    * The matcher is a LEFT FOLD over each user's time-ordered funnel
+    * events with a 3-slot state: slot k holds the LATEST chain-start
+    * timestamp among chains that have reached depth k. Latest dominates
+    * for the future — the window is measured from the chain's first
+    * event, so a fresher start admits every continuation an older one
+    * would (depth already achieved lives in the deeper slots; a view
+    * that RESTARTS the funnel late therefore correctly opens a new
+    * window rather than being shadowed by the first view). The fold is
+    * a higher-order `aggregate` over a sorted per-user list, and the
+    * DuckDB oracle replays the identical fold with `list_reduce`
+    * (events encoded as BIGINT[3] so the accumulator and element types
+    * unify). Integer-only state — engine-exact; a step landing exactly
+    * at the window edge or at the chain-start instant is admitted
+    * (at-or-after, ≤-window).
+    *
+    * Scale: events filter to the three funnel types BEFORE the per-user
+    * collect; per-user funnel histories are retention-bounded (the
+    * production form also slices a time range first — same caveat
+    * family as any per-entity sequence scan).
+    */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val big = lit(FunnelSentinel)
+    val w = lit(FunnelWindowMicros)
+    val step = when(col("event_type") === "view", 1)
+      .when(col("event_type") === "click", 2)
+      .otherwise(3)
+    val events = Tables.events(spark, dir)
+    // depth 0 = active users with NO funnel progress: the histogram
+    // covers every user seen in the stream, not just funnel participants
+    val allUsers = events.select(col("user_id")).distinct()
+    val folded = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+              struct(unix_micros(col("ts")).as("us"),
+                     col("event_id").as("id"), step.as("st")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(aggregate(
+        array_sort(collect_list(col("e"))),
+        array(big, big, big),
+        (a, e) => {
+          val us = e.getField("us")
+          val st = e.getField("st")
+          array(
+            when(st === 1, greatest(element_at(a, 1), us))
+              .otherwise(element_at(a, 1)),
+            when(st === 2 && us - element_at(a, 1) <= w,
+                 greatest(element_at(a, 2), element_at(a, 1)))
+              .otherwise(element_at(a, 2)),
+            when(st === 3 && us - element_at(a, 2) <= w,
+                 greatest(element_at(a, 3), element_at(a, 2)))
+              .otherwise(element_at(a, 3)))
+        }).as("s"))
+      .select(col("user_id"),
+              when(element_at(col("s"), 3) > big, 3)
+                .when(element_at(col("s"), 2) > big, 2)
+                .when(element_at(col("s"), 1) > big, 1)
+                .otherwise(0).cast("int").as("depth"))
+    allUsers
+      .join(folded, Seq("user_id"), "left")
+      .select(coalesce(col("depth"), lit(0)).as("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
   /** Fixed-point scale for [[pagerankTypes]]: 10¹⁰ rank units = mass 1.
     * Chosen so every intermediate (`rank·cnt`, `85·Σcontrib`) stays far
     * inside BIGINT on both engines at any test SF.
@@ -206,6 +289,48 @@ object FunnelOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "window_funnel" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |f AS (
+         |  SELECT user_id,
+         |         [epoch_us(ts),
+         |          CASE event_type WHEN 'view' THEN 1
+         |                          WHEN 'click' THEN 2 ELSE 3 END,
+         |          event_id] AS ev,
+         |         epoch_us(ts) AS us, event_id
+         |  FROM e WHERE event_type IN ('view', 'click', 'purchase')
+         |),
+         |folded AS (
+         |  SELECT user_id,
+         |         list_reduce(
+         |           list_prepend(
+         |             [CAST($FunnelSentinel AS BIGINT),
+         |              $FunnelSentinel, $FunnelSentinel],
+         |             list(ev ORDER BY us, event_id)),
+         |           (a, e) -> [
+         |             CASE WHEN e[2] = 1 THEN greatest(a[1], e[1]) ELSE a[1] END,
+         |             CASE WHEN e[2] = 2
+         |                    AND e[1] - a[1] <= $FunnelWindowMicros
+         |                  THEN greatest(a[2], a[1]) ELSE a[2] END,
+         |             CASE WHEN e[2] = 3
+         |                    AND e[1] - a[2] <= $FunnelWindowMicros
+         |                  THEN greatest(a[3], a[2]) ELSE a[3] END]) AS s
+         |  FROM f GROUP BY user_id
+         |)
+         |,
+         |depths AS (
+         |  SELECT user_id,
+         |         CASE WHEN s[3] > $FunnelSentinel THEN 3
+         |              WHEN s[2] > $FunnelSentinel THEN 2
+         |              WHEN s[1] > $FunnelSentinel THEN 1
+         |              ELSE 0 END AS d
+         |  FROM folded
+         |)
+         |SELECT CAST(COALESCE(d, 0) AS INTEGER) AS depth,
+         |       count(*) AS n_users
+         |FROM (SELECT DISTINCT user_id FROM e) u
+         |LEFT JOIN depths USING (user_id)
+         |GROUP BY 1 ORDER BY depth""".stripMargin,
     "pagerank_types" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |t AS (

@@ -463,6 +463,34 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.unset("graft.privacy.k")
   }
 
+  test("window_funnel: planted chains hit exactly their reachable depth") {
+    val session = spark
+    import session.implicits._
+    val t0 = 1700000000000L
+    val day = 86400000L
+    def ev(id: Long, uid: Long, typ: String, offMs: Long) =
+      (id, new java.sql.Timestamp(t0 + offMs), uid, typ, 1.0, "{}")
+    val rows = Seq(
+      // user 1: full chain inside 7 days → depth 3
+      ev(1, 1, "view", 0), ev(2, 1, "click", day), ev(3, 1, "purchase", 2 * day),
+      // user 2: purchase BEFORE any view; view only afterwards → depth 1
+      ev(4, 2, "purchase", 0), ev(5, 2, "view", day),
+      // user 3: view→click quick, purchase 8 days after the view → depth 2
+      ev(6, 3, "view", 0), ev(7, 3, "click", day), ev(8, 3, "purchase", 8 * day),
+      // user 4: a LATER view restarts the window; purchase lands in the
+      // second chain's 7 days → depth 3 (earliest-start must not block it)
+      ev(9, 4, "view", 0), ev(10, 4, "click", 10 * day),
+      ev(11, 4, "view", 9 * day), ev(12, 4, "purchase", 11 * day),
+      // user 5: no funnel events at all → depth 0
+      ev(13, 5, "error", 0))
+    val dir = java.nio.file.Files.createTempDirectory("wf").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val hist = FunnelOps.windowFunnel(spark, dir).collect()
+      .map(r => r.getAs[Int]("depth") -> r.getAs[Long]("n_users")).toMap
+    assert(hist == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 2L))
+  }
+
   test("anomaly_regions: partitions alerts into gap-separated incidents") {
     val dir = sf("sf0.001")
     val regions = AnomalyOps.anomalyRegions(spark, dir).collect()
