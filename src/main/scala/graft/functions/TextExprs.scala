@@ -544,9 +544,22 @@ case class BpeEncodeStatsExpr(child: Expression, merges: Seq[String])
 
   /** Classic BPE apply: always join the best-ranked pair's FIRST
     * occurrence; stop when no adjacent pair is in the vocabulary.
+    * Initial pieces are CODEPOINTS (not UTF-16 units): the learned
+    * merges come from Spark SQL `substring`, which is codepoint-based,
+    * so splitting surrogate pairs here would make astral-plane merges
+    * unmatchable.
     */
   private def encode(word: String): Seq[String] = {
-    var pieces = word.map(_.toString).toVector
+    var pieces = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
     var merging = true
     while (merging && pieces.length > 1) {
       var best = -1
@@ -566,12 +579,16 @@ case class BpeEncodeStatsExpr(child: Expression, merges: Seq[String])
   }
 
   override protected def nullSafeEval(input: Any): Any = {
+    // limit -1 keeps trailing empty tokens — Java split's default drop
+    // would diverge from the oracle's string_split on text ending in
+    // non-space whitespace (the TokenCountsExpr precedent); counts are
+    // CODEPOINTS to match DuckDB length()
     val tokens = input
       .asInstanceOf[UTF8String]
       .trim()
       .toLowerCase
       .toString
-      .split("\\s+")
+      .split("\\s+", -1)
     var nWords = 0L
     var nChars = 0L
     var nPieces = 0L
@@ -579,7 +596,7 @@ case class BpeEncodeStatsExpr(child: Expression, merges: Seq[String])
     var roundTrip = true
     tokens.foreach { w =>
       nWords += 1
-      nChars += w.length
+      nChars += w.codePointCount(0, w.length)
       if (w.nonEmpty) {
         nonEmptyWords += 1
         val p = encode(w)

@@ -159,9 +159,13 @@ object SeriesOps {
     val ev = Tables
       .events(spark, dir)
       .select(col("event_type"), unix_micros(col("ts")).as("us"),
-              // milli-units (not micro): y² must stay in long range when
-              // summed over a key's rows — 10⁶ y-millis squared ×10⁵ rows
-              // is 10¹⁷, safely inside 2⁶³
+              // milli-units (not micro) keep Σy² small; the BINDING
+              // range constraint is Σx² — x spans the dataset's time
+              // range in seconds (~2.6·10⁶ for 30 days), so the long
+              // sums are exact up to ~10⁶ rows per key (every test SF;
+              // sf0.1 is ~2·10⁴). Beyond that, lift the five sums to
+              // DECIMAL(38,0) — same algebra, same oracle — exactly as
+              // t_closeness documents for its cross products.
               floor(col("value") * lit(1000) + lit(0.5)).cast("long").as("y"))
     val t0 = ev.groupBy(col("event_type")).agg(min(col("us")).as("us0"))
     val sums = ev
