@@ -66,6 +66,14 @@ class FunctionsSpec extends SparkSpec {
     val p2 = stats(text, Seq("an", "ba", "na")).getLong(2)
     assert(p2 <= p1)
     assert(stats(text, Seq("an", "ba", "na")).getBoolean(3)) // round trip
+    // trailing non-space whitespace: split limit -1 keeps the empty
+    // token, matching the DuckDB oracle's string_split count
+    val e = stats("hello world\n", Seq("lo"))
+    assert(e.getLong(0) == 3 && e.getLong(1) == 10)
+    // astral-plane text: counts are codepoints and pieces are never
+    // lone surrogates (round trip must survive)
+    val g = stats("a𝄞b", Seq("zz"))
+    assert(g.getLong(1) == 3 && g.getLong(2) == 3 && g.getBoolean(3))
   }
 
   test("Rounding.fixSql rewrites nested round() calls") {
