@@ -116,6 +116,32 @@ object FunnelOps {
 
   // ---- DuckDB oracles ----------------------------------------------------
 
+  /** Top user-journey paths: the 20 most common 3-step event-type
+    * sequences across all user timelines (the path-analysis report next
+    * to [[eventTransitions]]' Markov pairs). Two `lead`s over the same
+    * per-user (ts, event_id) window — ONE shuffle and ONE sort serve
+    * both — then a tiny count aggregation; ties broken by path text for
+    * a total order. Per-user window partitions are the same
+    * retention-bounded shape every sequence operator here documents.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(20)
+  }
+
   /** Window for [[windowFunnel]], in µs (7 days). */
   private val FunnelWindowMicros = 604800000000L
 
@@ -289,6 +315,19 @@ object FunnelOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "top_paths" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |t AS (
+         |  SELECT event_type AS t1,
+         |         lead(event_type, 1) OVER w AS t2,
+         |         lead(event_type, 2) OVER w AS t3
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |)
+         |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+         |       count(*) AS n_paths
+         |FROM t WHERE t3 IS NOT NULL
+         |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     "window_funnel" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |f AS (
