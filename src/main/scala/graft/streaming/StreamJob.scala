@@ -201,6 +201,25 @@ object StreamJob {
       }
       .start()
 
+    // live funnel dashboard: per-user windowed-funnel progress (the
+    // transformWithState twin of batch window_funnel — histogram parity
+    // spec'd in StatefulProcessorSpec)
+    val funnelQuery = TypedStatefulProcessors
+      .funnelStream(spark, events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"))
+        .as[Event])
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_funnel")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/funnel_progress")
+        ()
+      }
+      .start()
+
     // corpus-ingest dedup: the documents table replayed as a stream
     // (≙ a crawler/mirror feed), online exact dedup by content hash —
     // the count equals the batch dedup_exact distinct-hash count
@@ -261,6 +280,7 @@ object StreamJob {
     dedupQuery.awaitTermination()
     hllQuery.awaitTermination()
     snapQuery.awaitTermination()
+    funnelQuery.awaitTermination()
     docDedupQuery.awaitTermination()
     topTokQuery.awaitTermination()
 
@@ -325,6 +345,9 @@ object StreamJob {
       "deduped_events" -> (try spark.read.parquet(s"$outDir/deduped_events").count()
                            catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "deduped_docs" -> (try spark.read.parquet(s"$outDir/deduped_docs").count()
+                         catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
+      "funnel_users" -> (try spark.read.parquet(s"$outDir/funnel_progress")
+                             .select("user_id").distinct().count()
                          catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "user_snapshots" -> (try spark.read.parquet(s"$outDir/user_snapshots")
                              .select("user_id").distinct().count()

@@ -211,6 +211,92 @@ class UserSnapshotStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** Per-user funnel progress: the 3-slot chain-start state of the batch
+  * `window_funnel` operator plus the derived depth.
+  */
+case class FunnelProgress(user_id: Long,
+                          s1: Long,
+                          s2: Long,
+                          s3: Long,
+                          depth: Int)
+
+object FunnelProgress {
+  /** 7-day window and "not reached" sentinel — MUST equal the batch
+    * operator's constants (parity is spec-asserted end-to-end).
+    */
+  val WindowMicros = 604800000000L
+  val Sentinel: Long = -1000000000000000000L
+
+  /** One funnel step folded into the 3-slot state: slot k keeps the
+    * LATEST chain-start among chains reaching depth k (see the batch
+    * operator's dominance argument); the negative sentinel makes the
+    * window check self-guarding. Pure core shared by the streaming
+    * processor; the batch twin is the same algebra as Column
+    * expressions, and StatefulProcessorSpec asserts the two agree on
+    * every user.
+    */
+  def advance(s: (Long, Long, Long), usMicros: Long,
+              step: Int): (Long, Long, Long) = step match {
+    case 1 => (math.max(s._1, usMicros), s._2, s._3)
+    case 2 =>
+      if (usMicros - s._1 <= WindowMicros)
+        (s._1, math.max(s._2, s._1), s._3)
+      else s
+    case _ =>
+      if (usMicros - s._2 <= WindowMicros)
+        (s._1, s._2, math.max(s._3, s._2))
+      else s
+  }
+
+  def depthOf(s: (Long, Long, Long)): Int =
+    if (s._3 > Sentinel) 3
+    else if (s._2 > Sentinel) 2
+    else if (s._1 > Sentinel) 1
+    else 0
+}
+
+/** Streaming windowed-funnel matcher — the transformWithState twin of
+  * the batch `window_funnel` query: three longs of per-user state, each
+  * micro-batch folds its (event-time-ordered) funnel events through
+  * [[FunnelProgress.advance]] and emits the user's current progress.
+  * The store's latest row per user is the live funnel dashboard; the
+  * final depths equal the batch operator on the same events
+  * (StatefulProcessorSpec, across batch splits). Non-funnel event types
+  * are filtered before the keyed shuffle.
+  */
+class FunnelStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, Event, FunnelProgress] {
+  import FunnelProgress._
+
+  @transient private var state: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long, Long)](
+      "funnelSlots", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+                                    Encoders.scalaLong), ttl)
+
+  override def handleInputRows(
+      key: Long,
+      inputRows: Iterator[Event],
+      timerValues: TimerValues): Iterator[FunnelProgress] = {
+    val init = Option(state.get()).getOrElse((Sentinel, Sentinel, Sentinel))
+    val next = inputRows.toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+      .foldLeft(init) { (acc, e) =>
+        val step = e.event_type match {
+          case "view" => 1
+          case "click" => 2
+          case _ => 3
+        }
+        val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        advance(acc, us, step)
+      }
+    state.update(next)
+    Iterator.single(
+      FunnelProgress(key, next._1, next._2, next._3, depthOf(next)))
+  }
+}
+
 /** One document on the streaming-ingest path: id, the md5 of its
   * normalized text (the dedup key — computed BEFORE the keyed shuffle
   * so only 32 hash chars plus metadata ever move, never the text), and
@@ -462,6 +548,22 @@ object TypedStatefulProcessors {
       .filter(_.value > 0)
       .groupByKey(_.event_type)
       .transformWithState(new AnomalyListStateProcessor(ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update())
+  }
+
+  /** events → per-user live funnel progress (streaming windowed-funnel
+    * matcher); see [[FunnelStatefulProcessor]].
+    */
+  def funnelStream(spark: SparkSession,
+                   events: Dataset[Event]): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    val ttl = StateTtl.of(spark)
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelStatefulProcessor(ttl),
                           StateTtl.timeMode(ttl),
                           OutputMode.Update())
   }

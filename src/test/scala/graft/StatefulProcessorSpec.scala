@@ -131,6 +131,49 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming funnel depths aggregate to the batch window_funnel histogram") {
+    val session = spark
+    import session.implicits._
+
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables
+      .events(spark, dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    val input = MemoryStream[Event](spark, 4)
+    val q = TypedStatefulProcessors
+      .funnelStream(spark, input.toDS())
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName("tws_funnel")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      events.grouped(250).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    // depth is monotone per user, so the final depth is the max emitted
+    val streamed = spark.table("tws_funnel").as[FunnelProgress].collect()
+      .groupBy(_.user_id)
+      .map { case (u, v) => u -> v.map(_.depth).max }
+    val allUsers = events.map(_.user_id).distinct.length
+    val hist = streamed.values
+      .groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+    val histWithZero =
+      if (allUsers > streamed.size)
+        hist + (0 -> (hist.getOrElse(0, 0L) + (allUsers - streamed.size)))
+      else hist
+
+    val batch = graft.operators.FunnelOps.windowFunnel(spark, dir).collect()
+      .map(r => r.getAs[Int]("depth") -> r.getAs[Long]("n_users")).toMap
+
+    assert(histWithZero == batch)
+  }
+
   test("ListState-buffered detector emits exactly the ValueState detector's alerts") {
     val session = spark
     import session.implicits._
