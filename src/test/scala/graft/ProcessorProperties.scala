@@ -144,6 +144,62 @@ object ProcessorProperties extends Properties("graft.processors") {
       }
     }
 
+  /** Random funnel-step sequence: (µs timestamp, step ∈ {1,2,3}) with
+    * gaps straddling the 7-day window so both admitted and expired
+    * chains occur.
+    */
+  private val genFunnelSeq: Gen[List[(Long, Int)]] = for {
+    gaps <- Gen.nonEmptyListOf(Gen.choose(0L, 4L * 86400000000L))
+    steps <- Gen.listOfN(gaps.size, Gen.choose(1, 3))
+  } yield gaps.scanLeft(T0 * 1000L)(_ + _).tail.zip(steps)
+
+  /** Brute-force specification of the windowed funnel: deepest chain =
+    * max over all strictly-index-increasing step-1..k selections with
+    * every member within the window of the chain's FIRST event. The
+    * 3-slot latest-chain-start fold must agree on EVERY sequence — this
+    * is the dominance lemma ("latest start admits every continuation an
+    * older one would") checked against an independent specification,
+    * not against itself.
+    */
+  property("funnel fold ≡ brute-force deepest-chain search") =
+    forAll(genFunnelSeq) { seq =>
+      val w = FunnelProgress.WindowMicros
+      val folded = seq.foldLeft(
+        (FunnelProgress.Sentinel, FunnelProgress.Sentinel,
+         FunnelProgress.Sentinel)) { case (acc, (us, st)) =>
+        FunnelProgress.advance(acc, us, st)
+      }
+      val idx = seq.zipWithIndex
+      val views = idx.filter(_._1._2 == 1)
+      def depth3 = views.exists { case ((t1, _), i) =>
+        idx.exists { case ((t2, s2), j) =>
+          s2 == 2 && j > i && t2 - t1 <= w &&
+            idx.exists { case ((t3, s3), k) =>
+              s3 == 3 && k > j && t3 - t1 <= w
+            }
+        }
+      }
+      def depth2 = views.exists { case ((t1, _), i) =>
+        idx.exists { case ((t2, s2), j) => s2 == 2 && j > i && t2 - t1 <= w }
+      }
+      val brute =
+        if (depth3) 3 else if (depth2) 2 else if (views.nonEmpty) 1 else 0
+      FunnelProgress.depthOf(folded) == brute
+    }
+
+  property("funnel fold is split-invariant with carried state") =
+    forAll(genFunnelSeq, genSplit) { (seq, f) =>
+      val n = (seq.size * f).toInt.min(seq.size)
+      val (a, b) = seq.splitAt(n)
+      val zero = (FunnelProgress.Sentinel, FunnelProgress.Sentinel,
+        FunnelProgress.Sentinel)
+      def fold(z: (Long, Long, Long), s: List[(Long, Int)]) =
+        s.foldLeft(z) { case (acc, (us, st)) =>
+          FunnelProgress.advance(acc, us, st)
+        }
+      fold(fold(zero, a), b) == fold(zero, seq)
+    }
+
   property("transitions: n−1 pairs, chain-linked, split-invariant") =
     forAll(genEvents, genSplit) { (events, f) =>
       val (a, b) = splitAt(events, f)
