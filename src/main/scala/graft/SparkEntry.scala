@@ -97,6 +97,7 @@ object SparkEntry {
     "q5_local_supplier" -> (OlapOps.q5LocalSupplier _),
     "q7_nation_volume" -> (OlapOps.q7NationVolume _),
     "q10_returned_customers" -> (OlapOps.q10ReturnedCustomers _),
+    "q18_large_orders" -> (OlapOps.q18LargeOrders _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

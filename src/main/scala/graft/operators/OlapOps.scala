@@ -419,7 +419,51 @@ object OlapOps {
       .orderBy(col("lost_cents").desc, col("c_custkey"))
       .limit(20)
 
+  /** TPC-H Q18 (large-volume customers): orders whose total line
+    * quantity exceeds 250 units, with customer attached — the
+    * aggregate-filtered join shape (SQL's `HAVING` subquery). Line
+    * quantities are integral by construction, so the per-order sum is
+    * an exact long; the order join reuses the aggregation's
+    * `l_orderkey` hash partitioning (same key — no third shuffle), the
+    * customer dim broadcasts, and the final ranking is a distributed
+    * top-100.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"),
+              floor(col("l_quantity") + lit(0.5)).cast("long").as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+      .join(Tables.orders(spark, dir)
+              .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+                      floor(col("o_totalprice") * lit(100) + lit(0.5))
+                        .cast("long").as("price_cents")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+              .select(col("c_custkey"), col("c_name"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_orderdate"), col("price_cents"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+
   val oracles: Map[String, String] = Map(
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |       total_qty
+        |FROM (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 250
+        |) q
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q10_returned_customers" ->
       """SELECT c_custkey, c_name, n_name,
         |       count(*) AS n_items,
