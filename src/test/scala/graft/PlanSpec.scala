@@ -133,6 +133,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(l_returnflag,R)"))
   }
 
+  test("q18_large_orders: top-k plan, order join reuses the agg partitioning") {
+    val p = planOf(OlapOps.q18LargeOrders(spark, sf("sf0.01")))
+    assert(p.contains("TakeOrderedAndProject"))
+    // lineitem agg + orders side: two hash exchanges on the order key,
+    // none added for the join itself
+    assert("Exchange hashpartitioning\\((?:l_|o_)orderkey".r
+      .findAllIn(p).length <= 2, p)
+  }
+
   test("incr_agg_merge: full-outer merge reuses the groupBy partitioning") {
     val p = planOf(TemporalOps.incrAggMerge(spark, sf("sf0.001")))
     assert(p.contains("FullOuter"))
