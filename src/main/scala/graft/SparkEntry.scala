@@ -175,6 +175,7 @@ object SparkEntry {
     "chunk_documents" -> (PipelineOps.chunkDocuments _),
     "source_mix_weights" -> (PipelineOps.sourceMixWeights _),
     "temperature_resample" -> (PipelineOps.temperatureResample _),
+    "resampled_mix" -> (PipelineOps.resampledMix _),
     // training-data pipeline: privacy pass
     "pii_scrub" -> (PrivacyOps.piiScrub _),
     "k_anonymity" -> (PrivacyOps.kAnonymity _),

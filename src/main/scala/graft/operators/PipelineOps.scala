@@ -509,6 +509,75 @@ object PipelineOps {
       .orderBy(col("doc_id"), col("copy_index"))
   }
 
+  /** Post-resample mix audit: did [[temperatureResample]] actually land
+    * the α=0.5 target? Per language: realized copy count, the
+    * sqrt-proportional target share, the realized share, and a
+    * `mix_ok` gate (|realized − target| ≤ 5 points — generous against
+    * the ±1-copy fractional-draw granularity at small corpora). Both
+    * engines derive every double from the same exact integers with the
+    * same fixed-order Σ√, so even the booleans are engine-exact. One
+    * extra aggregation over the resample output; windows touch only the
+    * per-language frame.
+    */
+  def resampledMix(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val realized = temperatureResample(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_copies"))
+    val targets = Tables
+      .documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"),
+              (sqrt(col("n_docs").cast("double")) /
+                sum(sqrt(col("n_docs").cast("double"))).over(all))
+                .as("target_share"))
+    val share = col("n_copies").cast("double") / col("total").cast("double")
+    realized
+      .join(targets, "lang")
+      .withColumn("total", sum(col("n_copies")).over(all))
+      .select(col("lang"), col("n_copies"),
+              round(col("target_share"), 6).as("target_share"),
+              round(share, 6).as("realized_share"),
+              (abs(share - col("target_share")) <= lit(0.05)).as("mix_ok"))
+      .orderBy(col("lang"))
+  }
+
+  /** Shared CTE chain of the temperature-resample oracle (counts →
+    * rates → md5 draw → per-doc copy counts), reused by
+    * `temperature_resample` and `resampled_mix`.
+    */
+  private val resampleCtes =
+    s"""c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+       |r AS (
+       |  SELECT lang,
+       |         CAST(sum(n_docs) OVER w AS DOUBLE) /
+       |         (sqrt(CAST(n_docs AS DOUBLE)) * sum(sqrt(CAST(n_docs AS DOUBLE))) OVER w) AS rate
+       |  FROM c
+       |  WINDOW w AS (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |),
+       |d AS (
+       |  SELECT doc_id, lang, rate, md5(CAST(doc_id AS VARCHAR)) AS mh
+       |  FROM documents JOIN r USING (lang)
+       |),
+       |h AS (
+       |  SELECT doc_id, lang, rate, floor(rate) AS base,
+       |         (strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) * 65536 +
+       |         (strpos('0123456789abcdef', substr(mh, 2, 1)) - 1) * 4096 +
+       |         (strpos('0123456789abcdef', substr(mh, 3, 1)) - 1) * 256 +
+       |         (strpos('0123456789abcdef', substr(mh, 4, 1)) - 1) * 16 +
+       |         (strpos('0123456789abcdef', substr(mh, 5, 1)) - 1) AS hmod
+       |  FROM d
+       |),
+       |n AS (
+       |  SELECT doc_id, lang,
+       |         CAST(base AS BIGINT) +
+       |         CASE WHEN CAST(hmod AS DOUBLE) < (rate - base) * 1048576.0
+       |              THEN 1 ELSE 0 END AS n_copies
+       |  FROM h
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "chunk_documents" ->
       s"""WITH d AS (
@@ -524,38 +593,31 @@ object PipelineOps {
          |FROM d, UNNEST(range(0, (greatest(1, len(t) - ${ChunkTokens - ChunkStride}) + ${ChunkStride - 1}) // $ChunkStride)) p(i)
          |ORDER BY doc_id, chunk_index""".stripMargin,
     "temperature_resample" ->
-      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
-         |r AS (
-         |  SELECT lang,
-         |         CAST(sum(n_docs) OVER w AS DOUBLE) /
-         |         (sqrt(CAST(n_docs AS DOUBLE)) * sum(sqrt(CAST(n_docs AS DOUBLE))) OVER w) AS rate
-         |  FROM c
-         |  WINDOW w AS (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-         |),
-         |d AS (
-         |  SELECT doc_id, lang, rate, md5(CAST(doc_id AS VARCHAR)) AS mh
-         |  FROM documents JOIN r USING (lang)
-         |),
-         |h AS (
-         |  SELECT doc_id, lang, rate, floor(rate) AS base,
-         |         (strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) * 65536 +
-         |         (strpos('0123456789abcdef', substr(mh, 2, 1)) - 1) * 4096 +
-         |         (strpos('0123456789abcdef', substr(mh, 3, 1)) - 1) * 256 +
-         |         (strpos('0123456789abcdef', substr(mh, 4, 1)) - 1) * 16 +
-         |         (strpos('0123456789abcdef', substr(mh, 5, 1)) - 1) AS hmod
-         |  FROM d
-         |),
-         |n AS (
-         |  SELECT doc_id, lang,
-         |         CAST(base AS BIGINT) +
-         |         CASE WHEN CAST(hmod AS DOUBLE) < (rate - base) * 1048576.0
-         |              THEN 1 ELSE 0 END AS n_copies
-         |  FROM h
-         |)
+      s"""WITH $resampleCtes
          |SELECT doc_id, lang, CAST(u.i AS BIGINT) AS copy_index
          |FROM n, UNNEST(range(1, n_copies + 1)) u(i)
          |WHERE n_copies >= 1
          |ORDER BY doc_id, copy_index""".stripMargin,
+    "resampled_mix" ->
+      s"""WITH $resampleCtes,
+         |re AS (SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_copies
+         |       FROM n GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_copies) AS BIGINT) AS total FROM re),
+         |tgt AS (
+         |  SELECT lang,
+         |         sqrt(CAST(n_docs AS DOUBLE)) /
+         |         sum(sqrt(CAST(n_docs AS DOUBLE))) OVER w AS target_share
+         |  FROM c
+         |  WINDOW w AS (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT lang, n_copies,
+         |       round(target_share, 6) AS target_share,
+         |       round(CAST(n_copies AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         |         AS realized_share,
+         |       abs(CAST(n_copies AS DOUBLE) / CAST(total AS DOUBLE)
+         |           - target_share) <= 0.05 AS mix_ok
+         |FROM re JOIN tgt USING (lang) CROSS JOIN tot
+         |ORDER BY lang""".stripMargin,
     "source_mix_weights" ->
       """WITH s AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
