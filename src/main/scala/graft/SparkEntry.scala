@@ -30,6 +30,7 @@ object SparkEntry {
     "mad_over_frame" -> (SeriesOps.madOverFrame _),
     "robust_stats" -> (SeriesOps.robustStats _),
     "trend_ols" -> (SeriesOps.trendOls _),
+    "drift_tv" -> (SeriesOps.driftTv _),
     "l_diversity" -> (PrivacyOps.lDiversity _),
     "t_closeness" -> (PrivacyOps.tCloseness _),
     // §2.4 A1/A2, §2.5 W1, §2.6 O1 — windowed KPIs

@@ -191,6 +191,48 @@ object SeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** Data-drift monitor: total-variation distance between each type's
+    * value distribution in the first half of the month and the second —
+    * the input-drift check an ML-adjacent pipeline runs on every
+    * feature. Values band into width-10 buckets (capped at band 50);
+    * TV = ½·Σ|p_i − q_i| is computed as the exact integer numerator
+    * Σ|c_i·N_b − d_i·N_a| over 2·N_a·N_b, and the `drifted` verdict
+    * (TV > 0.1) is the cross-multiplied `5·Σ > N_a·N_b` — like
+    * t_closeness, no float ever decides it. Absent bands contribute
+    * nothing on either side, so no dense grid is needed.
+    *
+    * Scale shape: ONE shuffle (the (type, band) groupBy with both
+    * halves' counts as conditional sums — never two scans); the totals
+    * join and final fold run on the band frame (metadata scale).
+    */
+  def driftTv(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val counts = Tables
+      .events(spark, dir)
+      .select(col("event_type"), (col("ts") < cut).as("fh"),
+              least(floor(col("value") / lit(10)).cast("long"), lit(50L))
+                .as("band"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(sum(when(col("fh"), 1L).otherwise(0L)).as("c"),
+           sum(when(!col("fh"), 1L).otherwise(0L)).as("d"))
+    val totals = counts
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("na"), sum(col("d")).as("nb"))
+    counts
+      .join(totals, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_first"), max(col("nb")).as("n_second"),
+           sum(abs(col("c") * col("nb") - col("d") * col("na")))
+             .as("tv_num"))
+      .select(
+        col("event_type"), col("n_first"), col("n_second"), col("tv_num"),
+        round(col("tv_num").cast("double") /
+                (lit(2.0) * col("n_first").cast("double") *
+                  col("n_second").cast("double")), 6).as("tv_distance"),
+        (col("tv_num") * 5 > col("n_first") * col("n_second")).as("drifted"))
+      .orderBy(col("event_type"))
+  }
+
   /** `/series` with the optional conjunctive predicates of the read API
     * (time range + source filter, read-api/main.py:316-334): the filter is
     * pushed to the parquet scan (partition/row-group pruning at scale).
@@ -321,6 +363,33 @@ object SeriesOps {
     "series_p95" ->
       s"""SELECT event_type, date_trunc('hour', ts) AS bucket, round(quantile_cont(value, 0.95), 6) AS p95_value
          |FROM $ev e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "drift_tv" ->
+      s"""WITH e AS ($ev),
+         |b AS (
+         |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS fh,
+         |         least(CAST(floor(value / 10) AS BIGINT), 50) AS band
+         |  FROM e
+         |),
+         |c AS (
+         |  SELECT event_type, band,
+         |         CAST(sum(CASE WHEN fh THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |         CAST(sum(CASE WHEN fh THEN 0 ELSE 1 END) AS BIGINT) AS d
+         |  FROM b GROUP BY 1, 2
+         |),
+         |t AS (
+         |  SELECT event_type, CAST(sum(c) AS BIGINT) AS na,
+         |         CAST(sum(d) AS BIGINT) AS nb
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT c.event_type, max(na) AS n_first, max(nb) AS n_second,
+         |       CAST(sum(abs(c * nb - d * na)) AS BIGINT) AS tv_num,
+         |       round(CAST(sum(abs(c * nb - d * na)) AS DOUBLE)
+         |             / (2.0 * CAST(max(na) AS DOUBLE)
+         |                * CAST(max(nb) AS DOUBLE)), 6) AS tv_distance,
+         |       CAST(sum(abs(c * nb - d * na)) AS BIGINT) * 5
+         |         > max(na) * max(nb) AS drifted
+         |FROM c JOIN t USING (event_type)
+         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "trend_ols" -> {
       val cov =
         "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"

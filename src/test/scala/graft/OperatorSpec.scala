@@ -513,6 +513,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("drift_tv: stable distribution passes, planted shift is flagged") {
+    val session = spark
+    import session.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00").getTime
+    val t1 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime
+    def ev(id: Long, base: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(base + id * 60000L), 1L, typ, v, "{}")
+    val rows =
+      // "stable": identical value multiset in both halves → TV = 0
+      (0 until 200).map(i => ev(i.toLong, t0, "stable", (i % 10) * 10.0)) ++
+        (0 until 200).map(i => ev(500L + i, t1, "stable", (i % 10) * 10.0)) ++
+        // "shifted": disjoint bands across halves → TV = 1
+        (0 until 200).map(i => ev(2000L + i, t0, "shifted", 5.0)) ++
+        (0 until 200).map(i => ev(3000L + i, t1, "shifted", 405.0))
+    val dir = java.nio.file.Files.createTempDirectory("tv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SeriesOps.driftTv(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("stable").getAs[Double]("tv_distance") == 0.0)
+    assert(!out("stable").getAs[Boolean]("drifted"))
+    assert(out("shifted").getAs[Double]("tv_distance") == 1.0)
+    assert(out("shifted").getAs[Boolean]("drifted"))
+  }
+
   test("trend_ols: recovers a planted linear trend exactly") {
     val session = spark
     import session.implicits._
