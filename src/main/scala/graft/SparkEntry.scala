@@ -99,6 +99,8 @@ object SparkEntry {
     "q7_nation_volume" -> (OlapOps.q7NationVolume _),
     "q10_returned_customers" -> (OlapOps.q10ReturnedCustomers _),
     "q18_large_orders" -> (OlapOps.q18LargeOrders _),
+    "q2_min_cost_supplier" -> (OlapOps.q2MinCostSupplier _),
+    "q4_priority_promise" -> (OlapOps.q4PriorityPromise _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

@@ -88,6 +88,28 @@ object DedupOps {
 
   private val shingleStore = new FrameStore(2)
 
+  // per-(dataset, k) MinHash signature frames: the signature pass (k
+  // hash mixes per shingle) is the expensive stage of every LSH
+  // consumer, and recall_matrix sweeps band settings that SHARE a k —
+  // three of its four minhash grid rows reuse the k=16 frame. Persisted
+  // once per (dataset, k); at cluster scale this is the written
+  // signatures table between dedup stages. Capacity 4 = two datasets ×
+  // two k values in flight (tests touch sf0.001 and sf0.01).
+  private val sigStore = new FrameStore(4)
+
+  /** MinHash signature frame (doc_id, sig) at an explicit k, persisted
+    * per (dataset, k) — the single signature pass shared by
+    * [[lshScoredPairs]] across every band setting at that k.
+    */
+  private[graft] def minhashSigFrame(spark: SparkSession, dir: String,
+                                     k: Int): DataFrame =
+    sigStore.getOrBuild(spark, s"$dir#k=$k") {
+      shingled(spark, dir)
+        .withColumn("sig",
+                    graft.functions.TextExprs.minhashSignature(col("shingles"), k))
+        .select(col("doc_id"), col("sig"))
+    }
+
   /** Normalized text + word-3-gram shingle set (distinct) — native
     * expression ([[graft.functions.ShinglesExpr]]); see there for why not
     * built-in higher-order functions.
@@ -131,9 +153,7 @@ object DedupOps {
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val (k, _) = minhashConf(spark)
-    shingled(spark, dir)
-      .withColumn("sig",
-                  graft.functions.TextExprs.minhashSignature(col("shingles"), k))
+    minhashSigFrame(spark, dir, k)
       .select(col("doc_id"),
               concat_ws(",", transform(col("sig"), _.cast("string"))).as("sig"))
       .orderBy(col("doc_id"))
@@ -160,9 +180,7 @@ object DedupOps {
   private def lshScoredPairs(spark: SparkSession, dir: String,
                              k: Int, nBands: Int): DataFrame = {
     val rowsPerBand = k / nBands
-    val bands = shingled(spark, dir)
-      .withColumn("sig",
-                  graft.functions.TextExprs.minhashSignature(col("shingles"), k))
+    val bands = minhashSigFrame(spark, dir, k)
       .select(col("doc_id"),
               explode(sequence(lit(0), lit(nBands - 1))).as("band"),
               col("sig"))
@@ -394,11 +412,19 @@ object DedupOps {
     */
   def ssjoinPrefix(spark: SparkSession, dir: String): DataFrame = {
     val t = SsjoinThreshold
-    // broadcast the shingle arrays to both verification joins: the doc
-    // side is |corpus| rows of bounded arrays (MBs), the candidate side
-    // is the O(pairs) frame — shuffling pairs twice through sort-merge
-    // joins dominated this query's bench time before the hint
-    val sh = broadcast(shingled(spark, dir).select(col("doc_id"), col("shingles")))
+    // verification joins back to the corpus shingle frame: the corpus
+    // side grows with the dataset (terabytes at full scale), so a forced
+    // broadcast hint would be a guaranteed OOM there — hints win over
+    // AQE. Default is a PLAIN join: AQE picks broadcast when the runtime
+    // size is under the threshold (it is at dev scale) and falls back to
+    // a shuffle join on doc_id otherwise, where the post-prefilter
+    // candidate frame is the small side. `graft.ssjoin.broadcast=force`
+    // restores the unconditional hint for bounded-corpus benchmarking.
+    val shBase = shingled(spark, dir).select(col("doc_id"), col("shingles"))
+    val sh =
+      if (spark.conf.get("graft.ssjoin.broadcast", "auto") == "force")
+        broadcast(shBase)
+      else shBase
     ssjoinPrefixCandidates(spark, dir)
       .join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc2") === col("sb.doc_id"))

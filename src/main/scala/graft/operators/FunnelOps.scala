@@ -145,6 +145,19 @@ object FunnelOps {
   /** Window for [[windowFunnel]], in µs (7 days). */
   private val FunnelWindowMicros = 604800000000L
 
+  /** Hot-user cap for [[windowFunnel]] (`graft.funnel.maxEvents`): a
+    * bot with 10⁷ funnel events must not own an unbounded aggregation
+    * buffer. Only the LATEST this-many funnel events per user enter the
+    * fold — enforced by the bounded-buffer [[graft.plans.TopK]] pass
+    * (O(cap) memory per key at every stage), NOT by slicing after an
+    * unbounded collect. Truncation changes a user's depth only when
+    * their history exceeds the cap, and those users are surfaced in the
+    * `n_at_cap` audit column; the oracle applies the identical
+    * truncation, so parity holds at any data. Default is ~60× the
+    * densest testdata user and generous for any human timeline.
+    */
+  private val FunnelMaxEvents = 4096
+
   /** "Not reached" sentinel for the funnel fold: far BELOW any real µs
     * timestamp, chosen so `event_us − sentinel` cannot overflow BIGINT
     * — which makes the window check self-guarding (`t − NEG ≫ window`
@@ -183,6 +196,8 @@ object FunnelOps {
   def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
     val big = lit(FunnelSentinel)
     val w = lit(FunnelWindowMicros)
+    val maxEv =
+      spark.conf.get("graft.funnel.maxEvents", FunnelMaxEvents.toString).toInt
     val step = when(col("event_type") === "view", 1)
       .when(col("event_type") === "click", 2)
       .otherwise(3)
@@ -190,13 +205,21 @@ object FunnelOps {
     // depth 0 = active users with NO funnel progress: the histogram
     // covers every user seen in the stream, not just funnel participants
     val allUsers = events.select(col("user_id")).distinct()
-    val folded = events
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"),
-              struct(unix_micros(col("ts")).as("us"),
-                     col("event_id").as("id"), step.as("st")).as("e"))
+    // hot-user guard (see FunnelMaxEvents): latest-N per user through
+    // the bounded TopK pass; `rk` hits maxEv exactly when the user's
+    // history is at/over the cap, which both engines can test
+    val capped = graft.plans.TopK.perKey(
+      events
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+                col("event_id").as("id"), step.as("st")),
+      Seq("user_id"), Seq("us" -> false, "id" -> false), maxEv, "rk")
+    val folded = capped
+      .select(col("user_id"), col("rk"),
+              struct(col("us"), col("id"), col("st")).as("e"))
       .groupBy(col("user_id"))
-      .agg(aggregate(
+      .agg((max(col("rk")) === maxEv).as("at_cap"),
+           aggregate(
         array_sort(collect_list(col("e"))),
         array(big, big, big),
         (a, e) => {
@@ -212,16 +235,18 @@ object FunnelOps {
                  greatest(element_at(a, 3), element_at(a, 2)))
               .otherwise(element_at(a, 3)))
         }).as("s"))
-      .select(col("user_id"),
+      .select(col("user_id"), col("at_cap"),
               when(element_at(col("s"), 3) > big, 3)
                 .when(element_at(col("s"), 2) > big, 2)
                 .when(element_at(col("s"), 1) > big, 1)
                 .otherwise(0).cast("int").as("depth"))
     allUsers
       .join(folded, Seq("user_id"), "left")
-      .select(coalesce(col("depth"), lit(0)).as("depth"))
+      .select(coalesce(col("depth"), lit(0)).as("depth"),
+              coalesce(col("at_cap"), lit(false)).as("at_cap"))
       .groupBy(col("depth"))
-      .agg(count(lit(1)).as("n_users"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(when(col("at_cap"), 1L).otherwise(0L)).as("n_at_cap"))
       .orderBy(col("depth"))
   }
 
@@ -330,17 +355,21 @@ object FunnelOps {
          |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     "window_funnel" ->
       s"""WITH e AS (${Tables.eventsSql}),
-         |f AS (
+         |fr AS (
          |  SELECT user_id,
          |         [epoch_us(ts),
          |          CASE event_type WHEN 'view' THEN 1
          |                          WHEN 'click' THEN 2 ELSE 3 END,
          |          event_id] AS ev,
-         |         epoch_us(ts) AS us, event_id
+         |         epoch_us(ts) AS us, event_id,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
          |  FROM e WHERE event_type IN ('view', 'click', 'purchase')
          |),
+         |f AS (SELECT * FROM fr WHERE rk <= $FunnelMaxEvents),
          |folded AS (
          |  SELECT user_id,
+         |         max(rk) = $FunnelMaxEvents AS at_cap,
          |         list_reduce(
          |           list_prepend(
          |             [CAST($FunnelSentinel AS BIGINT),
@@ -358,7 +387,7 @@ object FunnelOps {
          |)
          |,
          |depths AS (
-         |  SELECT user_id,
+         |  SELECT user_id, at_cap,
          |         CASE WHEN s[3] > $FunnelSentinel THEN 3
          |              WHEN s[2] > $FunnelSentinel THEN 2
          |              WHEN s[1] > $FunnelSentinel THEN 1
@@ -366,7 +395,9 @@ object FunnelOps {
          |  FROM folded
          |)
          |SELECT CAST(COALESCE(d, 0) AS INTEGER) AS depth,
-         |       count(*) AS n_users
+         |       count(*) AS n_users,
+         |       CAST(sum(CASE WHEN COALESCE(at_cap, false) THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_at_cap
          |FROM (SELECT DISTINCT user_id FROM e) u
          |LEFT JOIN depths USING (user_id)
          |GROUP BY 1 ORDER BY depth""".stripMargin,

@@ -449,7 +449,96 @@ object OlapOps {
       .orderBy(col("total_qty").desc, col("o_orderkey"))
       .limit(100)
 
+  /** TPC-H Q2's shape — the CORRELATED scalar subquery (min-cost
+    * supplier per part within a region) — expressed as Spark SQL so
+    * Catalyst's subquery decorrelation does the rewrite: the correlated
+    * `min` becomes a per-part aggregate joined back on the correlation
+    * key, never a rescan-per-row loop (PlanSpec pins the absence of a
+    * scalar-subquery node in the physical plan). [[minPriceSupplier]]
+    * is the pre-decorrelated cousin; THIS form exists to keep the
+    * decorrelation path itself exercised — at 100 TB the rewrite is the
+    * difference between one shuffle and |part| scans. No partsupp table
+    * in the driver testdata, so supply cost derives from lineitem
+    * per-unit prices in exact integer cents.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q2_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q2_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_q2_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("graft_q2_region")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q2_lineitem")
+    spark.sql(q2Sql(
+      "graft_q2_part", "graft_q2_supplier", "graft_q2_nation",
+      "graft_q2_region", "graft_q2_lineitem"))
+  }
+
+  /** Q2 text, shared verbatim with the DuckDB oracle (only the table
+    * names differ) — the correlated subquery must be the SAME sentence
+    * both engines decorrelate.
+    */
+  private def q2Sql(part: String, supplier: String, nation: String,
+                    region: String, lineitem: String): String =
+    s"""WITH cost AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5)
+       |                  AS BIGINT)) AS cost_cents
+       |  FROM $lineitem GROUP BY 1, 2
+       |)
+       |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+       |       c.cost_cents
+       |FROM $part p
+       |JOIN cost c ON c.l_partkey = p.p_partkey
+       |JOIN $supplier s ON s.s_suppkey = c.l_suppkey
+       |JOIN $nation n ON n.n_nationkey = s.s_nationkey
+       |JOIN $region r ON r.r_regionkey = n.n_regionkey
+       |WHERE r.r_name = 'EUROPE' AND p.p_size <= 25
+       |  AND c.cost_cents = (
+       |    SELECT min(c2.cost_cents)
+       |    FROM cost c2
+       |    JOIN $supplier s2 ON s2.s_suppkey = c2.l_suppkey
+       |    JOIN $nation n2 ON n2.n_nationkey = s2.s_nationkey
+       |    JOIN $region r2 ON r2.r_regionkey = n2.n_regionkey
+       |    WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q4's shape — EXISTS over a date-sliced orders scan, planned
+    * as a LEFT SEMI join with the correlated range predicate riding in
+    * the join condition (no pair materialization, no count-then-filter).
+    * The driver lineitem has no commit/receipt dates, so "promise
+    * broken" is adapted to "shipped after the order date". The orders
+    * date slice is a static pushdown-eligible filter; lineitem prunes
+    * to two columns before the semi join.
+    */
+  def q4PriorityPromise(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+    val l = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+           col("o_orderkey") === col("l_orderkey") &&
+             col("l_shipdate") > col("o_orderdate"),
+           "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      q2Sql("part", "supplier", "nation", "region", "lineitem"),
+    "q4_priority_promise" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
         |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,

@@ -534,8 +534,12 @@ object PipelineOps {
                 sum(sqrt(col("n_docs").cast("double"))).over(all))
                 .as("target_share"))
     val share = col("n_copies").cast("double") / col("total").cast("double")
-    realized
-      .join(targets, "lang")
+    // LEFT join from targets (which has every language) so a language
+    // whose every document drew 0 copies still appears with n_copies=0,
+    // matching the oracle's sum-including-zeros CTE
+    targets
+      .join(realized, Seq("lang"), "left")
+      .withColumn("n_copies", coalesce(col("n_copies"), lit(0L)))
       .withColumn("total", sum(col("n_copies")).over(all))
       .select(col("lang"), col("n_copies"),
               round(col("target_share"), 6).as("target_share"),

@@ -285,6 +285,16 @@ object PrivacyOps {
   /** DuckDB oracles. Plain (non-interpolated) triple-quoted strings so
     * `\d`/`\b` stay literal; DuckDB `regexp_replace` needs the explicit
     * 'g' flag to match Spark's replace-all default.
+    *
+    * KNOB CONTRACT: these oracles hardcode the DEFAULT knob values
+    * (`graft.privacy.k`=10, `graft.privacy.l`=3,
+    * `graft.privacy.salt`=epoch0). Oracle parity is defined at the
+    * defaults only — a session that overrides a knob changes the Spark
+    * result by design and must not run the verify gate against these
+    * strings (the same contract every knob-bearing query family here
+    * follows, e.g. minhash k/bands). Non-default runs are covered by
+    * ScalaTest properties instead (OperatorSpec's non-default-knob
+    * cases), which recompute the expectation from the session knobs.
     */
   val oracles: Map[String, String] = Map(
     "t_closeness" ->

@@ -181,13 +181,18 @@ object SeriesOps {
     val cov = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
     val varX = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
     val varY = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    // degenerate keys (single event, or zero time/value variance) must
+    // yield NULL, not IEEE NaN/Infinity: DuckDB's x/0 is NULL, and a
+    // divide here would diverge from the oracle on such keys
+    def safeDiv(num: Column, den: Column): Column =
+      when(den === lit(0.0), lit(null)).otherwise(num / den)
     sums
       .select(
         col("event_type"), col("n"),
-        round(cov / varX, 6).as("slope_millis_per_sec"),
-        round((d(col("sy")) - (cov / varX) * d(col("sx"))) / d(col("n")), 6)
-          .as("intercept_millis"),
-        round((cov * cov) / (varX * varY), 6).as("r2"))
+        round(safeDiv(cov, varX), 6).as("slope_millis_per_sec"),
+        round(safeDiv(d(col("sy")) - safeDiv(cov, varX) * d(col("sx")),
+                      d(col("n"))), 6).as("intercept_millis"),
+        round(safeDiv(cov * cov, varX * varY), 6).as("r2"))
       .orderBy(col("event_type"))
   }
 
@@ -226,9 +231,11 @@ object SeriesOps {
              .as("tv_num"))
       .select(
         col("event_type"), col("n_first"), col("n_second"), col("tv_num"),
-        round(col("tv_num").cast("double") /
-                (lit(2.0) * col("n_first").cast("double") *
-                  col("n_second").cast("double")), 6).as("tv_distance"),
+        // one empty half → 0/0; DuckDB yields NULL there, so mirror it
+        round(when(col("n_first") === 0 || col("n_second") === 0, lit(null))
+                .otherwise(col("tv_num").cast("double") /
+                  (lit(2.0) * col("n_first").cast("double") *
+                    col("n_second").cast("double"))), 6).as("tv_distance"),
         (col("tv_num") * 5 > col("n_first") * col("n_second")).as("drifted"))
       .orderBy(col("event_type"))
   }

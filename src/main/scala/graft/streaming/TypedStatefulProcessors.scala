@@ -280,8 +280,13 @@ class FunnelStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
       inputRows: Iterator[Event],
       timerValues: TimerValues): Iterator[FunnelProgress] = {
     val init = Option(state.get()).getOrElse((Sentinel, Sentinel, Sentinel))
+    // sort by the SAME microsecond key the fold feeds to advance() —
+    // millisecond ts.getTime alone would let two same-user events inside
+    // one millisecond fold in event_id order while the batch twin orders
+    // them by full microseconds, breaking streaming-batch parity
     val next = inputRows.toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L,
+                    e.event_id))
       .foldLeft(init) { (acc, e) =>
         val step = e.event_type match {
           case "view" => 1

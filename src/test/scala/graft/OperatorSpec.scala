@@ -489,6 +489,44 @@ class OperatorSpec extends SparkSpec {
     val hist = FunnelOps.windowFunnel(spark, dir).collect()
       .map(r => r.getAs[Int]("depth") -> r.getAs[Long]("n_users")).toMap
     assert(hist == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 2L))
+    // nobody near the 4096-event cap → audit column all zero
+    assert(FunnelOps.windowFunnel(spark, dir).collect()
+      .forall(_.getAs[Long]("n_at_cap") == 0L))
+  }
+
+  test("window_funnel hot-user cap truncates to the LATEST events and audits it") {
+    val session = spark
+    import session.implicits._
+    val t0 = 1700000000000L
+    def ev(id: Long, uid: Long, typ: String, offMs: Long) =
+      (id, new java.sql.Timestamp(t0 + offMs), uid, typ, 1.0, "{}")
+    // user 1 floods: an early full chain, then 10 trailing purchases —
+    // with cap=8 only trailing purchases survive (the view and click are
+    // truncated away), so the cap DEMOTES the user from depth 3 to 0,
+    // which is exactly what the audit column must surface
+    val rows =
+      Seq(ev(1, 1, "view", 0), ev(2, 1, "click", 1000),
+          ev(3, 1, "purchase", 2000)) ++
+        (4L to 13L).map(i => ev(i, 1, "purchase", 2000 + i * 1000)) ++
+        Seq(ev(20, 2, "view", 0), ev(21, 2, "click", 1000)) // control user
+    val dir = java.nio.file.Files.createTempDirectory("wfcap").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // uncapped: user 1 depth 3, user 2 depth 2
+    val full = FunnelOps.windowFunnel(spark, dir).collect()
+      .map(r => r.getAs[Int]("depth") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_at_cap"))).toMap
+    assert(full == Map(2 -> ((1L, 0L)), 3 -> ((1L, 0L))))
+    spark.conf.set("graft.funnel.maxEvents", "8")
+    try {
+      // cap=8 keeps user 1's latest 8 purchases only (view+click gone)
+      // → depth 1 is impossible (no view): depth 0, flagged at-cap;
+      // user 2 (2 events) is untouched
+      val capped = FunnelOps.windowFunnel(spark, dir).collect()
+        .map(r => r.getAs[Int]("depth") ->
+          (r.getAs[Long]("n_users"), r.getAs[Long]("n_at_cap"))).toMap
+      assert(capped == Map(0 -> ((1L, 1L)), 2 -> ((1L, 0L))))
+    } finally spark.conf.unset("graft.funnel.maxEvents")
   }
 
   test("anomaly_regions: partitions alerts into gap-separated incidents") {

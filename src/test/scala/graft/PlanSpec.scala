@@ -355,6 +355,128 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("q2 decorrelates; q4 plans a semi join — never per-row rescans") {
+    // Q2: Catalyst must rewrite the correlated min-subquery into an
+    // aggregate + join on the correlation key; a surviving scalar
+    // subquery in the physical plan would mean a rescan per part row
+    val q2 = planOf(OlapOps.q2MinCostSupplier(spark, sf("sf0.001")))
+    assert(!q2.toLowerCase.contains("scalarsubquery"),
+           s"correlated subquery not decorrelated:\n$q2")
+    assert(!q2.contains("CartesianProduct"))
+    // Q4: EXISTS becomes a LEFT SEMI hash/merge join with the range
+    // predicate in the join condition
+    val q4 = planOf(OlapOps.q4PriorityPromise(spark, sf("sf0.001")))
+    assert(q4.contains("LeftSemi"), s"no semi join in:\n$q4")
+    assert(!q4.contains("CartesianProduct"))
+  }
+
+  test("time-slice pushdown guard: structural PushedFilters on both fixtures") {
+    // the 100 TB time-slice path: ts bounds MUST reach the parquet scan
+    // as pushed filters (row-group pruning), for the driver-generated
+    // NTZ tables AND for Spark-written session-TIMESTAMP fixtures. This
+    // reads FileSourceScanExec metadata structurally so a refactor of
+    // Tables.eventsTimeRange can't silently regress to a post-cast
+    // filter that strings wouldn't catch.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+      def go(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case _ => p.children ++ p.subqueries
+        }
+        p +: kids.flatMap(go)
+      }
+      go(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+    }
+    def pushedTs(df: org.apache.spark.sql.DataFrame): Boolean =
+      scans(df).exists(_.metadata.get("PushedFilters").exists(m =>
+        m.contains("GreaterThanOrEqual(ts") && m.contains("LessThanOrEqual(ts")))
+    // NTZ (driver parquet): the named query series_filtered
+    val filtered = SeriesOps.seriesFiltered(spark, sf("sf0.001"))
+    assert(pushedTs(filtered),
+           s"ts bounds not pushed:\n${filtered.queryExecution.executedPlan}")
+    // the dimension filter rides down too
+    assert(scans(filtered).exists(_.metadata.get("PushedFilters")
+      .exists(_.contains("In(event_type"))))
+    // session-TIMESTAMP fixture: Spark-written parquet stores UTC-flagged
+    // ts; the same loader must stay pushdown-eligible on that layout
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pushdown").toString
+    (1L to 50L).map(i =>
+      (i, new java.sql.Timestamp(1704067200000L + i * 3600000L), i, "click",
+       1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fixture = Tables.eventsTimeRange(spark, dir, "2024-01-01 12:00:00",
+                                         "2024-01-02 00:00:00")
+    assert(pushedTs(fixture),
+           s"ts bounds not pushed on session-ts fixture:\n${
+             fixture.queryExecution.executedPlan}")
+    // and the sliced row count matches the naive post-cast filter
+    assert(fixture.count() == 13L)
+  }
+
+  test("recall_matrix runs ONE signature pass per distinct k") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val dir = sf("sf0.001")
+    // same (dataset, k) → the SAME persisted frame (one pass, FrameStore)
+    assert(DedupOps.minhashSigFrame(spark, dir, 16) eq
+      DedupOps.minhashSigFrame(spark, dir, 16))
+    def hasSig(p: SparkPlan): Boolean =
+      p.exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.MinHashSigExpr])))
+    // outer traversal: NOT descending into cached relations — every
+    // signature evaluation must live inside an InMemoryRelation
+    def outer(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _: InMemoryTableScanExec => Nil
+        case _ => p.children
+      }
+      p +: kids.flatMap(outer)
+    }
+    val plan = CalibrationOps.recallMatrix(spark, dir)
+      .queryExecution.executedPlan
+    val uncached = outer(plan).filter {
+      case _: AdaptiveSparkPlanExec => false
+      case p => p.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.MinHashSigExpr]))
+    }
+    assert(uncached.isEmpty, s"signature pass outside the cache:\n$uncached")
+    // the grid's 4 minhash rows reference exactly 2 distinct cached
+    // signature relations (k=16 shared by three band settings, k=32)
+    val sigRelations = outer(plan)
+      .collect { case s: InMemoryTableScanExec if hasSig(s.relation.cachedPlan) =>
+        System.identityHashCode(s.relation.cacheBuilder) }
+    assert(sigRelations.nonEmpty)
+    assert(sigRelations.distinct.size == 2,
+           s"expected 2 shared signature relations, got $sigRelations")
+  }
+
+  test("ssjoin_prefix never FORCES a corpus-side broadcast") {
+    // the verification join's corpus shingle frame grows with the
+    // dataset — a mandatory broadcast hint there wins over AQE and is a
+    // guaranteed OOM at full scale. Default plan must carry NO broadcast
+    // hint (AQE may still PICK broadcast at runtime from observed sizes
+    // — that choice reverses itself at scale; a hint does not).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = DedupOps.ssjoinPrefix(spark, sf("sf0.001"))
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"forced broadcast hint(s): $hints")
+    // the opt-in knob restores the dev-scale hint explicitly
+    spark.conf.set("graft.ssjoin.broadcast", "force")
+    try {
+      val forced = DedupOps.ssjoinPrefix(spark, sf("sf0.001"))
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(forced.nonEmpty)
+    } finally spark.conf.unset("graft.ssjoin.broadcast")
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

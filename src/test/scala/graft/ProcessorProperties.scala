@@ -187,6 +187,58 @@ object ProcessorProperties extends Properties("graft.processors") {
       FunnelProgress.depthOf(folded) == brute
     }
 
+  /** Adversarial flood: hundreds of funnel events with mostly-zero or
+    * tiny timestamp gaps (same-µs bot bursts) and skewed step mix —
+    * the shape the window_funnel hot-user cap defends against.
+    */
+  private val genFloodSeq: Gen[List[(Long, Int)]] = for {
+    n <- Gen.choose(50, 400)
+    gaps <- Gen.listOfN(n, Gen.frequency(
+      4 -> Gen.const(0L),
+      3 -> Gen.choose(1L, 1000000L),
+      1 -> Gen.choose(0L, 8L * 86400000000L)))
+    steps <- Gen.listOfN(n, Gen.frequency(
+      2 -> Gen.const(1), 2 -> Gen.const(2), 1 -> Gen.const(3)))
+  } yield gaps.scanLeft(T0 * 1000L)(_ + _).tail.zip(steps)
+
+  /** Independent brute-force depth: deepest strictly-index-increasing
+    * 1..k selection with every member inside the window of the chain's
+    * FIRST event — the same specification the main fold property uses.
+    */
+  private def bruteDepth(seq: List[(Long, Int)]): Int = {
+    val w = FunnelProgress.WindowMicros
+    val idx = seq.zipWithIndex
+    val views = idx.filter(_._1._2 == 1)
+    def depth3 = views.exists { case ((t1, _), i) =>
+      idx.exists { case ((t2, s2), j) =>
+        s2 == 2 && j > i && t2 - t1 <= w &&
+          idx.exists { case ((t3, s3), k) =>
+            s3 == 3 && k > j && t3 - t1 <= w
+          }
+      }
+    }
+    def depth2 = views.exists { case ((t1, _), i) =>
+      idx.exists { case ((t2, s2), j) => s2 == 2 && j > i && t2 - t1 <= w }
+    }
+    if (depth3) 3 else if (depth2) 2 else if (views.nonEmpty) 1 else 0
+  }
+
+  property("capped funnel (latest-N suffix) ≡ brute force under floods") =
+    forAll(genFloodSeq, Gen.oneOf(1, 8, 64)) { (seq, cap) =>
+      // the operator's hot-user guard folds only the LATEST `cap`
+      // events in (ts, id) order; the fold over that suffix must still
+      // agree with the independent brute-force matcher ON THE SUFFIX —
+      // i.e. truncation composes with the dominance lemma, including
+      // same-µs bursts where only the id order separates events
+      val kept = seq.takeRight(cap)
+      val folded = kept.foldLeft(
+        (FunnelProgress.Sentinel, FunnelProgress.Sentinel,
+         FunnelProgress.Sentinel)) { case (acc, (us, st)) =>
+        FunnelProgress.advance(acc, us, st)
+      }
+      FunnelProgress.depthOf(folded) == bruteDepth(kept)
+    }
+
   property("funnel fold is split-invariant with carried state") =
     forAll(genFunnelSeq, genSplit) { (seq, f) =>
       val n = (seq.size * f).toInt.min(seq.size)
