@@ -101,6 +101,12 @@ object SparkEntry {
     "q18_large_orders" -> (OlapOps.q18LargeOrders _),
     "q2_min_cost_supplier" -> (OlapOps.q2MinCostSupplier _),
     "q4_priority_promise" -> (OlapOps.q4PriorityPromise _),
+    "q21_wait_suppliers" -> (OlapOps.q21WaitSuppliers _),
+    "q22_dormant_balance" -> (OlapOps.q22DormantBalance _),
+    "incident_overlap" -> (AnomalyOps.incidentOverlap _),
+    "autocorr_lags" -> (SeriesOps.autocorrLags _),
+    "pps_sample" -> (PipelineOps.ppsSample _),
+    "gini_concentration" -> (OlapOps.giniConcentration _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

@@ -243,6 +243,13 @@ object AnomalyOps {
     * that rule with lag/cumsum islands.
     */
   def anomalyRegions(spark: SparkSession, dir: String): DataFrame =
+    regionsFrame(spark, dir).orderBy(col("event_type"), col("start_ts"))
+
+  /** The unsorted incident-region frame [[anomalyRegions]] presents and
+    * [[incidentOverlap]] self-joins — factored so the overlap join never
+    * pays the presentation sort's range exchange twice.
+    */
+  private def regionsFrame(spark: SparkSession, dir: String): DataFrame =
     scoredStore(spark, dir)
       .filter(col("is_anomaly"))
       .groupBy(col("event_type"),
@@ -257,7 +264,56 @@ object AnomalyOps {
               expr("(unix_micros(end_ts) - unix_micros(start_ts)) div 1000000")
                 .as("duration_secs"),
               col("n_alerts"), col("n_critical"), col("peak_score"))
-      .orderBy(col("event_type"), col("start_ts"))
+
+  /** Cross-source incident correlation: pairs of [[anomalyRegions]]
+    * intervals from DIFFERENT event types that overlap in time — the
+    * "did latency and errors spike together" question an on-call
+    * surface answers before paging two teams for one outage. Interval
+    * endpoints are closed on both sides (touching incidents correlate),
+    * matching the oracle's `a.start ≤ b.end AND b.start ≤ a.end`.
+    *
+    * Scale shape — the distributed interval-overlap join: a raw
+    * inequality self-join is a cartesian product, so each region
+    * explodes onto the UTC-hour grid it spans and candidates pair
+    * through an EQUI join on the hour bucket (fan-out per bucket =
+    * incidents concurrently active that hour, bounded by the source
+    * count; region rows themselves are already gap-merged aggregates,
+    * metadata-scale next to the event stream). Each overlapping pair
+    * shares the hour of `greatest(start_a, start_b)`, so keeping only
+    * the pair whose bucket IS that hour emits every pair exactly once —
+    * no distinct, no second shuffle. Both explode sides re-read the
+    * persisted scored store ([[FrameStore]]), never re-derive it.
+    */
+  def incidentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val regions = regionsFrame(spark, dir)
+    def buckets(prefix: String): DataFrame =
+      regions.select(
+        col("event_type").as(s"${prefix}_type"),
+        col("start_ts").as(s"${prefix}_start"),
+        col("end_ts").as(s"${prefix}_end"),
+        col("n_alerts").as(s"${prefix}_alerts"),
+        explode(sequence(date_trunc("hour", col("start_ts")),
+                         date_trunc("hour", col("end_ts")),
+                         expr("INTERVAL 1 HOUR"))).as(s"${prefix}_bucket"))
+    buckets("a")
+      .join(buckets("b"),
+            col("a_bucket") === col("b_bucket") &&
+              col("a_type") < col("b_type") &&
+              col("a_start") <= col("b_end") &&
+              col("b_start") <= col("a_end"))
+      .filter(col("a_bucket") ===
+        date_trunc("hour", greatest(col("a_start"), col("b_start"))))
+      .select(
+        col("a_type").as("type_a"), col("b_type").as("type_b"),
+        greatest(col("a_start"), col("b_start")).as("overlap_start"),
+        least(col("a_end"), col("b_end")).as("overlap_end"),
+        expr("""(unix_micros(least(a_end, b_end)) -
+                 unix_micros(greatest(a_start, b_start))) div 1000000""")
+          .as("overlap_secs"),
+        col("a_alerts"), col("b_alerts"))
+      .orderBy(col("type_a"), col("type_b"), col("overlap_start"),
+               col("overlap_end"))
+  }
 
   def anomalyAlerts(spark: SparkSession, dir: String): DataFrame =
     scoredStore(spark, dir)
@@ -455,35 +511,59 @@ object AnomalyOps {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("anomaly_type"), col("severity"))
 
+  /** Gap-merged incident regions as a reusable oracle CTE tail (`reg`) —
+    * the lag/cumsum-islands replay of the Spark `session_window`; shared
+    * by the `anomaly_regions` and `incident_overlap` oracles.
+    */
+  private def regionsSqlCte: String =
+    s"""$scoredSql,
+       |an AS (SELECT * FROM final WHERE is_anomaly),
+       |brk AS (
+       |  SELECT *,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+       |              THEN 1 ELSE 0 END AS is_break
+       |  FROM an
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+       |),
+       |isl AS (
+       |  SELECT *, CAST(sum(is_break) OVER (PARTITION BY event_type
+       |              ORDER BY ts, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS island
+       |  FROM brk
+       |),
+       |reg AS (
+       |  SELECT event_type, min(ts) AS start_ts, max(ts) AS end_ts,
+       |         CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+       |              AS BIGINT) AS duration_secs,
+       |         count(*) AS n_alerts,
+       |         CAST(sum(CASE WHEN severity = 'critical' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_critical,
+       |         round(max(greatest(abs(z_score), abs(mad_score))), 6)
+       |           AS peak_score
+       |  FROM isl GROUP BY event_type, island
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "anomaly_regions" ->
-      s"""$scoredSql,
-         |an AS (SELECT * FROM final WHERE is_anomaly),
-         |brk AS (
-         |  SELECT *,
-         |         CASE WHEN lag(ts) OVER w IS NULL
-         |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
-         |              THEN 1 ELSE 0 END AS is_break
-         |  FROM an
-         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-         |),
-         |isl AS (
-         |  SELECT *, CAST(sum(is_break) OVER (PARTITION BY event_type
-         |              ORDER BY ts, event_id
-         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |            AS BIGINT) AS island
-         |  FROM brk
-         |)
-         |SELECT event_type, min(ts) AS start_ts, max(ts) AS end_ts,
-         |       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
-         |            AS BIGINT) AS duration_secs,
-         |       count(*) AS n_alerts,
-         |       CAST(sum(CASE WHEN severity = 'critical' THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_critical,
-         |       round(max(greatest(abs(z_score), abs(mad_score))), 6)
-         |         AS peak_score
-         |FROM isl GROUP BY event_type, island
-         |ORDER BY event_type, start_ts""".stripMargin,
+      s"""$regionsSqlCte
+         |SELECT event_type, start_ts, end_ts, duration_secs, n_alerts,
+         |       n_critical, peak_score
+         |FROM reg ORDER BY event_type, start_ts""".stripMargin,
+    "incident_overlap" ->
+      s"""$regionsSqlCte
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |       greatest(a.start_ts, b.start_ts) AS overlap_start,
+         |       least(a.end_ts, b.end_ts) AS overlap_end,
+         |       CAST((epoch_us(least(a.end_ts, b.end_ts)) -
+         |             epoch_us(greatest(a.start_ts, b.start_ts))) // 1000000
+         |            AS BIGINT) AS overlap_secs,
+         |       a.n_alerts AS a_alerts, b.n_alerts AS b_alerts
+         |FROM reg a JOIN reg b
+         |  ON a.event_type < b.event_type
+         | AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
+         |ORDER BY type_a, type_b, overlap_start, overlap_end""".stripMargin,
     "detector_agreement" ->
       s"""$scoredSql
          |SELECT anomaly_type, severity, count(*) AS n_events

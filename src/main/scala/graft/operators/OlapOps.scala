@@ -527,7 +527,216 @@ object OlapOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Gini coefficient of per-user value concentration within each event
+    * type — the inequality audit next to [[userValueQuartiles]]'s
+    * banding and [[keySkewProfile]]'s top-k: one number per type saying
+    * how much of the value mass a few heavy users own (0 = uniform,
+    * →1 = one user owns everything), the same diversity statistic a
+    * training-mix audit runs on per-source token mass.
+    *
+    * Exactness: with per-user totals in integer cents, the classic
+    * sorted-rank identity `G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)` is
+    * computed entirely in longs — ties compress into one row per
+    * (type, cents) with count `c` and preceding-rank offset `r`, whose
+    * rank-block contribution `cents·(2·c·r + c·(c+1))` is an exact
+    * integer (and tie order cannot matter: equal values contribute the
+    * same sum under any rank assignment). Only the final division is a
+    * double, of two exact longs — deterministic against the oracle.
+    *
+    * Scale shape: two aggregation shuffles (per-user totals, then
+    * tie-compression), and the prefix-sum window runs over the DISTINCT
+    * VALUE manifest per type — bounded by the value domain, not the
+    * user count (the compaction_plan manifest-window argument); a 100 TB
+    * run additionally bands cents before the window and lifts the
+    * products to DECIMAL(38,0), the t_closeness convention.
+    */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+        .as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val agg = byValue
+      .withColumn("r", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_users"),
+           sum(col("cents") * col("c")).as("total_cents"),
+           sum(col("cents") *
+             (lit(2L) * col("c") * col("r") + col("c") * (col("c") + lit(1L))))
+             .as("w2"))
+    agg.select(
+      col("event_type"), col("n_users"), col("total_cents"),
+      round(when(col("n_users") * col("total_cents") === 0L, lit(null))
+              .otherwise(
+                (col("w2") - (col("n_users") + lit(1L)) * col("total_cents"))
+                  .cast("double") /
+                  (col("n_users") * col("total_cents")).cast("double")), 6)
+        .as("gini"))
+      .orderBy(col("event_type"))
+  }
+
+  /** TPC-H Q21's shape (suppliers who kept orders waiting): for 'F'
+    * orders, the flagged supplier shipped late while EVERY other
+    * supplier on the order shipped on time — the one TPC-H query that
+    * stacks a semi join AND an anti join on the same fact. The driver
+    * lineitem has no commit/receipt dates, so "late" adapts to "shipped
+    * more than 60 days after the order date" (`EventAggregationJob`-era
+    * SLA framing); the nation slice keeps the reference query's shape.
+    *
+    * Spark plan, deliberately the classic Q21 rewrite rather than
+    * nested EXISTS text: the late-lines frame is derived ONCE from the
+    * status-filtered orders join, then the semi join (some other
+    * supplier exists) probes the 2-column lineitem projection and the
+    * anti join (no other supplier was late) probes the late frame —
+    * all three joins key on `l_orderkey`, so EnsureRequirements reuses
+    * one hash partitioning end-to-end instead of re-shuffling per
+    * branch; supplier and nation broadcast. Equivalence to the
+    * EXISTS/NOT EXISTS oracle text: "late" depends only on the order's
+    * own date, so every l3 candidate in the NOT EXISTS sees the same
+    * `o_orderdate` the late frame baked in.
+    */
+  def q21WaitSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val ordersF = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lines = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = lines
+      .join(ordersF, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = lines.select(col("l_orderkey").as("l2_orderkey"),
+                          col("l_suppkey").as("l2_suppkey"))
+    val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
+                         col("l_suppkey").as("l3_suppkey"))
+    late
+      .join(l2,
+            col("l_orderkey") === col("l2_orderkey") &&
+              col("l_suppkey") =!= col("l2_suppkey"),
+            "left_semi")
+      .join(l3,
+            col("l_orderkey") === col("l3_orderkey") &&
+              col("l_suppkey") =!= col("l3_suppkey"),
+            "left_anti")
+      .join(broadcast(
+              Tables.supplier(spark, dir)
+                .join(broadcast(Tables.nation(spark, dir)
+                        .filter(col("n_name") === "NATION_7")),
+                      col("s_nationkey") === col("n_nationkey"))
+                .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22's shape (global sales opportunity): above-average-balance
+    * customers with no RECENT orders, rolled up by segment. Two adapted
+    * wrinkles: the driver data has no phone country codes (segment
+    * stands in) and every customer has SOME order (so the anti join is
+    * date-sliced — dormant since mid-1999 — which keeps Q22's NOT
+    * EXISTS shape and adds the correlated-filter variant nothing else
+    * exercises). The average-balance threshold is decided in EXACT
+    * integers — `acctbal_cents · n_pos > sum_pos_cents` cross-multiplied
+    * like t_closeness — so no float average can diverge from the
+    * oracle's; the one-row threshold frame broadcasts, the anti join
+    * keys on custkey, and the date slice pushes into the orders scan.
+    */
+  def q22DormantBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+              floor(col("c_acctbal") * lit(100) + lit(0.5)).cast("long")
+                .as("acctbal_cents"))
+    val thr = cust
+      .filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("acctbal_cents")).as("sum_pos"))
+    val recent = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate") >=
+        lit("1999-06-01 00:00:00").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust
+      .join(broadcast(thr))
+      .filter(col("acctbal_cents") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("numcust"),
+           sum(col("acctbal_cents")).as("totacctbal_cents"))
+      .orderBy(col("segment"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "gini_concentration" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |ut AS (
+         |  SELECT event_type, user_id,
+         |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |           AS cents
+         |  FROM e GROUP BY 1, 2
+         |),
+         |bv AS (SELECT event_type, cents, count(*) AS c FROM ut GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT *, coalesce(sum(c) OVER (PARTITION BY event_type
+         |              ORDER BY cents
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |            0) AS r
+         |  FROM bv
+         |),
+         |a AS (
+         |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_users,
+         |         CAST(sum(cents * c) AS BIGINT) AS total_cents,
+         |         CAST(sum(cents * (2 * c * r + c * (c + 1))) AS BIGINT) AS w2
+         |  FROM rk GROUP BY 1
+         |)
+         |SELECT event_type, n_users, total_cents,
+         |       round(CASE WHEN n_users * total_cents = 0 THEN NULL
+         |             ELSE CAST(w2 - (n_users + 1) * total_cents AS DOUBLE) /
+         |                  CAST(n_users * total_cents AS DOUBLE) END, 6) AS gini
+         |FROM a ORDER BY event_type""".stripMargin,
+    "q21_wait_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND n.n_name = 'NATION_7'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate
+        |                          + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q22_dormant_balance" ->
+      """WITH cents AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+        |  FROM customer
+        |),
+        |thr AS (SELECT count(*) AS n_pos, sum(acctbal_cents) AS sum_pos
+        |        FROM cents WHERE c_acctbal > 0)
+        |SELECT c_mktsegment AS segment, count(*) AS numcust,
+        |       CAST(sum(acctbal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM cents, thr
+        |WHERE acctbal_cents * thr.n_pos > thr.sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-06-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q2_min_cost_supplier" ->
       q2Sql("part", "supplier", "nation", "region", "lineitem"),
     "q4_priority_promise" ->

@@ -43,6 +43,56 @@ object PipelineOps {
       .orderBy(col("event_id"))
   }
 
+  /** Target expected sample size per source for [[ppsSample]] and the
+    * modulus of its uniform draw.
+    */
+  private val PpsTargetPerSource = 10L
+  private val PpsModulus = 1000000L
+
+  /** Probability-proportional-to-size sampling: each document is kept
+    * with probability `min(1, n_target · w / W_source)` where the size
+    * weight `w` is its character count — the Bernoulli-PPS pass a
+    * training pipeline uses to downsample a crawl while keeping long
+    * (information-dense) documents over-represented, with the
+    * Horvitz–Thompson weight `1/p` emitted so downstream token counts
+    * stay unbiased. The draw is the deterministic `poly_hash(doc_id)`
+    * uniform (same reproducibility argument as [[stratifiedSample]]),
+    * and the keep decision is CROSS-MULTIPLIED integers —
+    * `u · W_source < n_target · w · M` — so no float probability ever
+    * decides a row; the oracle replays the identical integer sentence.
+    * At dev scale the products stay well inside long range (u < 10⁶,
+    * W = per-source character total); a 100 TB corpus lifts them to
+    * DECIMAL(38,0) unchanged, the t_closeness convention. The only
+    * shuffle is the per-source weight-total aggregation, whose result
+    * broadcasts back; sampling itself is a codegen'd map pass.
+    */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val totals = docs
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("w_total"))
+    docs
+      .join(broadcast(totals), "source")
+      // the ':pps' salt lengthens the hashed string so the polynomial
+      // wraps the 1e9+7 modulus many times — a bare short doc_id yields
+      // small, structured hash values and a badly biased keep rate
+      .withColumn("u",
+                  graft.functions.TextExprs
+                    .polyHash(concat(col("doc_id").cast("string"),
+                                     lit(":pps"))) % PpsModulus)
+      .filter(col("u") * col("w_total") <
+        lit(PpsTargetPerSource) * col("n_chars") * lit(PpsModulus))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              round(when(lit(PpsTargetPerSource) * col("n_chars") >=
+                           col("w_total"), lit(1.0))
+                      .otherwise(col("w_total").cast("double") /
+                        (lit(PpsTargetPerSource) * col("n_chars"))
+                          .cast("double")), 6).as("ht_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary: global token counts + document frequency over the
     * normalized text, top 100 by count (token tie-break). Per-document
     * term frequencies come from ONE native pass
@@ -639,6 +689,22 @@ object PipelineOps {
          |SELECT event_id, event_type, ts, user_id, value, bucket
          |FROM h WHERE bucket < ($ratesSqlCase)
          |ORDER BY event_id""".stripMargin,
+    "pps_sample" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars,
+         |                  CAST(doc_id AS VARCHAR) || ':pps' AS eid FROM documents),
+         |t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w_total
+         |      FROM d GROUP BY 1),
+         |h AS (SELECT d.doc_id, d.source, d.n_chars, d.eid, t.w_total,
+         |             $polyHashSql % $PpsModulus AS u
+         |      FROM d JOIN t USING (source))
+         |SELECT doc_id, source, n_chars,
+         |       round(CASE WHEN $PpsTargetPerSource * n_chars >= w_total THEN 1.0
+         |                  ELSE CAST(w_total AS DOUBLE) /
+         |                       CAST($PpsTargetPerSource * n_chars AS DOUBLE)
+         |             END, 6) AS ht_weight
+         |FROM h
+         |WHERE u * w_total < $PpsTargetPerSource * n_chars * $PpsModulus
+         |ORDER BY doc_id""".stripMargin,
     // the sketch is provably exact at the default k (> corpus vocab), so
     // the oracle states est = exact, max_err = 0, gate true — any
     // nondeterminism or bound violation on the Spark side breaks the hash

@@ -240,6 +240,73 @@ object SeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** Per-type autocorrelation of the hourly KPI series at lags 1–3 —
+    * the seasonality probe a monitoring surface runs next to
+    * [[trendOls]]'s drift check (a strong lag-24 analog would mean
+    * "daily rhythm", lag-1 "momentum"). Follows the repo's float
+    * discipline end-to-end: the hourly series is exact integer cents;
+    * every sum the ACF needs (series n/Σx/Σx², and per-lag pair count,
+    * Σx_t·x_{t−k}, and the two one-sided pair sums) is an exact long,
+    * so partial aggregation is order-free; r_k then combines those
+    * longs with the IDENTICAL double expression the oracle evaluates
+    * (mean-centered numerator over pairs ÷ full-series moment), with
+    * degenerate denominators nulled like DuckDB's x/0. Lags step over
+    * OBSERVED hourly buckets (both engines lag the same grid), and the
+    * per-type hour series is unique on its sort key, so the window is
+    * deterministic.
+    *
+    * Scale shape: one (type, hour) aggregation shuffle, then the lag
+    * window and final per-type aggregation share the event_type
+    * partitioning. The window partition is the per-type HOURLY series —
+    * bounded by the calendar (~10⁵ rows per decade), never by event
+    * volume, the same manifest-not-corpus window argument as
+    * `compaction_plan`.
+    */
+  def autocorrLags(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(floor(col("value") * lit(100) + lit(0.5)).cast("long")).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hr"))
+    val lagged = hourly.select(
+      col("event_type"), col("x"),
+      lag(col("x"), 1).over(w).as("x1"),
+      lag(col("x"), 2).over(w).as("x2"),
+      lag(col("x"), 3).over(w).as("x3"))
+    val sums = lagged
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"),
+        count(col("x1")).as("m1"), sum(col("x") * col("x1")).as("c1"),
+        sum(when(col("x1").isNotNull, col("x"))).as("sa1"),
+        sum(col("x1")).as("sb1"),
+        count(col("x2")).as("m2"), sum(col("x") * col("x2")).as("c2"),
+        sum(when(col("x2").isNotNull, col("x"))).as("sa2"),
+        sum(col("x2")).as("sb2"),
+        count(col("x3")).as("m3"), sum(col("x") * col("x3")).as("c3"),
+        sum(when(col("x3").isNotNull, col("x"))).as("sa3"),
+        sum(col("x3")).as("sb3"))
+    def d(c: Column): Column = c.cast("double")
+    val mean = d(col("s")) / d(col("n"))
+    val den = d(col("ss")) - d(col("n")) * mean * mean
+    def rOf(k: Int): Column = {
+      val num = d(col(s"c$k")) - mean * d(col(s"sa$k")) -
+        mean * d(col(s"sb$k")) + d(col(s"m$k")) * mean * mean
+      round(when(den === lit(0.0), lit(null)).otherwise(num / den), 6)
+    }
+    sums
+      .select(col("event_type"),
+              explode(array((1 to 3).map(k =>
+                struct(lit(k.toLong).as("lag_k"),
+                       col(s"m$k").as("n_pairs"),
+                       rOf(k).as("autocorr"))): _*)).as("p"))
+      .select(col("event_type"), col("p.lag_k").as("lag_k"),
+              col("p.n_pairs").as("n_pairs"), col("p.autocorr").as("autocorr"))
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
   /** `/series` with the optional conjunctive predicates of the read API
     * (time range + source filter, read-api/main.py:316-334): the filter is
     * pushed to the parquet scan (partition/row-group pruning at scale).
@@ -347,6 +414,51 @@ object SeriesOps {
          |       c.n_events IS NULL AS is_gap
          |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.bucket = c.bucket
          |ORDER BY 1, 2""".stripMargin,
+    "autocorr_lags" -> {
+      def lagRow(k: Int): String =
+        s"""SELECT event_type, CAST($k AS BIGINT) AS lag_k, m$k AS n_pairs,
+           |       round(CASE WHEN den = 0 THEN NULL ELSE
+           |         (CAST(c$k AS DOUBLE) - mean * CAST(sa$k AS DOUBLE)
+           |          - mean * CAST(sb$k AS DOUBLE)
+           |          + CAST(m$k AS DOUBLE) * mean * mean) / den END, 6)
+           |         AS autocorr
+           |FROM m""".stripMargin
+      s"""WITH e AS ($ev),
+         |h AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hr,
+         |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+         |  FROM e GROUP BY 1, 2
+         |),
+         |l AS (
+         |  SELECT event_type, x,
+         |         lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+         |         lag(x, 3) OVER w AS x3
+         |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+         |),
+         |t AS (
+         |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+         |         CAST(sum(x * x) AS BIGINT) AS ss,
+         |         count(x1) AS m1, CAST(sum(x * x1) AS BIGINT) AS c1,
+         |         CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS sa1,
+         |         CAST(sum(x1) AS BIGINT) AS sb1,
+         |         count(x2) AS m2, CAST(sum(x * x2) AS BIGINT) AS c2,
+         |         CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END) AS BIGINT) AS sa2,
+         |         CAST(sum(x2) AS BIGINT) AS sb2,
+         |         count(x3) AS m3, CAST(sum(x * x3) AS BIGINT) AS c3,
+         |         CAST(sum(CASE WHEN x3 IS NOT NULL THEN x END) AS BIGINT) AS sa3,
+         |         CAST(sum(x3) AS BIGINT) AS sb3
+         |  FROM l GROUP BY 1
+         |),
+         |m AS (
+         |  SELECT *, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |         CAST(ss AS DOUBLE)
+         |           - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |                               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS den
+         |  FROM t
+         |)
+         |${lagRow(1)} UNION ALL ${lagRow(2)} UNION ALL ${lagRow(3)}
+         |ORDER BY event_type, lag_k""".stripMargin
+    },
     "series_avg" ->
       s"""SELECT event_type, date_trunc('minute', ts) AS bucket, round(avg(value), 6) AS avg_value
          |FROM $ev e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

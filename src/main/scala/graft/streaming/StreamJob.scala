@@ -328,7 +328,19 @@ object StreamJob {
       .start()
     routedQuery.awaitTermination()
 
+    // TTL'd drain: the same ingest-dedup stage re-run under a small
+    // `graft.state.ttl`, proving end-to-end that the knob bounds the
+    // store — pass 1 admits every event, the TTL passes, and a replay
+    // pass finds its state EVICTED (numRowsRemoved > 0 in the state
+    // operator's progress) so every replay is re-admitted: exactly the
+    // bounded dedup-window trade the DedupStatefulProcessor scaladoc
+    // promises. The main drains above keep the reference-parity default
+    // (no TTL), so their counts are unchanged by this pass.
+    val (ttlEvicted, ttlReadmitted) = ttlDrain(spark, stageDir, outDir)
+
     Map(
+      "ttl_evicted" -> ttlEvicted,
+      "ttl_readmitted" -> ttlReadmitted,
       "hot_aggregates" -> spark.read.parquet(s"$outDir/hot_aggregates").count(),
       "alerts" -> spark.read.parquet(s"$outDir/alerts").count(),
       "fired_alerts" -> spark.read.parquet(s"$outDir/fired_alerts").count(),
@@ -359,6 +371,95 @@ object StreamJob {
                               .select("lang").distinct().count()
                             catch { case _: org.apache.spark.sql.AnalysisException => 0L })
     )
+  }
+
+  /** Millisecond TTL and post-expiry slack for the TTL'd drain — small
+    * enough to keep the job quick, large enough that pass 1 (a single
+    * AvailableNow batch over the staged fixture) finishes inside it.
+    */
+  private val TtlMillis = 4000L
+
+  /** Two AvailableNow drains of the ingest-dedup stage through ONE
+    * checkpoint under `graft.state.ttl`: pass 1 over the staged events,
+    * a sleep past the TTL, then a replay of the same events appended as
+    * new files. Returns (state rows evicted by TTL as reported by the
+    * state operator's `numRowsRemoved`, replays re-admitted because
+    * their dedup state had expired).
+    */
+  private def ttlDrain(spark: SparkSession, stageDir: String,
+                       outDir: String): (Long, Long) = {
+    val session0 = spark
+    import session0.implicits._
+    val ttlDir = s"$outDir/staged_events_ttl"
+    spark.read.parquet(stageDir).write.mode("overwrite").parquet(ttlDir)
+    val prevTtl = spark.conf.getOption("graft.state.ttl")
+    spark.conf.set("graft.state.ttl", TtlMillis.toString)
+    try {
+      // NOT AvailableNow, and NOT processAllAvailable(): the TTL forces
+      // TimeMode.ProcessingTime, under which the transformWithState
+      // operator answers shouldRunAnotherBatch=true on every batch (it
+      // may always have state to expire) — so AvailableNow's end
+      // condition never fires and processAllAvailable's noNewData flag
+      // is never signaled; both block forever while no-data batches
+      // churn. The bounded form: default trigger, poll the sink until
+      // the expected rows have committed (and, for the replay pass, the
+      // TTL sweep has reported evictions), then stop. The poll deadline
+      // is a safety net — the asserting spec fails on a zero count, so
+      // a hang converts to a visible assertion, not a stuck build.
+      def outputCount(): Long =
+        try spark.read.parquet(s"$outDir/deduped_events_ttl").count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      def drain(expectTotal: Long, awaitEviction: Boolean): Long = {
+        val q = TypedStatefulProcessors
+          .dedupStream(spark, spark.readStream
+            .schema(EventPipeline.eventSchema)
+            .parquet(ttlDir)
+            .select(col("event_id"), col("ts"), col("user_id"),
+                    col("event_type"), col("value"))
+            .as[Event])
+          .toDF()
+          .writeStream
+          .outputMode(OutputMode.Update)
+          .option("checkpointLocation", s"$outDir/ckpt_dedup_ttl")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            if (!b.isEmpty) {
+              b.write.mode("append").parquet(s"$outDir/deduped_events_ttl")
+            }
+            ()
+          }
+          .start()
+        // evictions accumulate across the progress ring (no-data batches
+        // cycle it slowly — ~2/s against a 100-entry ring — so polling
+        // every 200 ms cannot miss a batch's report)
+        var removed = 0L
+        val seenBatches = scala.collection.mutable.Set.empty[Long]
+        def sweep(): Unit = q.recentProgress.foreach { p =>
+          if (seenBatches.add(p.batchId)) {
+            removed += Option(p.stateOperators).toSeq.flatten
+              .map(_.numRowsRemoved).sum
+          }
+        }
+        val deadline = System.currentTimeMillis() + 180000L
+        while (System.currentTimeMillis() < deadline &&
+               (outputCount() < expectTotal ||
+                 { sweep(); awaitEviction && removed == 0L }))
+          Thread.sleep(200)
+        sweep()
+        q.stop()
+        q.awaitTermination()
+        removed
+      }
+      val n = spark.read.parquet(stageDir).count()
+      drain(n, awaitEviction = false) // pass 1: every event is new
+      Thread.sleep(TtlMillis + 500)   // let every pass-1 state row expire
+      spark.read.parquet(stageDir).write.mode("append").parquet(ttlDir)
+      // pass 2: expired state swept, replays re-admitted
+      val evicted = drain(2 * n, awaitEviction = true)
+      (evicted, outputCount() - n)
+    } finally prevTtl match {
+      case Some(v) => spark.conf.set("graft.state.ttl", v)
+      case None    => spark.conf.unset("graft.state.ttl")
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -477,6 +477,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ssjoin.broadcast")
   }
 
+  test("q21 stacks semi + anti joins on one order-key partitioning") {
+    val p = planOf(OlapOps.q21WaitSuppliers(spark, sf("sf0.001")))
+    // both existence checks must be joins, never per-row rescans
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // supplier + nation ride in as broadcasts
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q22: anti join on custkey, threshold broadcast, date slice pushed") {
+    val p = planOf(OlapOps.q22DormantBalance(spark, sf("sf0.001")))
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    // the one-row (n_pos, sum_pos) frame must broadcast, never shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // dormancy cutoff reaches the orders scan as a pushed filter
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"))
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

@@ -207,6 +207,16 @@ class StreamingParitySpec extends SparkSpec {
     val counts = streaming.StreamJob.run(spark, sf("sf0.001"), out)
     assert(counts("alerts") > 0 && counts("fired_alerts") > 0)
 
+    // TTL'd drain: state rows from pass 1 were evicted by the TTL sweep,
+    // and the replay pass re-admitted events whose dedup state expired —
+    // the end-to-end proof that graft.state.ttl bounds the store. The
+    // main drains run at the no-TTL default, so every count below this
+    // block is reference parity, unchanged.
+    assert(counts("ttl_evicted") > 0,
+           s"TTL sweep removed no state rows: $counts")
+    assert(counts("ttl_readmitted") > 0,
+           s"no replay was re-admitted after TTL expiry: $counts")
+
     // routing invariant: the streamed channel dispatch equals the batch
     // rules join applied to the fired-alert store it consumed
     val fired = spark.read.parquet(s"$out/fired_alerts")
