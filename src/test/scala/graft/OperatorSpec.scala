@@ -883,4 +883,167 @@ class OperatorSpec extends SparkSpec {
     assert(total == exactTotal)
     df.unpersist()
   }
+
+  test("incident_overlap equals the brute-force interval join") {
+    val session = spark
+    import session.implicits._
+    // sf0.01: the sf0.001 fixture has no cross-type incident overlap at
+    // all, which would vacuously pass — this SF has real pairs
+    val regions = AnomalyOps.anomalyRegions(spark, sf("sf0.01"))
+      .select("event_type", "start_ts", "end_ts", "n_alerts")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect()
+    val expected = (for {
+      a <- regions; b <- regions
+      if a._1 < b._1 && !a._2.after(b._3) && !b._2.after(a._3)
+    } yield (a._1, b._1,
+             if (a._2.after(b._2)) a._2 else b._2,
+             if (a._3.before(b._3)) a._3 else b._3)).toSet
+    val got = AnomalyOps.incidentOverlap(spark, sf("sf0.01"))
+      .select("type_a", "type_b", "overlap_start", "overlap_end")
+      .as[(String, String, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect()
+    // hour-grid bucketing + anchor dedup must emit each overlapping
+    // cross-type pair exactly once — no misses, no double-counting
+    assert(got.length == got.toSet.size, "duplicate pair emitted")
+    assert(got.toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("autocorr_lags matches brute-force ACF and stays within [-1, 1]") {
+    val session = spark
+    import session.implicits._
+    val rows = SeriesOps.autocorrLags(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Option[Double])].collect()
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    rows.foreach { case (_, _, _, r) =>
+      r.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)) }
+    // brute-force replay over the collected hourly series
+    val hourly = Tables.events(spark, sf("sf0.001"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"))
+      .select("event_type", "hr", "x")
+      .as[(String, java.sql.Timestamp, Long)]
+      .collect().groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2.getTime).map(_._3)).toMap
+    rows.foreach { case (t, k, nPairs, r) =>
+      val xs = hourly(t)
+      val n = xs.length.toDouble
+      val mean = xs.sum.toDouble / n
+      val den = xs.map(x => (x - mean) * (x - mean)).sum
+      val pairs = xs.drop(k.toInt).zip(xs.dropRight(k.toInt))
+      assert(nPairs == pairs.length)
+      val num = pairs.map { case (a, b) => (a - mean) * (b - mean) }.sum
+      if (den == 0) assert(r.isEmpty)
+      else assert(math.abs(r.get - num / den) < 1e-5,
+                  s"$t lag $k: ${r.get} vs ${num / den}")
+    }
+  }
+
+  test("pps_sample: keep rule exact, HT weights >= 1, certainty docs kept") {
+    val session = spark
+    import session.implicits._
+    val dir = sf("sf0.001")
+    val sampled = PipelineOps.ppsSample(spark, dir).cache()
+    // every Horvitz–Thompson weight is 1/p with p <= 1
+    assert(sampled.filter(col("ht_weight") < 1.0).isEmpty)
+    // docs whose size alone reaches the per-source target (p = 1) must
+    // ALL be present — certainty units of a PPS design
+    val totals = Tables.documents(spark, dir)
+      .groupBy("source").agg(sum("n_chars").as("w_total"))
+    val certain = Tables.documents(spark, dir)
+      .join(totals, "source")
+      .filter(lit(10L) * col("n_chars") >= col("w_total"))
+      .select("doc_id")
+    assert(certain.join(sampled, "doc_id").count() == certain.count())
+    // and certainty docs carry exactly weight 1
+    assert(sampled.join(certain, "doc_id")
+      .filter(col("ht_weight") =!= 1.0).isEmpty)
+    sampled.unpersist()
+  }
+
+  test("gini_concentration equals brute-force Gini on sorted user totals") {
+    val session = spark
+    import session.implicits._
+    val got = OlapOps.giniConcentration(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Option[Double])].collect()
+    assert(got.nonEmpty)
+    val totals = Tables.events(spark, sf("sf0.001"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .select("event_type", "cents").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    got.foreach { case (t, nUsers, totalCents, gini) =>
+      val xs = totals(t).sorted
+      assert(nUsers == xs.length && totalCents == xs.sum)
+      val n = xs.length.toLong
+      val s = xs.sum
+      val weighted = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      if (n * s == 0) assert(gini.isEmpty)
+      else {
+        val expect = (2.0 * weighted - (n + 1.0) * s) / (n.toDouble * s)
+        assert(math.abs(gini.get - expect) < 1e-6, s"$t: $gini vs $expect")
+        assert(gini.get >= 0.0 && gini.get < 1.0)
+      }
+    }
+  }
+
+  test("q21/q22 equal their brute-force replays") {
+    val session = spark
+    import session.implicits._
+    // sf0.01: at sf0.001 NATION_7 has no waiting supplier and no
+    // customer passes the dormancy slice — both replays would be
+    // vacuous; this SF exercises real rows (collects stay ~60k rows)
+    val dir = sf("sf0.01")
+    // q21: per-order supplier sets and late-supplier sets, counted per line
+    val ordersF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    val lines = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val suppsByOrder = lines.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def isLate(l: (Long, Long, java.sql.Timestamp)): Boolean =
+      ordersF.get(l._1).exists(od =>
+        l._3.getTime > od.getTime + 60L * 86400000L)
+    val lateLines = lines.filter(isLate)
+    val lateSupps = lateLines.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val nation7 = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir)
+              .filter(col("n_name") === "NATION_7"),
+            col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name").as[(Long, String)].collect().toMap
+    val expected = lateLines
+      .filter(l => suppsByOrder(l._1).exists(_ != l._2) &&
+        !lateSupps(l._1).exists(_ != l._2))
+      .flatMap(l => nation7.get(l._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got21 = OlapOps.q21WaitSuppliers(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got21 == expected && expected.nonEmpty)
+
+    // q22: above-average balance (integer cross-multiplied), dormant
+    // since the cutoff, rolled up by segment
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, Double)].collect()
+    def cents(b: Double): Long = math.floor(b * 100 + 0.5).toLong
+    val pos = cust.filter(_._3 > 0)
+    val (nPos, sumPos) = (pos.length.toLong, pos.map(c => cents(c._3)).sum)
+    val cutoff = java.sql.Timestamp.valueOf("1999-06-01 00:00:00")
+    val active = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff))
+      .select("o_custkey").as[Long].collect().toSet
+    val expected22 = cust
+      .filter(c => cents(c._3) * nPos > sumPos && !active.contains(c._1))
+      .groupBy(_._2).view
+      .mapValues(g => (g.length.toLong, g.map(c => cents(c._3)).sum)).toMap
+    val got22 = OlapOps.q22DormantBalance(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got22 == expected22 && expected22.nonEmpty)
+  }
 }
