@@ -107,6 +107,8 @@ object SparkEntry {
     "autocorr_lags" -> (SeriesOps.autocorrLags _),
     "pps_sample" -> (PipelineOps.ppsSample _),
     "gini_concentration" -> (OlapOps.giniConcentration _),
+    "q16_part_suppliers" -> (OlapOps.q16PartSuppliers _),
+    "trade_triangles" -> (OlapOps.tradeTriangles _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

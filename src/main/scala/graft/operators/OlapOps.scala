@@ -675,7 +675,140 @@ object OlapOps {
       .orderBy(col("segment"))
   }
 
+  /** TPC-H Q16's shape — the NOT IN anti join over a subquery, the one
+    * join form nothing else here exercises: Spark must plan it
+    * NULL-AWARE (a single NULL in the subquery legally empties the
+    * result, so a plain anti join is wrong) — Catalyst rewrites it to a
+    * broadcast null-aware anti join rather than a per-row rescan, and
+    * the spec pins that shape. Supplier "complaints" adapt to negative
+    * account balance (no comment column in the driver schema); the
+    * distinct-supplier count per (brand, size) is the Q16 aggregate.
+    * Shared-sentence pattern like Q2: Spark and DuckDB plan the SAME
+    * SQL text.
+    */
+  def q16PartSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q16_part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q16_lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q16_supplier")
+    spark.sql(
+      q16Sql("graft_q16_part", "graft_q16_lineitem", "graft_q16_supplier"))
+  }
+
+  private def q16Sql(part: String, lineitem: String,
+                     supplier: String): String =
+    s"""SELECT p.p_brand, p.p_size,
+       |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+       |FROM $lineitem l
+       |JOIN $part p ON p.p_partkey = l.l_partkey
+       |WHERE p.p_size <= 15
+       |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM $supplier
+       |                          WHERE s_acctbal < 0)
+       |GROUP BY 1, 2
+       |ORDER BY supplier_cnt DESC, p_brand, p_size
+       |LIMIT 40""".stripMargin
+
+  /** Triangle census of the nation trade graph — the graph-analytics
+    * shape next to `pagerank_types`: nodes are nations, an undirected
+    * edge means the pair trades HEAVILY (pair volume above 1.2× the
+    * mean pair volume — the gate is the cross-multiplied integer
+    * `5·w·n_pairs > 6·total_w`, so no float average decides an edge and
+    * the threshold adapts to any scale factor), and each nation's
+    * triangle count measures how clustered its trade partners are.
+    *
+    * Scale shape: the volume aggregation is the q7-style fact join
+    * (dims broadcast, one shuffle on the nation pair); everything after
+    * runs on the EDGE LIST, bounded by |nations|² — metadata scale.
+    * Triangles enumerate by ORIENTATION: every edge is stored once as
+    * (u < v), and the 3-way join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) finds
+    * each triangle exactly once as its sorted node triple — no
+    * double-counting, no distinct. On a billion-edge graph the same
+    * plan holds with degree-based orientation bounding the join
+    * fan-out (the standard compact-forward argument); here the node
+    * set is the nation table, so plain lexicographic orientation
+    * suffices.
+    */
+  def tradeTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val trade = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+              .select(col("c_custkey"), col("c_nationkey").as("cn"))),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+              .select(col("s_suppkey"), col("s_nationkey").as("sn"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+              .select(col("n_nationkey").as("snk"), col("n_name").as("a"))),
+            col("sn") === col("snk"))
+      .join(broadcast(Tables.nation(spark, dir)
+              .select(col("n_nationkey").as("cnk"), col("n_name").as("b"))),
+            col("cn") === col("cnk"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_trades"))
+    val und = trade
+      .select(least(col("a"), col("b")).as("u"),
+              greatest(col("a"), col("b")).as("v"), col("n_trades"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("n_trades")).as("w"))
+    val tot = und.agg(sum(col("w")).as("total_w"),
+                      count(lit(1)).as("n_pairs"))
+    val edges = und
+      .join(broadcast(tot))
+      .filter(lit(5L) * col("w") * col("n_pairs") > lit(6L) * col("total_w"))
+      .select(col("u"), col("v"))
+    val tris = edges
+      .select(col("u").as("ta"), col("v").as("tb"))
+      .join(edges.select(col("u").as("tb2"), col("v").as("tc")),
+            col("tb") === col("tb2"))
+      .join(edges.select(col("u").as("ta3"), col("v").as("tc3")),
+            col("ta") === col("ta3") && col("tc") === col("tc3"),
+            "left_semi")
+    tris
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("nation"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("nation"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q16_part_suppliers" ->
+      q16Sql("part", "lineitem", "supplier"),
+    "trade_triangles" ->
+      """WITH trade AS (
+        |  SELECT ns.n_name AS a, nc.n_name AS b, count(*) AS n_trades
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE ns.n_name <> nc.n_name
+        |  GROUP BY 1, 2
+        |),
+        |und AS (
+        |  SELECT least(a, b) AS u, greatest(a, b) AS v,
+        |         CAST(sum(n_trades) AS BIGINT) AS w
+        |  FROM trade GROUP BY 1, 2
+        |),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total_w,
+        |               count(*) AS n_pairs FROM und),
+        |edges AS (SELECT u, v FROM und, tot
+        |          WHERE 5 * w * n_pairs > 6 * total_w),
+        |tris AS (
+        |  SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.v = e2.u
+        |  WHERE EXISTS (SELECT 1 FROM edges e3
+        |                WHERE e3.u = e1.u AND e3.v = e2.v)
+        |)
+        |SELECT nation, count(*) AS n_triangles
+        |FROM (SELECT ta AS nation FROM tris
+        |      UNION ALL SELECT tb FROM tris
+        |      UNION ALL SELECT tc FROM tris) n
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "gini_concentration" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |ut AS (

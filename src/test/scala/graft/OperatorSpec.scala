@@ -1046,4 +1046,34 @@ class OperatorSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(got22 == expected22 && expected22.nonEmpty)
   }
+
+  test("q16 excludes flagged suppliers; trade_triangles counts close") {
+    val session = spark
+    import session.implicits._
+    val dir = sf("sf0.01")
+    // q16: no surviving (brand, size) group may count a flagged supplier
+    // — recompute one group's distinct suppliers minus the flagged set
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+      .as[Long].collect().toSet
+    assert(flagged.nonEmpty, "fixture lost its negative-balance suppliers")
+    val got = OlapOps.q16PartSuppliers(spark, dir)
+      .as[(String, Int, Long)].collect()
+    assert(got.length == 40)
+    val (brand, size, cnt) = got.head
+    val recount = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_size") <= 15),
+            col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === brand && col("p_size") === size)
+      .select("l_suppkey").as[Long].collect().toSet
+      .count(s => !flagged.contains(s))
+    assert(cnt == recount)
+
+    // trade_triangles: each triangle contributes exactly 3 nation slots
+    val tri = OlapOps.tradeTriangles(spark, dir)
+      .as[(String, Long)].collect()
+    assert(tri.nonEmpty)
+    assert(tri.map(_._2).sum % 3 == 0)
+    assert(tri.forall(_._2 > 0))
+  }
 }

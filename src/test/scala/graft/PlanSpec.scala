@@ -497,6 +497,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate,"))
   }
 
+  test("q16: NOT IN plans null-aware, never a per-row rescan") {
+    val df = OlapOps.q16PartSuppliers(spark, sf("sf0.001"))
+    val p = planOf(df)
+    // the NOT IN subquery must become a NULL-AWARE anti join (a plain
+    // LeftAnti would return wrong results if the subquery ever held a
+    // NULL; a surviving in-subquery would rescan per probe row) — pin
+    // the isNullAwareAntiJoin flag on the physical broadcast join
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def collectAll(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = pl match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => pl.children
+      }
+      pl +: kids.flatMap(collectAll)
+    }
+    val naaj = collectAll(df.queryExecution.executedPlan).collect {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.nonEmpty, s"NOT IN not planned null-aware:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("trade_triangles: fact dims broadcast; triangle join on the edge list") {
+    val p = planOf(OlapOps.tradeTriangles(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
