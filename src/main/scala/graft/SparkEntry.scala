@@ -109,6 +109,7 @@ object SparkEntry {
     "gini_concentration" -> (OlapOps.giniConcentration _),
     "q16_part_suppliers" -> (OlapOps.q16PartSuppliers _),
     "trade_triangles" -> (OlapOps.tradeTriangles _),
+    "series_holt" -> (SeriesOps.seriesHolt _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

@@ -61,6 +61,67 @@ object SeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** Holt smoothing constants — written as EXPLICIT literals on both
+    * sides (0.3/0.7, 0.1/0.9) rather than `1 − α` arithmetic so the
+    * engines cannot disagree by an ulp on the complement.
+    */
+  private val HoltAlpha = 0.3
+  private val HoltAlphaC = 0.7
+  private val HoltBeta = 0.1
+  private val HoltBetaC = 0.9
+
+  /** Holt double-exponential smoothing per event type — the forecasting
+    * step above [[seriesEwma]]'s level-only smoother: the minute-bucket
+    * series folds through the classic (level, trend) recursion
+    * (`l' = α·x + (1−α)(l+b)`, `b' = β(l'−l) + (1−β)b`, initialized
+    * l=v₂, b=v₂−v₁) and emits the fitted level, trend, and the 3-step
+    * linear forecast `l + 3b` — the "where is this KPI heading" number
+    * a capacity dashboard shows next to the EWMA.
+    *
+    * Parity discipline (same as the EWMA): the recursion is inherently
+    * ordered, so both engines fold the SAME sorted value list with the
+    * SAME IEEE expression tree — Spark's `aggregate` over a
+    * struct-state, DuckDB's `list_reduce` over a struct list with the
+    * init prepended (its accumulator must share the element type).
+    * Types with fewer than two buckets yield NULL on both sides (the
+    * guard also keeps ANSI `element_at` from erroring).
+    *
+    * Scale shape: one (type, minute) aggregation shuffle, then one
+    * per-type fold whose buffer is the type's MINUTE series — calendar-
+    * bounded like [[autocorrLags]]'s window, never event-bounded.
+    */
+  def seriesHolt(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
+      .agg(round(avg(col("value")), 6).as("av"))
+    val vals = transform(
+      sort_array(collect_list(struct(col("bucket"), col("av")))),
+      _.getField("av"))
+    val folded = aggregate(
+      slice(col("vals"), lit(3), greatest(size(col("vals")) - 2, lit(0))),
+      struct(element_at(col("vals"), 2).as("l"),
+             (element_at(col("vals"), 2) - element_at(col("vals"), 1)).as("b")),
+      (s, x) => {
+        val l = s.getField("l")
+        val b = s.getField("b")
+        val lNew = lit(HoltAlpha) * x + lit(HoltAlphaC) * (l + b)
+        struct(lNew.as("l"),
+               (lit(HoltBeta) * (lNew - l) + lit(HoltBetaC) * b).as("b"))
+      })
+    buckets
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), vals.as("vals"))
+      .select(col("event_type"), col("n_buckets"),
+              when(size(col("vals")) >= 2, folded).as("st"))
+      .select(
+        col("event_type"), col("n_buckets"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + lit(3.0) * col("st.b"), 6).as("forecast_3"))
+      .orderBy(col("event_type"))
+  }
+
   def seriesSum(spark: SparkSession, dir: String): DataFrame =
     Tables
       .events(spark, dir)
@@ -462,6 +523,38 @@ object SeriesOps {
     "series_avg" ->
       s"""SELECT event_type, date_trunc('minute', ts) AS bucket, round(avg(value), 6) AS avg_value
          |FROM $ev e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "series_holt" ->
+      s"""WITH b AS (
+         |  SELECT event_type, date_trunc('minute', ts) AS bucket,
+         |         round(avg(value), 6) AS av
+         |  FROM $ev e GROUP BY 1, 2
+         |),
+         |s AS (
+         |  SELECT event_type, count(*) AS n_buckets,
+         |         list(av ORDER BY bucket) AS vals
+         |  FROM b GROUP BY event_type
+         |),
+         |f AS (
+         |  -- state rides a 2-element LIST [l, b], not a struct: DuckDB's
+         |  -- list_reduce aliases the accumulator slot, so a struct-state
+         |  -- lambda would see the freshly-written l while computing b
+         |  SELECT event_type, n_buckets,
+         |         CASE WHEN len(vals) >= 2 THEN list_reduce(
+         |           list_prepend([vals[2], vals[2] - vals[1]],
+         |             list_transform(vals[3:], x -> [x, 0.0])),
+         |           (acc, x) ->
+         |             [$HoltAlpha * x[1] + $HoltAlphaC * (acc[1] + acc[2]),
+         |              $HoltBeta * (($HoltAlpha * x[1]
+         |                + $HoltAlphaC * (acc[1] + acc[2])) - acc[1])
+         |                + $HoltBetaC * acc[2]])
+         |         END AS st
+         |  FROM s
+         |)
+         |SELECT event_type, n_buckets,
+         |       round(st[1], 6) AS level,
+         |       round(st[2], 6) AS trend,
+         |       round(st[1] + 3.0 * st[2], 6) AS forecast_3
+         |FROM f ORDER BY event_type""".stripMargin,
     "series_ewma" ->
       s"""WITH b AS (
          |  SELECT event_type, date_trunc('minute', ts) AS bucket,

@@ -1047,6 +1047,39 @@ class OperatorSpec extends SparkSpec {
     assert(got22 == expected22 && expected22.nonEmpty)
   }
 
+  test("series_holt equals a straight scalar replay of the recursion") {
+    val session = spark
+    import session.implicits._
+    val rows = SeriesOps.seriesHolt(spark, sf("sf0.001"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(rows.nonEmpty)
+    val series = Tables.events(spark, sf("sf0.001"))
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
+      .agg(graft.functions.Rounding.round(avg(col("value")), 6).as("av"))
+      .select("event_type", "bucket", "av")
+      .as[(String, java.sql.Timestamp, Double)]
+      .collect().groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2.getTime).map(_._3)).toMap
+    rows.foreach { case (t, nBuckets, level, trend, forecast) =>
+      val vs = series(t)
+      assert(nBuckets == vs.length)
+      if (vs.length < 2) assert(level.isEmpty)
+      else {
+        var l = vs(1); var b = vs(1) - vs(0)
+        vs.drop(2).foreach { x =>
+          val ln = 0.3 * x + 0.7 * (l + b)
+          b = 0.1 * (ln - l) + 0.9 * b
+          l = ln
+        }
+        def r6(x: Double) = graft.functions.Rounding.scalar(x, 6)
+        assert(level.contains(r6(l)), s"$t level: $level vs ${r6(l)}")
+        assert(trend.contains(r6(b)))
+        assert(forecast.contains(r6(l + 3.0 * b)))
+      }
+    }
+  }
+
   test("q16 excludes flagged suppliers; trade_triangles counts close") {
     val session = spark
     import session.implicits._
