@@ -110,6 +110,7 @@ object SparkEntry {
     "q16_part_suppliers" -> (OlapOps.q16PartSuppliers _),
     "trade_triangles" -> (OlapOps.tradeTriangles _),
     "series_holt" -> (SeriesOps.seriesHolt _),
+    "basket_pairs" -> (OlapOps.basketPairs _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

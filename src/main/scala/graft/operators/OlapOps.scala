@@ -580,6 +580,52 @@ object OlapOps {
       .orderBy(col("event_type"))
   }
 
+  /** Frequent 2-itemsets over order baskets — the A-priori support-count
+    * pass of market-basket analysis, and the workload shape of
+    * co-occurrence mining generally (parts per order here; tokens per
+    * document or skills per user elsewhere). Top 20 co-ordered part
+    * pairs by support, names attached.
+    *
+    * Scale shape: the pair expansion is the repo's standard in-bucket
+    * pattern (the [[graft.operators.DedupOps]] posting-list argument):
+    * each order's DISTINCT sorted item list expands to its
+    * C(|basket|, 2) pairs INSIDE the row — fan-out bounded by basket
+    * size squared, never a corpus-wide self-join — then one pair
+    * aggregation with map-side combine and a TakeOrdered top-20. The
+    * oracle states the same thing as the O(n²) relational self-join,
+    * so the hash match proves the expansion lost no pair.
+    */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) > 1)
+    val pairs = baskets
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("parts")) - 1),
+        i => transform(sequence(i + 1, size(col("parts"))),
+                       j => struct(element_at(col("parts"), i).as("pa"),
+                                   element_at(col("parts"), j).as("pb"))))))
+        .as("p"))
+      .select(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(20)
+    val names = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    pairs
+      .join(broadcast(names), col("part_a") === col("p_partkey"))
+      .withColumnRenamed("p_name", "name_a").drop("p_partkey")
+      .join(broadcast(names), col("part_b") === col("p_partkey"))
+      .withColumnRenamed("p_name", "name_b").drop("p_partkey")
+      .select(col("part_a"), col("part_b"), col("name_a"), col("name_b"),
+              col("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+  }
+
   /** TPC-H Q21's shape (suppliers who kept orders waiting): for 'F'
     * orders, the flagged supplier shipped late while EVERY other
     * supplier on the order shipped on time — the one TPC-H query that
@@ -774,6 +820,23 @@ object OlapOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "basket_pairs" ->
+      """WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |         count(*) AS support
+        |  FROM ip a JOIN ip b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |),
+        |top AS (SELECT * FROM pr ORDER BY support DESC, part_a, part_b
+        |        LIMIT 20)
+        |SELECT part_a, part_b, p1.p_name AS name_a, p2.p_name AS name_b,
+        |       support
+        |FROM top
+        |JOIN part p1 ON p1.p_partkey = part_a
+        |JOIN part p2 ON p2.p_partkey = part_b
+        |ORDER BY support DESC, part_a, part_b""".stripMargin,
     "q16_part_suppliers" ->
       q16Sql("part", "lineitem", "supplier"),
     "trade_triangles" ->

@@ -129,6 +129,25 @@ object StreamJob {
       }
       .start()
 
+    // live drift dashboard: per-type TV distance vs the reference
+    // window, folded online in MapState (streaming twin of batch
+    // drift_tv — parity spec'd in StatefulProcessorSpec)
+    val driftQuery = TypedStatefulProcessors
+      .driftStream(spark, events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"))
+        .as[Event])
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_drift")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/drift_snapshots")
+        ()
+      }
+      .start()
+
     val transQuery = EventPipeline
       .transitionStream(spark, events)
       .toDF()
@@ -272,6 +291,7 @@ object StreamJob {
       .start()
 
     kpiQuery.awaitTermination()
+    driftQuery.awaitTermination()
     alertQuery.awaitTermination()
     sessionQuery.awaitTermination()
     timerSessionQuery.awaitTermination()
@@ -367,6 +387,9 @@ object StreamJob {
       "hll_days" -> (try spark.read.parquet(s"$outDir/hll_days")
                        .select("epoch_day").distinct().count()
                      catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
+      "drift_types" -> (try spark.read.parquet(s"$outDir/drift_snapshots")
+                          .select("event_type").distinct().count()
+                        catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "top_token_langs" -> (try spark.read.parquet(s"$outDir/top_tokens")
                               .select("lang").distinct().count()
                             catch { case _: org.apache.spark.sql.AnalysisException => 0L })

@@ -452,6 +452,82 @@ class HllStatefulProcessor(lgK: Int = 12, ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** One band's (first-half, second-half) event counts on the streaming
+  * drift path — the per-band cell of the TV-distance histogram.
+  */
+case class BandPair(c_first: Long, c_second: Long)
+
+/** One live drift estimate per event type, schema-identical to the
+  * batch `drift_tv` row.
+  */
+case class DriftSnapshot(event_type: String,
+                         n_first: Long,
+                         n_second: Long,
+                         tv_num: Long,
+                         tv_distance: Option[Double],
+                         drifted: Boolean)
+
+object DriftStatefulProcessor {
+  /** The batch query's split point (`SeriesOps.driftTv` casts the same
+    * literal under the UTC session) and its band geometry.
+    */
+  val CutMillis: Long =
+    java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli
+  val MaxBand = 50L
+
+  def bandOf(value: Double): Long =
+    math.min(math.floor(value / 10).toLong, MaxBand)
+}
+
+/** Streaming data-drift monitor — the transformWithState twin of the
+  * batch `drift_tv` query, and the one processor here on MAP state:
+  * the per-type histogram lives as one MapState ENTRY per value band
+  * (≤ 52 entries — RocksDB point-updates only the touched band, where
+  * a ValueState histogram would rewrite the whole vector per event,
+  * the ListState-vs-ValueState argument again at map granularity).
+  * Each batch folds its events into the touched bands' (first, second)
+  * counters and re-emits the type's current TV distance; the final
+  * emission equals the batch query exactly (same integer numerator
+  * Σ|c·N_b − d·N_a|, same cross-multiplied verdict, same IEEE division
+  * order — StatefulProcessorSpec asserts row equality across a 3-batch
+  * split). A live dashboard reads "is today's traffic drifting from
+  * the reference window" with no rescan.
+  */
+class DriftStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, Event, DriftSnapshot] {
+  import DriftStatefulProcessor._
+
+  @transient private var bands: org.apache.spark.sql.streaming.MapState[Long, BandPair] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    bands = getHandle.getMapState[Long, BandPair](
+      "driftBands", Encoders.scalaLong, Encoders.product[BandPair], ttl)
+
+  override def handleInputRows(
+      key: String,
+      inputRows: Iterator[Event],
+      timerValues: TimerValues): Iterator[DriftSnapshot] = {
+    inputRows.foreach { e =>
+      val band = bandOf(e.value)
+      val cur = Option(bands.getValue(band)).getOrElse(BandPair(0L, 0L))
+      bands.updateValue(band,
+        if (e.ts.getTime < CutMillis) cur.copy(c_first = cur.c_first + 1)
+        else cur.copy(c_second = cur.c_second + 1))
+    }
+    val cells = bands.iterator().map(_._2).toVector
+    val na = cells.map(_.c_first).sum
+    val nb = cells.map(_.c_second).sum
+    val tvNum =
+      cells.map(c => math.abs(c.c_first * nb - c.c_second * na)).sum
+    val dist =
+      if (na == 0 || nb == 0) None
+      else Some(graft.functions.Rounding.scalar(
+        tvNum.toDouble / (2.0 * na.toDouble * nb.toDouble), 6))
+    Iterator.single(DriftSnapshot(key, na, nb, tvNum, dist,
+                                  tvNum * 5 > na * nb))
+  }
+}
+
 /** Tokenized document on the streaming top-tokens path (normalization
   * and splitting happen in codegen'd columns BEFORE the keyed shuffle).
   */
@@ -540,6 +616,20 @@ object TypedStatefulProcessors {
     docs
       .groupByKey(_.lang)
       .transformWithState(new TopTokensStatefulProcessor(ttl = ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update())
+  }
+
+  /** events → live per-type drift estimates via the MapState histogram
+    * processor; see [[DriftStatefulProcessor]].
+    */
+  def driftStream(spark: SparkSession,
+                  events: Dataset[Event]): Dataset[DriftSnapshot] = {
+    import spark.implicits._
+    val ttl = StateTtl.of(spark)
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new DriftStatefulProcessor(ttl),
                           StateTtl.timeMode(ttl),
                           OutputMode.Update())
   }

@@ -411,6 +411,28 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(s.head.n_events == 2L)
   }
 
+  test("streaming drift monitor converges to the batch drift_tv rows") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+    val streamed = runStream[Event, DriftSnapshot](
+      "tws_drift", events.toSeq,
+      in => TypedStatefulProcessors.driftStream(spark, in.toDS()))
+      .as[DriftSnapshot].collect()
+      // update mode re-emits per batch; the final (max-count) row per
+      // type is the converged histogram
+      .groupBy(_.event_type)
+      .map { case (_, v) => v.maxBy(s => s.n_first + s.n_second) }
+      .map(s => (s.event_type, s.n_first, s.n_second, s.tv_num,
+                 s.tv_distance, s.drifted))
+      .toSet
+    val batch = graft.operators.SeriesOps
+      .driftTv(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Option[Double], Boolean)]
+      .collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming ingest dedup keeps exactly the batch first-occurrences") {
     val session = spark
     import session.implicits._
