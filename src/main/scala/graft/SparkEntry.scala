@@ -111,6 +111,8 @@ object SparkEntry {
     "trade_triangles" -> (OlapOps.tradeTriangles _),
     "series_holt" -> (SeriesOps.seriesHolt _),
     "basket_pairs" -> (OlapOps.basketPairs _),
+    "q14_promo_share" -> (OlapOps.q14PromoShare _),
+    "q19_disjunctive_revenue" -> (OlapOps.q19DisjunctiveRevenue _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

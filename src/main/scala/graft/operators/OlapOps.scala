@@ -580,6 +580,62 @@ object OlapOps {
       .orderBy(col("event_type"))
   }
 
+  /** Lineitem revenue in exact integer cents — the shared measure of the
+    * Q14/Q19 shapes below.
+    */
+  private def revCents: org.apache.spark.sql.Column =
+    floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100) +
+      lit(0.5)).cast("long")
+
+  /** TPC-H Q14's shape (promotion effect): the conditional-share
+    * aggregate — promo revenue over total revenue for one ship month,
+    * both sums exact longs so only the final percentage is a double
+    * (identical expression order on both engines). The month slice
+    * pushes into the lineitem scan; the part dim broadcasts.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+              .select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", revCents).otherwise(0L))
+             .as("promo_cents"),
+           sum(revCents).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+              round(when(col("total_cents") === 0L, lit(null))
+                      .otherwise(lit(100.0) * col("promo_cents").cast("double") /
+                        col("total_cents").cast("double")), 6)
+                .as("promo_share"))
+
+  /** TPC-H Q19's shape (discounted revenue): the OR-of-ANDs predicate
+    * spanning both join sides — the planner stress nothing else here
+    * exercises. Catalyst must factor the single-table disjuncts out of
+    * the cross-table OR so BOTH scans still get pushed filters (the
+    * lineitem scan keeps an Or over the quantity bands, the part scan
+    * an Or over brand×size), instead of filtering only post-join —
+    * PlanSpec pins both PushedFilters. At 100 TB that factoring is the
+    * difference between scanning three quantity bands and scanning
+    * every row.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+              .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_items"),
+           sum(revCents).as("revenue_cents"))
+
   /** Frequent 2-itemsets over order baskets — the A-priori support-count
     * pass of market-basket analysis, and the workload shape of
     * co-occurrence mining generally (parts per order here; tokens per
@@ -820,6 +876,38 @@ object OlapOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |              AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01'
+        |),
+        |a AS (
+        |  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+        |              AS BIGINT) AS promo_cents,
+        |         CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM j
+        |)
+        |SELECT promo_cents, total_cents,
+        |       round(CASE WHEN total_cents = 0 THEN NULL
+        |             ELSE 100.0 * CAST(promo_cents AS DOUBLE) /
+        |                  CAST(total_cents AS DOUBLE) END, 6) AS promo_share
+        |FROM a""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT count(*) AS n_items,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |                           + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "basket_pairs" ->
       """WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pr AS (

@@ -527,6 +527,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q19: single-table disjuncts factor out of the cross-table OR") {
+    // the OR spans both join sides; Catalyst must still push an Or
+    // filter onto EACH scan (quantity bands to lineitem, brand×size to
+    // part) — losing the factoring means filtering only post-join
+    val p = planOf(OlapOps.q19DisjunctiveRevenue(spark, sf("sf0.001")))
+    assert(p.contains("Or(And(GreaterThanOrEqual(l_quantity,1.0)") ||
+             (p.contains("PushedFilters") &&
+               "Or\\(.*l_quantity".r.findFirstIn(p).isDefined),
+           s"quantity bands not pushed to the lineitem scan:\n$p")
+    assert("Or\\(.*p_brand|p_brand.*Or\\(".r.findFirstIn(p).isDefined ||
+             p.contains("In(p_brand"),
+           s"brand disjunction not pushed to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
