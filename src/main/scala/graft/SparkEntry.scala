@@ -143,6 +143,8 @@ object SparkEntry {
     "embed_rp_sketch" -> (VectorOps.embedRpSketch _),
     "label_centroids" -> (VectorOps.labelCentroids _),
     "kmeans_centroids" -> (VectorOps.kmeansCentroids _),
+    "pq_codebooks" -> (VectorOps.pqCodebooks _),
+    "pq_encode" -> (VectorOps.pqEncode _),
     // corpus search / relevance scoring
     "tfidf_topterms" -> (SearchOps.tfidfTopterms _),
     "bm25_search" -> (SearchOps.bm25Search _),

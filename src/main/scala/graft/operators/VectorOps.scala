@@ -460,7 +460,176 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** PQ geometry — M subspaces × K codewords over the 64-dim embedding
+    * (production PQ uses M=8..64, K=256; the dataflow is identical and
+    * the static oracle encodes these dev-scale constants).
+    */
+  private val PqSubspaces = 4
+  private val PqSubDim = 16
+  private val PqCodes = 8
+  private val PqIters = 2
+
+  /** (vec_id, m, sv) subvector frame: each vector split into
+    * [[PqSubspaces]] contiguous blocks, double-cast like the oracle.
+    */
+  private def subvectors(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"),
+              explode(array((0 until PqSubspaces).map(m =>
+                struct(lit(m.toLong).as("m"),
+                       transform(slice(col("embedding"),
+                                       m * PqSubDim + 1, PqSubDim),
+                                 x => x.cast("double")).as("sv"))): _*))
+                .as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+
+  /** Subspace Lloyd mean (the [[meansOf]] idiom keyed by (m, code)). */
+  private def pqMeansOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("code"), posexplode(col("sv")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("c"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .getField("c").as("centroid"))
+
+  /** Nearest-codeword assignment of a subvector frame against a
+    * codebook table (E-step and the final encode are the same map).
+    */
+  private def pqAssignAgainst(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub
+      .join(broadcast(cents), "m")
+      .withColumn("d",
+                  round(graft.functions.VectorExprs.vecDist2(col("sv"),
+                          col("centroid")), 6))
+      .groupBy(col("vec_id"), col("m"), col("sv"))
+      .agg(min(struct(col("d"), col("code"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("sv"),
+              col("mm.code").as("code"), col("mm.d").as("qerr"))
+
+  private val pqCentsStore = new FrameStore(2)
+  private val pqStore = new FrameStore(2)
+
+  /** TRAINED codebook table (m, code, centroid) after [[PqIters]]
+    * Lloyd iterations — persisted per dataset.
+    */
+  private def pqCents(spark: SparkSession, dir: String): DataFrame =
+    pqCentsStore.getOrBuild(spark, dir) {
+      val sub = subvectors(spark, dir)
+      var cents = sub
+        .filter(col("vec_id") < PqCodes)
+        .select(col("m"), col("vec_id").as("code"),
+                transform(col("sv"), x => round(x, 6)).as("centroid"))
+      for (_ <- 1 to PqIters) cents = pqMeansOf(pqAssignAgainst(sub, cents))
+      cents
+    }
+
+  /** Final PQ encode frame (vec_id, m, sv, code, qerr) against the
+    * TRAINED codebooks — persisted per dataset and shared by
+    * [[pqCodebooks]] / [[pqEncode]], so codes and codebook are one
+    * consistent pair.
+    */
+  private def pqAssign(spark: SparkSession, dir: String): DataFrame =
+    pqStore.getOrBuild(spark, dir) {
+      pqAssignAgainst(subvectors(spark, dir), pqCents(spark, dir))
+    }
+
+  /** Product-quantization codebook TRAINING (Jégou et al. TPAMI'11) —
+    * the vector-compression half of a production ANN stack: the
+    * embedding splits into [[PqSubspaces]] contiguous subvectors and
+    * each subspace learns its own [[PqCodes]]-entry codebook by the
+    * SAME deterministic Lloyd recipe as [[kmeansCentroids]] (first-k
+    * seeding, distances and means rounded to 6 dp before every argmin
+    * so both engines tie-break identically). A vector then stores M
+    * small codes instead of d floats — 64 dims → 4 bytes here, 32×
+    * compression; with K=256 production gets 8 bits per subspace.
+    *
+    * Scale shape: ALL subspaces train in the SAME jobs — the subvector
+    * frame carries `m` as a key, so each Lloyd iteration is one
+    * broadcast of the (M × K)-row codebook table + one
+    * groupBy(m, code, pos) mean shuffle, never a per-subspace job
+    * loop. Long-form scalar output (m, code, pos, c, n_members).
+    */
+  def pqCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    val counts = pqAssign(spark, dir)
+      .groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("n_members"))
+    pqCents(spark, dir)
+      .select(col("m"), col("code"), posexplode(col("centroid")))
+      .select(col("m"), col("code"), col("pos").cast("long").as("pos"),
+              col("col").as("c"))
+      // left join: a codeword that attracted no vectors (dead code) is
+      // still part of the trained codebook — shown with 0 members
+      .join(counts, Seq("m", "code"), "left")
+      .withColumn("n_members", coalesce(col("n_members"), lit(0L)))
+      .orderBy(col("m"), col("code"), col("pos"))
+  }
+
+  /** PQ ENCODE — the apply half of [[pqCodebooks]]: every vector's M
+    * nearest-codeword ids plus the per-subspace squared quantization
+    * error (the reconstruction-quality audit; Σ qerr over m is the
+    * vector's total reconstruction error, and asymmetric-distance
+    * search would precompute query-to-codeword tables against exactly
+    * these codes). Pure broadcast map over the subvector frame — the
+    * compression pass a 100 TB embedding store runs before writing.
+    */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame =
+    pqAssign(spark, dir)
+      .select(col("vec_id"), col("m"), col("code"), col("qerr"))
+      .orderBy(col("vec_id"), col("m"))
+
   // ---- DuckDB oracles ----------------------------------------------------
+
+  /** One PQ Lloyd iteration as oracle CTEs (the subspace-keyed twin of
+    * [[kmeansIterSql]]).
+    */
+  private def pqIterSql(i: Int): String =
+    s"""pa$i AS (
+       |  SELECT vec_id, m, sv, code FROM (
+       |    SELECT s.vec_id, s.m, s.sv, c.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY round(list_reduce(list_transform(range(1, len(s.sv) + 1),
+       |                      j -> (s.sv[j] - c.centroid[j]) * (s.sv[j] - c.centroid[j])), (a, b) -> a + b), 6), c.code) AS rn
+       |    FROM sv s JOIN pc${i - 1} c USING (m)
+       |  ) WHERE rn = 1
+       |),
+       |pm$i AS (
+       |  SELECT m, code, r.pos, round(avg(sv[r.pos]), 6) AS c
+       |  FROM pa$i, UNNEST(range(1, len(sv) + 1)) r(pos)
+       |  GROUP BY m, code, r.pos
+       |),
+       |pc$i AS (SELECT m, code, list(c ORDER BY pos) AS centroid
+       |         FROM pm$i GROUP BY m, code)""".stripMargin
+
+  /** Shared PQ oracle prefix: subvector frame, seeded codebooks,
+    * [[PqIters]] Lloyd iterations, and the final encode pass `enc`.
+    */
+  private def pqBaseSql: String = {
+    val iters = (1 to PqIters).map(pqIterSql).mkString(",\n")
+    s"""WITH sv AS (
+       |  SELECT vec_id, r.m AS m,
+       |         list_transform(embedding[(r.m * $PqSubDim + 1):(r.m * $PqSubDim + $PqSubDim)],
+       |                        x -> CAST(x AS DOUBLE)) AS sv
+       |  FROM embeddings, UNNEST(range(0, $PqSubspaces)) r(m)
+       |),
+       |pc0 AS (
+       |  SELECT m, vec_id AS code, list_transform(sv, x -> round(x, 6)) AS centroid
+       |  FROM sv WHERE vec_id < $PqCodes
+       |),
+       |$iters,
+       |enc AS (
+       |  SELECT vec_id, m, code, d AS qerr FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |           round(list_reduce(list_transform(range(1, len(s.sv) + 1),
+       |                  j -> (s.sv[j] - c.centroid[j]) * (s.sv[j] - c.centroid[j])), (a, b) -> a + b), 6) AS d,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY round(list_reduce(list_transform(range(1, len(s.sv) + 1),
+       |                      j -> (s.sv[j] - c.centroid[j]) * (s.sv[j] - c.centroid[j])), (a, b) -> a + b), 6), c.code) AS rn
+       |    FROM sv s JOIN pc$PqIters c USING (m)
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
 
   /** Shared CTE: double-cast vectors + norms via the same left fold. */
   private val embSql =
@@ -499,6 +668,20 @@ object VectorOps {
        |c$i AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM m$i GROUP BY cell)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pq_codebooks" ->
+      s"""$pqBaseSql,
+         |cnt AS (SELECT m, code, CAST(count(*) AS BIGINT) AS n_members
+         |        FROM enc GROUP BY 1, 2)
+         |SELECT m, code, pos, c, coalesce(n_members, 0) AS n_members
+         |FROM (
+         |  SELECT f.m, f.code, CAST(r.pos - 1 AS BIGINT) AS pos,
+         |         f.centroid[r.pos] AS c
+         |  FROM pc$PqIters f, UNNEST(range(1, len(centroid) + 1)) r(pos)
+         |) x LEFT JOIN cnt USING (m, code)
+         |ORDER BY m, code, pos""".stripMargin,
+    "pq_encode" ->
+      s"""$pqBaseSql
+         |SELECT vec_id, m, code, qerr FROM enc ORDER BY vec_id, m""".stripMargin,
     "kmeans_centroids" -> {
       val iters = (1 to KmeansIters).map(kmeansIterSql).mkString(",\n")
       s"""WITH ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

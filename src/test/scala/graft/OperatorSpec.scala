@@ -1080,6 +1080,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pq_encode is the argmin against the pq_codebooks table") {
+    val session = spark
+    import session.implicits._
+    val dir = sf("sf0.001")
+    // rebuild each subspace codebook from the long-form output
+    val books = VectorOps.pqCodebooks(spark, dir)
+      .select("m", "code", "pos", "c")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(r => (r._1, r._2))
+      .view.mapValues(_.sortBy(_._3).map(_._4)).toMap
+    assert(books.nonEmpty)
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val enc = VectorOps.pqEncode(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(enc.length == vecs.size * 4)
+    enc.foreach { case (vid, m, code, qerr) =>
+      val sv = vecs(vid).slice(m.toInt * 16, m.toInt * 16 + 16)
+        .map(_.toDouble)
+      def d2(cb: Seq[Double]): Double = {
+        var acc = 0.0
+        var j = 0
+        while (j < sv.length) {
+          val t = sv(j) - cb(j); acc += t * t; j += 1
+        }
+        graft.functions.Rounding.scalar(acc, 6)
+      }
+      val best = books.collect { case ((bm, bc), cb) if bm == m => (d2(cb), bc) }
+        .minBy(identity)
+      assert(best == ((qerr, code)),
+             s"vec $vid subspace $m: got ($qerr, $code), best $best")
+    }
+  }
+
   test("q16 excludes flagged suppliers; trade_triangles counts close") {
     val session = spark
     import session.implicits._
