@@ -145,6 +145,7 @@ object SparkEntry {
     "kmeans_centroids" -> (VectorOps.kmeansCentroids _),
     "pq_codebooks" -> (VectorOps.pqCodebooks _),
     "pq_encode" -> (VectorOps.pqEncode _),
+    "pq_search" -> (VectorOps.pqSearch _),
     // corpus search / relevance scoring
     "tfidf_topterms" -> (SearchOps.tfidfTopterms _),
     "bm25_search" -> (SearchOps.bm25Search _),

@@ -579,6 +579,47 @@ object VectorOps {
       .select(col("vec_id"), col("m"), col("code"), col("qerr"))
       .orderBy(col("vec_id"), col("m"))
 
+  /** PQ ADC search (the asymmetric-distance query path of Jégou
+    * TPAMI'11) — what makes [[pqCodebooks]]/[[pqEncode]] a SEARCH
+    * structure, not just compression: each query computes one small
+    * (M × K) distance table against the codebooks, and every database
+    * vector's approximate distance is then M table LOOKUPS on its
+    * codes — the full d-dim vectors are never touched at query time.
+    * Top-10 per query by ADC distance (self excluded, like
+    * [[annTopK]]).
+    *
+    * Determinism: per-(query, subspace, code) distances round to 6 dp
+    * and convert to EXACT micro-unit longs before the per-vector sum,
+    * so the 4-term addition is order-free (a double sum's grouping
+    * order is not) and the ranking key is an integer. Scale shape: the
+    * distance table is queries × (M·K) rows — broadcast; the lookup
+    * join keys on (m, code) against the encode frame; the top-k is the
+    * dedicated bounded-buffer operator, no window sort.
+    */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val queries = subvectors(spark, dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
+    val dt = queries
+      .join(broadcast(pqCents(spark, dir)), "m")
+      .select(col("query_id"), col("m"), col("code"),
+              floor(round(graft.functions.VectorExprs.vecDist2(col("qsv"),
+                      col("centroid")), 6) * lit(1000000) + lit(0.5))
+                .cast("long").as("dq_micro"))
+    val scored = pqAssign(spark, dir)
+      .select(col("vec_id"), col("m"), col("code"))
+      .join(broadcast(dt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dq_micro")).as("adc_micro"))
+    graft.plans.TopK
+      .perKey(scored, Seq("query_id"),
+              Seq("adc_micro" -> true, "vec_id" -> true), 10, "rank")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("adc_micro"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   /** One PQ Lloyd iteration as oracle CTEs (the subspace-keyed twin of
@@ -682,6 +723,29 @@ object VectorOps {
     "pq_encode" ->
       s"""$pqBaseSql
          |SELECT vec_id, m, code, qerr FROM enc ORDER BY vec_id, m""".stripMargin,
+    "pq_search" ->
+      s"""$pqBaseSql,
+         |q AS (SELECT vec_id AS query_id, m, sv AS qsv
+         |      FROM sv WHERE vec_id < 20),
+         |dt AS (
+         |  SELECT q.query_id, c.m, c.code,
+         |         CAST(floor(round(list_reduce(list_transform(range(1, len(q.qsv) + 1),
+         |                j -> (q.qsv[j] - c.centroid[j]) * (q.qsv[j] - c.centroid[j])), (a, b) -> a + b), 6)
+         |              * 1000000 + 0.5) AS BIGINT) AS dq_micro
+         |  FROM q JOIN pc$PqIters c ON q.m = c.m
+         |),
+         |a AS (
+         |  SELECT dt.query_id, e.vec_id,
+         |         CAST(sum(dq_micro) AS BIGINT) AS adc_micro
+         |  FROM enc e JOIN dt ON dt.m = e.m AND dt.code = e.code
+         |  WHERE e.vec_id <> dt.query_id
+         |  GROUP BY 1, 2
+         |),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_micro, vec_id) AS rank FROM a)
+         |SELECT query_id, vec_id AS neighbor_id, adc_micro,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "kmeans_centroids" -> {
       val iters = (1 to KmeansIters).map(kmeansIterSql).mkString(",\n")
       s"""WITH ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
