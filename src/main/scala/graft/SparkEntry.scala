@@ -203,7 +203,8 @@ object SparkEntry {
     "media_meta" -> (MultimodalOps.mediaMeta _),
     "frame_sample" -> (MultimodalOps.frameSample _),
     "image_resize" -> (MultimodalOps.imageResize _),
-    "audio_features" -> (MultimodalOps.audioFeatures _)
+    "audio_features" -> (MultimodalOps.audioFeatures _),
+    "scene_cuts" -> (MultimodalOps.sceneCuts _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

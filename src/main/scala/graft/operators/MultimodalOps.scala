@@ -132,6 +132,67 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("window_idx"))
   }
 
+  case class FrameSig(doc_id: Long, frame_idx: Long, sig: Long)
+
+  /** Scene segmentation over per-frame signatures — the shot-boundary
+    * pass of a video curation pipeline: each "video" (payload) splits
+    * into its [[StubDecoders]] frame count's equal byte slices, every
+    * frame gets an integer signature (slice byte sum — the stub's
+    * stand-in for a perceptual frame hash), and a CUT fires where the
+    * relative signature change clears 20% — decided by the
+    * cross-multiplied integers `5·|Δ| > sig_f + sig_{f−1}`, never a
+    * float ratio. Cut flags fold into scenes by the islands trick and
+    * each scene emits its frame span + energy.
+    *
+    * Scale shape: signatures compute in `mapPartitions` next to the
+    * decode (a real deployment reads frames once for both); the
+    * lag/cumsum windows partition per VIDEO with fan-out bounded by
+    * the frame count from metadata (≤ 24 here) — bounded-partition
+    * windows, not corpus-wide ones.
+    */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val sigs = payloads(spark, dir)
+      .as[PayloadRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val n = r.payload.length
+          if (n == 0) Iterator.empty
+          else {
+            val k = n % 24 + 1 // = StubDecoders n_frames
+            val sums = new Array[Long](k)
+            var b = 0
+            while (b < n) {
+              sums((b.toLong * k / n).toInt) += (r.payload(b) & 0xff)
+              b += 1
+            }
+            Iterator.tabulate(k)(f => FrameSig(r.doc_id, f.toLong, sums(f)))
+          }
+        }
+      }
+      .toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sigs
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("is_cut",
+                  col("prev").isNotNull &&
+                    lit(5L) * abs(col("sig") - col("prev")) >
+                      col("sig") + col("prev"))
+      .withColumn("scene_idx",
+                  sum(when(col("is_cut"), 1L).otherwise(0L))
+                    .over(w.rowsBetween(
+                      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                      org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+           max(col("frame_idx")).as("end_frame"),
+           count(lit(1)).as("n_frames"),
+           sum(col("sig")).as("scene_energy"))
+      .orderBy(col("doc_id"), col("scene_idx"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
   // The stub decode is pure arithmetic on byte length, so the oracle can
   // reproduce it exactly in SQL.
@@ -171,6 +232,36 @@ object MultimodalOps {
         |       CAST(floor((224.0 - out_width) / 2.0) AS BIGINT) AS pad_left,
         |       CAST(floor((224.0 - out_height) / 2.0) AS BIGINT) AS pad_top
         |FROM r ORDER BY doc_id""".stripMargin,
+    "scene_cuts" ->
+      // all-ASCII texts (see media_meta note): char position = byte
+      // position; frame of byte i is ((i-1)·k) // n, k = n % 24 + 1
+      """WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         CAST(((p2.i - 1) * (n % 24 + 1)) // n AS BIGINT) AS frame_idx,
+        |         ascii(substr(text, CAST(p2.i AS INT), 1)) AS v
+        |  FROM p, UNNEST(range(1, n + 1)) p2(i)
+        |  WHERE n > 0
+        |),
+        |fs AS (SELECT doc_id, frame_idx, CAST(sum(v) AS BIGINT) AS sig
+        |       FROM b GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT *, CASE WHEN lag(sig) OVER w IS NOT NULL
+        |                  AND 5 * abs(sig - lag(sig) OVER w)
+        |                      > sig + lag(sig) OVER w
+        |            THEN 1 ELSE 0 END AS cut
+        |  FROM fs WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        |),
+        |sc AS (
+        |  SELECT *, CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS scene_idx
+        |  FROM fl
+        |)
+        |SELECT doc_id, scene_idx, min(frame_idx) AS start_frame,
+        |       max(frame_idx) AS end_frame, count(*) AS n_frames,
+        |       CAST(sum(sig) AS BIGINT) AS scene_energy
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "audio_features" ->
       // all-ASCII texts (see media_meta note): ascii(char) == payload byte
       """WITH b AS (
