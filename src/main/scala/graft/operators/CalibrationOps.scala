@@ -45,6 +45,13 @@ object CalibrationOps {
     */
   private val SignGrid = Seq((4, 0), (4, 1), (8, 0), (8, 1))
 
+  /** IVF `nprobe` grid (cells fixed at the 10 label centroids, the
+    * `ann_ivf` coarse quantizer) — the third recall knob: more probed
+    * cells, more candidates, higher recall.
+    */
+  private val IvfGrid = Seq(1, 2, 3)
+  private val IvfCells = 10L
+
   // the two shared truth frames are tiny (one aggregate row; 100
   // (query, neighbor) pairs) but expensive to derive — each is persisted
   // once per dataset (FrameStore) so the per-grid-row union branches all
@@ -75,15 +82,69 @@ object CalibrationOps {
           DedupOps.expectedRecall(col("ps"), col("n_true_pairs"), b, k / b)
             .as("expected_recall"))
     }
-    val signRows = {
-      val (truth, emb, queries) = signTruth(spark, dir)
-      SignGrid.map { case (bits, probe) =>
-        signLshRow(truth, emb, queries, bits, probe)
-      }
+    val (truth, emb, queries) = signTruth(spark, dir)
+    val signRows = SignGrid.map { case (bits, probe) =>
+      signLshRow(truth, emb, queries, bits, probe)
     }
-    (minhashRows ++ signRows)
+    (minhashRows ++ signRows ++ ivfRows(spark, dir, truth, emb))
       .reduce(_ unionByName _)
       .orderBy(col("family"), col("param_a"), col("param_b"))
+  }
+
+  /** `ivf` matrix rows: recall of the probed-cell top-5 against the
+    * same exact-cosine truth, at each [[IvfGrid]] `nprobe`. The label
+    * coarse quantizer, member assignment, and cell ranking are built
+    * ONCE (the `rn <= nprobe` filter is the only per-row difference),
+    * mirroring `annIvf`'s semantics exactly: members live in their
+    * nearest cell, queries probe their `nprobe` nearest.
+    */
+  private def ivfRows(spark: SparkSession, dir: String,
+                      truth: DataFrame, emb: DataFrame): Seq[DataFrame] = {
+    val centroids = Tables
+      .embeddings(spark, dir)
+      .select(col("label"), posexplode(VectorOps.asDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .getField("c").as("centroid"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(round(col("d2"), 6), col("label"))
+    val ranked = emb
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2",
+                  graft.functions.VectorExprs.vecDist2(col("v"),
+                                                       col("centroid")))
+      .withColumn("rn", row_number().over(wCell))
+    val assigned = ranked
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("cell"), col("v"), col("nrm"))
+    IvfGrid.map { p =>
+      val probes = ranked
+        .filter(col("vec_id") < 20 && col("rn") <= p)
+        .select(col("label").as("cell"), col("vec_id").as("query_id"),
+                col("v").as("qv"), col("nrm").as("qn"))
+      val caught = top5(
+        assigned
+          .join(probes, Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine", cosine))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val nc = truth
+        .join(caught, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_caught"))
+      nt.crossJoin(nc)
+        .select(
+          lit("ivf").as("family"),
+          lit(IvfCells).as("param_a"),
+          lit(p.toLong).as("param_b"),
+          col("n_truth"), col("n_caught"),
+          round(col("n_caught").cast("double") /
+                  greatest(col("n_truth"), lit(1L)),
+                6).as("recall"),
+          lit(null).cast("double").as("expected_recall"))
+    }
   }
 
   private def top5(scored: DataFrame): DataFrame =
@@ -238,6 +299,56 @@ object CalibrationOps {
        |       CAST(NULL AS DOUBLE) AS expected_recall
        |FROM vnt, vcc_s${bits}p$probe""".stripMargin
 
+  /** Label coarse quantizer + cell ranking, shared by every `ivf` row. */
+  private val ivfBaseSql =
+    s"""ivfcent AS (
+       |  SELECT label, list(c ORDER BY pos) AS centroid FROM (
+       |    SELECT label, r.pos, round(avg(CAST(embedding[r.pos] AS DOUBLE)), 6) AS c
+       |    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(pos)
+       |    GROUP BY label, r.pos
+       |  ) GROUP BY label
+       |),
+       |ivfrank AS (
+       |  SELECT q.vec_id, c.label,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(list_reduce(list_transform(range(1, len(q.v) + 1),
+       |                    i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i])), (a, b) -> a + b), 6),
+       |                    c.label) AS rn
+       |  FROM ven q, ivfcent c
+       |),
+       |ivfassigned AS (
+       |  SELECT r.vec_id, r.label AS cell, v.v, v.nrm
+       |  FROM ivfrank r JOIN ven v ON v.vec_id = r.vec_id WHERE r.rn = 1
+       |)""".stripMargin
+
+  private def ivfCaughtSql(p: Int): String =
+    s"""ivfq$p AS (
+       |  SELECT r.vec_id AS query_id, r.label AS cell, v.v AS qv, v.nrm AS qn
+       |  FROM ivfrank r JOIN ven v ON v.vec_id = r.vec_id
+       |  WHERE r.vec_id < 20 AND r.rn <= $p
+       |),
+       |ivfc$p AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_caught FROM vtruth
+       |  JOIN (
+       |    SELECT query_id, neighbor_id FROM (
+       |      SELECT q.query_id, c.vec_id AS neighbor_id,
+       |             row_number() OVER (PARTITION BY q.query_id
+       |               ORDER BY round(list_reduce(list_transform(range(1, len(q.qv) + 1),
+       |                        i -> q.qv[i] * c.v[i]), (a, b) -> a + b) / (q.qn * c.nrm), 6) DESC,
+       |                        c.vec_id) AS rank
+       |      FROM ivfq$p q JOIN ivfassigned c
+       |        ON c.cell = q.cell AND c.vec_id <> q.query_id
+       |    ) WHERE rank <= 5
+       |  ) USING (query_id, neighbor_id)
+       |)""".stripMargin
+
+  private def ivfRowSql(p: Int): String =
+    s"""SELECT 'ivf' AS family, CAST($IvfCells AS BIGINT) AS param_a, CAST($p AS BIGINT) AS param_b,
+       |       n_truth, n_caught,
+       |       round(CAST(n_caught AS DOUBLE) / greatest(n_truth, 1), 6) AS recall,
+       |       CAST(NULL AS DOUBLE) AS expected_recall
+       |FROM vnt, ivfc$p""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "recall_matrix" -> {
       val ks = MinhashGrid.map(_._1).distinct.sorted
@@ -273,11 +384,14 @@ object CalibrationOps {
            |vnt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM vtruth)""".stripMargin,
         bitses.map(signBucketSql).mkString(",\n"),
         SignGrid.map { case (bits, p) => signCaughtSql(bits, p) }
-          .mkString(",\n")
+          .mkString(",\n"),
+        ivfBaseSql,
+        IvfGrid.map(ivfCaughtSql).mkString(",\n")
       ).mkString(",\n")
       val rows =
         (MinhashGrid.map { case (k, b) => minhashRowSql(k, b) } ++
-          SignGrid.map { case (bits, p) => signRowSql(bits, p) })
+          SignGrid.map { case (bits, p) => signRowSql(bits, p) } ++
+          IvfGrid.map(ivfRowSql))
           .mkString("\nUNION ALL\n")
       DedupOps.shingleSql + ",\n" + ctes +
         s"\nSELECT * FROM (\n$rows\n) ORDER BY family, param_a, param_b"

@@ -25,7 +25,8 @@ import graft.functions.Rounding.round
   */
 object VectorOps {
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[operators] def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
 
   private[operators] def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.vecDot(a, b)
