@@ -542,6 +542,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("pps_sample: weight totals broadcast back, sampling is a map pass") {
+    val p = planOf(PipelineOps.ppsSample(spark, sf("sf0.001")))
+    // the per-source weight-total frame must broadcast, never shuffle
+    // the corpus for the join
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$p")
+  }
+
+  test("basket_pairs: pair expansion inside the row, top-k as TakeOrdered") {
+    val df = OlapOps.basketPairs(spark, sf("sf0.001"))
+    val p = planOf(df)
+    // the C(n,2) expansion must be a Generate over each basket row —
+    // a relational self-join of the item table would be the O(n²)
+    // shape the operator exists to avoid
+    assert(p.contains("Generate explode"), s"no in-row expansion:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"self-join expansion:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
