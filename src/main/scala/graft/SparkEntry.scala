@@ -193,6 +193,7 @@ object SparkEntry {
     "chunk_documents" -> (PipelineOps.chunkDocuments _),
     "source_mix_weights" -> (PipelineOps.sourceMixWeights _),
     "temperature_resample" -> (PipelineOps.temperatureResample _),
+    "curation_manifest" -> (PipelineOps.curationManifest _),
     "resampled_mix" -> (PipelineOps.resampledMix _),
     // training-data pipeline: privacy pass
     "pii_scrub" -> (PrivacyOps.piiScrub _),

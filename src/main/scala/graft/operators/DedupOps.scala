@@ -565,6 +565,15 @@ object DedupOps {
     */
   private val cascadeStore = new FrameStore(2)
 
+  /** Survivor ids of the full dedup cascade — the doc set every
+    * downstream curation stage starts from ([[PipelineOps]]'
+    * `curation_manifest` consumes this against the same persisted
+    * verdict frame the cascade queries share).
+    */
+  private[operators] def cascadeKept(spark: SparkSession,
+                                     dir: String): DataFrame =
+    cascadeVerdict(spark, dir).filter(col("kept")).select(col("doc_id"))
+
   private def cascadeVerdict(spark: SparkSession, dir: String): DataFrame =
     cascadeStore.getOrBuild(spark, dir) {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
@@ -1470,7 +1479,7 @@ object DedupOps {
   /** Full cascade-verdict oracle (exact → minhash → simhash attribution
     * per doc) — shared by `dedup_cascade` and `cascade_savings`.
     */
-  private lazy val cascadeSql: String = {
+  private[operators] lazy val cascadeSql: String = {
     val exd =
       """WITH exd AS (
         |  SELECT doc_id FROM (

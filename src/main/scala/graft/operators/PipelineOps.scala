@@ -526,10 +526,15 @@ object PipelineOps {
     * fractional draw compares 20-bit md5 residues against
     * `(rate−⌊rate⌋)·2²⁰` built from the same exact pieces.
     */
-  def temperatureResample(spark: SparkSession, dir: String): DataFrame = {
+  /** α=0.5 temperature copy counts for an arbitrary (doc_id, lang, …)
+    * frame — rates derive from the GIVEN frame's language counts, so
+    * [[temperatureResample]] applies it to the raw corpus and
+    * [[curationManifest]] to the dedup survivors. Columns of `docs`
+    * ride through with `n_copies` appended.
+    */
+  private[operators] def resampleCopies(docs: DataFrame): DataFrame = {
     val all = Window.orderBy(col("lang"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val rates = docs
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
@@ -553,10 +558,56 @@ object PipelineOps {
                     when(col("hmod").cast("double") <
                            (col("rate") - col("base").cast("double")) * lit(1048576.0),
                          lit(1L)).otherwise(lit(0L)))
+      .drop("rate", "base", "hmod")
+  }
+
+  def temperatureResample(spark: SparkSession, dir: String): DataFrame =
+    resampleCopies(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")))
       .filter(col("n_copies") >= 1)
       .select(col("doc_id"), col("lang"),
               explode(sequence(lit(1L), col("n_copies"))).as("copy_index"))
       .orderBy(col("doc_id"), col("copy_index"))
+
+  /** The CAPSTONE composite: the whole curation pipeline as ONE
+    * dataflow — dedup-cascade survivors → deterministic train/valid/test
+    * assignment (the [[datasetSplit]] hash sentence) → α=0.5 temperature
+    * resampling with rates computed over the SURVIVING corpus (resample
+    * after cleaning, the order a real pipeline runs) → the per
+    * (split, language) manifest a training run reads: document count,
+    * post-resample copy count, and copy-weighted token budget.
+    *
+    * Every stage reuses the exact building block its standalone query
+    * is checked by — [[DedupOps.cascadeKept]] reads the persisted
+    * verdict frame, the split is the same polynomial-hash sentence,
+    * [[resampleCopies]] is the same fold `temperature_resample`
+    * verifies — so the composite's oracle match certifies the STAGES
+    * COMPOSE, not just that each works alone. Scale shape: one verdict
+    * join on doc_id, one broadcast rate table, one final tiny
+    * aggregation; the heavy lifting (LSH, SimHash) is amortized in the
+    * shared cascade store.
+    */
+  def curationManifest(spark: SparkSession, dir: String): DataFrame = {
+    val kept = Tables
+      .documents(spark, dir)
+      .join(graft.operators.DedupOps.cascadeKept(spark, dir), "doc_id")
+      .select(col("doc_id"), col("lang"),
+              size(split(trim(col("text")), "\\s+")).cast("long")
+                .as("n_tokens"))
+    val withSplit = kept
+      .withColumn("bucket",
+                  graft.functions.TextExprs
+                    .polyHash(col("doc_id").cast("string")) % 100)
+      .withColumn("split",
+                  when(col("bucket") < 90, "train")
+                    .when(col("bucket") < 95, "valid")
+                    .otherwise("test"))
+    resampleCopies(withSplit)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_copies")).as("n_copies"),
+           sum(col("n_tokens") * col("n_copies")).as("n_tokens_resampled"))
+      .orderBy(col("split"), col("lang"))
   }
 
   /** Post-resample mix audit: did [[temperatureResample]] actually land
@@ -602,8 +653,12 @@ object PipelineOps {
     * rates → md5 draw → per-doc copy counts), reused by
     * `temperature_resample` and `resampled_mix`.
     */
-  private val resampleCtes =
-    s"""c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+  /** The α=0.5 copy-count CTE chain (c→r→d→h→n) over an arbitrary doc
+    * source — `documents` for the resample queries, the cascade-kept
+    * set for `curation_manifest`.
+    */
+  private def resampleCtesFrom(src: String): String =
+    s"""c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM $src GROUP BY 1),
        |r AS (
        |  SELECT lang,
        |         CAST(sum(n_docs) OVER w AS DOUBLE) /
@@ -613,7 +668,7 @@ object PipelineOps {
        |),
        |d AS (
        |  SELECT doc_id, lang, rate, md5(CAST(doc_id AS VARCHAR)) AS mh
-       |  FROM documents JOIN r USING (lang)
+       |  FROM $src JOIN r USING (lang)
        |),
        |h AS (
        |  SELECT doc_id, lang, rate, floor(rate) AS base,
@@ -632,7 +687,30 @@ object PipelineOps {
        |  FROM h
        |)""".stripMargin
 
+  private val resampleCtes = resampleCtesFrom("documents")
+
   val oracles: Map[String, String] = Map(
+    "curation_manifest" ->
+      ("WITH keptd AS (\n" +
+        "  SELECT d.doc_id, d.lang,\n" +
+        "         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens,\n" +
+        "         CAST(d.doc_id AS VARCHAR) AS eid\n" +
+        "  FROM documents d JOIN (\n" + graft.operators.DedupOps.cascadeSql +
+        "\n) cv USING (doc_id)\n" +
+        "  WHERE cv.kept\n" +
+        "),\n" +
+        "sp AS (SELECT *, " + polyHashSql.replace("\n", " ") + " % 100 AS bucket FROM keptd),\n" +
+        "spl AS (SELECT doc_id,\n" +
+        "               CASE WHEN bucket < 90 THEN 'train'\n" +
+        "                    WHEN bucket < 95 THEN 'valid'\n" +
+        "                    ELSE 'test' END AS split\n" +
+        "        FROM sp),\n" +
+        resampleCtesFrom("keptd") + "\n" +
+        "SELECT spl.split, n.lang, count(*) AS n_docs,\n" +
+        "       CAST(sum(n.n_copies) AS BIGINT) AS n_copies,\n" +
+        "       CAST(sum(k.n_tokens * n.n_copies) AS BIGINT) AS n_tokens_resampled\n" +
+        "FROM n JOIN spl USING (doc_id) JOIN keptd k USING (doc_id)\n" +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "chunk_documents" ->
       s"""WITH d AS (
          |  SELECT doc_id,
