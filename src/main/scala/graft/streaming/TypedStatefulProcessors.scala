@@ -183,6 +183,26 @@ case class UserSnapshot(user_id: Long,
   * (foreachBatch MERGE, the batch incr_agg_merge exactly) before
   * letting state expire, rather than relying on TTL alone.
   */
+object UserSnapshotFold {
+  def empty(key: Long): UserSnapshot = UserSnapshot(key, 0L, 0L, Long.MinValue)
+
+  /** The associative per-event fold — ONE definition shared by the cold
+    * processor, the warm-start processor, and any batch bootstrap that
+    * builds initial state (so a seeded store is bit-identical to one
+    * that saw the history as a stream).
+    */
+  def fold(key: Long, prev: UserSnapshot,
+           rows: Iterator[Event]): UserSnapshot =
+    rows.foldLeft(prev) { (a, e) =>
+      val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+      UserSnapshot(key,
+                   a.n_events + 1L,
+                   a.sum_micros +
+                     graft.functions.Rounding.microUnitsScalar(e.value),
+                   math.max(a.last_ts_micros, micros))
+    }
+}
+
 class UserSnapshotStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[Long, Event, UserSnapshot] {
 
@@ -196,16 +216,50 @@ class UserSnapshotStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
       key: Long,
       inputRows: Iterator[Event],
       timerValues: TimerValues): Iterator[UserSnapshot] = {
-    val prev = Option(snap.get())
-      .getOrElse(UserSnapshot(key, 0L, 0L, Long.MinValue))
-    val next = inputRows.foldLeft(prev) { (a, e) =>
-      val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
-      UserSnapshot(key,
-                   a.n_events + 1L,
-                   a.sum_micros +
-                     graft.functions.Rounding.microUnitsScalar(e.value),
-                   math.max(a.last_ts_micros, micros))
-    }
+    val next = UserSnapshotFold.fold(
+      key,
+      Option(snap.get()).getOrElse(UserSnapshotFold.empty(key)),
+      inputRows)
+    snap.update(next)
+    Iterator.single(next)
+  }
+}
+
+/** WARM-STARTED incremental view maintenance — the state-MIGRATION path
+  * a production cutover needs: the store seeds from a batch snapshot
+  * table ([[TypedStatefulProcessors.userSnapshotWarmStream]] passes it
+  * as transformWithState initial state), then the stream folds only the
+  * DELTA events. Because seeding writes the exact batch row and the
+  * per-event fold is the shared [[UserSnapshotFold]], a warm-started
+  * store is provably identical to one that streamed the whole history —
+  * StatefulProcessorSpec asserts snapshot-by-snapshot equality against
+  * the full-history cold run, and that the seed actually mattered.
+  * `handleInitialState` runs once per seeded key before any input.
+  */
+class UserSnapshotWarmStartProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, Event, UserSnapshot, UserSnapshot] {
+
+  @transient private var snap: ValueState[UserSnapshot] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    snap = getHandle.getValueState[UserSnapshot](
+      "userSnap", Encoders.product[UserSnapshot], ttl)
+
+  override def handleInitialState(
+      key: Long,
+      initialState: UserSnapshot,
+      timerValues: TimerValues): Unit =
+    snap.update(initialState)
+
+  override def handleInputRows(
+      key: Long,
+      inputRows: Iterator[Event],
+      timerValues: TimerValues): Iterator[UserSnapshot] = {
+    val next = UserSnapshotFold.fold(
+      key,
+      Option(snap.get()).getOrElse(UserSnapshotFold.empty(key)),
+      inputRows)
     snap.update(next)
     Iterator.single(next)
   }
@@ -675,6 +729,23 @@ object TypedStatefulProcessors {
       .transformWithState(new UserSnapshotStatefulProcessor(ttl),
                           StateTtl.timeMode(ttl),
                           OutputMode.Update())
+  }
+
+  /** delta events → per-user running snapshots, WARM-STARTED from a
+    * batch snapshot table; see [[UserSnapshotWarmStartProcessor]].
+    */
+  def userSnapshotWarmStream(
+      spark: SparkSession,
+      events: Dataset[Event],
+      initial: Dataset[UserSnapshot]): Dataset[UserSnapshot] = {
+    import spark.implicits._
+    val ttl = StateTtl.of(spark)
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserSnapshotWarmStartProcessor(ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update(),
+                          initial.groupByKey(_.user_id))
   }
 
   /** events → first-occurrence events (ingest dedup) via

@@ -411,6 +411,44 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(s.head.n_events == 2L)
   }
 
+  test("warm-started snapshot stream equals the cold full-history run") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+    val cutIdx = events.length * 3 / 5
+    val (hist, live) = (events.take(cutIdx), events.drop(cutIdx))
+    assert(hist.nonEmpty && live.nonEmpty)
+    // batch bootstrap: the snapshot table a cutover would seed from,
+    // built with the SAME shared fold the processors use
+    val initial = hist.groupBy(_.user_id).map { case (u, es) =>
+      UserSnapshotFold.fold(u, UserSnapshotFold.empty(u), es.iterator)
+    }.toSeq
+    def finals(rows: Array[UserSnapshot]): Map[Long, UserSnapshot] =
+      rows.groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+    // warm run: seeded store + only the delta
+    val warm = finals(runStream[Event, UserSnapshot](
+      "tws_warm_snaps", live.toSeq,
+      in => TypedStatefulProcessors.userSnapshotWarmStream(
+        spark, in.toDS(), initial.toDS()))
+      .as[UserSnapshot].collect())
+    // cold run: the whole history as a stream
+    val cold = finals(runStream[Event, UserSnapshot](
+      "tws_cold_snaps", events.toSeq,
+      in => TypedStatefulProcessors.userSnapshotStream(spark, in.toDS()))
+      .as[UserSnapshot].collect())
+    // every user with delta events must match the full-history state
+    val liveUsers = live.map(_.user_id).toSet
+    liveUsers.foreach { u =>
+      assert(warm.get(u) == cold.get(u), s"user $u: ${warm.get(u)} vs ${cold.get(u)}")
+    }
+    // and the seed genuinely mattered: some live user carries history
+    val histUsers = hist.map(_.user_id).toSet
+    assert(liveUsers.exists(histUsers.contains))
+    val carried = liveUsers.filter(histUsers.contains).head
+    assert(warm(carried).n_events >
+      live.count(_.user_id == carried).toLong)
+  }
+
   test("streaming drift monitor converges to the batch drift_tv rows") {
     val session = spark
     import session.implicits._
