@@ -113,6 +113,8 @@ object SparkEntry {
     "basket_pairs" -> (OlapOps.basketPairs _),
     "q14_promo_share" -> (OlapOps.q14PromoShare _),
     "q19_disjunctive_revenue" -> (OlapOps.q19DisjunctiveRevenue _),
+    "q13_order_distribution" -> (OlapOps.q13OrderDistribution _),
+    "q11_important_parts" -> (OlapOps.q11ImportantParts _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

@@ -636,6 +636,61 @@ object OlapOps {
       .agg(count(lit(1)).as("n_items"),
            sum(revCents).as("revenue_cents"))
 
+  /** TPC-H Q13's shape (customer order-count distribution): the OUTER
+    * join that must keep order-less customers (an inner join would
+    * silently drop the zero bucket — the whole point of the query),
+    * with the join condition filtering non-urgent orders INSIDE the
+    * join (a WHERE would turn the outer join back into an inner one),
+    * then a histogram of the per-customer counts. Two aggregations:
+    * the second runs on the per-customer frame, metadata-scale.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"))
+      .join(Tables.orders(spark, dir)
+              .filter(col("o_orderpriority") =!= "1-URGENT")
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q11's shape (important stock): a HAVING clause gated on an
+    * UNCORRELATED scalar subquery — the per-group total must clear a
+    * fraction of the GLOBAL total, so the plan computes the global
+    * aggregate once (scalar subquery → one job, its result a literal in
+    * the post-aggregation filter), never per group. Shared SQL text
+    * like Q2 so both engines plan the same sentence; the 2‰ gate is
+    * integer cross-multiplied. No partsupp table in the driver data, so
+    * "stock value" adapts to per-part revenue from one nation's
+    * suppliers.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q11_lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q11_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_q11_nation")
+    spark.sql(q11Sql("graft_q11_lineitem", "graft_q11_supplier",
+                     "graft_q11_nation"))
+  }
+
+  private def q11Sql(lineitem: String, supplier: String,
+                     nation: String): String = {
+    val cents =
+      "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+    val from =
+      s"""FROM $lineitem JOIN $supplier ON l_suppkey = s_suppkey
+         |     JOIN $nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'""".stripMargin
+    s"""SELECT l_partkey, CAST(sum($cents) AS BIGINT) AS value_cents
+       |$from
+       |GROUP BY l_partkey
+       |HAVING sum($cents) * 1000 > (SELECT sum($cents) $from) * 2
+       |ORDER BY value_cents DESC, l_partkey""".stripMargin
+  }
+
   /** Frequent 2-itemsets over order baskets — the A-priori support-count
     * pass of market-basket analysis, and the workload shape of
     * co-occurrence mining generally (parts per order here; tokens per
@@ -876,6 +931,16 @@ object OlapOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q11_important_parts" ->
+      q11Sql("lineitem", "supplier", "nation"),
     "q14_promo_share" ->
       """WITH j AS (
         |  SELECT p_type,

