@@ -105,6 +105,8 @@ object SparkEntry {
     "q22_dormant_balance" -> (OlapOps.q22DormantBalance _),
     "incident_overlap" -> (AnomalyOps.incidentOverlap _),
     "autocorr_lags" -> (SeriesOps.autocorrLags _),
+    "series_twa" -> (SeriesOps.seriesTwa _),
+    "uptime_report" -> (SeriesOps.uptimeReport _),
     "pps_sample" -> (PipelineOps.ppsSample _),
     "gini_concentration" -> (OlapOps.giniConcentration _),
     "q16_part_suppliers" -> (OlapOps.q16PartSuppliers _),

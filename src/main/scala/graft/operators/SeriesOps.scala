@@ -368,6 +368,94 @@ object SeriesOps {
       .orderBy(col("event_type"), col("lag_k"))
   }
 
+  /** Time-WEIGHTED average per event type — TimescaleDB's `time_weight`
+    * hyperfunction (the reference's cold store is TimescaleDB, and a
+    * plain `avg` over irregular samples is wrong whenever arrival rate
+    * correlates with value): each sample holds its value until the next
+    * one (LOCF), so the mean is `Σ valueᵢ·(tᵢ₊₁ − tᵢ) / (t_max − t_min)`
+    * with the last sample contributing zero width. The weighted sum is
+    * EXACT integers (cents × µs gaps — bounded ~10¹⁷ here; DECIMAL(38,0)
+    * at the 100 TB scale, the t_closeness convention), so only the final
+    * division is a double.
+    *
+    * Scale shape: one `lead` window partitioned by event_type ordered
+    * by (ts, event_id) — the same keyed-window precedent as
+    * [[graft.operators.TemporalOps.asofJoin]] — then one aggregation.
+    */
+  def seriesTwa(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+              unix_micros(col("ts")).as("us"),
+              floor(col("value") * lit(100) + lit(0.5)).cast("long")
+                .as("cents"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("next_us").isNotNull,
+                    col("cents") * (col("next_us") - col("us")))
+                 .otherwise(0L)).as("wsum"),
+           min(col("us")).as("us0"), max(col("us")).as("us1"))
+      .select(
+        col("event_type"), col("n_events"),
+        expr("(us1 - us0) div 1000000").as("duration_secs"),
+        round(when(col("us1") === col("us0"), lit(null))
+                .otherwise(col("wsum").cast("double") /
+                  (col("us1") - col("us0")).cast("double") / lit(100.0)),
+              6).as("twa_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Heartbeat/uptime aggregation — TimescaleDB's `heartbeat_agg`: a
+    * source is "up" while consecutive events arrive within
+    * [[UptimeGapSecs]]; longer silences are OUTAGES. Per type: gap
+    * count, total downtime, longest outage, and the SLA uptime
+    * percentage — the verdict decided on exact integer µs (down·10⁵
+    * vs span for the 99.9% three-nines gate, cross-multiplied). Same
+    * single keyed lag window + aggregation shape as [[seriesTwa]].
+    */
+  def uptimeReport(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = UptimeGapSecs * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+              unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("gap_us",
+                  when(col("prev_us").isNotNull &&
+                         col("us") - col("prev_us") > gapUs,
+                       col("us") - col("prev_us")).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("gap_us") > 0, 1L).otherwise(0L)).as("n_outages"),
+           sum(col("gap_us")).as("down_us"),
+           max(col("gap_us")).as("longest_us"),
+           min(col("us")).as("us0"), max(col("us")).as("us1"))
+      .select(
+        col("event_type"), col("n_events"), col("n_outages"),
+        expr("down_us div 1000000").as("downtime_secs"),
+        expr("longest_us div 1000000").as("longest_outage_secs"),
+        round(when(col("us1") === col("us0"), lit(null))
+                .otherwise(lit(100.0) *
+                  (col("us1") - col("us0") - col("down_us")).cast("double") /
+                  (col("us1") - col("us0")).cast("double")), 6)
+          .as("uptime_pct"),
+        // three-nines gate in exact integers: uptime ≥ 99.9% ⇔
+        // downtime ≤ span/1000 ⇔ down·1000 ≤ span
+        ((col("down_us") * lit(1000L)) <=
+          (col("us1") - col("us0"))).as("three_nines"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Up-threshold for [[uptimeReport]]: a silence longer than this many
+    * seconds is an outage.
+    */
+  private val UptimeGapSecs = 120L
+
   /** `/series` with the optional conjunctive predicates of the read API
     * (time range + source filter, read-api/main.py:316-334): the filter is
     * pushed to the parquet scan (partition/row-group pruning at scale).
@@ -475,6 +563,61 @@ object SeriesOps {
          |       c.n_events IS NULL AS is_gap
          |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.bucket = c.bucket
          |ORDER BY 1, 2""".stripMargin,
+    "series_twa" ->
+      s"""WITH e AS ($ev),
+         |s AS (
+         |  SELECT event_type, epoch_us(ts) AS us,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+         |           ORDER BY ts, event_id) AS next_us
+         |  FROM e
+         |),
+         |a AS (
+         |  SELECT event_type, count(*) AS n_events,
+         |         CAST(sum(CASE WHEN next_us IS NOT NULL
+         |                       THEN cents * (next_us - us) ELSE 0 END)
+         |              AS BIGINT) AS wsum,
+         |         min(us) AS us0, max(us) AS us1
+         |  FROM s GROUP BY 1
+         |)
+         |SELECT event_type, n_events,
+         |       CAST((us1 - us0) // 1000000 AS BIGINT) AS duration_secs,
+         |       round(CASE WHEN us1 = us0 THEN NULL
+         |             ELSE CAST(wsum AS DOUBLE) / CAST(us1 - us0 AS DOUBLE)
+         |                  / 100.0 END, 6) AS twa_value
+         |FROM a ORDER BY event_type""".stripMargin,
+    "uptime_report" ->
+      s"""WITH e AS ($ev),
+         |s AS (
+         |  SELECT event_type, epoch_us(ts) AS us,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY event_type
+         |           ORDER BY ts, event_id) AS prev_us
+         |  FROM e
+         |),
+         |g AS (
+         |  SELECT event_type, us,
+         |         CASE WHEN prev_us IS NOT NULL
+         |                   AND us - prev_us > ${UptimeGapSecs * 1000000L}
+         |              THEN us - prev_us ELSE 0 END AS gap_us
+         |  FROM s
+         |),
+         |a AS (
+         |  SELECT event_type, count(*) AS n_events,
+         |         CAST(sum(CASE WHEN gap_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_outages,
+         |         CAST(sum(gap_us) AS BIGINT) AS down_us,
+         |         CAST(max(gap_us) AS BIGINT) AS longest_us,
+         |         min(us) AS us0, max(us) AS us1
+         |  FROM g GROUP BY 1
+         |)
+         |SELECT event_type, n_events, n_outages,
+         |       CAST(down_us // 1000000 AS BIGINT) AS downtime_secs,
+         |       CAST(longest_us // 1000000 AS BIGINT) AS longest_outage_secs,
+         |       round(CASE WHEN us1 = us0 THEN NULL
+         |             ELSE 100.0 * CAST(us1 - us0 - down_us AS DOUBLE)
+         |                  / CAST(us1 - us0 AS DOUBLE) END, 6) AS uptime_pct,
+         |       down_us * 1000 <= us1 - us0 AS three_nines
+         |FROM a ORDER BY event_type""".stripMargin,
     "autocorr_lags" -> {
       def lagRow(k: Int): String =
         s"""SELECT event_type, CAST($k AS BIGINT) AS lag_k, m$k AS n_pairs,
