@@ -107,6 +107,8 @@ object SparkEntry {
     "autocorr_lags" -> (SeriesOps.autocorrLags _),
     "series_twa" -> (SeriesOps.seriesTwa _),
     "uptime_report" -> (SeriesOps.uptimeReport _),
+    "series_ohlc" -> (SeriesOps.seriesOhlc _),
+    "counter_delta" -> (SeriesOps.counterDelta _),
     "pps_sample" -> (PipelineOps.ppsSample _),
     "gini_concentration" -> (OlapOps.giniConcentration _),
     "q16_part_suppliers" -> (OlapOps.q16PartSuppliers _),

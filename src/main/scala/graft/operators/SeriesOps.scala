@@ -456,6 +456,57 @@ object SeriesOps {
     */
   private val UptimeGapSecs = 120L
 
+  /** OHLC candlestick per (type, hour) — TimescaleDB's
+    * `candlestick_agg`: open/close are the FIRST/LAST values by event
+    * time (µs + event_id tie-break, picked with `min/max(struct(...))`
+    * aggregate argmins — partial-combinable, no window at all), high/low
+    * plain extremes. One shuffle on the bucket key; every output is
+    * exact (values are the raw doubles the fixture stores).
+    */
+  def seriesOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
+              unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+           min(struct(col("us"), col("event_id"), col("value")))
+             .getField("value").as("open"),
+           max(col("value")).as("high"),
+           min(col("value")).as("low"),
+           max(struct(col("us"), col("event_id"), col("value")))
+             .getField("value").as("close"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** Reset-aware counter delta per type — TimescaleDB's `counter_agg`:
+    * treating each type's value stream as a monotonic counter that can
+    * RESET (drop to a lower reading), the true increase is
+    * `Σ max(0, vᵢ − vᵢ₋₁)` in exact cents plus a reset count — the
+    * rate-of-change primitive for counters where `last − first` is
+    * wrong across any reset. Same single keyed lag window +
+    * aggregation shape as [[uptimeReport]].
+    */
+  def counterDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+              floor(col("value") * lit(100) + lit(0.5)).cast("long")
+                .as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_samples"),
+           sum(when(col("prev").isNotNull && col("cents") > col("prev"),
+                    col("cents") - col("prev")).otherwise(0L))
+             .as("delta_cents"),
+           sum(when(col("prev").isNotNull && col("cents") < col("prev"), 1L)
+                 .otherwise(0L)).as("n_resets"),
+           min(col("cents")).as("min_cents"),
+           max(col("cents")).as("max_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** `/series` with the optional conjunctive predicates of the read API
     * (time range + source filter, read-api/main.py:316-334): the filter is
     * pushed to the parquet scan (partition/row-group pruning at scale).
@@ -563,6 +614,36 @@ object SeriesOps {
          |       c.n_events IS NULL AS is_gap
          |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.bucket = c.bucket
          |ORDER BY 1, 2""".stripMargin,
+    "series_ohlc" ->
+      s"""WITH e AS ($ev),
+         |s AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         |         epoch_us(ts) AS us, event_id, value
+         |  FROM e
+         |)
+         |SELECT event_type, bucket, count(*) AS n_events,
+         |       first(value ORDER BY us, event_id) AS open,
+         |       max(value) AS high, min(value) AS low,
+         |       last(value ORDER BY us, event_id) AS close
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "counter_delta" ->
+      s"""WITH e AS ($ev),
+         |s AS (
+         |  SELECT event_type,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         |         lag(CAST(floor(value * 100 + 0.5) AS BIGINT))
+         |           OVER (PARTITION BY event_type ORDER BY ts, event_id)
+         |           AS prev
+         |  FROM e
+         |)
+         |SELECT event_type, count(*) AS n_samples,
+         |       CAST(sum(CASE WHEN prev IS NOT NULL AND cents > prev
+         |                     THEN cents - prev ELSE 0 END) AS BIGINT)
+         |         AS delta_cents,
+         |       CAST(sum(CASE WHEN prev IS NOT NULL AND cents < prev
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+         |       min(cents) AS min_cents, max(cents) AS max_cents
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "series_twa" ->
       s"""WITH e AS ($ev),
          |s AS (
