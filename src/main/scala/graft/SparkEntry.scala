@@ -166,6 +166,7 @@ object SparkEntry {
     "event_transitions" -> (FunnelOps.eventTransitions _),
     "pagerank_types" -> (FunnelOps.pagerankTypes _),
     "window_funnel" -> (FunnelOps.windowFunnel _),
+    "funnel_latency" -> (FunnelOps.funnelLatency _),
     "top_paths" -> (FunnelOps.topPaths _),
     "dsir_weights" -> (SearchOps.dsirWeights _),
     "user_value_quartiles" -> (OlapOps.userValueQuartiles _),

@@ -55,6 +55,8 @@ object ExactPercentile {
     val fn = udaf(new ExactPercentile(q))
     c => fn(c)
   }
+  lazy val p50: Column => Column = make(0.5)
+  lazy val p90: Column => Column = make(0.9)
   lazy val p95: Column => Column = make(0.95)
   lazy val p99: Column => Column = make(0.99)
 }

@@ -339,7 +339,62 @@ object FunnelOps {
        |  ) c ON c.dst = nd.node
        |)""".stripMargin
 
+  /** Time-to-convert distribution — the latency companion of
+    * [[funnelConversion]]'s depth counts: for every user whose first
+    * `view` is later followed by a `purchase`, the seconds between the
+    * first view and the first subsequent purchase, summarized with
+    * exact nearest-rank p50/p90 (the mergeable
+    * [[graft.functions.ExactPercentile]] UDAF — map-side combinable,
+    * so no per-user window and no global sort) plus min/max/mean. The
+    * per-user reduction is two `min` aggregates and one broadcast-able
+    * join on user_id; deltas are exact integer seconds.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v0 = ev
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("v0"))
+    ev
+      .filter(col("event_type") === "purchase")
+      .join(v0, "user_id")
+      .filter(col("us") > col("v0"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("p0"), max(col("v0")).as("v0u"))
+      .select(expr("(p0 - v0u) div 1000000").as("delta_secs"))
+      .agg(count(lit(1)).as("n_converted"),
+           min(col("delta_secs")).as("min_secs"),
+           max(col("delta_secs")).as("max_secs"),
+           round(sum(col("delta_secs")).cast("double") /
+                   count(lit(1)).cast("double"), 6).as("mean_secs"),
+           graft.functions.ExactPercentile
+             .p50(col("delta_secs").cast("double")).as("p50_secs"),
+           graft.functions.ExactPercentile
+             .p90(col("delta_secs").cast("double")).as("p90_secs"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "funnel_latency" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |v AS (SELECT user_id, min(epoch_us(ts)) AS v0 FROM e
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |p AS (SELECT e.user_id, min(epoch_us(ts)) AS p0, max(v.v0) AS v0u
+         |      FROM e JOIN v USING (user_id)
+         |      WHERE event_type = 'purchase' AND epoch_us(ts) > v.v0
+         |      GROUP BY e.user_id),
+         |d AS (SELECT CAST((p0 - v0u) // 1000000 AS BIGINT) AS delta_secs
+         |      FROM p)
+         |SELECT count(*) AS n_converted,
+         |       min(delta_secs) AS min_secs, max(delta_secs) AS max_secs,
+         |       round(CAST(sum(delta_secs) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 6) AS mean_secs,
+         |       list_sort(list(CAST(delta_secs AS DOUBLE)))
+         |         [CAST(floor(count(*) * 0.5) AS INT) + 1] AS p50_secs,
+         |       list_sort(list(CAST(delta_secs AS DOUBLE)))
+         |         [CAST(floor(count(*) * 0.9) AS INT) + 1] AS p90_secs
+         |FROM d""".stripMargin,
     "top_paths" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |t AS (
