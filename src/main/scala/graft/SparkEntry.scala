@@ -119,6 +119,7 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> (OlapOps.q19DisjunctiveRevenue _),
     "q13_order_distribution" -> (OlapOps.q13OrderDistribution _),
     "q11_important_parts" -> (OlapOps.q11ImportantParts _),
+    "q20_dominant_suppliers" -> (OlapOps.q20DominantSuppliers _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

@@ -691,6 +691,32 @@ object OlapOps {
        |ORDER BY value_cents DESC, l_partkey""".stripMargin
   }
 
+  /** TPC-H Q20's shape (potential part promotion): the NESTED stack
+    * nothing else exercises — an IN subquery whose grouped inner query
+    * carries a CORRELATED scalar aggregate in its HAVING clause
+    * (supplier dominates a part when their shipped quantity clears 1/6
+    * of the part's total; the correlation key is the grouping column).
+    * Catalyst must decorrelate the inner aggregate into a per-part
+    * total joined back on `l_partkey` AND plan the outer IN as a semi
+    * join — two rewrites stacked; a naive plan rescans lineitem per
+    * (supplier, part) group. Shared SQL sentence (the Q2 discipline);
+    * quantities are integral doubles, so the ×6 gate is exact.
+    */
+  def q20DominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q20_supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q20_lineitem")
+    spark.sql(q20Sql("graft_q20_supplier", "graft_q20_lineitem"))
+  }
+
+  private def q20Sql(supplier: String, lineitem: String): String =
+    s"""SELECT s_suppkey, s_name FROM $supplier WHERE s_suppkey IN (
+       |  SELECT l_suppkey FROM $lineitem l1
+       |  GROUP BY l_suppkey, l_partkey
+       |  HAVING sum(l_quantity) * 6 > (SELECT sum(l_quantity)
+       |                                FROM $lineitem l2
+       |                                WHERE l2.l_partkey = l1.l_partkey)
+       |) ORDER BY s_suppkey""".stripMargin
+
   /** Frequent 2-itemsets over order baskets — the A-priori support-count
     * pass of market-basket analysis, and the workload shape of
     * co-occurrence mining generally (parts per order here; tokens per
@@ -941,6 +967,8 @@ object OlapOps {
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q11_important_parts" ->
       q11Sql("lineitem", "supplier", "nation"),
+    "q20_dominant_suppliers" ->
+      q20Sql("supplier", "lineitem"),
     "q14_promo_share" ->
       """WITH j AS (
         |  SELECT p_type,

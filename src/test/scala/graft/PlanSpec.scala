@@ -580,6 +580,17 @@ class PlanSpec extends SparkSpec {
     assert(!p11.contains("CartesianProduct"))
   }
 
+  test("q20 decorrelates the HAVING aggregate and semi-joins the IN") {
+    val p = planOf(OlapOps.q20DominantSuppliers(spark, sf("sf0.001")))
+    // the correlated per-part total must become an aggregate + join on
+    // the correlation key, never a surviving scalar subquery (= a
+    // lineitem rescan per (supplier, part) group)
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+           s"correlated HAVING not decorrelated:\n$p")
+    assert(p.contains("LeftSemi"), s"IN not planned as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("alert routing broadcasts the rules table") {
     val p = planOf(AnomalyOps.alertRouting(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
