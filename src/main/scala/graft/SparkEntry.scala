@@ -120,6 +120,12 @@ object SparkEntry {
     "q13_order_distribution" -> (OlapOps.q13OrderDistribution _),
     "q11_important_parts" -> (OlapOps.q11ImportantParts _),
     "q20_dominant_suppliers" -> (OlapOps.q20DominantSuppliers _),
+    "q6_forecast_revenue" -> (OlapOps.q6ForecastRevenue _),
+    "q8_market_share" -> (OlapOps.q8MarketShare _),
+    "q9_product_profit" -> (OlapOps.q9ProductProfit _),
+    "q12_delay_priority" -> (OlapOps.q12DelayPriority _),
+    "q15_top_supplier" -> (OlapOps.q15TopSupplier _),
+    "q17_small_quantity" -> (OlapOps.q17SmallQuantity _),
     "top_customers" -> (OlapOps.topCustomers _),
     "supplier_parts" -> (OlapOps.supplierParts _),
     // training-data pipeline: dedup family

@@ -717,6 +717,176 @@ object OlapOps {
        |                                WHERE l2.l_partkey = l1.l_partkey)
        |) ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q6 (forecasting revenue change): the pure filter-aggregate —
+    * three scan-pushable predicates, zero joins, one row out. The
+    * revenue measure `extendedprice · discount` converts to exact cents
+    * PER ROW (a raw double-product sum would be aggregation-order
+    * dependent across engines). The simplest query in the suite, and
+    * the canonical scan-throughput probe.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+           sum(floor(col("l_extendedprice") * col("l_discount") * lit(100) +
+             lit(0.5)).cast("long")).as("revenue_cents"))
+
+  /** TPC-H Q12's shape (shipping modes and order priority): two-level
+    * conditional counting — lines band by delivery lateness (no
+    * shipmode column in the driver schema; late = shipped more than 60
+    * days after the order date, the Q21 SLA) and each band counts
+    * high- vs low-priority orders with conditional sums. One join, one
+    * tiny aggregation.
+    */
+  def q12DelayPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+              .select(col("o_orderkey"), col("o_orderdate"),
+                      col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .withColumn("band",
+                  when(col("l_shipdate") >
+                         col("o_orderdate") + expr("INTERVAL 60 DAY"),
+                       "late").otherwise("ontime"))
+      .groupBy(col("band"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+             .otherwise(0L)).as("high_line_count"),
+           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+             .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("band"))
+
+  /** TPC-H Q8's shape (national market share): for orders by EUROPE
+    * customers, the yearly share of revenue supplied by one nation —
+    * numerator and denominator both exact cents from ONE pass
+    * (conditional sum), the six-table join tree with every dimension
+    * broadcast, share a guarded double.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), revCents.as("cents"))
+      .join(Tables.orders(spark, dir)
+              .select(col("o_orderkey"), col("o_custkey"),
+                      year(col("o_orderdate")).cast("long").as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(
+              Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+                .join(Tables.nation(spark, dir)
+                        .select(col("n_nationkey"), col("n_regionkey")),
+                      col("c_nationkey") === col("n_nationkey"))
+                .join(Tables.region(spark, dir)
+                        .filter(col("r_name") === "EUROPE")
+                        .select(col("r_regionkey")),
+                      col("n_regionkey") === col("r_regionkey"))
+                .select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+              .select(col("s_suppkey"), col("s_nationkey"))
+              .join(Tables.nation(spark, dir)
+                      .select(col("n_nationkey"), col("n_name").as("supp_nation")),
+                    col("s_nationkey") === col("n_nationkey"))
+              .select(col("s_suppkey"), col("supp_nation"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_5", col("cents"))
+             .otherwise(0L)).as("nation_cents"),
+           sum(col("cents")).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+              round(when(col("total_cents") === 0L, lit(null))
+                      .otherwise(col("nation_cents").cast("double") /
+                        col("total_cents").cast("double")), 6)
+                .as("mkt_share"))
+      .orderBy(col("o_year"))
+
+  /** TPC-H Q9's shape (product-type profit): profit per (supplier
+    * nation, order year) where cost adapts to 60% of the part's retail
+    * price per unit (no partsupp table) — revenue and cost both
+    * convert to exact cents per row, so the profit sum is an exact
+    * long. The q7 join tree plus the part dimension.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+              col("l_quantity"), revCents.as("rev_cents"))
+      .join(broadcast(Tables.part(spark, dir)
+              .select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+      .withColumn("cost_cents",
+                  floor(col("p_retailprice") * lit(60.0) * col("l_quantity") +
+                    lit(0.5)).cast("long"))
+      .join(Tables.orders(spark, dir)
+              .select(col("o_orderkey"),
+                      year(col("o_orderdate")).cast("long").as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+              .select(col("s_suppkey"), col("s_nationkey"))
+              .join(Tables.nation(spark, dir)
+                      .select(col("n_nationkey"), col("n_name").as("nation")),
+                    col("s_nationkey") === col("n_nationkey"))
+              .select(col("s_suppkey"), col("nation"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("rev_cents") - col("cost_cents")).as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q15's shape (top supplier): the MAX-OVER-AGGREGATE — a
+    * revenue "view" (one quarter's per-supplier totals) whose maximum
+    * gates the final join; ties all surface (the reference query's
+    * documented property). Shared SQL sentence; the scalar max
+    * subquery evaluates once over the small aggregated frame.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q15_supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q15_lineitem")
+    spark.sql(q15Sql("graft_q15_supplier", "graft_q15_lineitem"))
+  }
+
+  private def q15Sql(supplier: String, lineitem: String): String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+       |                             + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+       |  FROM $lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01'
+       |  GROUP BY 1
+       |)
+       |SELECT s_suppkey, s_name, total_cents
+       |FROM $supplier JOIN rev ON s_suppkey = l_suppkey
+       |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17's shape (small-quantity-order revenue): the correlated
+    * AVG brake — lines of one brand whose quantity is under 20% of
+    * their part's average order quantity. The third member of the
+    * decorrelation family (Q2 correlated min, Q20 correlated HAVING):
+    * Catalyst rewrites the per-part average into an aggregate joined on
+    * the correlation key. Quantities are integral doubles, so
+    * `0.2 · avg` is the same IEEE pair on both engines.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q17_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q17_part")
+    spark.sql(q17Sql("graft_q17_lineitem", "graft_q17_part"))
+  }
+
+  private def q17Sql(lineitem: String, part: String): String =
+    s"""SELECT count(*) AS n_items,
+       |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+       |                           + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+       |FROM $lineitem l1 JOIN $part p ON p.p_partkey = l1.l_partkey
+       |WHERE p.p_brand = 'Brand#5'
+       |  AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+       |                       FROM $lineitem l2
+       |                       WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
   /** Frequent 2-itemsets over order baskets — the A-priori support-count
     * pass of market-basket analysis, and the workload shape of
     * co-occurrence mining generally (parts per order here; tokens per
@@ -969,6 +1139,68 @@ object OlapOps {
       q11Sql("lineitem", "supplier", "nation"),
     "q20_dominant_suppliers" ->
       q20Sql("supplier", "lineitem"),
+    "q15_top_supplier" ->
+      q15Sql("supplier", "lineitem"),
+    "q17_small_quantity" ->
+      q17Sql("lineitem", "part"),
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS n_items,
+        |       CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q12_delay_priority" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |            THEN 'late' ELSE 'ontime' END AS band,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_market_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         ns.n_name AS supp_nation,
+        |         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |              AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE r_name = 'EUROPE'
+        |),
+        |a AS (
+        |  SELECT o_year,
+        |         CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents
+        |                       ELSE 0 END) AS BIGINT) AS nation_cents,
+        |         CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT o_year, nation_cents, total_cents,
+        |       round(CASE WHEN total_cents = 0 THEN NULL
+        |             ELSE CAST(nation_cents AS DOUBLE) /
+        |                  CAST(total_cents AS DOUBLE) END, 6) AS mkt_share
+        |FROM a ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT ns.n_name AS nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |                           + 0.5) AS BIGINT)
+        |                - CAST(floor(p_retailprice * 60.0 * l_quantity + 0.5)
+        |                       AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q14_promo_share" ->
       """WITH j AS (
         |  SELECT p_type,

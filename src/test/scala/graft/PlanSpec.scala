@@ -580,6 +580,13 @@ class PlanSpec extends SparkSpec {
     assert(!p11.contains("CartesianProduct"))
   }
 
+  test("q17 decorrelates the per-part average brake") {
+    val p = planOf(OlapOps.q17SmallQuantity(spark, sf("sf0.001")))
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+           s"correlated avg not decorrelated:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q20 decorrelates the HAVING aggregate and semi-joins the IN") {
     val p = planOf(OlapOps.q20DominantSuppliers(spark, sf("sf0.001")))
     // the correlated per-part total must become an aggregate + join on
