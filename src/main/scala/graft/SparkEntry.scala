@@ -179,6 +179,7 @@ object SparkEntry {
     "user_value_quartiles" -> (OlapOps.userValueQuartiles _),
     // pipeline-health audits
     "fk_integrity" -> (OlapOps.fkIntegrity _),
+    "expect_suite" -> (OlapOps.expectSuite _),
     "key_skew_profile" -> (OlapOps.keySkewProfile _),
     "zorder_layout" -> (LayoutOps.zorderLayout _),
     "bloom_semi_join" -> (SkewOps.bloomSemiJoin _),

@@ -887,6 +887,61 @@ object OlapOps {
        |                       FROM $lineitem l2
        |                       WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
 
+  /** Data-quality expectation suite — the Great-Expectations-style
+    * gate a pipeline runs before promoting a batch: named assertions
+    * (row-count floor, null keys, value range, future timestamps,
+    * duplicate ids, FK orphans, empty documents) in ONE result table
+    * with observed values and verdicts. All events-side checks ride a
+    * single conditional-sum scan (never one scan per assertion), the
+    * orphan check is the fk_integrity anti join, and everything is
+    * integer-exact. A failed row is the signal to quarantine the batch.
+    */
+  def expectSuite(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(spark, dir)
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_users"),
+           sum(when(col("value") < 0 || col("value") > 10000, 1L)
+             .otherwise(0L)).as("out_of_range"),
+           sum(when(col("ts") > lit("2030-01-01 00:00:00").cast("timestamp"),
+                    1L).otherwise(0L)).as("future_ts"),
+           (count(lit(1)) - count_distinct(col("event_id"))).as("dup_ids"))
+    val o = Tables
+      .orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    val d = Tables
+      .documents(spark, dir)
+      .agg(sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
+        .as("empty_docs"))
+    def check(name: String, observed: org.apache.spark.sql.Column,
+              threshold: Long,
+              passed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      struct(lit(name).as("check_name"), observed.as("observed"),
+             lit(threshold).as("threshold"), passed.as("passed"))
+    e.crossJoin(o).crossJoin(d)
+      .select(explode(array(
+        check("events_dup_ids", col("dup_ids"), 0L, col("dup_ids") === 0L),
+        check("events_future_ts", col("future_ts"), 0L,
+              col("future_ts") === 0L),
+        check("events_null_user", col("null_users"), 0L,
+              col("null_users") === 0L),
+        check("events_rowcount_min", col("n_events"), 1000L,
+              col("n_events") >= 1000L),
+        check("events_value_range", col("out_of_range"), 0L,
+              col("out_of_range") === 0L),
+        check("docs_empty_text", col("empty_docs"), 0L,
+              col("empty_docs") === 0L),
+        check("orders_fk_orphans", col("orphans"), 0L, col("orphans") === 0L)
+      )).as("c"))
+      .select(col("c.check_name").as("check_name"),
+              col("c.observed").as("observed"),
+              col("c.threshold").as("threshold"),
+              col("c.passed").as("passed"))
+      .orderBy(col("check_name"))
+  }
+
   /** Frequent 2-itemsets over order baskets — the A-priori support-count
     * pass of market-basket analysis, and the workload shape of
     * co-occurrence mining generally (parts per order here; tokens per
@@ -1141,6 +1196,30 @@ object OlapOps {
       q20Sql("supplier", "lineitem"),
     "q15_top_supplier" ->
       q15Sql("supplier", "lineitem"),
+    "expect_suite" ->
+      s"""WITH e AS (
+         |  SELECT count(*) AS n_events,
+         |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_users,
+         |         CAST(sum(CASE WHEN value < 0 OR value > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range,
+         |         CAST(sum(CASE WHEN ts > TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS future_ts,
+         |         count(*) - count(DISTINCT event_id) AS dup_ids
+         |  FROM (${Tables.eventsSql}) ev
+         |),
+         |o AS (SELECT count(*) AS orphans FROM orders
+         |      WHERE NOT EXISTS (SELECT 1 FROM customer
+         |                        WHERE c_custkey = o_custkey)),
+         |d AS (SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |             AS empty_docs FROM documents)
+         |SELECT check_name, observed, threshold, passed FROM (
+         |  SELECT 'events_dup_ids' AS check_name, dup_ids AS observed,
+         |         CAST(0 AS BIGINT) AS threshold, dup_ids = 0 AS passed FROM e
+         |  UNION ALL SELECT 'events_future_ts', future_ts, 0, future_ts = 0 FROM e
+         |  UNION ALL SELECT 'events_null_user', null_users, 0, null_users = 0 FROM e
+         |  UNION ALL SELECT 'events_rowcount_min', n_events, 1000, n_events >= 1000 FROM e
+         |  UNION ALL SELECT 'events_value_range', out_of_range, 0, out_of_range = 0 FROM e
+         |  UNION ALL SELECT 'docs_empty_text', empty_docs, 0, empty_docs = 0 FROM d
+         |  UNION ALL SELECT 'orders_fk_orphans', orphans, 0, orphans = 0 FROM o
+         |) checks ORDER BY check_name""".stripMargin,
     "q17_small_quantity" ->
       q17Sql("lineitem", "part"),
     "q6_forecast_revenue" ->
