@@ -109,6 +109,7 @@ object SparkEntry {
     "uptime_report" -> (SeriesOps.uptimeReport _),
     "series_ohlc" -> (SeriesOps.seriesOhlc _),
     "counter_delta" -> (SeriesOps.counterDelta _),
+    "watermark_audit" -> (SeriesOps.watermarkAudit _),
     "pps_sample" -> (PipelineOps.ppsSample _),
     "gini_concentration" -> (OlapOps.giniConcentration _),
     "q16_part_suppliers" -> (OlapOps.q16PartSuppliers _),

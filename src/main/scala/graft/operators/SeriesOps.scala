@@ -456,6 +456,46 @@ object SeriesOps {
     */
   private val UptimeGapSecs = 120L
 
+  /** Watermark-design audit: how out-of-order does each type's stream
+    * actually arrive? Replaying events in ARRIVAL order (`event_id` is
+    * the producer sequence), an event is LATE when its event time is
+    * behind the running maximum already seen — exactly the rows a
+    * watermark of a given delay would drop. Emits the late rate and
+    * the disorder distribution's extremes (max and the exact count
+    * beyond the pipeline's 10 s watermark), i.e. the evidence behind
+    * the `withWatermark("ts", "10 seconds")` choice in
+    * [[graft.streaming.EventPipeline]] — the number a stream operator
+    * checks BEFORE picking a delay, not after losing data.
+    *
+    * One keyed window ordered by arrival (the running max is a prefix
+    * aggregate, not a sort-by-time), one aggregation; disorder is
+    * exact integer µs.
+    */
+  def watermarkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("max_seen", max(col("us")).over(w))
+      .withColumn("disorder_us",
+                  when(col("max_seen").isNotNull && col("us") < col("max_seen"),
+                       col("max_seen") - col("us")).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("disorder_us") > 0, 1L).otherwise(0L)).as("n_late"),
+           max(col("disorder_us")).as("max_disorder_us"),
+           sum(when(col("disorder_us") > 10000000L, 1L).otherwise(0L))
+             .as("n_beyond_10s"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+              round(lit(100.0) * col("n_late").cast("double") /
+                      col("n_events").cast("double"), 6).as("late_pct"),
+              expr("max_disorder_us div 1000000").as("max_disorder_secs"),
+              col("n_beyond_10s"))
+      .orderBy(col("event_type"))
+  }
+
   /** OHLC candlestick per (type, hour) — TimescaleDB's
     * `candlestick_agg`: open/close are the FIRST/LAST values by event
     * time (µs + event_id tie-break, picked with `min/max(struct(...))`
@@ -614,6 +654,37 @@ object SeriesOps {
          |       c.n_events IS NULL AS is_gap
          |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.bucket = c.bucket
          |ORDER BY 1, 2""".stripMargin,
+    "watermark_audit" ->
+      s"""WITH e AS ($ev),
+         |s AS (
+         |  SELECT event_type, event_id, epoch_us(ts) AS us,
+         |         max(epoch_us(ts)) OVER (PARTITION BY event_type
+         |           ORDER BY event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS max_seen
+         |  FROM e
+         |),
+         |g AS (
+         |  SELECT event_type,
+         |         CASE WHEN max_seen IS NOT NULL AND us < max_seen
+         |              THEN max_seen - us ELSE 0 END AS disorder_us
+         |  FROM s
+         |),
+         |a AS (
+         |  SELECT event_type, count(*) AS n_events,
+         |         CAST(sum(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_late,
+         |         CAST(max(disorder_us) AS BIGINT) AS max_disorder_us,
+         |         CAST(sum(CASE WHEN disorder_us > 10000000 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_beyond_10s
+         |  FROM g GROUP BY 1
+         |)
+         |SELECT event_type, n_events, n_late,
+         |       round(100.0 * CAST(n_late AS DOUBLE) /
+         |             CAST(n_events AS DOUBLE), 6) AS late_pct,
+         |       CAST(max_disorder_us // 1000000 AS BIGINT) AS max_disorder_secs,
+         |       n_beyond_10s
+         |FROM a ORDER BY event_type""".stripMargin,
     "series_ohlc" ->
       s"""WITH e AS ($ev),
          |s AS (
