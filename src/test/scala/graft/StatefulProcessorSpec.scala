@@ -494,6 +494,36 @@ class StatefulProcessorSpec extends AnyFunSuite {
       events.map(e => e.event_id -> e.ts).toMap)
   }
 
+  test("built-in dropDuplicatesWithinWatermark agrees with the custom dedup") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+    val replays = events.zipWithIndex.collect { case (e, i) if i % 7 == 0 =>
+      e.copy(ts = new java.sql.Timestamp(e.ts.getTime + 1234L))
+    }
+    val feed = (events ++ replays).toSeq
+    // Spark's own bounded-window dedup (the API twin of the TTL'd
+    // DedupStatefulProcessor: both re-admit a replay once the id has
+    // aged out — here every replay is in-window, so none survive)
+    val builtin = runStream[Event, Event](
+      "builtin_dedup", feed,
+      in => in.toDS()
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id"))
+      .as[Event].collect()
+    assert(builtin.length == events.length)
+    // identical id set to the custom processor's output; the kept ROW
+    // may differ (built-in keeps the batch-arbitrary first-seen, the
+    // custom processor pins the deterministic min) — which is exactly
+    // why the custom one exists for the oracle-checked path
+    val custom = runStream[Event, Event](
+      "custom_dedup_cmp", feed,
+      in => TypedStatefulProcessors.dedupStream(spark, in.toDS()))
+      .as[Event].collect()
+    assert(builtin.map(_.event_id).sorted.toSeq ==
+      custom.map(_.event_id).sorted.toSeq)
+  }
+
   test("streaming corpus dedup: one survivor per content hash, min doc_id wins") {
     val session = spark
     import session.implicits._
