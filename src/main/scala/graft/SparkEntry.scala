@@ -203,6 +203,7 @@ object SparkEntry {
     "lsh_recall" -> (DedupOps.lshRecall _),
     "recall_matrix" -> (CalibrationOps.recallMatrix _),
     "cluster_representatives" -> (DedupOps.clusterRepresentatives _),
+    "golden_records" -> (DedupOps.goldenRecords _),
     "cascade_savings" -> (DedupOps.cascadeSavings _),
     "quality_by_verdict" -> (DedupOps.qualityByVerdict _),
     // training-data pipeline: chunking + source mixing

@@ -824,6 +824,39 @@ object DedupOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Golden-record SURVIVORSHIP per near-dup cluster — the MDM merge
+    * step after clustering: where [[clusterRepresentatives]] keeps one
+    * whole document, this FUSES fields across the family (the classic
+    * entity-resolution survivorship rules): canonical id = min member,
+    * longest_doc = the most complete text (argmax chars, ties to the
+    * lowest id — the same skew-immune `max(struct)` aggregate argmax,
+    * no window), plus the family's total chars and language/source
+    * spread (a cross-source family is the mirror-site signature).
+    * Multi-member clusters only. One join of the cluster labels to the
+    * doc metadata and one aggregation.
+    */
+  def goldenRecords(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .filter(col("cluster_size") >= 2)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(Tables.documents(spark, dir)
+              .select(col("doc_id"), col("lang"), col("source"),
+                      col("n_chars")),
+            "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           min(col("doc_id")).as("canonical_id"),
+           max(struct(col("n_chars").as("c"),
+                      (-col("doc_id")).as("negid"))).as("m"),
+           sum(col("n_chars")).as("total_chars"),
+           count_distinct(col("lang")).as("n_langs"),
+           count_distinct(col("source")).as("n_sources"))
+      .select(col("cluster_id"), col("n_members"), col("canonical_id"),
+              (-col("m.negid")).as("longest_doc_id"),
+              col("m.c").as("longest_chars"),
+              col("total_chars"), col("n_langs"), col("n_sources"))
+      .orderBy(col("cluster_id"))
+
   /** Pair-count ceiling for the driver union-find fast path. Pairs are
     * streamed with `toLocalIterator` (one partition resident at a time),
     * so driver heap at the threshold is the union-find map itself —
@@ -1678,6 +1711,26 @@ object DedupOps {
           |       l.doc_id = l.cluster_id AS is_canonical
           |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
           |ORDER BY l.doc_id""".stripMargin),
+    "golden_records" -> (
+      "WITH RECURSIVE pairs AS (SELECT doc1, doc2 FROM (\n" + minhashLshSql +
+        "\n) mp),\n" + clusterLabelSql + ",\n" +
+        """mem AS (
+          |  SELECT l.doc_id, l.cluster_id FROM lab l
+          |  JOIN sz s ON l.cluster_id = s.cluster_id
+          |  WHERE s.cluster_size >= 2
+          |),
+          |j AS (
+          |  SELECT mem.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+          |  FROM mem JOIN documents d USING (doc_id)
+          |)
+          |SELECT cluster_id, count(*) AS n_members,
+          |       min(doc_id) AS canonical_id,
+          |       first(doc_id ORDER BY n_chars DESC, doc_id) AS longest_doc_id,
+          |       max(n_chars) AS longest_chars,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |       count(DISTINCT lang) AS n_langs,
+          |       count(DISTINCT source) AS n_sources
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
     // the shared cluster labels, then the shared text_quality formulas
     // pick the representative (quality DESC, doc_id ASC)
     "cluster_representatives" -> (
