@@ -115,6 +115,10 @@ object SparkEntry {
     "q16_part_suppliers" -> (OlapOps.q16PartSuppliers _),
     "trade_triangles" -> (OlapOps.tradeTriangles _),
     "series_holt" -> (SeriesOps.seriesHolt _),
+    "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
+    "seasonal_anomaly" -> (SeriesOps.seasonalAnomaly _),
+    "hourly_entropy" -> (SeriesOps.hourlyEntropy _),
+    "skyline_pareto" -> (OlapOps.skylinePareto _),
     "basket_pairs" -> (OlapOps.basketPairs _),
     "q14_promo_share" -> (OlapOps.q14PromoShare _),
     "q19_disjunctive_revenue" -> (OlapOps.q19DisjunctiveRevenue _),

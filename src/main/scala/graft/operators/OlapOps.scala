@@ -1181,7 +1181,61 @@ object OlapOps {
       .orderBy(col("nation"))
   }
 
+  /** 2-D Pareto skyline of the part catalog — minimize price, maximize
+    * size: every part no other part beats on both axes (the "best
+    * value" frontier query; Börzsönyi et al. ICDE'01). Dominance:
+    * A beats B iff price_A ≤ price_B ∧ size_A ≥ size_B with at least
+    * one strict. In 2-D that collapses to two running conditions — a
+    * part survives iff (1) no STRICTLY cheaper part is at least as big
+    * (cumulative max-size over cheaper prices) and (2) no SAME-price
+    * part is strictly bigger (per-price max == own size) — so the whole
+    * skyline is one per-price aggregation plus a window over the
+    * DISTINCT-PRICE manifest, never a self-join.
+    *
+    * Scale: the groupBy(price) shuffle is the only corpus-scale
+    * movement; the unpartitioned window runs on the distinct-cents
+    * manifest, bounded by the price DOMAIN (≤10⁴ rows per 100 currency
+    * units of range) — the same manifest-not-corpus argument as
+    * `gini_concentration` — and ships back as a broadcast join. Prices
+    * compare as exact cents; the oracle states dominance as the
+    * textbook NOT EXISTS, so a hash match checks the rewrite, not a
+    * shared formulation.
+    */
+  def skylinePareto(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables
+      .part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+              floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
+                .as("price_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("price_cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   -1)
+    val manifest = p
+      .groupBy(col("price_cents"))
+      .agg(max(col("p_size")).as("mx"))
+      .withColumn("cm_strict", max(col("mx")).over(w))
+    p.join(broadcast(manifest), Seq("price_cents"))
+      .filter((col("cm_strict").isNull || col("cm_strict") < col("p_size")) &&
+        col("mx") === col("p_size"))
+      .select(col("p_partkey"), col("p_size"), col("price_cents"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "skyline_pareto" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM part
+        |)
+        |SELECT p_partkey, p_size, price_cents
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+        |ORDER BY price_cents, p_partkey""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

@@ -614,11 +614,300 @@ object SeriesOps {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** CUSUM slack, in baseline-σ units (the classic k = σ/2 tuning for
+    * detecting a 1σ mean shift), and the decision interval h = 4σ.
+    */
+  private val CusumK = 0.5
+  private val CusumH = 4.0
+
+  /** Two-sided CUSUM mean-shift detection (Page 1954) over the
+    * per-minute KPI series — the change-POINT complement to
+    * [[trendOls]]'s gradual-drift probe and [[AnomalyOps]]'s pointwise
+    * z-scores: a CUSUM accumulates small sustained deviations that no
+    * single-point detector fires on. Per type the recursion
+    * `s⁺ ← max(0, s⁺ + (x − μ − k))` (and the mirrored s⁻) folds over
+    * the bucket-ordered series; crossing h resets the side and counts a
+    * shift.
+    *
+    * Float discipline: the baseline μ/σ come from exact centi-unit long
+    * sums (count/Σ/Σ² — order-free partial aggregation), combined into
+    * doubles with the IDENTICAL expression the oracle evaluates, so
+    * k = 0.5σ and h = 4σ are bit-equal across engines; the fold then
+    * runs the same IEEE ops in the same order on both sides, making the
+    * threshold comparisons — the discrete part — engine-exact. The Σx²
+    * long is the documented centi-unit compromise: at 100 TB the same
+    * sums ride decimal(38,0) (Spark sums decimals exactly), everything
+    * downstream unchanged.
+    *
+    * Scale: one (type, minute) aggregation shuffle; the fold runs on
+    * the per-type bucket list — calendar-bounded (~5×10⁵ minutes per
+    * year), never event-volume-bounded, the same manifest-scale list
+    * argument as [[seriesHolt]].
+    */
+  def cusumChangepoints(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
+      .agg(round(avg(col("value")), 6).as("av"))
+      .withColumn("xc", floor(col("av") * lit(100) + lit(0.5)).cast("long"))
+    val perType = buckets
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(col("xc")).as("s1"),
+           sum(col("xc") * col("xc")).as("s2"),
+           transform(sort_array(collect_list(struct(col("bucket"), col("xc")))),
+                     _.getField("xc").cast("double")).as("vals"))
+      .withColumn("mu", col("s1").cast("double") / col("n_buckets"))
+      .withColumn("sigma",
+                  sqrt(greatest(col("s2").cast("double") / col("n_buckets") -
+                                  col("mu") * col("mu"),
+                                lit(0.0))))
+      .withColumn("k", lit(CusumK) * col("sigma"))
+      .withColumn("h", lit(CusumH) * col("sigma"))
+    // state: (s_hi, s_lo, n_hi, n_lo); a side that crosses h counts a
+    // shift and resets to 0 (standard restart-after-alarm CUSUM)
+    val folded = aggregate(
+      col("vals"),
+      struct(lit(0.0).as("sh"), lit(0.0).as("sl"),
+             lit(0.0).as("nh"), lit(0.0).as("nl")),
+      (s, x) => {
+        val shRaw = greatest(s.getField("sh") + (x - col("mu") - col("k")),
+                             lit(0.0))
+        val slRaw = greatest(s.getField("sl") + (col("mu") - x - col("k")),
+                             lit(0.0))
+        val hiAlarm = shRaw > col("h")
+        val loAlarm = slRaw > col("h")
+        struct(when(hiAlarm, lit(0.0)).otherwise(shRaw).as("sh"),
+               when(loAlarm, lit(0.0)).otherwise(slRaw).as("sl"),
+               (s.getField("nh") + when(hiAlarm, lit(1.0)).otherwise(lit(0.0)))
+                 .as("nh"),
+               (s.getField("nl") + when(loAlarm, lit(1.0)).otherwise(lit(0.0)))
+                 .as("nl"))
+      })
+    perType
+      .withColumn("st", folded)
+      .select(col("event_type"), col("n_buckets"),
+              col("st.nh").cast("long").as("n_shifts_up"),
+              col("st.nl").cast("long").as("n_shifts_down"),
+              round(col("mu") / 100.0, 4).as("baseline_mean"),
+              round(col("sigma") / 100.0, 4).as("baseline_sigma"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Diurnal-profile anomaly scan: each (type, hour-of-day) slot learns
+    * a baseline from its ~30 calendar-hour observations, then every
+    * concrete hour is z-scored against its own slot — "is 3 AM Tuesday
+    * strange FOR 3 AM?" — the seasonal-baseline detector that catches
+    * what a global z-score normalizes away (and vice versa: a daily
+    * rhythm is NORMAL here, anomalous to [[autocorrLags]]-blind global
+    * stats).
+    *
+    * Exactness: the hourly mean is the floor-division of exact
+    * micro-unit long sums (`S // (n·10⁴)` → centi-units, identical
+    * integer ops both engines); slot μ/σ combine those longs with the
+    * shared double expression; degenerate slots (σ = 0 or < 3
+    * observations) null their z like [[trendOls]]'s guard. The final
+    * per-type rollup counts |z| > 3 hours and the worst |z|.
+    *
+    * Scale: two aggregation shuffles (events → hourly, hourly → slot)
+    * plus a join of the hourly frame against the 24·|type| slot profile
+    * — broadcast-sized by construction. The hourly frame is
+    * calendar-bounded, so even the join's big side is manifest-scale.
+    */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_ev"),
+           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
+      // integral DIV, not `/`: Spark's `/` on longs is DOUBLE division,
+      // whose quotient can round across an integer boundary before the
+      // cast truncates — DIV is the exact long floor the oracle's `//` does
+      .withColumn("hm_c", expr("sm DIV (n_ev * 10000L)"))
+      .withColumn("hod", hour(col("hr")).cast("long"))
+    val slots = hourly
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_obs"),
+           sum(col("hm_c")).as("t1"),
+           sum(col("hm_c") * col("hm_c")).as("t2"))
+      .withColumn("mu_s", col("t1").cast("double") / col("n_obs"))
+      .withColumn("sigma_s",
+                  sqrt(greatest(col("t2").cast("double") / col("n_obs") -
+                                  col("mu_s") * col("mu_s"),
+                                lit(0.0))))
+      .select(col("event_type"), col("hod"), col("n_obs"), col("mu_s"),
+              col("sigma_s"))
+    hourly
+      .join(broadcast(slots), Seq("event_type", "hod"))
+      .withColumn("z",
+                  when(col("n_obs") < 3 || col("sigma_s") === 0.0, lit(null))
+                    .otherwise((col("hm_c").cast("double") - col("mu_s")) /
+                      col("sigma_s")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+           count(when(abs(col("z")) > 3.0, lit(1))).as("n_anomalous_hours"),
+           round(max(abs(col("z"))), 4).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ln 2 and ln 24, as shared literal constants: both engines rescale
+    * the natural-log entropy by the SAME double (Scala's toString
+    * round-trips, DuckDB parses to nearest), sidestepping any
+    * log2()-implementation divergence.
+    */
+  private[operators] val Ln2 = math.log(2.0)
+  private[operators] val Ln24 = math.log(24.0)
+
+  /** Hour-of-day load entropy per event type — the uniformity profile a
+    * bot/abuse triage runs: organic traffic has a daily rhythm (low
+    * entropy), scripted load is flat (entropy → log₂24). Counts are
+    * exact longs; each Shannon term is `−p·ln p` with p the same
+    * two-long ratio on both engines (ln arguments audited by
+    * `tools/ln_audit.py`'s sibling check, per the repo's log-parity
+    * discipline), and the sum folds over the HOUR-ORDERED term list so
+    * float addition order — the one non-associative step — is pinned.
+    * entropy_bits divides the nat sum by the shared [[Ln2]] literal;
+    * norm_entropy by [[Ln24]] into [0, 1].
+    *
+    * Scale: one (type, hour-of-day) count shuffle (24·|type| rows),
+    * then a metadata-scale fold. Nothing here grows with event volume.
+    */
+  def hourlyEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+           sort_array(collect_list(struct(col("hod"), col("c")))).as("hs"))
+      .withColumn(
+        "ent",
+        aggregate(
+          col("hs"),
+          lit(0.0),
+          (s, e) => {
+            val p = e.getField("c").cast("double") /
+              col("n_events").cast("double")
+            s - p * log(p)
+          }))
+      .select(col("event_type"), col("n_events"),
+              round(col("ent") / lit(Ln2), 6).as("entropy_bits"),
+              round(col("ent") / lit(Ln24), 6).as("norm_entropy"))
+      .orderBy(col("event_type"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val ev = s"(${Tables.eventsSql})"
 
   val oracles: Map[String, String] = Map(
+    "cusum_changepoints" ->
+      s"""WITH b AS (
+         |  SELECT event_type, date_trunc('minute', ts) AS bucket,
+         |         CAST(floor(round(avg(value), 6) * 100 + 0.5) AS BIGINT) AS xc
+         |  FROM $ev e GROUP BY 1, 2
+         |),
+         |s AS (
+         |  SELECT event_type, count(*) AS n_buckets,
+         |         sum(xc) AS s1, sum(xc * xc) AS s2,
+         |         list(CAST(xc AS DOUBLE) ORDER BY bucket) AS vals
+         |  FROM b GROUP BY 1
+         |),
+         |p1 AS (SELECT *, CAST(s1 AS DOUBLE) / n_buckets AS mu FROM s),
+         |p2 AS (
+         |  SELECT *, sqrt(greatest(CAST(s2 AS DOUBLE) / n_buckets - mu * mu,
+         |                          CAST(0 AS DOUBLE))) AS sigma
+         |  FROM p1
+         |),
+         |p AS (
+         |  SELECT *, CAST($CusumK AS DOUBLE) * sigma AS k,
+         |         CAST($CusumH AS DOUBLE) * sigma AS h
+         |  FROM p2
+         |),
+         |f AS (
+         |  SELECT event_type, n_buckets, mu, sigma,
+         |         list_reduce(
+         |           list_prepend([CAST(0 AS DOUBLE), 0, 0, 0],
+         |                        list_transform(vals, x -> [x, 0, 0, 0])),
+         |           (acc, e) -> [
+         |             CASE WHEN greatest(acc[1] + (e[1] - mu - k),
+         |                                CAST(0 AS DOUBLE)) > h THEN 0
+         |                  ELSE greatest(acc[1] + (e[1] - mu - k),
+         |                                CAST(0 AS DOUBLE)) END,
+         |             CASE WHEN greatest(acc[2] + (mu - e[1] - k),
+         |                                CAST(0 AS DOUBLE)) > h THEN 0
+         |                  ELSE greatest(acc[2] + (mu - e[1] - k),
+         |                                CAST(0 AS DOUBLE)) END,
+         |             acc[3] + CASE WHEN greatest(acc[1] + (e[1] - mu - k),
+         |                                         CAST(0 AS DOUBLE)) > h
+         |                           THEN 1 ELSE 0 END,
+         |             acc[4] + CASE WHEN greatest(acc[2] + (mu - e[1] - k),
+         |                                         CAST(0 AS DOUBLE)) > h
+         |                           THEN 1 ELSE 0 END]) AS st
+         |  FROM p
+         |)
+         |SELECT event_type, n_buckets,
+         |       CAST(st[3] AS BIGINT) AS n_shifts_up,
+         |       CAST(st[4] AS BIGINT) AS n_shifts_down,
+         |       round(mu / 100, 4) AS baseline_mean,
+         |       round(sigma / 100, 4) AS baseline_sigma
+         |FROM f ORDER BY event_type""".stripMargin,
+    "seasonal_anomaly" ->
+      s"""WITH h AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,
+         |         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sm
+         |  FROM $ev e GROUP BY 1, 2
+         |),
+         |h2 AS (
+         |  SELECT *, sm // (n_ev * 10000) AS hm_c,
+         |         CAST(hour(hr) AS BIGINT) AS hod
+         |  FROM h
+         |),
+         |s AS (
+         |  SELECT event_type, hod, count(*) AS n_obs,
+         |         sum(hm_c) AS t1, sum(hm_c * hm_c) AS t2
+         |  FROM h2 GROUP BY 1, 2
+         |),
+         |s1 AS (SELECT *, CAST(t1 AS DOUBLE) / n_obs AS mu_s FROM s),
+         |s2 AS (
+         |  SELECT *, sqrt(greatest(CAST(t2 AS DOUBLE) / n_obs - mu_s * mu_s,
+         |                          CAST(0 AS DOUBLE))) AS sigma_s
+         |  FROM s1
+         |),
+         |z AS (
+         |  SELECT h2.event_type,
+         |         CASE WHEN s2.n_obs < 3 OR s2.sigma_s = 0 THEN NULL
+         |              ELSE (CAST(h2.hm_c AS DOUBLE) - s2.mu_s) / s2.sigma_s
+         |         END AS z
+         |  FROM h2
+         |  JOIN s2 ON h2.event_type = s2.event_type AND h2.hod = s2.hod
+         |)
+         |SELECT event_type, count(*) AS n_hours,
+         |       count(CASE WHEN abs(z) > 3.0 THEN 1 END) AS n_anomalous_hours,
+         |       round(max(abs(z)), 4) AS max_abs_z
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hourly_entropy" ->
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS c
+         |  FROM $ev e GROUP BY 1, 2
+         |),
+         |g AS (
+         |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+         |         list(CAST(c AS DOUBLE) ORDER BY hod) AS hs
+         |  FROM c GROUP BY 1
+         |),
+         |f AS (
+         |  SELECT event_type, n_events,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), hs),
+         |           (s, x) -> s - (x / CAST(n_events AS DOUBLE))
+         |                         * ln(x / CAST(n_events AS DOUBLE))) AS ent
+         |  FROM g
+         |)
+         |SELECT event_type, n_events,
+         |       round(ent / $Ln2, 6) AS entropy_bits,
+         |       round(ent / $Ln24, 6) AS norm_entropy
+         |FROM f ORDER BY event_type""".stripMargin,
     "mad_over_frame" ->
       s"""WITH e AS ($ev),
          |buf AS (

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Semantic specs for the change-point / seasonal / entropy / skyline
+  * operators — planted-signal and brute-force checks that complement the
+  * DuckDB oracle gate's engine-parity hashing.
+  */
+class DetectorSpec extends SparkSpec {
+
+  private val T0 = 1700000000000L
+  private val Min = 60000L
+
+  private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String,
+                                     Double, String)]): String = {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("det").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def ev(id: Long, typ: String, offMs: Long, v: Double) =
+    (id, new java.sql.Timestamp(T0 + offMs), 1L, typ, v, "{}")
+
+  test("cusum: a planted mean shift fires; a flat series never does") {
+    // type "shifted": 60 min at 10.0 then 60 min at 20.0 — a 2σ step
+    // (σ = 5 over the pooled series), which CUSUM accumulates at
+    // (x−μ−σ/2) = 2.5 per bucket and crosses h = 4σ = 20 within 8
+    // buckets on each side of the change. type "flat": constant value,
+    // σ = 0 → h = 0 and s stays exactly 0, so `> h` never fires.
+    val rows =
+      (0 until 60).map(i => ev(i, "shifted", i * Min, 10.0)) ++
+        (60 until 120).map(i => ev(i, "shifted", i * Min, 20.0)) ++
+        (0 until 120).map(i => ev(200L + i, "flat", i * Min, 7.0))
+    val df = SeriesOps.cusumChangepoints(spark, writeEvents(rows))
+    val byType = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byType("shifted").getAs[Long]("n_shifts_up") >= 1)
+    assert(byType("shifted").getAs[Long]("n_shifts_down") >= 1)
+    assert(byType("flat").getAs[Long]("n_shifts_up") == 0)
+    assert(byType("flat").getAs[Long]("n_shifts_down") == 0)
+    assert(byType("flat").getAs[Double]("baseline_sigma") == 0.0)
+    assert(byType("flat").getAs[Double]("baseline_mean") == 7.0)
+  }
+
+  test("seasonal anomaly: one planted bad hour in a month of rhythm") {
+    // 30 days × hour 3 at value 100, except day 15 spikes to 200:
+    // that slot's z ≈ 5.4 > 3 → exactly one anomalous hour; the quiet
+    // constant slots have σ = 0 → z NULL → never counted.
+    val hour = 3600000L
+    val rows = (0 until 30).flatMap { day =>
+      val v = if (day == 15) 200.0 else 100.0
+      Seq(ev(day.toLong, "kpi", day * 24 * hour + 3 * hour, v),
+          ev(1000L + day, "kpi", day * 24 * hour + 9 * hour, 50.0))
+    }
+    val df = SeriesOps.seasonalAnomaly(spark, writeEvents(rows))
+    val r = df.collect().head
+    assert(r.getString(0) == "kpi")
+    assert(r.getAs[Long]("n_hours") == 60)
+    assert(r.getAs[Long]("n_anomalous_hours") == 1)
+    assert(r.getAs[Double]("max_abs_z") > 3.0)
+  }
+
+  test("hourly entropy: uniform load → 1.0, single-hour load → 0.0") {
+    val hourMs = 3600000L
+    val rows =
+      // "uniform": exactly 5 events in each of the 24 hours
+      (0 until 24).flatMap(h =>
+        (0 until 5).map(i =>
+          ev(h * 10L + i, "uniform", h * hourMs + i * 1000L, 1.0))) ++
+        // "burst": everything in one hour
+        (0 until 50).map(i => ev(5000L + i, "burst", i * 1000L, 1.0))
+    val df = SeriesOps.hourlyEntropy(spark, writeEvents(rows))
+    val byType =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byType("uniform").getAs[Double]("norm_entropy") == 1.0)
+    assert(byType("uniform").getAs[Long]("n_events") == 120)
+    assert(byType("burst").getAs[Double]("entropy_bits") == 0.0)
+    assert(byType("burst").getAs[Double]("norm_entropy") == 0.0)
+  }
+
+  test("skyline: matches brute-force dominance on the sf0.001 catalog") {
+    val parts = Tables.part(spark, sf("sf0.001"))
+      .select(col("p_partkey"),
+              col("p_size").cast("long"),
+              floor(col("p_retailprice") * 100 + lit(0.5)).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(x: (Long, Long, Long)) = parts.exists { o =>
+      o._3 <= x._3 && o._2 >= x._2 && (o._3 < x._3 || o._2 > x._2)
+    }
+    val expected = parts.filterNot(dominated).map(_._1).toSet
+    val got = OlapOps.skylinePareto(spark, sf("sf0.001"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+}

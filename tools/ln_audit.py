@@ -67,6 +67,15 @@ for sfd in SFS:
         SELECT DISTINCT CAST(ct AS BIGINT), CAST(tt AS BIGINT), CAST(vv AS BIGINT) FROM lm, tt""").fetchall():
         args.add(("bg2", a, b, v))
 
+    # hourly_entropy: ln(c / N) over hour-of-day counts per event type
+    con.execute(f"CREATE OR REPLACE VIEW events AS SELECT * FROM '{sfd}/events.parquet'")
+    for a, b in con.execute("""WITH c AS (SELECT event_type, hour(ts) h, count(*) c
+          FROM events GROUP BY 1, 2),
+        g AS (SELECT event_type, CAST(sum(c) AS BIGINT) n FROM c GROUP BY 1)
+        SELECT DISTINCT CAST(c.c AS BIGINT), g.n
+        FROM c JOIN g ON c.event_type = g.event_type""").fetchall():
+        args.add(("div", a, b))
+
 work = Path(tempfile.mkdtemp(prefix="ln_audit"))
 out = work / "java_ln.txt"
 # Tuples go to a data file read by a fixed-size Java loop — one println
