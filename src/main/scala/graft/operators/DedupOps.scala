@@ -413,18 +413,33 @@ object DedupOps {
   def ssjoinPrefix(spark: SparkSession, dir: String): DataFrame = {
     val t = SsjoinThreshold
     // verification joins back to the corpus shingle frame: the corpus
-    // side grows with the dataset (terabytes at full scale), so a forced
-    // broadcast hint would be a guaranteed OOM there — hints win over
-    // AQE. Default is a PLAIN join: AQE picks broadcast when the runtime
-    // size is under the threshold (it is at dev scale) and falls back to
-    // a shuffle join on doc_id otherwise, where the post-prefilter
-    // candidate frame is the small side. `graft.ssjoin.broadcast=force`
-    // restores the unconditional hint for bounded-corpus benchmarking.
+    // side grows with the dataset (terabytes at full scale), so an
+    // UNCONDITIONAL broadcast hint would be a guaranteed OOM there —
+    // hints win over AQE. `graft.ssjoin.broadcast` picks the posture:
+    //  - auto (default): MEASURED gate — one cheap single-column
+    //    sum(n_chars) probe of the corpus (the shingle frame's size is
+    //    ~linear in chars) decides; under broadcastMaxChars (default
+    //    5×10⁷ ≈ a 100-200 MB broadcast) the hint applies, above it the
+    //    join stays plain and shuffles on doc_id with the post-prefilter
+    //    candidate frame as the small side. The probe is AQE-style
+    //    runtime statistics, paid once per call — unlike a static hint,
+    //    the decision REVERSES itself at scale. (Plain-join-under-AQE
+    //    alone is not enough: sessions with AQE off — and any engine
+    //    relying on estimated instead of observed sizes — would shuffle
+    //    a dev-scale corpus for no reason.)
+    //  - force / never: explicit overrides for benchmarking and plan
+    //    tests.
     val shBase = shingled(spark, dir).select(col("doc_id"), col("shingles"))
-    val sh =
-      if (spark.conf.get("graft.ssjoin.broadcast", "auto") == "force")
-        broadcast(shBase)
-      else shBase
+    val sh = spark.conf.get("graft.ssjoin.broadcast", "auto") match {
+      case "force" => broadcast(shBase)
+      case "never" => shBase
+      case _ =>
+        val maxChars = spark.conf
+          .get("graft.ssjoin.broadcastMaxChars", "50000000").toLong
+        val totalChars = Tables.documents(spark, dir)
+          .agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)
+        if (totalChars <= maxChars) broadcast(shBase) else shBase
+    }
     ssjoinPrefixCandidates(spark, dir)
       .join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc2") === col("sb.doc_id"))

@@ -458,23 +458,31 @@ class PlanSpec extends SparkSpec {
            s"expected 2 shared signature relations, got $sigRelations")
   }
 
-  test("ssjoin_prefix never FORCES a corpus-side broadcast") {
+  test("ssjoin_prefix broadcast gate is MEASURED, never unconditional") {
     // the verification join's corpus shingle frame grows with the
     // dataset — a mandatory broadcast hint there wins over AQE and is a
-    // guaranteed OOM at full scale. Default plan must carry NO broadcast
-    // hint (AQE may still PICK broadcast at runtime from observed sizes
-    // — that choice reverses itself at scale; a hint does not).
+    // guaranteed OOM at full scale. The default `auto` gate must decide
+    // from an observed corpus size, so the same code path that
+    // broadcasts a dev-scale corpus provably STOPS broadcasting when
+    // the measurement says the corpus is big.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    val hints = DedupOps.ssjoinPrefix(spark, sf("sf0.001"))
+    def hints() = DedupOps.ssjoinPrefix(spark, sf("sf0.001"))
       .queryExecution.analyzed.collect { case h: ResolvedHint => h }
-    assert(hints.isEmpty, s"forced broadcast hint(s): $hints")
-    // the opt-in knob restores the dev-scale hint explicitly
+    // auto + tiny corpus: the measured gate applies the hint
+    assert(hints().nonEmpty, "auto gate should broadcast a tiny corpus")
+    // auto + (simulated) huge corpus: threshold 0 → measurement exceeds
+    // it → the SAME auto path must drop the hint
+    spark.conf.set("graft.ssjoin.broadcastMaxChars", "0")
+    try assert(hints().isEmpty,
+               "auto gate must not broadcast above the size threshold")
+    finally spark.conf.unset("graft.ssjoin.broadcastMaxChars")
+    // explicit overrides
+    spark.conf.set("graft.ssjoin.broadcast", "never")
+    try assert(hints().isEmpty)
+    finally spark.conf.unset("graft.ssjoin.broadcast")
     spark.conf.set("graft.ssjoin.broadcast", "force")
-    try {
-      val forced = DedupOps.ssjoinPrefix(spark, sf("sf0.001"))
-        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
-      assert(forced.nonEmpty)
-    } finally spark.conf.unset("graft.ssjoin.broadcast")
+    try assert(hints().nonEmpty)
+    finally spark.conf.unset("graft.ssjoin.broadcast")
   }
 
   test("q21 stacks semi + anti joins on one order-key partitioning") {
