@@ -226,7 +226,9 @@ object SparkEntry {
     "frame_sample" -> (MultimodalOps.frameSample _),
     "image_resize" -> (MultimodalOps.imageResize _),
     "audio_features" -> (MultimodalOps.audioFeatures _),
-    "scene_cuts" -> (MultimodalOps.sceneCuts _)
+    "scene_cuts" -> (MultimodalOps.sceneCuts _),
+    "image_ahash" -> (MultimodalOps.imageAhash _),
+    "image_dup_pairs" -> (MultimodalOps.imageDupPairs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5,7 +5,6 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression
-    with CodegenFallback {
+    with UnaryRefCodegen {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -93,7 +92,7 @@ case class ShinglesExpr(child: Expression, n: Int)
   */
 case class MinHashSigExpr(child: Expression, k: Int)
     extends UnaryExpression
-    with CodegenFallback {
+    with UnaryRefCodegen {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -168,7 +167,7 @@ case class MinHashSigExpr(child: Expression, k: Int)
   */
 case class SimHashExpr(child: Expression)
     extends UnaryExpression
-    with CodegenFallback {
+    with UnaryRefCodegen {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -229,7 +228,7 @@ case class SimHashExpr(child: Expression)
   */
 case class HammingHexExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    with BinaryRefCodegen {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)
@@ -281,7 +280,7 @@ case class HammingHexExpr(left: Expression, right: Expression)
   */
 case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
     extends UnaryExpression
-    with CodegenFallback {
+    with UnaryRefCodegen {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -361,7 +360,7 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
   */
 case class WithSizeExpr(child: Expression)
     extends UnaryExpression
-    with CodegenFallback {
+    with UnaryRefCodegen {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -410,7 +409,7 @@ case class WithSizeExpr(child: Expression)
   */
 case class TokenCountsExpr(child: Expression)
     extends UnaryExpression
-    with CodegenFallback {
+    with UnaryRefCodegen {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -464,7 +463,7 @@ case class TokenCountsExpr(child: Expression)
   */
 case class PolyHashExpr(child: Expression)
     extends UnaryExpression
-    with CodegenFallback {
+    with UnaryRefCodegen {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -516,7 +515,7 @@ case class PolyHashExpr(child: Expression)
   */
 case class BpeEncodeStatsExpr(child: Expression, merges: Seq[String])
     extends UnaryExpression
-    with CodegenFallback {
+    with UnaryRefCodegen {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)

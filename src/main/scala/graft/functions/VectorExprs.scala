@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -44,7 +43,7 @@ private[graft] trait VecArrayInput { self: Expression =>
 /** Sequential left-fold dot product Σ aᵢ·bᵢ over the common prefix. */
 case class VecDotExpr(left: Expression, right: Expression)
     extends BinaryExpression
-    with CodegenFallback
+    with BinaryRefCodegen
     with VecArrayInput {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -76,7 +75,7 @@ case class VecDotExpr(left: Expression, right: Expression)
 /** L2 norm √(Σ xᵢ²), sequential left fold. */
 case class VecNormExpr(child: Expression)
     extends UnaryExpression
-    with CodegenFallback
+    with UnaryRefCodegen
     with VecArrayInput {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -101,7 +100,7 @@ case class VecNormExpr(child: Expression)
 /** Squared L2 distance Σ (aᵢ−bᵢ)², sequential left fold. */
 case class VecDist2Expr(left: Expression, right: Expression)
     extends BinaryExpression
-    with CodegenFallback
+    with BinaryRefCodegen
     with VecArrayInput {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -145,7 +144,7 @@ case class VecDist2Expr(left: Expression, right: Expression)
   */
 case class VecQuantStatsExpr(child: Expression)
     extends UnaryExpression
-    with CodegenFallback
+    with UnaryRefCodegen
     with VecArrayInput {
 
   override def checkInputDataTypes(): TypeCheckResult =

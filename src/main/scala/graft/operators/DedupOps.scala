@@ -78,7 +78,7 @@ object DedupOps {
     * (i-th, j-th) members. One definition so a future pairing-semantics
     * change (e.g. a cap) cannot silently diverge across operators.
     */
-  private def inBucketPairs(ds: Column)(
+  private[operators] def inBucketPairs(ds: Column)(
       pair: (Column, Column) => Column): Column =
     explode(flatten(transform(
       sequence(lit(1), size(ds) - 1),

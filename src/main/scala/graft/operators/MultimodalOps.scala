@@ -193,11 +193,147 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("scene_idx"))
   }
 
+  case class AHashRow(doc_id: Long, ahash: String)
+
+  /** Perceptual average-hash (aHash) per "image": the payload splits
+    * into 64 equal byte cells (the stub's stand-in for an 8×8 luminance
+    * downsample — a real decoder feeds pixel blocks into the SAME
+    * cell-mean → bit pipeline), bit c fires iff cell c's mean exceeds
+    * the global mean, decided by the cross-multiplied integers
+    * `s_c·n > t·len_c` (never a float ratio), emitted as 16 hex chars
+    * MSB-first. Pure per-row `mapPartitions` arithmetic next to the
+    * decode — no shuffle.
+    */
+  def imageAhash(spark: SparkSession, dir: String): DataFrame =
+    ahashFrame(spark, dir).orderBy(col("doc_id"))
+
+  private def ahashFrame(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    payloads(spark, dir)
+      .as[PayloadRow]
+      .mapPartitions { rows =>
+        rows.filter(_.payload.nonEmpty).map { r =>
+          val n = r.payload.length
+          val s = new Array[Long](64)
+          val l = new Array[Long](64)
+          var t = 0L
+          var i = 0
+          while (i < n) {
+            val c = (i.toLong * 64 / n).toInt
+            val v = (r.payload(i) & 0xff).toLong
+            s(c) += v; l(c) += 1; t += v
+            i += 1
+          }
+          val sb = new java.lang.StringBuilder(16)
+          var q = 0
+          while (q < 16) {
+            var nv = 0
+            var k = 0
+            while (k < 4) {
+              val c = q * 4 + k
+              if (s(c) * n > t * l(c)) nv |= (8 >> k)
+              k += 1
+            }
+            sb.append("0123456789abcdef".charAt(nv))
+            q += 1
+          }
+          AHashRow(r.doc_id, sb.toString)
+        }
+      }
+      .toDF()
+  }
+
+  /** Near-duplicate "images" via banded Hamming search over the aHash —
+    * the image-side twin of `simhash_pairs`: 4×16-bit bands, pigeonhole-
+    * complete for distance ≤ 3, in-bucket expansion with the shared
+    * [[DedupOps.MaxBucket]] skew cap, exact Hamming recheck. The oracle
+    * is the FULL all-pairs truth, so a hash match proves the banding
+    * lost nothing. Scale: one signature pass, one bucket shuffle —
+    * never an image-pair cross join.
+    */
+  def imageDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = ahashFrame(spark, dir)
+      .select(col("doc_id"),
+              explode(sequence(lit(0), lit(3))).as("band"),
+              col("ahash"))
+      .withColumn("prefix", substr(col("ahash"), col("band") * 4 + 1, lit(4)))
+    bands
+      .groupBy(col("band"), col("prefix"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("ahash"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= DedupOps.MaxBucket)
+      .select(DedupOps.inBucketPairs(col("ds"))((a, b) =>
+        struct(a.getField("doc_id").as("doc1"),
+               b.getField("doc_id").as("doc2"),
+               a.getField("ahash").as("h1"),
+               b.getField("ahash").as("h2"))).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"),
+              graft.functions.TextExprs.hammingHex(col("p.h1"), col("p.h2"))
+                .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
   // The stub decode is pure arithmetic on byte length, so the oracle can
   // reproduce it exactly in SQL.
 
+  /** Shared oracle CTE: aHash hex per document (all-ASCII texts, see the
+    * media_meta note — ascii(char) is the payload byte). The 64-cell
+    * grid is generated explicitly so short documents (< 64 bytes) get
+    * their empty cells as bit 0 exactly like the Scala arrays do.
+    */
+  private val ahashSql: String =
+    """WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+      |           FROM documents WHERE octet_length(encode(text)) > 0),
+      |cg AS (SELECT doc_id, n, r.c AS cell FROM p, UNNEST(range(0, 64)) r(c)),
+      |b AS (SELECT doc_id, n, CAST(((p2.i - 1) * 64) // n AS BIGINT) AS cell,
+      |             ascii(substr(text, CAST(p2.i AS INT), 1)) AS v
+      |      FROM p, UNNEST(range(1, n + 1)) p2(i)),
+      |cs AS (SELECT doc_id, cell, CAST(sum(v) AS BIGINT) AS s,
+      |              CAST(count(*) AS BIGINT) AS l
+      |       FROM b GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS t FROM cs GROUP BY 1),
+      |fc AS (SELECT cg.doc_id, cg.n, cg.cell, coalesce(cs.s, 0) AS s,
+      |              coalesce(cs.l, 0) AS l, tot.t
+      |       FROM cg LEFT JOIN cs ON cg.doc_id = cs.doc_id AND cg.cell = cs.cell
+      |       JOIN tot ON cg.doc_id = tot.doc_id),
+      |bits AS (SELECT doc_id, cell,
+      |                CASE WHEN s * n > t * l THEN 1 ELSE 0 END AS bit
+      |         FROM fc),
+      |nib AS (SELECT doc_id, cell // 4 AS q,
+      |               CAST(sum(bit * (CASE cell % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+      |                               WHEN 2 THEN 2 ELSE 1 END)) AS INT) AS nv
+      |        FROM bits GROUP BY 1, 2),
+      |hx AS (SELECT doc_id,
+      |              string_agg(substr('0123456789abcdef', nv + 1, 1), ''
+      |                         ORDER BY q) AS ahash
+      |       FROM nib GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "image_ahash" ->
+      s"""$ahashSql
+         |SELECT doc_id, ahash FROM hx ORDER BY doc_id""".stripMargin,
+    // full all-pairs truth — a hash match proves the 4x16-bit banding
+    // (pigeonhole-complete for d <= 3) lost no pair
+    "image_dup_pairs" ->
+      s"""$ahashSql,
+         |ham AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |         CAST(list_sum(list_transform(range(1, 17), i ->
+         |           bit_count(xor(
+         |             CAST(strpos('0123456789abcdef',
+         |                         substr(a.ahash, CAST(i AS INT), 1)) - 1
+         |                  AS BIGINT),
+         |             CAST(strpos('0123456789abcdef',
+         |                         substr(b.ahash, CAST(i AS INT), 1)) - 1
+         |                  AS BIGINT))))) AS BIGINT) AS hamming
+         |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+         |)
+         |SELECT doc1, doc2, hamming FROM ham
+         |WHERE hamming <= 3 ORDER BY doc1, doc2""".stripMargin,
     "media_meta" ->
       // texts are all-ASCII (verified), so the first UTF-8 byte equals the
       // first codepoint: ascii() is a safe byte accessor here.

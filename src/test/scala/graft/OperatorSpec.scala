@@ -226,6 +226,25 @@ class OperatorSpec extends SparkSpec {
     assert(w.toSeq == (0L until w.length).toSeq)
   }
 
+  test("image aHash: planted near-dup pair found, unrelated image not") {
+    val session = spark
+    import session.implicits._
+    // ~640-byte "image": near-dup differs in ONE byte (sub-cell change
+    // → Hamming ≤ 3), the third payload is unrelated content
+    val base = ("the quick brown fox jumps over the lazy dog " * 15).trim
+    val near = base.updated(100, 'x')
+    val far = ("zz AA 09 !! completely different byte histogram " * 13).trim
+    val dir = writeDocs(Seq((1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text"))
+    val hashes = MultimodalOps.imageAhash(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes.values.forall(_.length == 16))
+    val pairs = MultimodalOps.imageDupPairs(spark, dir)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"hashes: $hashes")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   private def writeDocs(docs: org.apache.spark.sql.DataFrame): String = {
     val dir = java.nio.file.Files.createTempDirectory("docs").toString
     docs
