@@ -116,6 +116,8 @@ object SparkEntry {
     "trade_triangles" -> (OlapOps.tradeTriangles _),
     "series_holt" -> (SeriesOps.seriesHolt _),
     "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
+    "drift_ks" -> (SeriesOps.driftKs _),
+    "mutual_info" -> (SeriesOps.mutualInfo _),
     "seasonal_anomaly" -> (SeriesOps.seasonalAnomaly _),
     "hourly_entropy" -> (SeriesOps.hourlyEntropy _),
     "skyline_pareto" -> (OlapOps.skylinePareto _),

@@ -750,6 +750,109 @@ object SeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** Kolmogorov–Smirnov two-sample drift over the VALUE distribution —
+    * the continuous complement to [[driftTv]]'s banded categorical
+    * distance: same first-half/second-half split, but the statistic is
+    * the max ECDF gap over exact integer cents, so a pure location or
+    * shape shift that TV's coarse bands wash out still registers. The
+    * gap is kept as the exact integer `max |cc₁·n₂ − cc₂·n₁|`
+    * (cumulative counts cross-multiplied — never a float ECDF), and
+    * D = num/(n₁·n₂) plus the α=0.05 rejection bound
+    * `D > c·√((n₁+n₂)/(n₁·n₂))` (c = 1.358) evaluate the same
+    * longs→double expression on both engines. Degenerate halves null
+    * out like [[driftTv]].
+    *
+    * Scale: one (type, cent-value) aggregation shuffle; the cumulative
+    * window runs per type over the DISTINCT-cents manifest — bounded by
+    * the value domain (10⁴ rows per 100 units of range), not event
+    * volume — the same manifest argument as `skyline_pareto`. The
+    * cross-multiplied longs hold to ~10⁹ events per type per half; the
+    * 100 TB form lifts the two cumulative counts to decimal(38,0).
+    */
+  def driftKs(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val counts = Tables
+      .events(spark, dir)
+      .select(col("event_type"), (col("ts") < cut).as("fh"),
+              floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("fh"), 1L).otherwise(0L)).as("c"),
+           sum(when(!col("fh"), 1L).otherwise(0L)).as("d"))
+    val totals = counts
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("na"), sum(col("d")).as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   0)
+    val d = (c: Column) => c.cast("double")
+    counts
+      .join(totals, "event_type")
+      .withColumn("cc", sum(col("c")).over(w))
+      .withColumn("cd", sum(col("d")).over(w))
+      .withColumn("gap", abs(col("cc") * col("nb") - col("cd") * col("na")))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_first"), max(col("nb")).as("n_second"),
+           max(col("gap")).as("ks_num"))
+      .select(
+        col("event_type"), col("n_first"), col("n_second"), col("ks_num"),
+        round(when(col("n_first") === 0 || col("n_second") === 0, lit(null))
+                .otherwise(d(col("ks_num")) /
+                  (d(col("n_first")) * d(col("n_second")))), 6).as("ks_stat"),
+        when(col("n_first") === 0 || col("n_second") === 0, lit(null))
+          .otherwise(
+            d(col("ks_num")) / (d(col("n_first")) * d(col("n_second"))) >
+              lit(1.358) * sqrt((d(col("n_first")) + d(col("n_second"))) /
+                (d(col("n_first")) * d(col("n_second"))))).as("drifted"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Mutual information between event type and hour-of-day — "how much
+    * does WHEN tell you about WHAT": the dependency-profiling summary
+    * over the type×hour contingency table (the per-type marginal view
+    * of the same table is [[hourlyEntropy]]). Every count is an exact
+    * long; each term is `(c_th/N)·ln(c_th·N/(c_t·c_h))` with both
+    * ratios two-long divisions (ln arguments audited in
+    * `tools/ln_audit.py`), and the sum folds over the
+    * (type, hour)-ORDERED cell list to pin float addition order.
+    * Bits via the shared [[Ln2]] literal.
+    *
+    * Scale: one (type, hour) count shuffle; margins and the fold run on
+    * the ≤ 24·|type| contingency table — metadata-scale.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cont = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("cth"))
+    val ct = cont.groupBy(col("event_type")).agg(sum(col("cth")).as("ct"))
+    val ch = cont.groupBy(col("hod")).agg(sum(col("cth")).as("chd"))
+    cont
+      .join(broadcast(ct), "event_type")
+      .join(broadcast(ch), "hod")
+      .groupBy()
+      .agg(sum(col("cth")).as("n_events"),
+           count(lit(1)).as("n_cells"),
+           sort_array(collect_list(struct(col("event_type"), col("hod"),
+                                          col("cth"), col("ct"),
+                                          col("chd")))).as("cells"))
+      .withColumn(
+        "mi",
+        aggregate(
+          col("cells"),
+          lit(0.0),
+          (s, e) => {
+            val p = e.getField("cth").cast("double") /
+              col("n_events").cast("double")
+            val ratio = (e.getField("cth") * col("n_events")).cast("double") /
+              (e.getField("ct") * e.getField("chd")).cast("double")
+            s + p * log(ratio)
+          }))
+      .select(col("n_events"), col("n_cells"),
+              round(col("mi") / lit(Ln2), 6).as("mi_bits"))
+  }
+
   /** ln 2 and ln 24, as shared literal constants: both engines rescale
     * the natural-log entropy by the SAME double (Scala's toString
     * round-trips, DuckDB parses to nearest), sidestepping any
@@ -802,6 +905,77 @@ object SeriesOps {
   private val ev = s"(${Tables.eventsSql})"
 
   val oracles: Map[String, String] = Map(
+    "drift_ks" ->
+      s"""WITH e AS ($ev),
+         |b AS (
+         |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS fh,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM e
+         |),
+         |c AS (
+         |  SELECT event_type, cents,
+         |         CAST(sum(CASE WHEN fh THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |         CAST(sum(CASE WHEN fh THEN 0 ELSE 1 END) AS BIGINT) AS d
+         |  FROM b GROUP BY 1, 2
+         |),
+         |t AS (
+         |  SELECT event_type, CAST(sum(c) AS BIGINT) AS na,
+         |         CAST(sum(d) AS BIGINT) AS nb
+         |  FROM c GROUP BY 1
+         |),
+         |w AS (
+         |  SELECT c.event_type, na, nb,
+         |         CAST(sum(c) OVER cw AS BIGINT) AS cc,
+         |         CAST(sum(d) OVER cw AS BIGINT) AS cd
+         |  FROM c JOIN t USING (event_type)
+         |  WINDOW cw AS (PARTITION BY c.event_type ORDER BY c.cents
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |a AS (
+         |  SELECT event_type, max(na) AS n_first, max(nb) AS n_second,
+         |         CAST(max(abs(cc * nb - cd * na)) AS BIGINT) AS ks_num
+         |  FROM w GROUP BY 1
+         |)
+         |SELECT event_type, n_first, n_second, ks_num,
+         |       round(CASE WHEN n_first = 0 OR n_second = 0 THEN NULL
+         |             ELSE CAST(ks_num AS DOUBLE)
+         |                  / (CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE))
+         |             END, 6) AS ks_stat,
+         |       CASE WHEN n_first = 0 OR n_second = 0 THEN NULL
+         |       ELSE CAST(ks_num AS DOUBLE)
+         |            / (CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE))
+         |            > CAST(1.358 AS DOUBLE)
+         |              * sqrt((CAST(n_first AS DOUBLE) + CAST(n_second AS DOUBLE))
+         |                     / (CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE)))
+         |       END AS drifted
+         |FROM a ORDER BY event_type""".stripMargin,
+    "mutual_info" ->
+      s"""WITH e AS ($ev),
+         |cont AS (
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         |         count(*) AS cth
+         |  FROM e GROUP BY 1, 2
+         |),
+         |ct AS (SELECT event_type, CAST(sum(cth) AS BIGINT) AS ct
+         |       FROM cont GROUP BY 1),
+         |ch AS (SELECT hod, CAST(sum(cth) AS BIGINT) AS chd
+         |       FROM cont GROUP BY 1),
+         |g AS (
+         |  SELECT CAST(sum(cth) AS BIGINT) AS n_events,
+         |         count(*) AS n_cells,
+         |         list([CAST(cth AS DOUBLE), CAST(ct AS DOUBLE),
+         |               CAST(chd AS DOUBLE)]
+         |              ORDER BY cont.event_type, cont.hod) AS cells
+         |  FROM cont JOIN ct USING (event_type) JOIN ch USING (hod)
+         |)
+         |SELECT n_events, n_cells,
+         |       round(list_reduce(
+         |         list_prepend([CAST(0 AS DOUBLE), 0, 0], cells),
+         |         (s, x) -> [s[1] + (x[1] / CAST(n_events AS DOUBLE))
+         |                        * ln((x[1] * n_events) / (x[2] * x[3])),
+         |                    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])[1]
+         |         / $Ln2, 6) AS mi_bits
+         |FROM g""".stripMargin,
     "cusum_changepoints" ->
       s"""WITH b AS (
          |  SELECT event_type, date_trunc('minute', ts) AS bucket,

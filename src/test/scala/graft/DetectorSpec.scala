@@ -81,6 +81,48 @@ class DetectorSpec extends SparkSpec {
     assert(byType("burst").getAs[Double]("norm_entropy") == 0.0)
   }
 
+  test("ks drift: a planted location shift fires; identical halves don't") {
+    // the split cut is 2024-01-16 00:00 UTC; place halves either side
+    val before = 1704844800000L - T0 // 2024-01-10 as an offset from T0
+    val after = 1705708800000L - T0 // 2024-01-20
+    val rows =
+      // "shifted": 200 draws at value v, then 200 at v+50 — a pure
+      // location shift (bands would need to straddle a boundary; the
+      // exact ECDF gap is ~1.0 regardless)
+      (0 until 200).map(i =>
+        ev(i, "shifted", before + i * 60000L, 10.0 + (i % 10))) ++
+        (0 until 200).map(i =>
+          ev(500L + i, "shifted", after + i * 60000L, 60.0 + (i % 10))) ++
+        // "same": the identical value multiset in both halves → gap 0
+        (0 until 200).map(i => ev(2000L + i, "same", before + i * 60000L,
+                                  10.0 + (i % 10))) ++
+        (0 until 200).map(i => ev(2500L + i, "same", after + i * 60000L,
+                                  10.0 + (i % 10)))
+    val byType = SeriesOps.driftKs(spark, writeEvents(rows))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byType("shifted").getAs[Boolean]("drifted"))
+    assert(byType("shifted").getAs[Double]("ks_stat") == 1.0)
+    assert(!byType("same").getAs[Boolean]("drifted"))
+    assert(byType("same").getAs[Double]("ks_stat") == 0.0)
+  }
+
+  test("mutual info: exact independence yields exactly zero bits") {
+    // counts proportional across the grid (every (type, hour) cell =
+    // base * type-multiplier): p(t,h) = p(t)p(h), every ln ratio is
+    // ln(1) = 0 — MI must be EXACTLY 0.0, not merely small
+    val hourMs = 3600000L
+    var id = 0L
+    val rows = for {
+      (typ, mult) <- Seq(("a", 1), ("b", 2))
+      h <- 0 until 4
+      i <- 0 until (3 * mult)
+    } yield { id += 1; ev(id, typ, h * hourMs + i * 1000L, 1.0) }
+    val r = SeriesOps.mutualInfo(spark, writeEvents(rows)).head()
+    assert(r.getAs[Long]("n_events") == 36)
+    assert(r.getAs[Long]("n_cells") == 8)
+    assert(r.getAs[Double]("mi_bits") == 0.0)
+  }
+
   test("skyline: matches brute-force dominance on the sf0.001 catalog") {
     val parts = Tables.part(spark, sf("sf0.001"))
       .select(col("p_partkey"),

@@ -76,6 +76,16 @@ for sfd in SFS:
         FROM c JOIN g ON c.event_type = g.event_type""").fetchall():
         args.add(("div", a, b))
 
+    # mutual_info: ln((cth*N) / (ct*ch)) over the type x hour table
+    for a, b in con.execute("""WITH cont AS (SELECT event_type, hour(ts) h, count(*) c
+          FROM events GROUP BY 1, 2),
+        ct AS (SELECT event_type, sum(c) ct FROM cont GROUP BY 1),
+        ch AS (SELECT h, sum(c) ch FROM cont GROUP BY 1),
+        n AS (SELECT sum(c) n FROM cont)
+        SELECT DISTINCT CAST(cont.c * n.n AS BIGINT), CAST(ct.ct * ch.ch AS BIGINT)
+        FROM cont JOIN ct USING (event_type) JOIN ch USING (h) CROSS JOIN n""").fetchall():
+        args.add(("div", a, b))
+
 work = Path(tempfile.mkdtemp(prefix="ln_audit"))
 out = work / "java_ln.txt"
 # Tuples go to a data file read by a fixed-size Java loop — one println
