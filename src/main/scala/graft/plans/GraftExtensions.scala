@@ -93,7 +93,26 @@ object GraftExtensions {
       (FunctionIdentifier("rolling_stats"),
        new ExpressionInfo(classOf[RollingStatsAggExpr].getName, "rolling_stats"),
        (args: Seq[Expression]) =>
-         RollingStatsAggExpr(args.head).toAggregateExpression())
+         RollingStatsAggExpr(args.head).toAggregateExpression()),
+      (FunctionIdentifier("vec_dot"),
+       new ExpressionInfo(classOf[graft.functions.VecDotExpr].getName,
+                          "vec_dot"),
+       (args: Seq[Expression]) =>
+         graft.functions.VecDotExpr(args.head, args(1))),
+      (FunctionIdentifier("vec_norm"),
+       new ExpressionInfo(classOf[graft.functions.VecNormExpr].getName,
+                          "vec_norm"),
+       (args: Seq[Expression]) => graft.functions.VecNormExpr(args.head)),
+      (FunctionIdentifier("vec_dist2"),
+       new ExpressionInfo(classOf[graft.functions.VecDist2Expr].getName,
+                          "vec_dist2"),
+       (args: Seq[Expression]) =>
+         graft.functions.VecDist2Expr(args.head, args(1))),
+      (FunctionIdentifier("vec_quant_stats"),
+       new ExpressionInfo(classOf[graft.functions.VecQuantStatsExpr].getName,
+                          "vec_quant_stats"),
+       (args: Seq[Expression]) =>
+         graft.functions.VecQuantStatsExpr(args.head))
     )
 
   /** Register the function surface on a live session (idempotent). */

@@ -57,4 +57,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getString(3).matches("[0-9a-f]{16}")))
   }
+
+  test("vector functions reach SQL: brute-force cosine top-k in one query") {
+    graft.plans.GraftExtensions.registerOn(spark)
+    Tables.embeddings(spark, sf("sf0.001"))
+      .createOrReplaceTempView("embeddings_v")
+    val rows = spark.sql(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings_v WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        |       vec_dot(e.embedding, q.qv)
+        |         / (vec_norm(e.embedding) * vec_norm(q.qv)) AS cosine,
+        |       vec_dist2(e.embedding, q.qv) AS dist2
+        |FROM embeddings_v e CROSS JOIN q
+        |WHERE e.vec_id <> 1
+        |ORDER BY cosine DESC LIMIT 5""".stripMargin).collect()
+    assert(rows.length == 5)
+    // cosine in [-1, 1]; dist2 nonnegative; ranking is descending
+    val cs = rows.map(_.getDouble(1))
+    assert(cs.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    assert(cs.sameElements(cs.sorted.reverse))
+    assert(rows.map(_.getDouble(2)).forall(_ >= 0.0))
+  }
 }
