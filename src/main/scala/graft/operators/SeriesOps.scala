@@ -617,8 +617,34 @@ object SeriesOps {
   /** CUSUM slack, in baseline-σ units (the classic k = σ/2 tuning for
     * detecting a 1σ mean shift), and the decision interval h = 4σ.
     */
-  private val CusumK = 0.5
-  private val CusumH = 4.0
+  private[graft] val CusumK = 0.5
+  private[graft] val CusumH = 4.0
+
+  /** Exact per-type CUSUM baselines (μ, σ in centi-units, as the SAME
+    * doubles the batch fold uses) — the offline "learn" half a
+    * streaming CUSUM consumes: collect is per-TYPE (metadata-sized),
+    * the aggregation underneath is the same exact centi-unit long sums
+    * as [[cusumChangepoints]].
+    */
+  def cusumBaselines(spark: SparkSession,
+                     dir: String): Map[String, (Double, Double)] =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
+      .agg(round(avg(col("value")), 6).as("av"))
+      .withColumn("xc", floor(col("av") * lit(100) + lit(0.5)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("xc")).as("s1"),
+           sum(col("xc") * col("xc")).as("s2"))
+      .collect()
+      .map { r =>
+        val n = r.getAs[Long]("n").toDouble
+        val mu = r.getAs[Long]("s1").toDouble / n
+        val sigma =
+          math.sqrt(math.max(r.getAs[Long]("s2").toDouble / n - mu * mu, 0.0))
+        r.getAs[String]("event_type") -> (mu, sigma)
+      }
+      .toMap
 
   /** Two-sided CUSUM mean-shift detection (Page 1954) over the
     * per-minute KPI series — the change-POINT complement to

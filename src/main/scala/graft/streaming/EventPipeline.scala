@@ -137,6 +137,22 @@ object EventPipeline {
         EwmaProcessor.smooth)
   }
 
+  /** Streaming CUSUM change-point counts per event type — offline-learned
+    * baselines, online fold (see [[CusumProcessor]]); update mode.
+    */
+  def cusumStream(spark: SparkSession, events: DataFrame,
+                  baselines: Map[String, CusumProcessor.Baseline])
+      : Dataset[CusumProcessor.CusumCounts] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              col("value"))
+      .as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        CusumProcessor.detect(baselines))
+  }
+
   /** Per-user event-transition stream — the incremental `lead` window
     * (one last-event record of state per user; update mode).
     */

@@ -788,6 +788,19 @@ object TypedStatefulProcessors {
                           OutputMode.Update())
   }
 
+  /** events → per-type CUSUM shift counts via transformWithState. */
+  def cusumStream(spark: SparkSession, events: Dataset[Event],
+                  baselines: Map[String, CusumProcessor.Baseline])
+      : Dataset[CusumProcessor.CusumCounts] = {
+    import spark.implicits._
+    val ttl = StateTtl.of(spark)
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new CusumStatefulProcessor(baselines, ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update())
+  }
+
   /** events → per-user transitions via transformWithState. */
   def transitionStream(
       spark: SparkSession,

@@ -217,6 +217,34 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(tws == fmgws)
   }
 
+  test("CUSUM transformWithState matches flatMapGroupsWithState shift counts") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+    val baselines =
+      operators.SeriesOps.cusumBaselines(spark, "/root/testdata/sf0.001")
+
+    def finalCounts(df: org.apache.spark.sql.DataFrame)
+        : Map[String, (Long, Long, Long)] =
+      df.as[CusumProcessor.CusumCounts]
+        .collect()
+        .groupBy(_.event_type)
+        .map { case (k, cs) =>
+          val c = cs.last
+          k -> (c.n_buckets, c.n_shifts_up, c.n_shifts_down)
+        }
+
+    val tws = finalCounts(runStream[Event, CusumProcessor.CusumCounts](
+      "tws_cusum", events.toSeq,
+      in => TypedStatefulProcessors.cusumStream(spark, in.toDS(), baselines)))
+    val fmgws = finalCounts(runStream[Event, CusumProcessor.CusumCounts](
+      "fmgws_cusum", events.toSeq,
+      in => EventPipeline.cusumStream(spark, in.toDF(), baselines)))
+
+    assert(tws.nonEmpty)
+    assert(tws == fmgws)
+  }
+
   test("transition transformWithState matches flatMapGroupsWithState pair multiset") {
     val session = spark
     import session.implicits._

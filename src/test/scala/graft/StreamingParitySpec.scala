@@ -108,6 +108,52 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming CUSUM shift counts equal the batch cusum_changepoints") {
+    val session = spark
+    import session.implicits._
+    val events = Tables
+      .events(spark, sf("sf0.001"))
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val baselines = operators.SeriesOps.cusumBaselines(spark, sf("sf0.001"))
+
+    val input = MemoryStream[Event](spark, 31)
+    val counts = EventPipeline.cusumStream(spark, input.toDF(), baselines)
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("cusum_parity")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      events.grouped(200).foreach { batch =>
+        input.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark
+      .table("cusum_parity")
+      .as[graft.streaming.CusumProcessor.CusumCounts]
+      .collect()
+      .zipWithIndex
+      .groupBy(_._1.event_type)
+      .map { case (_, rows) => rows.maxBy(_._2)._1 }
+      .map(c => (c.event_type, c.n_buckets, c.n_shifts_up, c.n_shifts_down))
+      .toSet
+
+    val batch = operators.SeriesOps
+      .cusumChangepoints(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_buckets"),
+                 r.getAs[Long]("n_shifts_up"),
+                 r.getAs[Long]("n_shifts_down")))
+      .toSet
+
+    assert(streamed == batch)
+  }
+
   test("streaming transitions aggregate to the batch lead-window counts") {
     val session = spark
     import session.implicits._
