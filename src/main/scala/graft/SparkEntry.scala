@@ -118,6 +118,9 @@ object SparkEntry {
     "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
     "drift_ks" -> (SeriesOps.driftKs _),
     "mutual_info" -> (SeriesOps.mutualInfo _),
+    "burstiness_fano" -> (SeriesOps.burstinessFano _),
+    "slo_burn_rate" -> (KpiOps.sloBurnRate _),
+    "ab_test_conversion" -> (FunnelOps.abTestConversion _),
     "seasonal_anomaly" -> (SeriesOps.seasonalAnomaly _),
     "hourly_entropy" -> (SeriesOps.hourlyEntropy _),
     "skyline_pareto" -> (OlapOps.skylinePareto _),

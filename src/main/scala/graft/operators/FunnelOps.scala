@@ -375,7 +375,108 @@ object FunnelOps {
              .p90(col("delta_secs").cast("double")).as("p90_secs"))
   }
 
+  /** A/B conversion analysis over a hash-split experiment: users split
+    * into arms by the first md5 nibble of their id (portable across
+    * engines — the same salted-hash assignment a real experiment
+    * platform uses, demonstrated unsalted here), conversion = any
+    * purchase event, and the arms compare through the pooled
+    * two-proportion z statistic
+    * `z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A + 1/n_B))`. All counts are
+    * exact longs; z combines them with the IDENTICAL double expression
+    * on both engines; `significant` is |z| > 1.96 (α = 0.05 two-sided).
+    * Degenerate splits (an empty arm, or p̂ ∈ {0,1} making the variance
+    * 0) null the statistic.
+    *
+    * Scale: one per-user aggregation (max-flag conversion — no distinct
+    * explosion), then a 2-row arm rollup. Nothing after the first
+    * shuffle exceeds metadata size.
+    */
+  def abTestConversion(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val perUser = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase").cast("long"))
+        .as("converted"))
+      .withColumn("arm",
+                  when(substring(md5(col("user_id").cast("string")), 1, 1)
+                         .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+                       "A").otherwise("B"))
+    val arms = perUser
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val wide = arms
+      .groupBy()
+      .agg(max(when(col("arm") === "A", col("n_users"))).as("n_a"),
+           max(when(col("arm") === "A", col("n_conv"))).as("conv_a"),
+           max(when(col("arm") === "B", col("n_users"))).as("n_b"),
+           max(when(col("arm") === "B", col("n_conv"))).as("conv_b"))
+    val pa = d(col("conv_a")) / d(col("n_a"))
+    val pb = d(col("conv_b")) / d(col("n_b"))
+    val pooled = (d(col("conv_a")) + d(col("conv_b"))) /
+      (d(col("n_a")) + d(col("n_b")))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    val degenerate = col("n_a").isNull || col("n_b").isNull ||
+      (col("conv_a") + col("conv_b") === 0) ||
+      (col("conv_a") + col("conv_b") === col("n_a") + col("n_b"))
+    wide.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(when(degenerate, lit(null)).otherwise((pa - pb) / se), 4)
+        .as("z_stat"),
+      when(degenerate, lit(null))
+        .otherwise(abs((pa - pb) / se) > 1.96).as("significant"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "ab_test_conversion" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |u AS (
+         |  SELECT user_id,
+         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS converted,
+         |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+         |                   IN ('0','1','2','3','4','5','6','7')
+         |              THEN 'A' ELSE 'B' END AS arm
+         |  FROM e GROUP BY user_id
+         |),
+         |arms AS (
+         |  SELECT arm, count(*) AS n_users,
+         |         CAST(sum(converted) AS BIGINT) AS n_conv
+         |  FROM u GROUP BY 1
+         |),
+         |wide AS (
+         |  SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS n_a,
+         |         max(CASE WHEN arm = 'A' THEN n_conv END) AS conv_a,
+         |         max(CASE WHEN arm = 'B' THEN n_users END) AS n_b,
+         |         max(CASE WHEN arm = 'B' THEN n_conv END) AS conv_b
+         |  FROM arms
+         |),
+         |z AS (
+         |  SELECT *,
+         |         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         |         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         |         (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+         |           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pooled,
+         |         (n_a IS NULL OR n_b IS NULL
+         |          OR conv_a + conv_b = 0
+         |          OR conv_a + conv_b = n_a + n_b) AS degenerate
+         |  FROM wide
+         |)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |       round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+         |       round(CASE WHEN degenerate THEN NULL
+         |             ELSE (pa - pb) / sqrt(pooled * (CAST(1 AS DOUBLE) - pooled)
+         |                  * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |                     + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+         |             END, 4) AS z_stat,
+         |       CASE WHEN degenerate THEN NULL
+         |       ELSE abs((pa - pb) / sqrt(pooled * (CAST(1 AS DOUBLE) - pooled)
+         |            * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |               + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))))
+         |            > CAST(1.96 AS DOUBLE) END AS significant
+         |FROM z""".stripMargin,
     "funnel_latency" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |v AS (SELECT user_id, min(epoch_us(ts)) AS v0 FROM e

@@ -163,6 +163,50 @@ object KpiOps {
            graft.functions.ExactPercentile.p95(col("value")).as("p95_value"))
       .orderBy(col("event_type"))
 
+  /** Multiwindow SLO burn-rate alert (Google SRE Workbook ch.5): against
+    * a 99% availability SLO (error budget 1%), the burn rate is
+    * `error_rate / budget = 100·err/n`, measured over a LONG (6 h) and a
+    * SHORT (1 h) window both anchored at the data max — page only when
+    * BOTH exceed 6× (the long window proves sustained burn, the short
+    * window proves it is STILL burning, so a recovered blip never
+    * pages). Both burn comparisons are the exact integers
+    * `50·err > 3·n`; the reported rates are the same longs→double
+    * division on both engines; an empty window nulls its burn and the
+    * verdict, mirroring DuckDB's x/0.
+    *
+    * Scale: ONE conditional-sum scan computes all four counters (never
+    * one scan per window), after the same broadcast max-ts anchor as
+    * `events_last_hour`.
+    */
+  def sloBurnRate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsWithStatus(spark, dir)
+    val mx = ev.groupBy().agg(max(col("ts")).as("max_ts"))
+    val d = (c: Column) => c.cast("double")
+    val isErr = (col("status") === "error").cast("long")
+    ev.crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 6 HOURS"))
+      .withColumn("in_short",
+                  (col("ts") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
+                    .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_long"),
+           sum(isErr).as("err_long"),
+           sum(col("in_short")).as("n_short"),
+           sum(isErr * col("in_short")).as("err_short"))
+      .select(
+        col("event_type"), col("n_long"), col("err_long"), col("n_short"),
+        col("err_short"),
+        round(lit(100.0) * d(col("err_long")) / d(col("n_long")), 6)
+          .as("burn_long"),
+        round(when(col("n_short") === 0, lit(null))
+                .otherwise(lit(100.0) * d(col("err_short")) /
+                  d(col("n_short"))), 6).as("burn_short"),
+        when(col("n_short") === 0, lit(null))
+          .otherwise(col("err_long") * 50 > col("n_long") * 3 &&
+            col("err_short") * 50 > col("n_short") * 3).as("page"))
+      .orderBy(col("event_type"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   private val ev =
@@ -197,6 +241,33 @@ object KpiOps {
        |GROUP BY 1, 2, 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "slo_burn_rate" ->
+      s"""WITH mx AS (SELECT max(ts) AS max_ts FROM $ev e0),
+         |w AS (
+         |  SELECT e.event_type,
+         |         CASE WHEN e.status = 'error' THEN 1 ELSE 0 END AS is_err,
+         |         CASE WHEN e.ts >= mx.max_ts - INTERVAL 1 HOUR
+         |              THEN 1 ELSE 0 END AS in_short
+         |  FROM $ev e, mx
+         |  WHERE e.ts >= mx.max_ts - INTERVAL 6 HOUR
+         |),
+         |a AS (
+         |  SELECT event_type, count(*) AS n_long,
+         |         CAST(sum(is_err) AS BIGINT) AS err_long,
+         |         CAST(sum(in_short) AS BIGINT) AS n_short,
+         |         CAST(sum(is_err * in_short) AS BIGINT) AS err_short
+         |  FROM w GROUP BY 1
+         |)
+         |SELECT event_type, n_long, err_long, n_short, err_short,
+         |       round(CAST(100 AS DOUBLE) * CAST(err_long AS DOUBLE)
+         |             / CAST(n_long AS DOUBLE), 6) AS burn_long,
+         |       round(CASE WHEN n_short = 0 THEN NULL
+         |             ELSE CAST(100 AS DOUBLE) * CAST(err_short AS DOUBLE)
+         |                  / CAST(n_short AS DOUBLE) END, 6) AS burn_short,
+         |       CASE WHEN n_short = 0 THEN NULL
+         |       ELSE err_long * 50 > n_long * 3
+         |            AND err_short * 50 > n_short * 3 END AS page
+         |FROM a ORDER BY event_type""".stripMargin,
     "kpi_tumbling" -> s"SELECT * FROM ($tumblingSql) t ORDER BY event_type, window_start",
     "kpi_lookup_5m" ->
       s"""SELECT * FROM (${tumblingSqlAt(graft.functions.WindowParam.seconds("5m"))}) t

@@ -879,6 +879,50 @@ object SeriesOps {
               round(col("mi") / lit(Ln2), 6).as("mi_bits"))
   }
 
+  /** Fano-factor burstiness per event type — variance-to-mean ratio of
+    * the per-minute arrival counts over the type's CALENDAR span
+    * (silent minutes count as zero, so a type that fires 60k events in
+    * one minute of a quiet month reads as extremely bursty, not
+    * uniform): Fano = 1 for a Poisson process, > 1 bursty, < 1
+    * regular — the traffic-shape probe next to [[hourlyEntropy]]'s
+    * daily-rhythm profile. Observed-minute sums (N, ΣC²) and the span
+    * are exact longs; Fano = (span·ΣC² − N²)/(span·N) is the same
+    * longs→double division on both engines and the `bursty` verdict is
+    * the pure integer comparison `span·ΣC² − N² > span·N` (variance >
+    * mean, cross-multiplied). A single-minute span with one event is
+    * Fano 0 (regular), not a division hazard: N ≥ 1 whenever the type
+    * exists.
+    *
+    * Scale: one (type, minute) count shuffle, then a per-type rollup of
+    * three longs — the span arrives from min/max, never a dense
+    * calendar join. `span·ΣC²` holds to ~10⁵ events/minute-year in
+    * longs; the 100 TB form lifts the products to decimal(38,0).
+    */
+  def burstinessFano(spark: SparkSession, dir: String): DataFrame = {
+    val minutes = Tables
+      .events(spark, dir)
+      .select(col("event_type"),
+              expr("unix_millis(date_trunc('MINUTE', ts)) DIV 60000")
+                .as("m"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("c"))
+    minutes
+      .groupBy(col("event_type"))
+      .agg((max(col("m")) - min(col("m")) + 1L).as("span_minutes"),
+           sum(col("c")).as("n_events"),
+           sum(col("c") * col("c")).as("s2"))
+      .select(
+        col("event_type"), col("span_minutes"), col("n_events"),
+        round((col("span_minutes") * col("s2") -
+                col("n_events") * col("n_events")).cast("double") /
+                (col("span_minutes") * col("n_events")).cast("double"), 6)
+          .as("fano"),
+        (col("span_minutes") * col("s2") -
+          col("n_events") * col("n_events") >
+          col("span_minutes") * col("n_events")).as("bursty"))
+      .orderBy(col("event_type"))
+  }
+
   /** ln 2 and ln 24, as shared literal constants: both engines rescale
     * the natural-log entropy by the SAME double (Scala's toString
     * round-trips, DuckDB parses to nearest), sidestepping any
@@ -931,6 +975,27 @@ object SeriesOps {
   private val ev = s"(${Tables.eventsSql})"
 
   val oracles: Map[String, String] = Map(
+    "burstiness_fano" ->
+      s"""WITH e AS ($ev),
+         |m AS (
+         |  SELECT event_type,
+         |         epoch_ms(date_trunc('minute', ts)) // 60000 AS m,
+         |         count(*) AS c
+         |  FROM e GROUP BY 1, 2
+         |),
+         |a AS (
+         |  SELECT event_type,
+         |         CAST(max(m) - min(m) + 1 AS BIGINT) AS span_minutes,
+         |         CAST(sum(c) AS BIGINT) AS n_events,
+         |         CAST(sum(c * c) AS BIGINT) AS s2
+         |  FROM m GROUP BY 1
+         |)
+         |SELECT event_type, span_minutes, n_events,
+         |       round(CAST(span_minutes * s2 - n_events * n_events AS DOUBLE)
+         |             / CAST(span_minutes * n_events AS DOUBLE), 6) AS fano,
+         |       span_minutes * s2 - n_events * n_events
+         |         > span_minutes * n_events AS bursty
+         |FROM a ORDER BY event_type""".stripMargin,
     "drift_ks" ->
       s"""WITH e AS ($ev),
          |b AS (

@@ -123,6 +123,75 @@ class DetectorSpec extends SparkSpec {
     assert(r.getAs[Double]("mi_bits") == 0.0)
   }
 
+  test("slo burn: an active error storm pages; a recovered one doesn't") {
+    val hourMs = 3600000L
+    // "storm": clean for 5h, then the last hour ~50% errors (value>=100)
+    // → long burn ~8.3x, short ~50x → page. "recovered": the same storm
+    // placed in hours 1-2, last hour clean → short burn 0 → NO page
+    // (the multiwindow rule's whole point).
+    val rows =
+      (0 until 500).map(i => ev(i, "storm", (i % 5) * hourMs + i * 10L,
+                                10.0)) ++
+        (0 until 100).map(i => ev(1000L + i, "storm",
+                                  5 * hourMs + i * 30000L,
+                                  if (i % 2 == 0) 150.0 else 10.0)) ++
+        (0 until 100).map(i => ev(2000L + i, "recovered",
+                                  1 * hourMs + i * 30000L,
+                                  if (i % 2 == 0) 150.0 else 10.0)) ++
+        (0 until 500).map(i => ev(3000L + i, "recovered",
+                                  (2 + i % 4) * hourMs + i * 10L, 10.0))
+    val byType = KpiOps.sloBurnRate(spark, writeEvents(rows))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byType("storm").getAs[Boolean]("page"))
+    assert(!byType("recovered").getAs[Boolean]("page"))
+  }
+
+  test("ab test: a planted arm effect is significant; no-conversion is null") {
+    val session = spark
+    import session.implicits._
+    def arm(uid: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("01234567".contains(hex.charAt(0))) "A" else "B"
+    }
+    // arm-A users convert, arm-B users never do → huge z
+    val rows = (1L to 200L).flatMap { uid =>
+      val base = Seq(ev(uid * 10, "view", uid * 1000L, 1.0)
+        .copy(_3 = uid))
+      if (arm(uid) == "A")
+        base :+ ev(uid * 10 + 1, "purchase", uid * 1000L + 500L, 1.0)
+          .copy(_3 = uid)
+      else base
+    }
+    val r = FunnelOps.abTestConversion(spark, writeEvents(rows)).head()
+    assert(r.getAs[Double]("rate_a") == 1.0)
+    assert(r.getAs[Double]("rate_b") == 0.0)
+    assert(r.getAs[Boolean]("significant"))
+    // nobody converts → pooled variance 0 → z and verdict NULL
+    val quiet = (1L to 50L).map(uid =>
+      ev(uid, "view", uid * 1000L, 1.0).copy(_3 = uid))
+    val q = FunnelOps.abTestConversion(spark, writeEvents(quiet)).head()
+    assert(q.isNullAt(q.fieldIndex("z_stat")))
+    assert(q.isNullAt(q.fieldIndex("significant")))
+  }
+
+  test("burstiness: one-minute spike is bursty, metronome traffic is not") {
+    val rows =
+      // "spike": 300 events in minute 0, then one event at minute 299
+      // to stretch the span
+      (0 until 300).map(i => ev(i, "spike", i * 100L, 1.0)) ++
+        Seq(ev(400L, "spike", 299 * 60000L, 1.0)) ++
+        // "steady": exactly one event per minute for 300 minutes
+        (0 until 300).map(i => ev(1000L + i, "steady", i * 60000L, 1.0))
+    val byType = SeriesOps.burstinessFano(spark, writeEvents(rows))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byType("spike").getAs[Boolean]("bursty"))
+    assert(byType("spike").getAs[Double]("fano") > 100)
+    assert(!byType("steady").getAs[Boolean]("bursty"))
+    assert(byType("steady").getAs[Double]("fano") == 0.0)
+  }
+
   test("skyline: matches brute-force dominance on the sf0.001 catalog") {
     val parts = Tables.part(spark, sf("sf0.001"))
       .select(col("p_partkey"),
