@@ -53,6 +53,43 @@ class PlanSpec extends SparkSpec {
     assert(pushed == naive)
   }
 
+  test("round-6 detectors keep their manifest-window / single-scan shapes") {
+    // skyline: the window must run over the per-price AGGREGATE (the
+    // distinct-cents manifest), which broadcasts back — never a window
+    // over the raw table or a dominance self-join
+    val sky = planOf(OlapOps.skylinePareto(spark, sf("sf0.01")))
+    assert(sky.contains("BroadcastHashJoin"), sky)
+    assert(!sky.contains("SortMergeJoin") && !sky.contains("CartesianProduct"))
+    assert(sky.split("Window").length - 1 == 1, s"expected 1 window:\n$sky")
+
+    // drift_ks: one cumulative window, fed by an aggregate (the
+    // distinct-cents frame), not the raw scan
+    val ks = planOf(SeriesOps.driftKs(spark, sf("sf0.01")))
+    assert(ks.split("Window").length - 1 == 1)
+    assert(!ks.contains("CartesianProduct"))
+
+    // slo_burn_rate: both SLO windows ride ONE conditional-sum pass —
+    // exactly two scans total (anchor + data), zero analytic windows
+    val slo = planOf(KpiOps.sloBurnRate(spark, sf("sf0.01")))
+    val scans = slo.split("Scan parquet").length - 1
+    assert(scans == 2, s"expected 2 scans (anchor + data), got $scans:\n$slo")
+    assert(!slo.contains("WindowExec") && !slo.contains("Window ["))
+
+    // cusum / entropy / mutual info / burstiness: pure aggregation
+    // pipelines — no window operator anywhere
+    for (df <- Seq(SeriesOps.cusumChangepoints(spark, sf("sf0.01")),
+                   SeriesOps.hourlyEntropy(spark, sf("sf0.01")),
+                   SeriesOps.mutualInfo(spark, sf("sf0.01")),
+                   SeriesOps.burstinessFano(spark, sf("sf0.01")))) {
+      val p = planOf(df)
+      assert(!p.contains("WindowExec") && !p.contains("Window ["), p)
+    }
+
+    // image pairs: bucketed expansion, never an image-pair cross join
+    val img = planOf(MultimodalOps.imageDupPairs(spark, sf("sf0.001")))
+    assert(!img.contains("CartesianProduct") && !img.contains("SortMergeJoin"))
+  }
+
   test("dup_span_fraction counts spans without a window (hot-span skew-safe)") {
     // the r4 form used count() over (partition by gh): one WindowExec task
     // materializes every posting of a hot boilerplate span, and AQE cannot
