@@ -114,6 +114,7 @@ object SparkEntry {
     "gini_concentration" -> (OlapOps.giniConcentration _),
     "q16_part_suppliers" -> (OlapOps.q16PartSuppliers _),
     "trade_triangles" -> (OlapOps.tradeTriangles _),
+    "trade_reach" -> (OlapOps.tradeReach _),
     "series_holt" -> (SeriesOps.seriesHolt _),
     "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
     "drift_ks" -> (SeriesOps.driftKs _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "hourly_entropy" -> (SeriesOps.hourlyEntropy _),
     "skyline_pareto" -> (OlapOps.skylinePareto _),
     "basket_pairs" -> (OlapOps.basketPairs _),
+    "basket_rules" -> (OlapOps.basketRules _),
     "q14_promo_share" -> (OlapOps.q14PromoShare _),
     "q19_disjunctive_revenue" -> (OlapOps.q19DisjunctiveRevenue _),
     "q13_order_distribution" -> (OlapOps.q13OrderDistribution _),

@@ -988,6 +988,120 @@ object OlapOps {
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
   }
 
+  /** All-pairs BFS hop distances over the gated trade graph — the
+    * frontier-expansion iteration shape ([[tradeTriangles]] is one
+    * 3-way join, [[OlapOps]] components/PageRank elsewhere are
+    * contraction and fixed-point; this is the third graph primitive:
+    * breadth-first reach). Distances iterate to FIXED POINT — expand
+    * the current distance frame one edge, keep the min hop per pair,
+    * stop when the row count stops growing — so the result is the true
+    * shortest hop count, not a fixed-iteration approximation; the
+    * oracle recomputes it with a recursive CTE whose state space
+    * ((pair, hops) triples, hops < |V|) is finite under UNION dedup.
+    * Everything is exact integers.
+    *
+    * Scale: the frame never exceeds |V|² rows (the NATION graph — a
+    * few hundred pairs); each round is one tiny join + aggregate with
+    * a per-round localCheckpoint to cap lineage, and the driver loop is
+    * bounded by the graph diameter ≤ |V|. For corpus-scale graphs the
+    * same loop runs on the cluster unchanged — only the fixed-point
+    * count check is driver-side, exactly like `dedup_clusters`' rounds.
+    */
+  def tradeReach(spark: SparkSession, dir: String): DataFrame = {
+    val e = tradeGatedEdges(spark, dir)
+    val bi = e
+      .select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var dist = bi.withColumn("hops", lit(1L)).localCheckpoint()
+    var n = dist.count()
+    var done = false
+    while (!done) {
+      val grown = dist
+        .join(bi.withColumnRenamed("src", "mid").withColumnRenamed("dst", "nxt"),
+              col("dst") === col("mid"))
+        .filter(col("src") =!= col("nxt"))
+        .select(col("src"), col("nxt").as("dst"),
+                (col("hops") + 1L).as("hops"))
+        .union(dist)
+        .groupBy(col("src"), col("dst"))
+        .agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+      val n2 = grown.count()
+      done = n2 == n
+      n = n2
+      dist = grown
+    }
+    dist
+      .select(col("src").as("nation_a"), col("dst").as("nation_b"),
+              col("hops"))
+      .orderBy(col("nation_a"), col("nation_b"))
+  }
+
+  /** Association rules from the frequent pairs — the A-priori step
+    * after [[basketPairs]]: every pair with support ≥ 3 emits BOTH
+    * directed rules A→B with confidence = supp(A,B)/supp(A) and
+    * lift = N·supp(A,B)/(supp(A)·supp(B)). Pair and single-item
+    * supports are exact longs off the same distinct (order, part)
+    * frame; confidence/lift are the shared longs→double divisions, and
+    * the `positive` verdict (lift > 1: the pair co-occurs MORE than
+    * independence predicts) is the exact integer cross-multiplication
+    * `N·supp(A,B) > supp(A)·supp(B)`.
+    *
+    * Scale: the pair expansion stays inside each basket row (fan-out
+    * bounded by basket size, as basketPairs documents); item supports
+    * are one extra groupBy on the SAME distinct frame; the support
+    * threshold prunes before the join-back, so the rule frame is
+    * frequent-pairs-sized, and the single-item support table joins in
+    * as a broadcast.
+    */
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val nBaskets = items.select(col("l_orderkey")).distinct().count()
+    val itemSupp = items
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("supp"))
+    val pairSupp = items
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("parts")) - 1),
+        i => transform(sequence(i + 1, size(col("parts"))),
+                       j => struct(element_at(col("parts"), i).as("pa"),
+                                   element_at(col("parts"), j).as("pb"))))))
+        .as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= 3)
+    val directed = pairSupp
+      .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+              col("supp_ab"))
+      .union(pairSupp.select(col("pb").as("antecedent"),
+                             col("pa").as("consequent"), col("supp_ab")))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    directed
+      .join(broadcast(itemSupp.withColumnRenamed("l_partkey", "antecedent")
+              .withColumnRenamed("supp", "supp_a")),
+            "antecedent")
+      .join(broadcast(itemSupp.withColumnRenamed("l_partkey", "consequent")
+              .withColumnRenamed("supp", "supp_c")),
+            "consequent")
+      .select(
+        col("antecedent"), col("consequent"), col("supp_ab"), col("supp_a"),
+        col("supp_c"),
+        round(d(col("supp_ab")) / d(col("supp_a")), 6).as("confidence"),
+        round(lit(nBaskets).cast("double") * d(col("supp_ab")) /
+                (d(col("supp_a")) * d(col("supp_c"))), 6).as("lift"),
+        (lit(nBaskets) * col("supp_ab") > col("supp_a") * col("supp_c"))
+          .as("positive"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** TPC-H Q21's shape (suppliers who kept orders waiting): for 'F'
     * orders, the flagged supplier shipped late while EVERY other
     * supplier on the order shipped on time — the one TPC-H query that
@@ -1135,7 +1249,11 @@ object OlapOps {
     * set is the nation table, so plain lexicographic orientation
     * suffices.
     */
-  def tradeTriangles(spark: SparkSession, dir: String): DataFrame = {
+  /** Gated undirected trade edges shared by [[tradeTriangles]] and
+    * [[tradeReach]]: nation pairs whose summed trade volume clears the
+    * data-adaptive 1.2× mean-pair gate (integer cross-multiplied).
+    */
+  private def tradeGatedEdges(spark: SparkSession, dir: String): DataFrame = {
     val trade = Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -1163,10 +1281,14 @@ object OlapOps {
       .agg(sum(col("n_trades")).as("w"))
     val tot = und.agg(sum(col("w")).as("total_w"),
                       count(lit(1)).as("n_pairs"))
-    val edges = und
+    und
       .join(broadcast(tot))
       .filter(lit(5L) * col("w") * col("n_pairs") > lit(6L) * col("total_w"))
       .select(col("u"), col("v"))
+  }
+
+  def tradeTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeGatedEdges(spark, dir)
     val tris = edges
       .select(col("u").as("ta"), col("v").as("tb"))
       .join(edges.select(col("u").as("tb2"), col("v").as("tc")),
@@ -1222,7 +1344,65 @@ object OlapOps {
       .orderBy(col("price_cents"), col("p_partkey"))
   }
 
+  /** Gated trade-edge CTE chain shared by the trade_triangles and
+    * trade_reach oracles — one definition of the graph, like the Spark
+    * side's [[tradeGatedEdges]].
+    */
+  private val tradeEdgesCtes: String =
+    """trade AS (
+      |  SELECT ns.n_name AS a, nc.n_name AS b, count(*) AS n_trades
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  WHERE ns.n_name <> nc.n_name
+      |  GROUP BY 1, 2
+      |),
+      |und AS (
+      |  SELECT least(a, b) AS u, greatest(a, b) AS v,
+      |         CAST(sum(n_trades) AS BIGINT) AS w
+      |  FROM trade GROUP BY 1, 2
+      |),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total_w,
+      |               count(*) AS n_pairs FROM und),
+      |edges AS (SELECT u, v FROM und, tot
+      |          WHERE 5 * w * n_pairs > 6 * total_w)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "basket_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |),
+        |nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+        |isupp AS (
+        |  SELECT l_partkey, count(*) AS supp FROM items GROUP BY 1
+        |),
+        |psupp AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS supp_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |),
+        |directed AS (
+        |  SELECT pa AS antecedent, pb AS consequent, supp_ab FROM psupp
+        |  UNION ALL
+        |  SELECT pb, pa, supp_ab FROM psupp
+        |)
+        |SELECT d.antecedent, d.consequent, d.supp_ab,
+        |       sa.supp AS supp_a, sc.supp AS supp_c,
+        |       round(CAST(d.supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6)
+        |         AS confidence,
+        |       round(CAST(nb.n AS DOUBLE) * CAST(d.supp_ab AS DOUBLE)
+        |             / (CAST(sa.supp AS DOUBLE) * CAST(sc.supp AS DOUBLE)), 6)
+        |         AS lift,
+        |       nb.n * d.supp_ab > sa.supp * sc.supp AS positive
+        |FROM directed d
+        |JOIN isupp sa ON d.antecedent = sa.l_partkey
+        |JOIN isupp sc ON d.consequent = sc.l_partkey
+        |CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin,
     "skyline_pareto" ->
       """WITH p AS (
         |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
@@ -1386,26 +1566,7 @@ object OlapOps {
     "q16_part_suppliers" ->
       q16Sql("part", "lineitem", "supplier"),
     "trade_triangles" ->
-      """WITH trade AS (
-        |  SELECT ns.n_name AS a, nc.n_name AS b, count(*) AS n_trades
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
-        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
-        |  WHERE ns.n_name <> nc.n_name
-        |  GROUP BY 1, 2
-        |),
-        |und AS (
-        |  SELECT least(a, b) AS u, greatest(a, b) AS v,
-        |         CAST(sum(n_trades) AS BIGINT) AS w
-        |  FROM trade GROUP BY 1, 2
-        |),
-        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total_w,
-        |               count(*) AS n_pairs FROM und),
-        |edges AS (SELECT u, v FROM und, tot
-        |          WHERE 5 * w * n_pairs > 6 * total_w),
+      s"""WITH $tradeEdgesCtes,
         |tris AS (
         |  SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
         |  FROM edges e1
@@ -1418,6 +1579,23 @@ object OlapOps {
         |      UNION ALL SELECT tb FROM tris
         |      UNION ALL SELECT tc FROM tris) n
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // recursive CTE under UNION dedup: the (pair, hops) state space is
+    // finite (hops < 25 nations), so the recursion provably terminates
+    // and min(hops) is the true BFS distance the Spark fixed point finds
+    "trade_reach" ->
+      s"""WITH RECURSIVE $tradeEdgesCtes,
+        |bi AS (SELECT u AS src, v AS dst FROM edges
+        |       UNION SELECT v, u FROM edges),
+        |rr(src, dst, hops) AS (
+        |  SELECT src, dst, 1 FROM bi
+        |  UNION
+        |  SELECT rr.src, bi.dst, rr.hops + 1
+        |  FROM rr JOIN bi ON rr.dst = bi.src
+        |  WHERE rr.hops < 24 AND rr.src <> bi.dst
+        |)
+        |SELECT src AS nation_a, dst AS nation_b,
+        |       CAST(min(hops) AS BIGINT) AS hops
+        |FROM rr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "gini_concentration" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |ut AS (
