@@ -79,6 +79,33 @@ object ProcessorProperties extends Properties("graft.processors") {
           EwmaProcessor.emit("web", whole).toList
     }
 
+  property("cusum: batch-split ≡ single batch on ordered input") =
+    forAll(genEvents, genSplit) { (events, f) =>
+      val bl = Map("web" -> (5000.0, 1500.0))
+      val (a, b) = splitAt(events, f)
+      val split = CusumProcessor.advance(
+        bl, "web",
+        CusumProcessor.advance(bl, "web", CusumProcessor.EmptyState,
+                               a.iterator),
+        b.iterator)
+      val whole = CusumProcessor.advance(bl, "web",
+                                         CusumProcessor.EmptyState,
+                                         events.iterator)
+      split == whole &&
+        CusumProcessor.emit(bl, "web", split).toList ==
+          CusumProcessor.emit(bl, "web", whole).toList
+    }
+
+  property("cusum: shift counters are monotone under more data") =
+    forAll(genEvents, genSplit) { (events, f) =>
+      val bl = Map("web" -> (5000.0, 1500.0))
+      val (a, b) = splitAt(events, f)
+      val s1 = CusumProcessor.advance(bl, "web", CusumProcessor.EmptyState,
+                                      a.iterator)
+      val s2 = CusumProcessor.advance(bl, "web", s1, b.iterator)
+      s2.nh >= s1.nh && s2.nl >= s1.nl && s2.nCompleted >= s1.nCompleted
+    }
+
   property("ewma: emitted level lies within the bucket-average envelope") =
     forAll(genEvents) { events =>
       val s = EwmaProcessor.advance(EwmaProcessor.EmptyState, events.iterator)
