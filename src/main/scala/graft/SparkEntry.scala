@@ -116,6 +116,7 @@ object SparkEntry {
     "trade_triangles" -> (OlapOps.tradeTriangles _),
     "trade_reach" -> (OlapOps.tradeReach _),
     "series_holt" -> (SeriesOps.seriesHolt _),
+    "series_hw" -> (SeriesOps.seriesHw _),
     "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
     "drift_ks" -> (SeriesOps.driftKs _),
     "mutual_info" -> (SeriesOps.mutualInfo _),

@@ -879,6 +879,91 @@ object SeriesOps {
               round(col("mi") / lit(Ln2), 6).as("mi_bits"))
   }
 
+  /** Holt–Winters seasonal weight (γ) and the daily period over hourly
+    * buckets. α/β are shared with [[seriesHolt]].
+    */
+  private val HwGamma = 0.2
+  private val HwGammaC = 0.8
+  private val HwPeriod = 24
+
+  /** Additive Holt–Winters (triple exponential smoothing) over the
+    * hourly KPI series with a 24-hour season — the seasonal completion
+    * of the forecasting family ([[seriesEwma]] level, [[seriesHolt]]
+    * level+trend, this adds the diurnal component [[seasonalAnomaly]]
+    * detects statically). Init is the simple fold-expressible form:
+    * the first season accumulates (l₀ = its mean, b₀ = 0, sᵢ = xᵢ−l₀,
+    * normalized at the t=24 boundary INSIDE the fold), then the
+    * standard recursion l/b/s with the seasonal ring stored at slot
+    * `t mod 24`. Forecast h=1 is `l + b + s[(n+1) mod 24]`; amplitude
+    * is the ring's max−min spread. The whole state — (l, b, 24-slot
+    * ring, t) — folds over the bucket-ordered series with the same
+    * IEEE expression tree on both engines (the oracle's accumulator is
+    * a flat 27-double list, recomputing shared subexpressions inline —
+    * bit-identical, as recomputation is). Types with fewer than 25
+    * buckets null their outputs.
+    *
+    * Scale: same posture as [[seriesHolt]] — one (type, hour)
+    * aggregation shuffle; the fold runs on the calendar-bounded
+    * per-type bucket list.
+    */
+  def seriesHw(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(avg(col("value")), 6).as("av"))
+    val vals = transform(
+      sort_array(collect_list(struct(col("bucket"), col("av")))),
+      _.getField("av"))
+    val m = HwPeriod
+    val folded = aggregate(
+      col("vals"),
+      struct(lit(0.0).as("l"), lit(0.0).as("b"),
+             array_repeat(lit(0.0), m).as("ring"), lit(0L).as("t")),
+      (s, x) => {
+        val t = s.getField("t")
+        val idx = (t % m).cast("int")
+        // t = 24 boundary: finalize the warm-up season (before consuming x)
+        val l0 = s.getField("l") / lit(m.toDouble)
+        val lP = when(t === m, l0).otherwise(s.getField("l"))
+        val ringP = when(t === m,
+                         transform(s.getField("ring"), r => r - l0))
+          .otherwise(s.getField("ring"))
+        val bP = s.getField("b")
+        // warm-up steps (t < 24): accumulate the season, park raw x
+        val warmRing = transform(ringP, (r, i) =>
+          when(i === idx, x).otherwise(r))
+        // recursion steps (t >= 24)
+        val sPrev = element_at(ringP, idx + 1)
+        val lNew = lit(HoltAlpha) * (x - sPrev) + lit(HoltAlphaC) * (lP + bP)
+        val bNew = lit(HoltBeta) * (lNew - lP) + lit(HoltBetaC) * bP
+        val sNew = lit(HwGamma) * (x - lNew) + lit(HwGammaC) * sPrev
+        val recRing = transform(ringP, (r, i) =>
+          when(i === idx, sNew).otherwise(r))
+        struct(
+          when(t < m, lP + x).otherwise(lNew).as("l"),
+          when(t < m, bP).otherwise(bNew).as("b"),
+          when(t < m, warmRing).otherwise(recRing).as("ring"),
+          (t + 1L).as("t"))
+      })
+    buckets
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), vals.as("vals"))
+      .withColumn("st", folded)
+      .select(
+        col("event_type"), col("n_buckets"),
+        round(when(col("n_buckets") >= m + 1, col("st.l")), 6).as("level"),
+        round(when(col("n_buckets") >= m + 1, col("st.b")), 6).as("trend"),
+        round(when(col("n_buckets") >= m + 1,
+                   col("st.l") + col("st.b") +
+                     element_at(col("st.ring"),
+                                ((col("n_buckets") + 1) % m).cast("int") + 1)),
+              6).as("forecast_1"),
+        round(when(col("n_buckets") >= m + 1,
+                   array_max(col("st.ring")) - array_min(col("st.ring"))),
+              6).as("season_amp"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fano-factor burstiness per event type — variance-to-mean ratio of
     * the per-minute arrival counts over the type's CALENDAR span
     * (silent minutes count as zero, so a type that fires 60k events in
@@ -974,7 +1059,77 @@ object SeriesOps {
 
   private val ev = s"(${Tables.eventsSql})"
 
+  /** Holt–Winters oracle SQL, assembled programmatically: the fold
+    * accumulator is a flat 27-double list [l, b, t, s₁..s₂₄]; shared
+    * subexpressions (sPrev, lNew) are inlined textually — IEEE
+    * recomputation is bit-stable, so parity with the Spark struct fold
+    * holds expression-for-expression.
+    */
+  private def seriesHwSql: String = {
+    val m = HwPeriod
+    val x = "e[1]"
+    val accL = "acc[1]"; val accB = "acc[2]"; val accT = "acc[3]"
+    val l0 = s"$accL / CAST($m AS DOUBLE)"
+    val lP = s"(CASE WHEN $accT = $m THEN $l0 ELSE $accL END)"
+    def ringP(j: String) =
+      s"(CASE WHEN $accT = $m THEN acc[$j + 4] - $l0 ELSE acc[$j + 4] END)"
+    val idx0 = s"CAST($accT % $m AS INT)"
+    val sPrev = ringP(idx0)
+    val lNew =
+      s"(CAST($HoltAlpha AS DOUBLE) * ($x - $sPrev) " +
+        s"+ CAST($HoltAlphaC AS DOUBLE) * ($lP + $accB))"
+    val bNew =
+      s"(CAST($HoltBeta AS DOUBLE) * ($lNew - $lP) " +
+        s"+ CAST($HoltBetaC AS DOUBLE) * $accB)"
+    val sNew =
+      s"(CAST($HwGamma AS DOUBLE) * ($x - $lNew) " +
+        s"+ CAST($HwGammaC AS DOUBLE) * $sPrev)"
+    val zeros = s"list_transform(range(0, ${3 + m}), z -> CAST(0 AS DOUBLE))"
+    val elemPad = s"list_transform(range(0, ${2 + m}), z -> CAST(0 AS DOUBLE))"
+    s"""WITH b AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |         round(avg(value), 6) AS av
+       |  FROM $ev e0 GROUP BY 1, 2
+       |),
+       |s AS (
+       |  SELECT event_type, count(*) AS n_buckets,
+       |         list(av ORDER BY bucket) AS vals
+       |  FROM b GROUP BY event_type
+       |),
+       |f AS (
+       |  SELECT event_type, n_buckets,
+       |         list_reduce(
+       |           list_prepend($zeros,
+       |             list_transform(vals, x -> [x] || $elemPad)),
+       |           (acc, e) ->
+       |             [CASE WHEN $accT < $m THEN $lP + $x ELSE $lNew END,
+       |              CASE WHEN $accT < $m THEN $accB ELSE $bNew END,
+       |              $accT + 1]
+       |             || list_transform(range(0, $m), j ->
+       |                  CASE WHEN j = $idx0
+       |                       THEN (CASE WHEN $accT < $m THEN $x
+       |                             ELSE $sNew END)
+       |                       ELSE ${ringP("j")} END)) AS st
+       |  FROM s
+       |)
+       |SELECT event_type, n_buckets,
+       |       round(CASE WHEN n_buckets >= ${m + 1} THEN st[1] END, 6)
+       |         AS level,
+       |       round(CASE WHEN n_buckets >= ${m + 1} THEN st[2] END, 6)
+       |         AS trend,
+       |       round(CASE WHEN n_buckets >= ${m + 1}
+       |             THEN st[1] + st[2]
+       |                  + st[CAST((n_buckets + 1) % $m AS INT) + 4]
+       |             END, 6) AS forecast_1,
+       |       round(CASE WHEN n_buckets >= ${m + 1}
+       |             THEN list_aggregate(st[4:${3 + m}], 'max')
+       |                  - list_aggregate(st[4:${3 + m}], 'min')
+       |             END, 6) AS season_amp
+       |FROM f ORDER BY event_type""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "series_hw" -> seriesHwSql,
     "burstiness_fano" ->
       s"""WITH e AS ($ev),
          |m AS (

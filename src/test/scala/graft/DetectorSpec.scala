@@ -192,6 +192,23 @@ class DetectorSpec extends SparkSpec {
     assert(byType("steady").getAs[Double]("fano") == 0.0)
   }
 
+  test("holt-winters: a perfect daily sawtooth forecasts its next hour") {
+    val hourMs = 3600000L
+    // 10 days of a noiseless 24-hour sawtooth: value at hour h is
+    // 100 + (h mod 24). After warm-up the seasonal ring converges to
+    // the sawtooth shape, trend ≈ 0, and forecast_1 lands near the true
+    // next value (hour 240 → 100 + 240 mod 24 = 100).
+    val rows = (0 until 240).map(h =>
+      ev(h, "saw", h * hourMs, 100.0 + (h % 24)))
+    val r = SeriesOps.seriesHw(spark, writeEvents(rows)).head()
+    assert(r.getAs[Long]("n_buckets") == 240)
+    assert(math.abs(r.getAs[Double]("trend")) < 0.5)
+    assert(math.abs(r.getAs[Double]("forecast_1") - 100.0) < 3.0,
+           s"forecast was ${r.getAs[Double]("forecast_1")}")
+    val amp = r.getAs[Double]("season_amp")
+    assert(amp > 15.0 && amp < 26.0, s"amp was $amp")
+  }
+
   test("skyline: matches brute-force dominance on the sf0.001 catalog") {
     val parts = Tables.part(spark, sf("sf0.001"))
       .select(col("p_partkey"),
