@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -125,7 +126,8 @@ private class EventsV2Table extends Table with SupportsRead {
   override def name(): String = "graft_events"
   override def schema(): StructType = EventsV2.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+                         TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventsScanBuilder(
@@ -135,11 +137,12 @@ private class EventsV2Table extends Table with SupportsRead {
         .parse(options.getOrDefault("start", "2024-01-01 00:00:00")
           .replace(' ', 'T'))
         .toInstant(ZoneOffset.UTC)
-        .toEpochMilli * 1000L)
+        .toEpochMilli * 1000L,
+      options.getLong("rowsPerBatch", 1000L))
 }
 
 private class EventsScanBuilder(rows: Long, partitions: Int,
-                                startMicros: Long)
+                                startMicros: Long, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = EventsV2.schema
 
@@ -149,16 +152,68 @@ private class EventsScanBuilder(rows: Long, partitions: Int,
     required = requiredSchema
 
   override def build(): Scan =
-    EventsScan(rows, partitions, startMicros, required)
+    EventsScan(rows, partitions, startMicros, required, rowsPerBatch)
+}
+
+/** Streaming offset: the id high-water mark (exclusive). Deterministic
+  * content + monotone offsets = exactly-once under checkpoint recovery.
+  */
+private case class EventsOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
 }
 
 private case class EventsRange(start: Long, end: Long) extends InputPartition
 
 private case class EventsScan(rows: Long, partitions: Int, startMicros: Long,
-                              required: StructType)
+                              required: StructType,
+                              rowsPerBatch: Long = 1000L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Micro-batch form: each trigger advances the id high-water mark by
+    * `rowsPerBatch` until `rows` is exhausted — the offset log makes the
+    * generated stream REPLAYABLE (a restarted query re-plans exactly the
+    * uncommitted id range, and the deterministic kernel regenerates
+    * identical rows: the exactly-once contract a Kafka source gets from
+    * broker offsets, here from arithmetic).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream with SupportsAdmissionControl {
+      override def initialOffset(): Offset = EventsOffset(0L)
+      // admission-control form: paced from the CURRENT start offset, so
+      // a checkpoint-restarted query resumes exactly where the offset
+      // log says — no driver-side mutable high-water mark to diverge
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val s0 = start.asInstanceOf[EventsOffset].id
+        EventsOffset(math.min(s0 + rowsPerBatch, rows))
+      }
+      override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "admission-control latestOffset(start, limit) is the paced form")
+      override def deserializeOffset(json: String): Offset =
+        EventsOffset(json.trim.toLong)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+
+      override def planInputPartitions(start: Offset,
+                                       end: Offset): Array[InputPartition] = {
+        val s0 = start.asInstanceOf[EventsOffset].id
+        val e0 = end.asInstanceOf[EventsOffset].id
+        // one rowsPerBatch-sized slice per partition within the range
+        val slices = ((e0 - s0) + rowsPerBatch - 1) / rowsPerBatch
+        Array.tabulate[InputPartition](math.max(1, slices).toInt) { i =>
+          val a = s0 + i * rowsPerBatch
+          EventsRange(a, math.min(a + rowsPerBatch, e0))
+        }.filter { case r: EventsRange => r.end > r.start }
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val fields = required.fieldNames.map(EventsV2.schema.fieldIndex)
+        EventsReaderFactory(startMicros, fields)
+      }
+    }
   override def description(): String =
     s"graft-events rows=$rows partitions=$partitions " +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"

@@ -41,6 +41,45 @@ class EventsV2Spec extends SparkSpec {
     assert(v2(500, 2).groupBy().count().head().getLong(0) == 500)
   }
 
+  test("micro-batch stream: paced offsets, exactly-once across restart") {
+    val out = java.nio.file.Files.createTempDirectory("ev2out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ev2ckpt").toString
+    def stream() = spark.readStream.format("graft-events")
+      .option("rows", 5000)
+      .option("rowsPerBatch", 1000)
+      .option("start", "2024-01-01 00:00:00")
+      .load()
+    def start() = stream().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/batch_$id")
+        ()
+      }
+      .start()
+
+    // first run: drain two paced batches, then stop mid-stream
+    val q1 = start()
+    try {
+      var waited = 0
+      while (waited < 300 &&
+             new java.io.File(out).listFiles().length < 2) {
+        Thread.sleep(100); waited += 1
+      }
+    } finally { q1.stop(); q1.awaitTermination() }
+
+    // restart from the checkpoint: must resume at the committed offset
+    // and finish the remaining ids with no duplicates and no gaps
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val all = spark.read.parquet(s"$out/batch_*")
+    assert(all.count() == 5000)
+    assert(all.select("event_id").distinct().count() == 5000)
+    // pacing: > 1 micro-batch happened (5000 rows at 1000/batch)
+    assert(new java.io.File(out).listFiles().length >= 5)
+  }
+
   test("deterministic across re-reads (retry/speculation safety)") {
     def contentHash(df: org.apache.spark.sql.DataFrame): Long = df
       .select(xxhash64(col("event_id"), col("source"), col("metric"),
