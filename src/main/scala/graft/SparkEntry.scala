@@ -75,6 +75,7 @@ object SparkEntry {
     "click_attribution" -> (TemporalOps.clickAttribution _),
     // training-data pipeline: dataset construction
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
+    "reservoir_sample" -> (PipelineOps.reservoirSample _),
     "vocab_topk" -> (PipelineOps.vocabTopK _),
     "pack_sequences" -> (PipelineOps.packSequences _),
     "quality_filter" -> (PipelineOps.qualityFilter _),

@@ -687,9 +687,46 @@ object PipelineOps {
        |  FROM h
        |)""".stripMargin
 
+  /** Exactly-k-per-stratum sample: the 5 documents per source with the
+    * smallest salted-md5 draw — the fixed-COUNT complement to
+    * [[stratifiedSample]]'s fixed-RATE draw (a data card wants "show me
+    * 5 examples per source", not "0.1% of each"). Hash-ranked selection
+    * makes it deterministic across engines, runs, and partitionings;
+    * the ranking runs through the dedicated per-key top-k operator
+    * ([[graft.plans.TopKPerKeyPlan]]), whose partial pre-shuffle pass
+    * caps the exchange at k·splits rows per source — a 100 TB corpus
+    * ships 5 rows per source per split, never the corpus.
+    */
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .withColumn("draw",
+                  md5(concat(lit("rs|"), col("doc_id").cast("string"))))
+    graft.plans.TopK
+      .perKey(docs, Seq("source"), Seq("draw" -> true, "doc_id" -> true), 5,
+              "rank")
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   private val resampleCtes = resampleCtesFrom("documents")
 
   val oracles: Map[String, String] = Map(
+    "reservoir_sample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |         md5('rs|' || CAST(doc_id AS VARCHAR)) AS draw
+        |  FROM documents
+        |),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY draw, doc_id) AS INT)
+        |           AS rank
+        |  FROM d
+        |)
+        |SELECT source, rank, doc_id, n_chars
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "curation_manifest" ->
       ("WITH keptd AS (\n" +
         "  SELECT d.doc_id, d.lang,\n" +
