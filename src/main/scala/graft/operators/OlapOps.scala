@@ -966,12 +966,8 @@ object OlapOps {
       .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) > 1)
     val pairs = baskets
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("parts")) - 1),
-        i => transform(sequence(i + 1, size(col("parts"))),
-                       j => struct(element_at(col("parts"), i).as("pa"),
-                                   element_at(col("parts"), j).as("pb"))))))
-        .as("p"))
+      .select(DedupOps.inBucketPairs(col("parts"))((a, b) =>
+        struct(a.as("pa"), b.as("pb"))).as("p"))
       .select(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
@@ -1069,12 +1065,8 @@ object OlapOps {
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) > 1)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("parts")) - 1),
-        i => transform(sequence(i + 1, size(col("parts"))),
-                       j => struct(element_at(col("parts"), i).as("pa"),
-                                   element_at(col("parts"), j).as("pb"))))))
-        .as("p"))
+      .select(DedupOps.inBucketPairs(col("parts"))((a, b) =>
+        struct(a.as("pa"), b.as("pb"))).as("p"))
       .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= 3)

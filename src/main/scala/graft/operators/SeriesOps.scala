@@ -956,7 +956,7 @@ object SeriesOps {
         round(when(col("n_buckets") >= m + 1,
                    col("st.l") + col("st.b") +
                      element_at(col("st.ring"),
-                                ((col("n_buckets") + 1) % m).cast("int") + 1)),
+                                (col("n_buckets") % m).cast("int") + 1)),
               6).as("forecast_1"),
         round(when(col("n_buckets") >= m + 1,
                    array_max(col("st.ring")) - array_min(col("st.ring"))),
@@ -1119,7 +1119,7 @@ object SeriesOps {
        |         AS trend,
        |       round(CASE WHEN n_buckets >= ${m + 1}
        |             THEN st[1] + st[2]
-       |                  + st[CAST((n_buckets + 1) % $m AS INT) + 4]
+       |                  + st[CAST(n_buckets % $m AS INT) + 4]
        |             END, 6) AS forecast_1,
        |       round(CASE WHEN n_buckets >= ${m + 1}
        |             THEN list_aggregate(st[4:${3 + m}], 'max')

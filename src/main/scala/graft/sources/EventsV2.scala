@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -183,12 +183,22 @@ private case class EventsScan(rows: Long, partitions: Int, startMicros: Long,
       override def initialOffset(): Offset = EventsOffset(0L)
       // admission-control form: paced from the CURRENT start offset, so
       // a checkpoint-restarted query resumes exactly where the offset
-      // log says — no driver-side mutable high-water mark to diverge
+      // log says — no driver-side mutable high-water mark to diverge.
+      // The ReadLimit is HONORED: the default limit paces micro-batches
+      // at rowsPerBatch, while allAvailable (Trigger.AvailableNow /
+      // Once wrappers) gets the full remaining range — ignoring it
+      // would end an AvailableNow run after one slice, silently short
       override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
         val s0 = start.asInstanceOf[EventsOffset].id
-        EventsOffset(math.min(s0 + rowsPerBatch, rows))
+        limit match {
+          case _: ReadAllAvailable => EventsOffset(rows)
+          case r: ReadMaxRows =>
+            EventsOffset(math.min(s0 + r.maxRows(), rows))
+          case _ => EventsOffset(math.min(s0 + rowsPerBatch, rows))
+        }
       }
-      override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+      override def getDefaultReadLimit: ReadLimit =
+        ReadLimit.maxRows(rowsPerBatch)
       override def latestOffset(): Offset =
         throw new UnsupportedOperationException(
           "admission-control latestOffset(start, limit) is the paced form")

@@ -38,10 +38,27 @@ class CodegenSpec extends SparkSpec {
         TextExprs.winnowFingerprints(col("text"), 5, 4).as("wf"))
       val rows = out.collect()
       assert(rows.length == 4)
-      // and the interpreted path agrees (codegen vs eval parity)
-      val sim = TextExprs.simhash64(col("text"))
-      val byEval = df.select(sim).collect().map(_.getString(0))
-      assert(byEval.sameElements(rows.map(_.getAs[String]("sim"))))
+      // and the INTERPRETED path agrees — direct Expression.eval on a
+      // literal child, no Spark plan and no codegen anywhere, so a
+      // doGenCode/unboxing bug cannot cancel out of the comparison
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val texts = Seq("the quick brown fox jumps over the lazy dog",
+                      "  Mixed   CASE  and   runs of	whitespace ", "",
+                      "élève 😀 non-ascii")
+      val byEval = texts.map { t =>
+        graft.functions.SimHashExpr(Literal.create(UTF8String.fromString(t),
+                                                   org.apache.spark.sql.types.StringType))
+          .eval(null).asInstanceOf[UTF8String].toString
+      }
+      assert(byEval == rows.map(_.getAs[String]("sim")).toSeq)
+      val phEval = texts.map { t =>
+        graft.functions.PolyHashExpr(Literal.create(
+          UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType)).eval(null)
+          .asInstanceOf[Long]
+      }
+      assert(phEval == rows.map(_.getAs[Long]("ph")).toSeq)
     }
   }
 

@@ -203,7 +203,10 @@ class DetectorSpec extends SparkSpec {
     val r = SeriesOps.seriesHw(spark, writeEvents(rows)).head()
     assert(r.getAs[Long]("n_buckets") == 240)
     assert(math.abs(r.getAs[Double]("trend")) < 0.5)
-    assert(math.abs(r.getAs[Double]("forecast_1") - 100.0) < 3.0,
+    // with the correct ring slot (n mod 24 → hour 0) the converged
+    // forecast sits well inside one seasonal step of the true value;
+    // the wrong slot (hour 1's seasonal) would miss by ~1.0
+    assert(math.abs(r.getAs[Double]("forecast_1") - 100.0) < 0.75,
            s"forecast was ${r.getAs[Double]("forecast_1")}")
     val amp = r.getAs[Double]("season_amp")
     assert(amp > 15.0 && amp < 26.0, s"amp was $amp")
