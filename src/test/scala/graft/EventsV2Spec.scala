@@ -80,6 +80,29 @@ class EventsV2Spec extends SparkSpec {
     assert(new java.io.File(out).listFiles().length >= 5)
   }
 
+  test("Trigger.AvailableNow drains the whole source, not one slice") {
+    // regression pin for the ReadLimit fix: with the limit ignored, an
+    // AvailableNow run ended after rowsPerBatch rows — silent data loss
+    val out = java.nio.file.Files.createTempDirectory("ev2an").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ev2anck").toString
+    val q = spark.readStream.format("graft-events")
+      .option("rows", 3000)
+      .option("rowsPerBatch", 500)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/batch_$id")
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val all = spark.read.parquet(s"$out/batch_*")
+    assert(all.count() == 3000)
+    assert(all.select("event_id").distinct().count() == 3000)
+  }
+
   test("deterministic across re-reads (retry/speculation safety)") {
     def contentHash(df: org.apache.spark.sql.DataFrame): Long = df
       .select(xxhash64(col("event_id"), col("source"), col("metric"),
