@@ -118,6 +118,7 @@ object SparkEntry {
     "trade_reach" -> (OlapOps.tradeReach _),
     "series_holt" -> (SeriesOps.seriesHolt _),
     "series_hw" -> (SeriesOps.seriesHw _),
+    "sax_motifs" -> (SeriesOps.saxMotifs _),
     "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
     "drift_ks" -> (SeriesOps.driftKs _),
     "mutual_info" -> (SeriesOps.mutualInfo _),

@@ -964,6 +964,72 @@ object SeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** SAX breakpoints for a 4-letter alphabet: the N(0,1) quartiles
+    * (Lin/Keogh SAX, DMKD'07) — interpolated as shared literals so both
+    * engines compare against identical doubles.
+    */
+  private val SaxQ1 = -0.6744897501960817
+  private val SaxQ3 = 0.6744897501960817
+
+  /** SAX motif mining over the hourly KPI series: each hour z-scores
+    * against its type's series mean/σ (exact centi-unit long sums →
+    * the shared double expression; a flat series pins z = 0), maps to
+    * a 4-letter symbol at the N(0,1) quartile breakpoints, and the
+    * symbol stream's sliding 4-grams are counted — repeated words are
+    * the series' MOTIFS (recurring local shapes: 'dcba' = spike-decay,
+    * 'abcd' = ramp), the classic symbolic time-series-mining primitive
+    * next to [[autocorrLags]]'s global periodicity probe. Only words
+    * seen ≥ 3 times survive (motif, not noise).
+    *
+    * Scale: one (type, hour) aggregation shuffle; the z/symbol pass is
+    * a pure map; the 4-gram window partitions per type over the
+    * calendar-bounded hourly series (same manifest argument as
+    * [[autocorrLags]]); the word count is a metadata-scale aggregate.
+    */
+  def saxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_ev"),
+           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
+      .withColumn("hm_c", expr("sm DIV (n_ev * 10000L)"))
+    val stats = hourly
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("hm_c")).as("s1"),
+           sum(col("hm_c") * col("hm_c")).as("s2"))
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("sigma",
+                  sqrt(greatest(col("s2").cast("double") / col("n") -
+                                  col("mu") * col("mu"),
+                                lit(0.0))))
+      .select(col("event_type"), col("mu"), col("sigma"))
+    val z = hourly
+      .join(broadcast(stats), "event_type")
+      .withColumn("z",
+                  when(col("sigma") === 0.0, lit(0.0))
+                    .otherwise((col("hm_c").cast("double") - col("mu")) /
+                      col("sigma")))
+      .withColumn("sym",
+                  when(col("z") < SaxQ1, "a")
+                    .when(col("z") < 0.0, "b")
+                    .when(col("z") < SaxQ3, "c")
+                    .otherwise("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("hr"))
+    z.withColumn("s2c", lead(col("sym"), 1).over(w))
+      .withColumn("s3c", lead(col("sym"), 2).over(w))
+      .withColumn("s4c", lead(col("sym"), 3).over(w))
+      .filter(col("s4c").isNotNull)
+      .select(col("event_type"),
+              concat(col("sym"), col("s2c"), col("s3c"), col("s4c"))
+                .as("word"))
+      .groupBy(col("event_type"), col("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= 3)
+      .orderBy(col("event_type"), col("n_occurrences").desc, col("word"))
+  }
+
   /** Fano-factor burstiness per event type — variance-to-mean ratio of
     * the per-minute arrival counts over the type's CALENDAR span
     * (silent minutes count as zero, so a type that fires 60k events in
@@ -1129,6 +1195,51 @@ object SeriesOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "sax_motifs" ->
+      s"""WITH h AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,
+         |         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sm
+         |  FROM $ev e GROUP BY 1, 2
+         |),
+         |h2 AS (SELECT *, sm // (n_ev * 10000) AS hm_c FROM h),
+         |st AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(hm_c) AS BIGINT) AS s1,
+         |         CAST(sum(hm_c * hm_c) AS BIGINT) AS s2
+         |  FROM h2 GROUP BY 1
+         |),
+         |st1 AS (SELECT *, CAST(s1 AS DOUBLE) / n AS mu FROM st),
+         |st2 AS (
+         |  SELECT *, sqrt(greatest(CAST(s2 AS DOUBLE) / n - mu * mu,
+         |                          CAST(0 AS DOUBLE))) AS sigma
+         |  FROM st1
+         |),
+         |z AS (
+         |  SELECT h2.event_type, h2.hr,
+         |         CASE WHEN st2.sigma = 0 THEN CAST(0 AS DOUBLE)
+         |              ELSE (CAST(h2.hm_c AS DOUBLE) - st2.mu) / st2.sigma
+         |         END AS z
+         |  FROM h2 JOIN st2 ON h2.event_type = st2.event_type
+         |),
+         |sym AS (
+         |  SELECT event_type, hr,
+         |         CASE WHEN z < $SaxQ1 THEN 'a'
+         |              WHEN z < 0.0 THEN 'b'
+         |              WHEN z < $SaxQ3 THEN 'c'
+         |              ELSE 'd' END AS sym
+         |  FROM z
+         |),
+         |words AS (
+         |  SELECT event_type,
+         |         sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w
+         |             || lead(sym, 3) OVER w AS word
+         |  FROM sym
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+         |)
+         |SELECT event_type, word, count(*) AS n_occurrences
+         |FROM words WHERE word IS NOT NULL
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY event_type, n_occurrences DESC, word""".stripMargin,
     "series_hw" -> seriesHwSql,
     "burstiness_fano" ->
       s"""WITH e AS ($ev),

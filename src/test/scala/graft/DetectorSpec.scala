@@ -212,6 +212,27 @@ class DetectorSpec extends SparkSpec {
     assert(amp > 15.0 && amp < 26.0, s"amp was $amp")
   }
 
+  test("sax motifs: a repeating daily shape yields period-count motifs") {
+    val hourMs = 3600000L
+    // 10 days of the noiseless sawtooth: the symbol stream has period
+    // 24 (runs of a/b/c/d), so at most 24 distinct phase words exist
+    // and every one recurs at least daily (9+ times across 10 days;
+    // within-run words like 'aaaa' recur several times per day)
+    val rows = (0 until 240).map(h =>
+      ev(h, "saw", h * hourMs, 100.0 + (h % 24)))
+    val motifs = SeriesOps.saxMotifs(spark, writeEvents(rows)).collect()
+    assert(motifs.nonEmpty)
+    assert(motifs.length <= 24)
+    assert(motifs.forall(_.getAs[Long]("n_occurrences") >= 9))
+    // and a pure-noise-free CONSTANT series yields exactly one motif:
+    // sigma = 0 pins z = 0 → all-'c' words
+    val flat = (0 until 100).map(h =>
+      ev(1000L + h, "flat", h * hourMs, 42.0))
+    val fm = SeriesOps.saxMotifs(spark, writeEvents(flat)).collect()
+    assert(fm.length == 1 && fm.head.getAs[String]("word") == "cccc")
+    assert(fm.head.getAs[Long]("n_occurrences") == 97)
+  }
+
   test("skyline: matches brute-force dominance on the sf0.001 catalog") {
     val parts = Tables.part(spark, sf("sf0.001"))
       .select(col("p_partkey"),
