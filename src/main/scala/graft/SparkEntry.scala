@@ -119,6 +119,7 @@ object SparkEntry {
     "series_holt" -> (SeriesOps.seriesHolt _),
     "series_hw" -> (SeriesOps.seriesHw _),
     "sax_motifs" -> (SeriesOps.saxMotifs _),
+    "theilsen_trend" -> (SeriesOps.theilsenTrend _),
     "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
     "drift_ks" -> (SeriesOps.driftKs _),
     "mutual_info" -> (SeriesOps.mutualInfo _),

@@ -964,6 +964,47 @@ object SeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** Theil–Sen robust trend per type: the MEDIAN of all pairwise
+    * slopes over the hourly series — the estimator that shrugs off the
+    * outliers that drag [[trendOls]]'s least squares (29% breakdown
+    * point vs 0). Each slope is the exact-rational
+    * (y₂−y₁)/(t₂−t₁) evaluated as the same longs→double division on
+    * both engines (y in centi-units, t in epoch hours); the median is
+    * Spark's interpolated `percentile` ≡ DuckDB `quantile_cont` over
+    * identical doubles. Reported in centi-units/day (×24), with the
+    * sign verdict on the raw median.
+    *
+    * Scale, stated honestly: classic Theil–Sen is O(n²) pairs — here
+    * bounded by the CALENDAR (the hourly manifest: ~6×10⁵ pairs per
+    * type-month, independent of event volume), so the self-join is a
+    * manifest-scale equi-join on type. A decade-long series switches
+    * to the standard pair-sampling or repeated-median variant; the
+    * estimator's pair expression is unchanged.
+    */
+  def theilsenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_ev"),
+           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
+      .withColumn("y", expr("sm DIV (n_ev * 10000L)"))
+      .withColumn("t", expr("unix_millis(hr) DIV 3600000"))
+      .select(col("event_type"), col("t"), col("y"))
+    hourly.as("a")
+      .join(hourly.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.t") < col("b.t"))
+      .select(col("a.event_type").as("event_type"),
+              ((col("b.y") - col("a.y")).cast("double") /
+                (col("b.t") - col("a.t")).cast("double")).as("slope"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+           round(percentile(col("slope"), lit(0.5)) * 24.0 / 100.0, 6)
+             .as("slope_per_day"),
+           (percentile(col("slope"), lit(0.5)) > 0.0).as("trending_up"))
+      .orderBy(col("event_type"))
+  }
+
   /** SAX breakpoints for a 4-letter alphabet: the N(0,1) quartiles
     * (Lin/Keogh SAX, DMKD'07) — interpolated as shared literals so both
     * engines compare against identical doubles.
@@ -1195,6 +1236,29 @@ object SeriesOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "theilsen_trend" ->
+      s"""WITH h AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,
+         |         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sm
+         |  FROM $ev e GROUP BY 1, 2
+         |),
+         |h2 AS (
+         |  SELECT event_type, sm // (n_ev * 10000) AS y,
+         |         epoch_ms(hr) // 3600000 AS t
+         |  FROM h
+         |),
+         |p AS (
+         |  SELECT a.event_type,
+         |         CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+         |           AS slope
+         |  FROM h2 a JOIN h2 b
+         |    ON a.event_type = b.event_type AND a.t < b.t
+         |)
+         |SELECT event_type, count(*) AS n_pairs,
+         |       round(quantile_cont(slope, 0.5) * 24.0 / 100.0, 6)
+         |         AS slope_per_day,
+         |       quantile_cont(slope, 0.5) > 0.0 AS trending_up
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "sax_motifs" ->
       s"""WITH h AS (
          |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,

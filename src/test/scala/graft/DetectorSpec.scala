@@ -233,6 +233,21 @@ class DetectorSpec extends SparkSpec {
     assert(fm.head.getAs[Long]("n_occurrences") == 97)
   }
 
+  test("theil-sen: recovers the exact slope through planted outliers") {
+    val hourMs = 3600000L
+    // a perfect 0.5/hour line with 5 wild outlier hours: < 10% of
+    // pairs touch an outlier, so the MEDIAN pairwise slope is exactly
+    // the clean 50 centi/hour → 12.0 units/day (OLS would be dragged)
+    val rows = (0 until 100).map { h =>
+      val v = if (h % 20 == 7) 5000.0 else 10.0 + 0.5 * h
+      ev(h, "lin", h * hourMs, v)
+    }
+    val r = SeriesOps.theilsenTrend(spark, writeEvents(rows)).head()
+    assert(r.getAs[Long]("n_pairs") == 100L * 99 / 2)
+    assert(r.getAs[Double]("slope_per_day") == 12.0)
+    assert(r.getAs[Boolean]("trending_up"))
+  }
+
   test("skyline: matches brute-force dominance on the sf0.001 catalog") {
     val parts = Tables.part(spark, sf("sf0.001"))
       .select(col("p_partkey"),
