@@ -120,6 +120,7 @@ object SparkEntry {
     "series_hw" -> (SeriesOps.seriesHw _),
     "sax_motifs" -> (SeriesOps.saxMotifs _),
     "theilsen_trend" -> (SeriesOps.theilsenTrend _),
+    "dtw_profiles" -> (SeriesOps.dtwProfiles _),
     "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
     "drift_ks" -> (SeriesOps.driftKs _),
     "mutual_info" -> (SeriesOps.mutualInfo _),

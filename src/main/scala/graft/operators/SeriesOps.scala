@@ -964,6 +964,68 @@ object SeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** DTW boundary sentinel — far above any reachable path cost (24
+    * steps × ≤10⁶ ppm), far below long overflow even after one add.
+    */
+  private val DtwInf = 1000000000000000L
+
+  /** Dynamic-time-warping distance between every pair of per-type
+    * DAILY LOAD PROFILES — "which event types share a daily shape,
+    * allowing phase drift": each type reduces to 24 hour-of-day shares
+    * in exact integer ppm (`c_h·10⁶ DIV total`, dense grid — silent
+    * hours are real zeros), and the classic DP
+    * `D[i][j] = |aᵢ−bⱼ| + min(D[i−1][j], D[i][j−1], D[i−1][j−1])`
+    * runs ENTIRELY in long arithmetic (costs, mins, sums — no float
+    * anywhere), so both engines agree bit-for-bit by construction, not
+    * by IEEE-expression discipline. The DP is a nested fold: the outer
+    * aggregate walks profile A carrying the padded previous DP row
+    * (25 longs, [[DtwInf]] boundary), the inner one builds the next
+    * row left-to-right — the same shape as the oracle's nested
+    * `list_reduce` (inner elements ride as 1-long lists so DuckDB's
+    * acc/element types unify).
+    *
+    * Scale: one (type, hour-of-day) count shuffle; everything after —
+    * the 24-ppm profiles, the |types|² pair join, the 24×24 DP — is
+    * metadata-sized. Unequal-length or finer-grained profiles reuse
+    * the identical fold with different sequence bounds.
+    */
+  def dtwProfiles(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("c"))
+    val dense = counts
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("tot"))
+      .select(col("event_type"), col("tot"),
+              explode(sequence(lit(0L), lit(23L))).as("hod"))
+      .join(counts, Seq("event_type", "hod"), "left")
+      .withColumn("ppm", expr("coalesce(c, 0L) * 1000000L DIV tot"))
+    val profiles = dense
+      .groupBy(col("event_type"))
+      .agg(transform(sort_array(collect_list(struct(col("hod"), col("ppm")))),
+                     _.getField("ppm")).as("arr"))
+    val bArr = col("b.arr")
+    val dtw = aggregate(
+      col("a.arr"),
+      concat(array(lit(0L)), array_repeat(lit(DtwInf), 24)),
+      (prev, ai) =>
+        aggregate(
+          sequence(lit(1), lit(24)),
+          array(lit(DtwInf)),
+          (nr, j) =>
+            concat(nr,
+                   array(abs(ai - element_at(bArr, j)) +
+                     least(element_at(prev, j + 1), element_at(nr, j),
+                           element_at(prev, j))))))
+    profiles.as("a")
+      .join(profiles.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+              col("b.event_type").as("type_b"),
+              element_at(dtw, 25).as("dtw_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Theil–Sen robust trend per type: the MEDIAN of all pairwise
     * slopes over the hourly series — the estimator that shrugs off the
     * outliers that drag [[trendOls]]'s least squares (29% breakdown
@@ -1236,6 +1298,44 @@ object SeriesOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "dtw_profiles" ->
+      s"""WITH e AS ($ev),
+         |c AS (
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS c
+         |  FROM e GROUP BY 1, 2
+         |),
+         |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT t.event_type, t.tot, r.h AS hod
+         |      FROM t, UNNEST(range(0, 24)) r(h)),
+         |d AS (
+         |  SELECT g.event_type, g.hod,
+         |         coalesce(c.c, 0) * 1000000 // g.tot AS ppm
+         |  FROM g LEFT JOIN c ON g.event_type = c.event_type
+         |                     AND g.hod = c.hod
+         |),
+         |pr AS (
+         |  SELECT event_type, list(CAST(ppm AS BIGINT) ORDER BY hod) AS arr
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |       list_reduce(
+         |         list_prepend(
+         |           [CAST(0 AS BIGINT)]
+         |             || list_transform(range(0, 24),
+         |                               z -> CAST($DtwInf AS BIGINT)),
+         |           list_transform(a.arr, v -> [v])),
+         |         (prev, x) -> list_reduce(
+         |           list_prepend([CAST($DtwInf AS BIGINT)],
+         |                        list_transform(range(1, 25),
+         |                                       j -> [CAST(j AS BIGINT)])),
+         |           (nr, e) -> nr ||
+         |             [abs(x[1] - b.arr[CAST(e[1] AS INT)])
+         |              + least(prev[CAST(e[1] AS INT) + 1],
+         |                      nr[CAST(e[1] AS INT)],
+         |                      prev[CAST(e[1] AS INT)])]))[25] AS dtw_ppm
+         |FROM pr a JOIN pr b ON a.event_type < b.event_type
+         |ORDER BY type_a, type_b""".stripMargin,
     "theilsen_trend" ->
       s"""WITH h AS (
          |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,

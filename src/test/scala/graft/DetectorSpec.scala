@@ -248,6 +248,28 @@ class DetectorSpec extends SparkSpec {
     assert(r.getAs[Boolean]("trending_up"))
   }
 
+  test("dtw: identical profiles are 0; a phase shift beats a shape change") {
+    val hourMs = 3600000L
+    // "morning"/"morning2": identical 6-hour block at hours 0-5 →
+    // DTW exactly 0. "shifted": the same block at hours 2-7 — DTW
+    // absorbs the 2h phase drift cheaply. "flat": uniform across all
+    // 24 hours — a genuinely different shape, much farther away.
+    def block(typ: String, idBase: Long, startH: Int) =
+      (0 until 6).flatMap(h => (0 until 10).map(i =>
+        ev(idBase + h * 10 + i, typ, (startH + h) * hourMs + i * 1000L, 1.0)))
+    val flat = (0 until 24).flatMap(h => (0 until 10).map(i =>
+      ev(9000L + h * 10 + i, "flat", h * hourMs + i * 1000L, 1.0)))
+    val rows = block("morning", 0, 0) ++ block("morning2", 1000, 0) ++
+      block("shifted", 2000, 2) ++ flat
+    val d = SeriesOps.dtwProfiles(spark, writeEvents(rows))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("dtw_ppm"))
+      .toMap
+    assert(d(("morning", "morning2")) == 0L)
+    assert(d(("morning", "shifted")) < d(("flat", "morning")))
+    assert(d(("morning", "shifted")) < d(("flat", "shifted")))
+  }
+
   test("skyline: matches brute-force dominance on the sf0.001 catalog") {
     val parts = Tables.part(spark, sf("sf0.001"))
       .select(col("p_partkey"),
