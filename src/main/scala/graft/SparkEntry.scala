@@ -76,6 +76,7 @@ object SparkEntry {
     // training-data pipeline: dataset construction
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "reservoir_sample" -> (PipelineOps.reservoirSample _),
+    "quantile_normalize" -> (PipelineOps.quantileNormalize _),
     "vocab_topk" -> (PipelineOps.vocabTopK _),
     "pack_sequences" -> (PipelineOps.packSequences _),
     "quality_filter" -> (PipelineOps.qualityFilter _),

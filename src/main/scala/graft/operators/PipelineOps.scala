@@ -709,9 +709,78 @@ object PipelineOps {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Quantile normalization of document lengths across sources — the
+    * batch-effect correction a mixed-corpus quality pipeline applies
+    * before comparing scores from crawls with different length
+    * distributions: each document's WITHIN-SOURCE rank maps to the
+    * GLOBAL nearest-rank quantile at the same rank fraction, so every
+    * source's normalized distribution becomes the shared global one
+    * while each source's internal ordering is preserved. All index
+    * arithmetic is exact integers (`(r−1)·N DIV n_s + 1`), ranks
+    * tie-break on doc_id for a total order, and the normalized value is
+    * a lookup into the global rank manifest — never interpolation.
+    *
+    * Scale, stated honestly: exact quantile normalization needs the
+    * global sorted order, so the manifest window is a corpus-wide sort
+    * — inherent to the EXACT form (same caveat family as
+    * `robust_stats`); the 100 TB variant feeds the identical rank→index
+    * mapping from the mergeable KLL sketch (`kll_by_day`'s family)
+    * instead of the exact manifest. The per-source rank window
+    * partitions by source.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    val nTotal = docs.groupBy().agg(count(lit(1)).as("n_total"))
+    val ranked = docs
+      .withColumn("r", row_number().over(wSrc).cast("long"))
+      .withColumn("n_s",
+                  count(lit(1)).over(org.apache.spark.sql.expressions.Window
+                    .partitionBy(col("source"))))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("gi", expr("(r - 1L) * n_total DIV n_s + 1L"))
+    val manifest = docs
+      .withColumn("grank", row_number().over(wGlobal).cast("long"))
+      .select(col("grank"), col("n_chars").as("norm_chars"))
+    ranked
+      .join(manifest, col("gi") === col("grank"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("r"),
+              col("norm_chars"))
+      .orderBy(col("source"), col("r"))
+  }
+
   private val resampleCtes = resampleCtesFrom("documents")
 
   val oracles: Map[String, String] = Map(
+    "quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM d),
+        |ranked AS (
+        |  SELECT d.*, n.n_total,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY n_chars, doc_id)
+        |              AS BIGINT) AS r,
+        |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM d, n
+        |),
+        |manifest AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+        |              AS BIGINT) AS grank,
+        |         n_chars AS norm_chars
+        |  FROM d
+        |)
+        |SELECT ranked.doc_id, ranked.source, ranked.n_chars, ranked.r,
+        |       manifest.norm_chars
+        |FROM ranked
+        |JOIN manifest ON (ranked.r - 1) * ranked.n_total // ranked.n_s + 1
+        |                 = manifest.grank
+        |ORDER BY ranked.source, ranked.r""".stripMargin,
     "reservoir_sample" ->
       """WITH d AS (
         |  SELECT source, doc_id, n_chars,

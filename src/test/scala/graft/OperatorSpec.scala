@@ -226,6 +226,35 @@ class OperatorSpec extends SparkSpec {
     assert(w.toSeq == (0L until w.length).toSeq)
   }
 
+  test("quantile normalize: disjoint length regimes map onto one scale") {
+    val session = spark
+    import session.implicits._
+    // source A: short docs (lengths ~1..50); source B: long (~1000+).
+    // After QN both sources draw from the GLOBAL length multiset:
+    // within-source order preserved, and each source's top rank maps to
+    // (near) the global maximum despite A never containing long docs.
+    val docs = ((1 to 50).map(i => (i.toLong, "x" * i, "A")) ++
+      (1 to 50).map(i => (1000L + i, "y" * (1000 + i), "B")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("qn").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineOps.quantileNormalize(spark, dir).collect()
+    val bySource = out.groupBy(_.getString(1))
+    for ((_, rows) <- bySource) {
+      val ordered = rows.sortBy(_.getAs[Long]("r")).map(_.getAs[Long]("norm_chars"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+      // top within-source rank lands in the global top 2%
+      assert(ordered.last >= 1049)
+    }
+    // and the two normalized distributions now overlap heavily: source
+    // A's median normalized value is global-scale, not 25
+    val aMed = bySource("A").map(_.getAs[Long]("norm_chars")).sorted.apply(24)
+    assert(aMed >= 40 && aMed <= 1060)
+    assert(bySource("A").map(_.getAs[Long]("norm_chars")).max >= 1000)
+  }
+
   test("image aHash: planted near-dup pair found, unrelated image not") {
     val session = spark
     import session.implicits._
