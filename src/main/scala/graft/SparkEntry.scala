@@ -122,6 +122,7 @@ object SparkEntry {
     "sax_motifs" -> (SeriesOps.saxMotifs _),
     "theilsen_trend" -> (SeriesOps.theilsenTrend _),
     "dtw_profiles" -> (SeriesOps.dtwProfiles _),
+    "type_corr_matrix" -> (SeriesOps.typeCorrMatrix _),
     "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
     "drift_ks" -> (SeriesOps.driftKs _),
     "mutual_info" -> (SeriesOps.mutualInfo _),

@@ -964,6 +964,53 @@ object SeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** Pearson correlation between every pair of per-type hourly KPI
+    * series — "which metrics move together": the cross-TYPE
+    * completion of the correlation family ([[autocorrLags]] is
+    * within-type across time, [[dtwProfiles]] is shape similarity
+    * modulo phase). Series align on shared calendar hours via an
+    * equi-join on the hour bucket; every sum the estimator needs
+    * (n, Σx, Σy, Σxy, Σx², Σy² over exact centi-unit longs) is
+    * order-free partial aggregation, and r combines them with the
+    * IDENTICAL longs→double expression on both engines, degenerate
+    * variances NULLed like [[trendOls]].
+    *
+    * Scale: one (type, hour) aggregation shuffle, then a
+    * manifest-scale self-join on the calendar-bounded hourly frame
+    * and a |types|² rollup.
+    */
+  def typeCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_ev"),
+           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
+      .withColumn("y", expr("sm DIV (n_ev * 10000L)"))
+      .select(col("event_type"), col("hr"), col("y"))
+    val d = (c: Column) => c.cast("double")
+    val sums = hourly.as("a")
+      .join(hourly.as("b"),
+            col("a.hr") === col("b.hr") &&
+              col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+               col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("a.y")).as("sx"), sum(col("b.y")).as("sy"),
+           sum(col("a.y") * col("b.y")).as("sxy"),
+           sum(col("a.y") * col("a.y")).as("sxx"),
+           sum(col("b.y") * col("b.y")).as("syy"))
+    val varX = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val varY = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val cov = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    sums.select(
+      col("type_a"), col("type_b"), col("n").as("n_hours"),
+      round(when(varX === 0.0 || varY === 0.0, lit(null))
+              .otherwise(cov / sqrt(varX * varY)), 6).as("pearson_r"),
+      when(varX === 0.0 || varY === 0.0, lit(null))
+        .otherwise(abs(cov / sqrt(varX * varY)) > 0.5).as("strong"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** DTW boundary sentinel — far above any reachable path cost (24
     * steps × ≤10⁶ ppm), far below long overflow even after one add.
     */
@@ -1298,6 +1345,43 @@ object SeriesOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "type_corr_matrix" ->
+      s"""WITH e AS ($ev),
+         |h AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,
+         |         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sm
+         |  FROM e GROUP BY 1, 2
+         |),
+         |h2 AS (SELECT event_type, hr, sm // (n_ev * 10000) AS y FROM h),
+         |s AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         count(*) AS n,
+         |         CAST(sum(a.y) AS BIGINT) AS sx,
+         |         CAST(sum(b.y) AS BIGINT) AS sy,
+         |         CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+         |         CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+         |         CAST(sum(b.y * b.y) AS BIGINT) AS syy
+         |  FROM h2 a JOIN h2 b
+         |    ON a.hr = b.hr AND a.event_type < b.event_type
+         |  GROUP BY 1, 2
+         |),
+         |v AS (
+         |  SELECT *,
+         |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+         |  FROM s
+         |)
+         |SELECT type_a, type_b, n AS n_hours,
+         |       round(CASE WHEN vx = 0 OR vy = 0 THEN NULL
+         |             ELSE cv / sqrt(vx * vy) END, 6) AS pearson_r,
+         |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
+         |       ELSE abs(cv / sqrt(vx * vy)) > CAST(0.5 AS DOUBLE)
+         |       END AS strong
+         |FROM v ORDER BY type_a, type_b""".stripMargin,
     "dtw_profiles" ->
       s"""WITH e AS ($ev),
          |c AS (

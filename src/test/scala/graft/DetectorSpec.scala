@@ -270,6 +270,22 @@ class DetectorSpec extends SparkSpec {
     assert(d(("morning", "shifted")) < d(("flat", "shifted")))
   }
 
+  test("type correlation: perfect linear pairs hit r = ±1 exactly") {
+    val hourMs = 3600000L
+    val rows = (0 until 48).flatMap { h =>
+      Seq(ev(h, "p", h * hourMs, 10.0 + h),
+          ev(1000L + h, "q", h * hourMs, 20.0 + 2 * h),
+          ev(2000L + h, "r", h * hourMs, 1000.0 - h))
+    }
+    val m = SeriesOps.typeCorrMatrix(spark, writeEvents(rows))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Double]("pearson_r"))
+      .toMap
+    assert(m(("p", "q")) == 1.0)
+    assert(m(("p", "r")) == -1.0)
+    assert(m(("q", "r")) == -1.0)
+  }
+
   test("skyline: matches brute-force dominance on the sf0.001 catalog") {
     val parts = Tables.part(spark, sf("sf0.001"))
       .select(col("p_partkey"),
