@@ -964,6 +964,21 @@ object SeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** Exact centi-unit hourly means per type — ONE definition of the
+    * fixed-point hourly series shared by the correlation / robust-trend
+    * / SAX / seasonal detectors (micro-unit long sums, integral DIV to
+    * centi-units; see the DIV-not-`/` note in [[seasonalAnomaly]]).
+    * The oracle twin is [[hourlyCentiSql]].
+    */
+  private def hourlyCentiMeans(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_ev"),
+           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
+      .withColumn("y", expr("sm DIV (n_ev * 10000L)"))
+      .select(col("event_type"), col("hr"), col("y"))
+
   /** Pearson correlation between every pair of per-type hourly KPI
     * series — "which metrics move together": the cross-TYPE
     * completion of the correlation family ([[autocorrLags]] is
@@ -980,13 +995,7 @@ object SeriesOps {
     * and a |types|² rollup.
     */
   def typeCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables
-      .events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n_ev"),
-           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
-      .withColumn("y", expr("sm DIV (n_ev * 10000L)"))
-      .select(col("event_type"), col("hr"), col("y"))
+    val hourly = hourlyCentiMeans(spark, dir)
     val d = (c: Column) => c.cast("double")
     val sums = hourly.as("a")
       .join(hourly.as("b"),
@@ -1080,8 +1089,10 @@ object SeriesOps {
     * (y₂−y₁)/(t₂−t₁) evaluated as the same longs→double division on
     * both engines (y in centi-units, t in epoch hours); the median is
     * Spark's interpolated `percentile` ≡ DuckDB `quantile_cont` over
-    * identical doubles. Reported in centi-units/day (×24), with the
-    * sign verdict on the raw median.
+    * identical doubles. Reported in VALUE units per day (centi/hour
+    * × 24 ÷ 100), with the sign verdict on the raw median; a type with
+    * fewer than two hourly buckets keeps its row with NULL slope
+    * (the family's degenerate convention, like [[trendOls]]).
     *
     * Scale, stated honestly: classic Theil–Sen is O(n²) pairs — here
     * bounded by the CALENDAR (the hourly manifest: ~6×10⁵ pairs per
@@ -1091,15 +1102,10 @@ object SeriesOps {
     * estimator's pair expression is unchanged.
     */
   def theilsenTrend(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables
-      .events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n_ev"),
-           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
-      .withColumn("y", expr("sm DIV (n_ev * 10000L)"))
+    val hourly = hourlyCentiMeans(spark, dir)
       .withColumn("t", expr("unix_millis(hr) DIV 3600000"))
       .select(col("event_type"), col("t"), col("y"))
-    hourly.as("a")
+    val pairs = hourly.as("a")
       .join(hourly.as("b"),
             col("a.event_type") === col("b.event_type") &&
               col("a.t") < col("b.t"))
@@ -1111,6 +1117,13 @@ object SeriesOps {
            round(percentile(col("slope"), lit(0.5)) * 24.0 / 100.0, 6)
              .as("slope_per_day"),
            (percentile(col("slope"), lit(0.5)) > 0.0).as("trending_up"))
+    // keep degenerate types (< 2 buckets → no pairs) as NULL-slope rows
+    hourly
+      .groupBy(col("event_type")).agg(count(lit(1)).as("nb"))
+      .join(pairs, Seq("event_type"), "left")
+      .select(col("event_type"),
+              coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+              col("slope_per_day"), col("trending_up"))
       .orderBy(col("event_type"))
   }
 
@@ -1137,12 +1150,7 @@ object SeriesOps {
     * [[autocorrLags]]); the word count is a metadata-scale aggregate.
     */
   def saxMotifs(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables
-      .events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n_ev"),
-           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
-      .withColumn("hm_c", expr("sm DIV (n_ev * 10000L)"))
+    val hourly = hourlyCentiMeans(spark, dir).withColumnRenamed("y", "hm_c")
     val stats = hourly
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("hm_c")).as("s1"),
@@ -1170,7 +1178,11 @@ object SeriesOps {
     z.withColumn("s2c", lead(col("sym"), 1).over(w))
       .withColumn("s3c", lead(col("sym"), 2).over(w))
       .withColumn("s4c", lead(col("sym"), 3).over(w))
-      .filter(col("s4c").isNotNull)
+      .withColumn("hr4", lead(col("hr"), 3).over(w))
+      // a word is a real 4-HOUR window only when the led hours are
+      // calendar-contiguous — never bridge a gap in the series
+      .filter(col("s4c").isNotNull &&
+        col("hr4") === col("hr") + expr("INTERVAL 3 HOURS"))
       .select(col("event_type"),
               concat(col("sym"), col("s2c"), col("s3c"), col("s4c"))
                 .as("word"))
@@ -1275,6 +1287,18 @@ object SeriesOps {
 
   private val ev = s"(${Tables.eventsSql})"
 
+  /** Oracle twin of [[hourlyCentiMeans]]: CTEs `h`/`h2` ending in
+    * h2(event_type, hr, y) — one definition of the fixed-point hourly
+    * series on the SQL side too.
+    */
+  private lazy val hourlyCentiSql: String =
+    s"""h AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,
+       |         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sm
+       |  FROM $ev e GROUP BY 1, 2
+       |),
+       |h2 AS (SELECT event_type, hr, sm // (n_ev * 10000) AS y FROM h)""".stripMargin
+
   /** Holt–Winters oracle SQL, assembled programmatically: the fold
     * accumulator is a flat 27-double list [l, b, t, s₁..s₂₄]; shared
     * subexpressions (sPrev, lNew) are inlined textually — IEEE
@@ -1346,13 +1370,7 @@ object SeriesOps {
 
   val oracles: Map[String, String] = Map(
     "type_corr_matrix" ->
-      s"""WITH e AS ($ev),
-         |h AS (
-         |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,
-         |         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sm
-         |  FROM e GROUP BY 1, 2
-         |),
-         |h2 AS (SELECT event_type, hr, sm // (n_ev * 10000) AS y FROM h),
+      s"""WITH $hourlyCentiSql,
          |s AS (
          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
          |         count(*) AS n,
@@ -1421,39 +1439,33 @@ object SeriesOps {
          |FROM pr a JOIN pr b ON a.event_type < b.event_type
          |ORDER BY type_a, type_b""".stripMargin,
     "theilsen_trend" ->
-      s"""WITH h AS (
-         |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,
-         |         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sm
-         |  FROM $ev e GROUP BY 1, 2
-         |),
-         |h2 AS (
-         |  SELECT event_type, sm // (n_ev * 10000) AS y,
-         |         epoch_ms(hr) // 3600000 AS t
-         |  FROM h
-         |),
+      s"""WITH $hourlyCentiSql,
+         |h3 AS (SELECT event_type, epoch_ms(hr) // 3600000 AS t, y FROM h2),
          |p AS (
          |  SELECT a.event_type,
          |         CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
          |           AS slope
-         |  FROM h2 a JOIN h2 b
+         |  FROM h3 a JOIN h3 b
          |    ON a.event_type = b.event_type AND a.t < b.t
-         |)
-         |SELECT event_type, count(*) AS n_pairs,
-         |       round(quantile_cont(slope, 0.5) * 24.0 / 100.0, 6)
-         |         AS slope_per_day,
-         |       quantile_cont(slope, 0.5) > 0.0 AS trending_up
-         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
-    "sax_motifs" ->
-      s"""WITH h AS (
-         |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,
-         |         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sm
-         |  FROM $ev e GROUP BY 1, 2
          |),
-         |h2 AS (SELECT *, sm // (n_ev * 10000) AS hm_c FROM h),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         |         round(quantile_cont(slope, 0.5) * 24.0 / 100.0, 6)
+         |           AS slope_per_day,
+         |         quantile_cont(slope, 0.5) > 0.0 AS trending_up
+         |  FROM p GROUP BY 1
+         |),
+         |types AS (SELECT DISTINCT event_type FROM h2)
+         |SELECT t.event_type, coalesce(agg.n_pairs, 0) AS n_pairs,
+         |       agg.slope_per_day, agg.trending_up
+         |FROM types t LEFT JOIN agg ON t.event_type = agg.event_type
+         |ORDER BY t.event_type""".stripMargin,
+    "sax_motifs" ->
+      s"""WITH $hourlyCentiSql,
          |st AS (
          |  SELECT event_type, count(*) AS n,
-         |         CAST(sum(hm_c) AS BIGINT) AS s1,
-         |         CAST(sum(hm_c * hm_c) AS BIGINT) AS s2
+         |         CAST(sum(y) AS BIGINT) AS s1,
+         |         CAST(sum(y * y) AS BIGINT) AS s2
          |  FROM h2 GROUP BY 1
          |),
          |st1 AS (SELECT *, CAST(s1 AS DOUBLE) / n AS mu FROM st),
@@ -1465,7 +1477,7 @@ object SeriesOps {
          |z AS (
          |  SELECT h2.event_type, h2.hr,
          |         CASE WHEN st2.sigma = 0 THEN CAST(0 AS DOUBLE)
-         |              ELSE (CAST(h2.hm_c AS DOUBLE) - st2.mu) / st2.sigma
+         |              ELSE (CAST(h2.y AS DOUBLE) - st2.mu) / st2.sigma
          |         END AS z
          |  FROM h2 JOIN st2 ON h2.event_type = st2.event_type
          |),
@@ -1480,12 +1492,13 @@ object SeriesOps {
          |words AS (
          |  SELECT event_type,
          |         sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w
-         |             || lead(sym, 3) OVER w AS word
+         |             || lead(sym, 3) OVER w AS word,
+         |         lead(hr, 3) OVER w = hr + INTERVAL 3 HOUR AS contiguous
          |  FROM sym
          |  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
          |)
          |SELECT event_type, word, count(*) AS n_occurrences
-         |FROM words WHERE word IS NOT NULL
+         |FROM words WHERE word IS NOT NULL AND contiguous
          |GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY event_type, n_occurrences DESC, word""".stripMargin,
     "series_hw" -> seriesHwSql,

@@ -97,7 +97,9 @@ class EventsV2Spec extends SparkSpec {
         ()
       }
       .start()
-    q.awaitTermination(120000)
+    val finished = q.awaitTermination(120000)
+    if (!finished) q.stop()
+    assert(finished, "AvailableNow drain timed out — not a ReadLimit failure")
     val all = spark.read.parquet(s"$out/batch_*")
     assert(all.count() == 3000)
     assert(all.select("event_id").distinct().count() == 3000)
