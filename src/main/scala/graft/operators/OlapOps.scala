@@ -1057,7 +1057,11 @@ object OlapOps {
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .distinct()
-    val nBaskets = items.select(col("l_orderkey")).distinct().count()
+    // basket total rides as a broadcast one-row frame — no driver-side
+    // count at plan-build time (a query call should build a plan, not
+    // run jobs; the old collect ran a distinct-count per invocation)
+    val nBaskets = items
+      .agg(count_distinct(col("l_orderkey")).as("n_baskets"))
     val itemSupp = items
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("supp"))
@@ -1083,13 +1087,14 @@ object OlapOps {
       .join(broadcast(itemSupp.withColumnRenamed("l_partkey", "consequent")
               .withColumnRenamed("supp", "supp_c")),
             "consequent")
+      .crossJoin(broadcast(nBaskets))
       .select(
         col("antecedent"), col("consequent"), col("supp_ab"), col("supp_a"),
         col("supp_c"),
         round(d(col("supp_ab")) / d(col("supp_a")), 6).as("confidence"),
-        round(lit(nBaskets).cast("double") * d(col("supp_ab")) /
+        round(d(col("n_baskets")) * d(col("supp_ab")) /
                 (d(col("supp_a")) * d(col("supp_c"))), 6).as("lift"),
-        (lit(nBaskets) * col("supp_ab") > col("supp_a") * col("supp_c"))
+        (col("n_baskets") * col("supp_ab") > col("supp_a") * col("supp_c"))
           .as("positive"))
       .orderBy(col("antecedent"), col("consequent"))
   }
