@@ -134,6 +134,7 @@ object SparkEntry {
     "skyline_pareto" -> (OlapOps.skylinePareto _),
     "basket_pairs" -> (OlapOps.basketPairs _),
     "basket_rules" -> (OlapOps.basketRules _),
+    "supplier_league" -> (OlapOps.supplierLeague _),
     "q14_promo_share" -> (OlapOps.q14PromoShare _),
     "q19_disjunctive_revenue" -> (OlapOps.q19DisjunctiveRevenue _),
     "q13_order_distribution" -> (OlapOps.q13OrderDistribution _),

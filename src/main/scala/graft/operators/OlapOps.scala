@@ -1035,6 +1035,37 @@ object OlapOps {
       .orderBy(col("nation_a"), col("nation_b"))
   }
 
+  /** Supplier revenue league table with the rank-statistics window
+    * family not exercised elsewhere: exact integer-cent revenue per
+    * supplier, then `rank`, `percent_rank`, `cume_dist`, and decile
+    * `ntile` over ONE ordering — rank ties broken into a total order
+    * by suppkey so every rank column is deterministic. percent_rank
+    * and cume_dist are exact small-integer ratios ((rank−1)/(n−1),
+    * rank/n) evaluated as the same doubles on both engines.
+    *
+    * Scale: the revenue aggregate is the only corpus-scale shuffle;
+    * the unpartitioned window runs over the SUPPLIER dimension —
+    * dimension-table-sized, the same argument as `user_value_quartiles`
+    * (window on the per-key aggregate, never the fact table).
+    */
+  def supplierLeague(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables
+      .lineitem(spark, dir)
+      .select(col("l_suppkey"),
+              floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+                lit(100) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue_cents").desc, col("l_suppkey"))
+    rev
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .orderBy(col("rnk"))
+  }
+
   /** Association rules from the frequent pairs — the A-priori step
     * after [[basketPairs]]: every pair with support ≥ 3 emits BOTH
     * directed rules A→B with confidence = supp(A,B)/supp(A) and
@@ -1368,6 +1399,22 @@ object OlapOps {
       |          WHERE 5 * w * n_pairs > 6 * total_w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "supplier_league" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |                             + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS revenue_cents
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_suppkey, revenue_cents,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       CAST(ntile(10) OVER w AS BIGINT) AS decile
+        |FROM rev
+        |WINDOW w AS (ORDER BY revenue_cents DESC, l_suppkey)
+        |ORDER BY rnk""".stripMargin,
     "basket_rules" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
