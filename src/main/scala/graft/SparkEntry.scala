@@ -78,6 +78,7 @@ object SparkEntry {
     "reservoir_sample" -> (PipelineOps.reservoirSample _),
     "quantile_normalize" -> (PipelineOps.quantileNormalize _),
     "vocab_topk" -> (PipelineOps.vocabTopK _),
+    "zipf_fit" -> (PipelineOps.zipfFit _),
     "pack_sequences" -> (PipelineOps.packSequences _),
     "quality_filter" -> (PipelineOps.qualityFilter _),
     "profile_events" -> (PipelineOps.profileEvents _),

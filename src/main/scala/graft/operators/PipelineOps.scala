@@ -112,6 +112,69 @@ object PipelineOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(100)
 
+  /** Zipf-law fit over the top-1000 token frequencies: OLS of
+    * ln(freq) on ln(rank) — the corpus-statistics sanity probe (a
+    * natural-language corpus slopes ≈ −1; a synthetic or deduplicated
+    * one drifts). The regression runs as an ORDERED fold over the
+    * rank-sorted frequency list so every float sum has pinned addition
+    * order (the repo's ln-parity discipline: both ln argument families
+    * — small ranks and exact integer frequencies — are in
+    * `tools/ln_audit.py`), and the slope/intercept/r² combine the
+    * folded sums with the same IEEE expressions on both engines.
+    * Degenerate vocabularies (< 2 tokens) null the fit.
+    *
+    * Scale: the token aggregation is [[vocabTopK]]'s one shuffle; the
+    * fold runs on a bounded 1000-element list — the cap is what keeps
+    * the ordered fold (and the statistic) corpus-size-independent.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables
+      .documents(spark, dir)
+      .select(explode(graft.functions.TextExprs.tokenCounts(col("text")))
+        .as("tc"))
+      .groupBy(col("tc.token").as("token"))
+      .agg(sum(col("tc.tf")).as("f"))
+      .orderBy(col("f").desc, col("token"))
+      .limit(1000)
+    val folded = aggregate(
+      col("fs"),
+      struct(lit(0.0).as("i"), lit(0.0).as("slr"), lit(0.0).as("slf"),
+             lit(0.0).as("srr"), lit(0.0).as("srf"), lit(0.0).as("sff")),
+      (s, f) => {
+        val r = s.getField("i") + lit(1.0)
+        val lr = log(r)
+        val lf = log(f.cast("double"))
+        struct(r.as("i"),
+               (s.getField("slr") + lr).as("slr"),
+               (s.getField("slf") + lf).as("slf"),
+               (s.getField("srr") + lr * lr).as("srr"),
+               (s.getField("srf") + lr * lf).as("srf"),
+               (s.getField("sff") + lf * lf).as("sff"))
+      })
+    val n = col("st.i")
+    val varR = n * col("st.srr") - col("st.slr") * col("st.slr")
+    val varF = n * col("st.sff") - col("st.slf") * col("st.slf")
+    val cov = n * col("st.srf") - col("st.slr") * col("st.slf")
+    top
+      .groupBy()
+      .agg(count(lit(1)).as("n_points"),
+           // rank order re-pinned inside the aggregation: (-f, token)
+           // sorts exactly the (f desc, token asc) rank order
+           transform(sort_array(collect_list(struct((-col("f")).as("nf"),
+                                                    col("token"),
+                                                    col("f")))),
+                     _.getField("f")).as("fs"))
+      .withColumn("st", folded)
+      .select(
+        col("n_points"),
+        round(when(col("n_points") >= 2, cov / varR), 6).as("zipf_slope"),
+        round(when(col("n_points") >= 2,
+                   (col("st.slf") - (cov / varR) * col("st.slr")) / n), 6)
+          .as("intercept"),
+        round(when(col("n_points") >= 2, (cov * cov) / (varR * varF)), 6)
+          .as("r2"))
+  }
+
   /** Heavy-hitter tokens via the mergeable Misra–Gries sketch
     * ([[graft.functions.TopKSketch]]), self-gated like the HLL query:
     * each surviving token's estimate is joined against its exact count
@@ -902,6 +965,51 @@ object PipelineOps {
         |SELECT token, exact_count AS est_count, CAST(0 AS BIGINT) AS max_err,
         |       exact_count, true AS within_bound
         |FROM c ORDER BY est_count DESC, token LIMIT 25""".stripMargin,
+    "zipf_fit" ->
+      """WITH t AS (
+        |  SELECT doc_id, u.token
+        |  FROM documents,
+        |       UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) u(token)
+        |),
+        |td AS (SELECT token, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+        |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS f FROM td GROUP BY 1),
+        |top AS (SELECT token, f FROM v ORDER BY f DESC, token LIMIT 1000),
+        |g AS (
+        |  SELECT count(*) AS n_points,
+        |         list(CAST(f AS DOUBLE) ORDER BY -f, token) AS fs
+        |  FROM top
+        |),
+        |ff AS (
+        |  SELECT n_points,
+        |         list_reduce(
+        |           list_prepend(list_transform(range(0, 6),
+        |                                       z -> CAST(0 AS DOUBLE)),
+        |             list_transform(fs, x -> [x, 0, 0, 0, 0, 0])),
+        |           (acc, e) -> [
+        |             acc[1] + 1,
+        |             acc[2] + ln(acc[1] + 1),
+        |             acc[3] + ln(e[1]),
+        |             acc[4] + ln(acc[1] + 1) * ln(acc[1] + 1),
+        |             acc[5] + ln(acc[1] + 1) * ln(e[1]),
+        |             acc[6] + ln(e[1]) * ln(e[1])]) AS st
+        |  FROM g
+        |)
+        |SELECT n_points,
+        |       round(CASE WHEN n_points >= 2
+        |             THEN (st[1] * st[5] - st[2] * st[3])
+        |                  / (st[1] * st[4] - st[2] * st[2]) END, 6)
+        |         AS zipf_slope,
+        |       round(CASE WHEN n_points >= 2
+        |             THEN (st[3] - ((st[1] * st[5] - st[2] * st[3])
+        |                            / (st[1] * st[4] - st[2] * st[2]))
+        |                           * st[2]) / st[1] END, 6) AS intercept,
+        |       round(CASE WHEN n_points >= 2
+        |             THEN ((st[1] * st[5] - st[2] * st[3])
+        |                   * (st[1] * st[5] - st[2] * st[3]))
+        |                  / ((st[1] * st[4] - st[2] * st[2])
+        |                     * (st[1] * st[6] - st[3] * st[3])) END, 6)
+        |         AS r2
+        |FROM ff""".stripMargin,
     "vocab_topk" ->
       """WITH t AS (
         |  SELECT doc_id, u.token

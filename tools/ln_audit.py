@@ -86,6 +86,15 @@ for sfd in SFS:
         FROM cont JOIN ct USING (event_type) JOIN ch USING (h) CROSS JOIN n""").fetchall():
         args.add(("div", a, b))
 
+    # zipf_fit: ln(rank) for ranks 1..1000 and ln(f) for the top-1000
+    # token frequencies
+    for (a,) in con.execute(TOK + """, v AS (SELECT token, sum(tf) f FROM td GROUP BY 1),
+        top AS (SELECT f FROM v ORDER BY f DESC, token LIMIT 1000)
+        SELECT DISTINCT CAST(f AS BIGINT) FROM top""").fetchall():
+        args.add(("div", a, 1))
+    for r in range(1, 1001):
+        args.add(("div", r, 1))
+
 work = Path(tempfile.mkdtemp(prefix="ln_audit"))
 out = work / "java_ln.txt"
 # Tuples go to a data file read by a fixed-size Java loop — one println
