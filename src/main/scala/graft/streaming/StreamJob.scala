@@ -148,6 +148,27 @@ object StreamJob {
       }
       .start()
 
+    // streaming CUSUM change-point counts: baselines learned offline
+    // from the same dataset (the standard deployment split), the
+    // two-sided fold online per type — final counts equal the batch
+    // cusum_changepoints (parity spec'd in StreamingParitySpec)
+    val cusumQuery = TypedStatefulProcessors
+      .cusumStream(spark, events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"))
+        .as[Event],
+        graft.operators.SeriesOps.cusumBaselines(spark, sfDir))
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$outDir/ckpt_cusum")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(s"$outDir/cusum_counts")
+        ()
+      }
+      .start()
+
     val transQuery = EventPipeline
       .transitionStream(spark, events)
       .toDF()
@@ -292,6 +313,7 @@ object StreamJob {
 
     kpiQuery.awaitTermination()
     driftQuery.awaitTermination()
+    cusumQuery.awaitTermination()
     alertQuery.awaitTermination()
     sessionQuery.awaitTermination()
     timerSessionQuery.awaitTermination()
@@ -388,6 +410,9 @@ object StreamJob {
                        .select("epoch_day").distinct().count()
                      catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "drift_types" -> (try spark.read.parquet(s"$outDir/drift_snapshots")
+                          .select("event_type").distinct().count()
+                        catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
+      "cusum_types" -> (try spark.read.parquet(s"$outDir/cusum_counts")
                           .select("event_type").distinct().count()
                         catch { case _: org.apache.spark.sql.AnalysisException => 0L }),
       "top_token_langs" -> (try spark.read.parquet(s"$outDir/top_tokens")
