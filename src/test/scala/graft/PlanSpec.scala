@@ -90,6 +90,21 @@ class PlanSpec extends SparkSpec {
     assert(!img.contains("CartesianProduct") && !img.contains("SortMergeJoin"))
   }
 
+  test("supplier_league window rides the aggregate; zipf_fit is window-free") {
+    // rank statistics run on the per-supplier AGGREGATE (dimension-
+    // sized), never the lineitem fact table: exactly one Window, fed
+    // by the revenue HashAggregate (which sits BELOW it in the plan
+    // text — operators print top-down)
+    val sl = planOf(OlapOps.supplierLeague(spark, sf("sf0.01")))
+    assert(sl.split("Window").length - 1 == 1, s"expected 1 window:\n$sl")
+    val wIdx = sl.indexOf("Window")
+    assert(sl.indexOf("HashAggregate", wIdx) > wIdx,
+           s"window must consume the revenue aggregate, not the scan:\n$sl")
+    // zipf: pure aggregation + bounded fold, no window operator
+    val zf = planOf(PipelineOps.zipfFit(spark, sf("sf0.01")))
+    assert(!zf.contains("WindowExec") && !zf.contains("Window ["))
+  }
+
   test("dup_span_fraction counts spans without a window (hot-span skew-safe)") {
     // the r4 form used count() over (partition by gh): one WindowExec task
     // materializes every posting of a hot boilerplate span, and AQE cannot
