@@ -124,6 +124,7 @@ object SparkEntry {
     "theilsen_trend" -> (SeriesOps.theilsenTrend _),
     "dtw_profiles" -> (SeriesOps.dtwProfiles _),
     "type_corr_matrix" -> (SeriesOps.typeCorrMatrix _),
+    "benford_deviation" -> (SeriesOps.benfordDeviation _),
     "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
     "drift_ks" -> (SeriesOps.driftKs _),
     "mutual_info" -> (SeriesOps.mutualInfo _),

@@ -979,6 +979,75 @@ object SeriesOps {
       .withColumn("y", expr("sm DIV (n_ev * 10000L)"))
       .select(col("event_type"), col("hr"), col("y"))
 
+  /** Benford expected first-digit probabilities log₁₀(1+1/d), d=1..9,
+    * as shared literals (both engines compare against identical
+    * doubles), and the χ²(df=8, α=0.05) critical value.
+    */
+  private[operators] val BenfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+  private val BenfordChi2Crit = 15.507
+
+  /** Benford first-digit deviation per event type — the data-forensics
+    * probe for fabricated or clipped metrics: the first significant
+    * digit of each value's exact cents integer tallies against
+    * Benford's law, and χ² = Σ(obs − n·p_d)²/(n·p_d) over the NINE
+    * digit cells decides `suspicious` at the df=8 critical value. The
+    * digit extraction is pure integer arithmetic (leading digit of a
+    * long); counts are exact longs; the χ² terms fold in digit order
+    * with the expected p_d as shared literals, so the statistic is
+    * engine-exact. Zero-cent values carry no leading digit and are
+    * excluded (reported in n_zero). Synthetic N(50,15) metrics are
+    * EXPECTED to fail Benford — that is the probe working.
+    *
+    * Scale: one (type, digit) count shuffle (9·|type| cells), then a
+    * metadata-scale fold.
+    */
+  def benfordDeviation(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val digits = Tables
+      .events(spark, dir)
+      .select(col("event_type"), cents.as("c"))
+      .withColumn("d",
+                  when(col("c") <= 0, lit(null))
+                    .otherwise(expr(
+                      "CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)")))
+    val totals = digits
+      .groupBy(col("event_type"))
+      .agg(count(when(col("d").isNull, 1)).as("n_zero"),
+           count(col("d")).as("n"))
+    // per-(type, digit) cells pre-aggregated (map-side combine), then a
+    // dense 1..9 grid so absent digits are real zero cells
+    val cells = digits
+      .filter(col("d").isNotNull)
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val counts = totals
+      .select(col("event_type"), col("n_zero"), col("n"),
+              explode(sequence(lit(1L), lit(9L))).as("d"))
+      .join(cells, Seq("event_type", "d"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_zero")).as("n_zero"), max(col("n")).as("n"),
+           transform(sort_array(collect_list(struct(col("d"), col("cnt")))),
+                     _.getField("cnt")).as("obs"))
+    val pArr = array(BenfordP.map(lit): _*)
+    val chi2 = aggregate(
+      sequence(lit(0), lit(8)),
+      lit(0.0),
+      (s, i) => {
+        val e = col("n").cast("double") * element_at(pArr, i + 1)
+        val o = element_at(col("obs"), i + 1).cast("double")
+        s + (o - e) * (o - e) / e
+      })
+    counts
+      .select(col("event_type"), col("n"), col("n_zero"),
+              round(when(col("n") === 0, lit(null)).otherwise(chi2), 4)
+                .as("chi2"),
+              when(col("n") === 0, lit(null))
+                .otherwise(chi2 > BenfordChi2Crit).as("suspicious"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pearson correlation between every pair of per-type hourly KPI
     * series — "which metrics move together": the cross-TYPE
     * completion of the correlation family ([[autocorrLags]] is
@@ -1368,7 +1437,69 @@ object SeriesOps {
        |FROM f ORDER BY event_type""".stripMargin
   }
 
+  /** Benford oracle: the χ² fold with the SAME p_d literals, digits in
+    * pinned order.
+    */
+  private def benfordSql: String = {
+    val pl = BenfordP.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH e AS ($ev),
+       |dg AS (
+       |  SELECT event_type,
+       |         CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) <= 0
+       |              THEN NULL
+       |              ELSE CAST(substr(CAST(CAST(floor(value * 100 + 0.5)
+       |                                         AS BIGINT) AS VARCHAR),
+       |                               1, 1) AS BIGINT) END AS d
+       |  FROM e
+       |),
+       |tot AS (
+       |  SELECT event_type,
+       |         CAST(count(CASE WHEN d IS NULL THEN 1 END) AS BIGINT)
+       |           AS n_zero,
+       |         CAST(count(d) AS BIGINT) AS n
+       |  FROM dg GROUP BY 1
+       |),
+       |cells AS (SELECT event_type, d, count(*) AS cnt FROM dg
+       |          WHERE d IS NOT NULL GROUP BY 1, 2),
+       |grid AS (SELECT t.event_type, t.n_zero, t.n, r.d
+       |         FROM tot t, UNNEST(range(1, 10)) r(d)),
+       |dense AS (
+       |  SELECT g.event_type, g.n_zero, g.n, g.d,
+       |         CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+       |  FROM grid g LEFT JOIN cells c
+       |    ON g.event_type = c.event_type AND g.d = c.d
+       |),
+       |agg AS (
+       |  SELECT event_type, max(n_zero) AS n_zero, max(n) AS n,
+       |         list(cnt ORDER BY d) AS obs
+       |  FROM dense GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT event_type, n, n_zero,
+       |         list_reduce(
+       |           list_prepend([CAST(0 AS DOUBLE), 0],
+       |             list_transform(range(0, 9),
+       |                            i -> [CAST(i AS DOUBLE), 0])),
+       |           (acc, x) -> [
+       |             acc[1]
+       |               + (obs[CAST(x[1] AS INT) + 1]
+       |                  - CAST(n AS DOUBLE) * $pl[CAST(x[1] AS INT) + 1])
+       |                 * (obs[CAST(x[1] AS INT) + 1]
+       |                    - CAST(n AS DOUBLE) * $pl[CAST(x[1] AS INT) + 1])
+       |                 / (CAST(n AS DOUBLE) * $pl[CAST(x[1] AS INT) + 1]),
+       |             CAST(0 AS DOUBLE)])[1] AS chi2
+       |  FROM agg
+       |)
+       |SELECT event_type, n, n_zero,
+       |       round(CASE WHEN n = 0 THEN NULL ELSE chi2 END, 4) AS chi2,
+       |       CASE WHEN n = 0 THEN NULL
+       |            ELSE chi2 > CAST($BenfordChi2Crit AS DOUBLE)
+       |       END AS suspicious
+       |FROM f ORDER BY event_type""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "benford_deviation" -> benfordSql,
     "type_corr_matrix" ->
       s"""WITH $hourlyCentiSql,
          |s AS (

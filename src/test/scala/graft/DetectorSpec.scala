@@ -286,6 +286,26 @@ class DetectorSpec extends SparkSpec {
     assert(m(("q", "r")) == -1.0)
   }
 
+  test("benford: log-uniform values pass, uniform magnitudes get flagged") {
+    val n = 2000
+    val rows =
+      // "organic": v = 10^(3i/n) — log-uniform over 1..1000, whose
+      // first digits follow Benford almost exactly (χ² ≈ 0.03)
+      (0 until n).map(i =>
+        ev(i, "organic", i * 1000L, math.pow(10.0, i.toDouble / n * 3))) ++
+        // "fabricated": uniform 10..99 magnitudes — flat first digits,
+        // χ² in the hundreds
+        (0 until n).map(i =>
+          ev(10000L + i, "fabricated", i * 1000L, (10 + i % 90).toDouble))
+    val byType = SeriesOps.benfordDeviation(spark, writeEvents(rows))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!byType("organic").getAs[Boolean]("suspicious"),
+           s"organic chi2 = ${byType("organic").getAs[Double]("chi2")}")
+    assert(byType("fabricated").getAs[Boolean]("suspicious"))
+    assert(byType("fabricated").getAs[Double]("chi2") >
+      byType("organic").getAs[Double]("chi2") * 100)
+  }
+
   test("skyline: matches brute-force dominance on the sf0.001 catalog") {
     val parts = Tables.part(spark, sf("sf0.001"))
       .select(col("p_partkey"),
