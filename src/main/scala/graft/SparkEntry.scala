@@ -90,6 +90,7 @@ object SparkEntry {
     "users_view_not_purchase" -> (MiscOps.usersViewNotPurchase _),
     // OLAP / joins (additive; bench workload)
     "kpi_rollup" -> (OlapOps.kpiRollup _),
+    "kpi_grouping_sets" -> (OlapOps.kpiGroupingSets _),
     "user_activity_pivot" -> (OlapOps.userActivityPivot _),
     "lineitem_measures" -> (OlapOps.lineitemMeasures _),
     "series_gapfill" -> (SeriesOps.seriesGapfill _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "dtw_profiles" -> (SeriesOps.dtwProfiles _),
     "type_corr_matrix" -> (SeriesOps.typeCorrMatrix _),
     "benford_deviation" -> (SeriesOps.benfordDeviation _),
+    "iqr_fences" -> (SeriesOps.iqrFences _),
     "cusum_changepoints" -> (SeriesOps.cusumChangepoints _),
     "drift_ks" -> (SeriesOps.driftKs _),
     "mutual_info" -> (SeriesOps.mutualInfo _),

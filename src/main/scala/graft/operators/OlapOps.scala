@@ -228,6 +228,34 @@ object OlapOps {
               col("n_events"), col("sum_value"), col("avg_value"))
       .orderBy(col("event_type"), col("status"))
 
+  /** Explicit GROUPING SETS with `grouping_id` — the third lattice
+    * form beside ROLLUP and CUBE: exactly the three business-chosen
+    * sets ((type, status), (type), (status)) in ONE Expand pass —
+    * no (()) grand total, which neither ROLLUP nor CUBE can omit —
+    * and the integer `grouping_id` disambiguates a real NULL-valued
+    * group from a rolled-up one (the textbook reason the function
+    * exists; string 'ALL' coalescing like kpi_rollup's would be
+    * ambiguous under NULL data). Integer-cent sums keep every set
+    * exact.
+    *
+    * Scale: one Expand (3× row multiplier) into one hash aggregate —
+    * the same single-shuffle posture as the CUBE query.
+    */
+  def kpiGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.eventsWithStatus(spark, dir)
+      .createOrReplaceTempView("graft_gs_events")
+    spark.sql(
+      """SELECT event_type, status,
+        |       CAST(grouping_id(event_type, status) AS BIGINT) AS gid,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS cents
+        |FROM graft_gs_events
+        |GROUP BY GROUPING SETS ((event_type, status), (event_type),
+        |                        (status))
+        |ORDER BY gid, event_type, status""".stripMargin)
+  }
+
   /** Full CUBE over (event_type, hour-of-day): all four grouping sets in
     * ONE pass — Spark plans this as a single Expand + aggregate (rows
     * duplicated ×4 pre-aggregation, map-side combined), not four scans.
@@ -1399,6 +1427,18 @@ object OlapOps {
       |          WHERE 5 * w * n_pairs > 6 * total_w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "kpi_grouping_sets" ->
+      s"""SELECT event_type, status,
+         |       CAST(grouping(event_type) * 2 + grouping(status) AS BIGINT)
+         |         AS gid,
+         |       count(*) AS n_events,
+         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+         |            AS BIGINT) AS cents
+         |FROM (SELECT e.*, ${Tables.statusSql} AS status
+         |      FROM (${Tables.eventsSql}) e) ee
+         |GROUP BY GROUPING SETS ((event_type, status), (event_type),
+         |                        (status))
+         |ORDER BY gid, event_type, status""".stripMargin,
     "supplier_league" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

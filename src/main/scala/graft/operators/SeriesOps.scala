@@ -979,6 +979,40 @@ object SeriesOps {
       .withColumn("y", expr("sm DIV (n_ev * 10000L)"))
       .select(col("event_type"), col("hr"), col("y"))
 
+  /** Tukey boxplot surface per type: exact nearest-rank quartiles,
+    * IQR fences at 1.5×IQR, and the outlier counts outside them — the
+    * visual-analytics complement to [[robustStats]]' winsorized means
+    * (that query CLAMPS outliers; this one COUNTS them, which is what
+    * a boxplot draws). Quartile index is the shared `⌊n·q⌋+1`
+    * nearest-rank; fences combine the exact quartile values with the
+    * same 1.5 literal on both engines, and the outlier comparisons run
+    * against identical doubles. Same documented per-key multiset
+    * buffering as robustStats — groups are the handful of event types;
+    * the 100 TB form takes its quartiles from the KLL family.
+    */
+  def iqrFences(spark: SparkSession, dir: String): DataFrame = {
+    val q = (lst: Column, n: Column, f: Double) =>
+      element_at(lst, (floor(n.cast("double") * lit(f)) + 1).cast("int"))
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("lst"),
+           count(lit(1)).as("n"))
+      .withColumn("q1", q(col("lst"), col("n"), 0.25))
+      .withColumn("q3", q(col("lst"), col("n"), 0.75))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .select(
+        col("event_type"), col("n"), col("q1"), col("q3"),
+        round(col("lo"), 6).as("fence_low"),
+        round(col("hi"), 6).as("fence_high"),
+        size(filter(col("lst"), x => x < col("lo"))).cast("long")
+          .as("n_low_outliers"),
+        size(filter(col("lst"), x => x > col("hi"))).cast("long")
+          .as("n_high_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Benford expected first-digit probabilities log₁₀(1+1/d), d=1..9,
     * as shared literals (both engines compare against identical
     * doubles), and the χ²(df=8, α=0.05) critical value.
@@ -1499,6 +1533,32 @@ object SeriesOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "iqr_fences" ->
+      s"""WITH e AS ($ev),
+         |a AS (
+         |  SELECT event_type, list_sort(list(value)) AS lst,
+         |         count(*) AS n
+         |  FROM e GROUP BY 1
+         |),
+         |qq AS (
+         |  SELECT event_type, n, lst,
+         |         lst[CAST(floor(CAST(n AS DOUBLE) * 0.25) AS INT) + 1] AS q1,
+         |         lst[CAST(floor(CAST(n AS DOUBLE) * 0.75) AS INT) + 1] AS q3
+         |  FROM a
+         |),
+         |ff AS (
+         |  SELECT *, q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS lo,
+         |         q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS hi
+         |  FROM qq
+         |)
+         |SELECT event_type, n, q1, q3,
+         |       round(lo, 6) AS fence_low,
+         |       round(hi, 6) AS fence_high,
+         |       CAST(len(list_filter(lst, x -> x < lo)) AS BIGINT)
+         |         AS n_low_outliers,
+         |       CAST(len(list_filter(lst, x -> x > hi)) AS BIGINT)
+         |         AS n_high_outliers
+         |FROM ff ORDER BY event_type""".stripMargin,
     "benford_deviation" -> benfordSql,
     "type_corr_matrix" ->
       s"""WITH $hourlyCentiSql,
