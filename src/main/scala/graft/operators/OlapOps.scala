@@ -253,7 +253,8 @@ object OlapOps {
         |FROM graft_gs_events
         |GROUP BY GROUPING SETS ((event_type, status), (event_type),
         |                        (status))
-        |ORDER BY gid, event_type, status""".stripMargin)
+        |ORDER BY gid, event_type NULLS FIRST, status NULLS FIRST"""
+        .stripMargin)
   }
 
   /** Full CUBE over (event_type, hour-of-day): all four grouping sets in
@@ -1438,7 +1439,8 @@ object OlapOps {
          |      FROM (${Tables.eventsSql}) e) ee
          |GROUP BY GROUPING SETS ((event_type, status), (event_type),
          |                        (status))
-         |ORDER BY gid, event_type, status""".stripMargin,
+         |ORDER BY gid, event_type NULLS FIRST, status NULLS FIRST"""
+        .stripMargin,
     "supplier_league" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

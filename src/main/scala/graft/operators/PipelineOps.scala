@@ -93,6 +93,19 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document (token, tf) pairs — ONE definition of the
+    * tokenization both [[vocabTopK]] and [[zipfFit]] aggregate (and the
+    * shape `tools/ln_audit.py`'s TOK CTE mirrors), so the audited ln
+    * argument set cannot desynchronize from the frequencies the fold
+    * actually sees.
+    */
+  private def tokenTf(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(graft.functions.TextExprs.tokenCounts(col("text")))
+        .as("tc"))
+      .select(col("tc.token").as("token"), col("tc.tf").as("tf"))
+
   /** Corpus vocabulary: global token counts + document frequency over the
     * normalized text, top 100 by count (token tie-break). Per-document
     * term frequencies come from ONE native pass
@@ -103,11 +116,9 @@ object PipelineOps {
     * aggregated set, not a global sort of the token table.
     */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(explode(graft.functions.TextExprs.tokenCounts(col("text"))).as("tc"))
-      .groupBy(col("tc.token").as("token"))
-      .agg(sum(col("tc.tf")).as("n_occurrences"),
+    tokenTf(spark, dir)
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("n_occurrences"),
            count(lit(1)).as("doc_frequency"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(100)
@@ -128,12 +139,9 @@ object PipelineOps {
     * the ordered fold (and the statistic) corpus-size-independent.
     */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
-    val top = Tables
-      .documents(spark, dir)
-      .select(explode(graft.functions.TextExprs.tokenCounts(col("text")))
-        .as("tc"))
-      .groupBy(col("tc.token").as("token"))
-      .agg(sum(col("tc.tf")).as("f"))
+    val top = tokenTf(spark, dir)
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("f"))
       .orderBy(col("f").desc, col("token"))
       .limit(1000)
     val folded = aggregate(
@@ -171,8 +179,10 @@ object PipelineOps {
         round(when(col("n_points") >= 2,
                    (col("st.slf") - (cov / varR) * col("st.slr")) / n), 6)
           .as("intercept"),
-        round(when(col("n_points") >= 2, (cov * cov) / (varR * varF)), 6)
-          .as("r2"))
+        // varF = 0 (all top frequencies equal) → 0/0: NULL on both
+        // engines, never Spark-NULL-vs-DuckDB-NaN
+        round(when(col("n_points") >= 2 && varF =!= 0.0,
+                   (cov * cov) / (varR * varF)), 6).as("r2"))
   }
 
   /** Heavy-hitter tokens via the mergeable Misra–Gries sketch

@@ -995,6 +995,9 @@ object SeriesOps {
       element_at(lst, (floor(n.cast("double") * lit(f)) + 1).cast("int"))
     Tables
       .events(spark, dir)
+      // NULL values would desynchronize n (counts them) from the
+      // collected list (drops them) and shift every quartile index
+      .filter(col("value").isNotNull)
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("value"))).as("lst"),
            count(lit(1)).as("n"))
@@ -1029,8 +1032,9 @@ object SeriesOps {
     * digit extraction is pure integer arithmetic (leading digit of a
     * long); counts are exact longs; the χ² terms fold in digit order
     * with the expected p_d as shared literals, so the statistic is
-    * engine-exact. Zero-cent values carry no leading digit and are
-    * excluded (reported in n_zero). Synthetic N(50,15) metrics are
+    * engine-exact. Negative values contribute their MAGNITUDE's
+    * leading digit (the Benford convention); only exactly-zero cents
+    * carry no digit and are excluded (reported in n_zero). Synthetic N(50,15) metrics are
     * EXPECTED to fail Benford — that is the probe working.
     *
     * Scale: one (type, digit) count shuffle (9·|type| cells), then a
@@ -1038,27 +1042,28 @@ object SeriesOps {
     */
   def benfordDeviation(spark: SparkSession, dir: String): DataFrame = {
     val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    // |cents| leading digit (Benford applies to magnitudes); ONLY exact
+    // zero carries no digit. ONE corpus-scale aggregation: the NULL
+    // digit rides as its own cell, and totals re-aggregate the
+    // metadata-scale cell frame
     val digits = Tables
       .events(spark, dir)
       .select(col("event_type"), cents.as("c"))
       .withColumn("d",
-                  when(col("c") <= 0, lit(null))
+                  when(col("c") === 0, lit(null))
                     .otherwise(expr(
-                      "CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)")))
-    val totals = digits
-      .groupBy(col("event_type"))
-      .agg(count(when(col("d").isNull, 1)).as("n_zero"),
-           count(col("d")).as("n"))
-    // per-(type, digit) cells pre-aggregated (map-side combine), then a
-    // dense 1..9 grid so absent digits are real zero cells
+                      "CAST(substring(CAST(abs(c) AS STRING), 1, 1) AS BIGINT)")))
     val cells = digits
-      .filter(col("d").isNotNull)
       .groupBy(col("event_type"), col("d"))
       .agg(count(lit(1)).as("cnt"))
+    val totals = cells
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("d").isNull, col("cnt")).otherwise(0L)).as("n_zero"),
+           sum(when(col("d").isNotNull, col("cnt")).otherwise(0L)).as("n"))
     val counts = totals
       .select(col("event_type"), col("n_zero"), col("n"),
               explode(sequence(lit(1L), lit(9L))).as("d"))
-      .join(cells, Seq("event_type", "d"), "left")
+      .join(cells.filter(col("d").isNotNull), Seq("event_type", "d"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy(col("event_type"))
       .agg(max(col("n_zero")).as("n_zero"), max(col("n")).as("n"),
@@ -1479,22 +1484,25 @@ object SeriesOps {
     s"""WITH e AS ($ev),
        |dg AS (
        |  SELECT event_type,
-       |         CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) <= 0
+       |         CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) = 0
        |              THEN NULL
-       |              ELSE CAST(substr(CAST(CAST(floor(value * 100 + 0.5)
-       |                                         AS BIGINT) AS VARCHAR),
+       |              ELSE CAST(substr(CAST(abs(CAST(floor(value * 100 + 0.5)
+       |                                         AS BIGINT)) AS VARCHAR),
        |                               1, 1) AS BIGINT) END AS d
        |  FROM e
        |),
+       |allcells AS (SELECT event_type, d, count(*) AS cnt
+       |             FROM dg GROUP BY 1, 2),
        |tot AS (
        |  SELECT event_type,
-       |         CAST(count(CASE WHEN d IS NULL THEN 1 END) AS BIGINT)
+       |         CAST(sum(CASE WHEN d IS NULL THEN cnt ELSE 0 END) AS BIGINT)
        |           AS n_zero,
-       |         CAST(count(d) AS BIGINT) AS n
-       |  FROM dg GROUP BY 1
+       |         CAST(sum(CASE WHEN d IS NOT NULL THEN cnt ELSE 0 END)
+       |              AS BIGINT) AS n
+       |  FROM allcells GROUP BY 1
        |),
-       |cells AS (SELECT event_type, d, count(*) AS cnt FROM dg
-       |          WHERE d IS NOT NULL GROUP BY 1, 2),
+       |cells AS (SELECT event_type, d, cnt FROM allcells
+       |          WHERE d IS NOT NULL),
        |grid AS (SELECT t.event_type, t.n_zero, t.n, r.d
        |         FROM tot t, UNNEST(range(1, 10)) r(d)),
        |dense AS (
@@ -1538,7 +1546,7 @@ object SeriesOps {
          |a AS (
          |  SELECT event_type, list_sort(list(value)) AS lst,
          |         count(*) AS n
-         |  FROM e GROUP BY 1
+         |  FROM e WHERE value IS NOT NULL GROUP BY 1
          |),
          |qq AS (
          |  SELECT event_type, n, lst,
