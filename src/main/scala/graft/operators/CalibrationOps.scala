@@ -100,23 +100,7 @@ object CalibrationOps {
     */
   private def ivfRows(spark: SparkSession, dir: String,
                       truth: DataFrame, emb: DataFrame): Seq[DataFrame] = {
-    val centroids = Tables
-      .embeddings(spark, dir)
-      .select(col("label"), posexplode(VectorOps.asDouble(col("embedding"))))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("col")), 6).as("c"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
-        .getField("c").as("centroid"))
-    val wCell = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(round(col("d2"), 6), col("label"))
-    val ranked = emb
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2",
-                  graft.functions.VectorExprs.vecDist2(col("v"),
-                                                       col("centroid")))
-      .withColumn("rn", row_number().over(wCell))
+    val ranked = VectorOps.ivfRanked(spark, dir, emb)
     val assigned = ranked
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label").as("cell"), col("v"), col("nrm"))

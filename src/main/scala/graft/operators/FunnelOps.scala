@@ -373,6 +373,16 @@ object FunnelOps {
              .p50(col("delta_secs").cast("double")).as("p50_secs"),
            graft.functions.ExactPercentile
              .p90(col("delta_secs").cast("double")).as("p90_secs"))
+      // zero conversions: ExactPercentile's empty buffer yields NaN
+      // while the oracle's empty-list index yields NULL — pin NULL on
+      // both engines (min/max/mean already null naturally)
+      .select(col("n_converted"), col("min_secs"), col("max_secs"),
+              when(col("n_converted") === 0, lit(null))
+                .otherwise(col("mean_secs")).as("mean_secs"),
+              when(col("n_converted") === 0, lit(null))
+                .otherwise(col("p50_secs")).as("p50_secs"),
+              when(col("n_converted") === 0, lit(null))
+                .otherwise(col("p90_secs")).as("p90_secs"))
   }
 
   /** A/B conversion analysis over a hash-split experiment: users split

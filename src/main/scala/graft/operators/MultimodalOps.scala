@@ -162,12 +162,22 @@ object MultimodalOps {
           else {
             val k = n % 24 + 1 // = StubDecoders n_frames
             val sums = new Array[Long](k)
+            val hit = new Array[Boolean](k)
             var b = 0
             while (b < n) {
-              sums((b.toLong * k / n).toInt) += (r.payload(b) & 0xff)
+              val f = (b.toLong * k / n).toInt
+              sums(f) += (r.payload(b) & 0xff)
+              hit(f) = true
               b += 1
             }
-            Iterator.tabulate(k)(f => FrameSig(r.doc_id, f.toLong, sums(f)))
+            // emit only frames that received bytes: for n < k (payloads
+            // under 24 bytes) the byte→frame map leaves the LAST frame
+            // empty, and the oracle — which derives frames from bytes —
+            // never sees it; a phantom zero-sig frame would fire a
+            // spurious cut and desynchronize the engines
+            Iterator.tabulate(k)(f => f)
+              .filter(hit(_))
+              .map(f => FrameSig(r.doc_id, f.toLong, sums(f)))
           }
         }
       }

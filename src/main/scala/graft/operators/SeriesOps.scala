@@ -412,7 +412,7 @@ object SeriesOps {
     * source is "up" while consecutive events arrive within
     * [[UptimeGapSecs]]; longer silences are OUTAGES. Per type: gap
     * count, total downtime, longest outage, and the SLA uptime
-    * percentage — the verdict decided on exact integer µs (down·10⁵
+    * percentage — the verdict decided on exact integer µs (down·10³
     * vs span for the 99.9% three-nines gate, cross-multiplied). Same
     * single keyed lag window + aggregation shape as [[seriesTwa]].
     */

@@ -201,12 +201,16 @@ object VectorOps {
     * both engines measure against identical cell centers; cell argmin
     * ties break on label, rank ties on neighbor id.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", norm(col("v")))
-
+  /** Coarse-quantizer cell ranking shared by [[annIvf]] and
+    * `CalibrationOps.ivfRows`: label-mean centroids, broadcast
+    * crossJoin, per-vector `row_number` over (round(d2,6), label).
+    * ONE definition so a tie-break or rounding change cannot
+    * desynchronize the recall calibration from the operator it
+    * measures (the minhashSigFrame convention). `emb` must carry
+    * (vec_id, v, nrm).
+    */
+  private[operators] def ivfRanked(spark: SparkSession, dir: String,
+                                   emb: DataFrame): DataFrame = {
     val centroids = Tables
       .embeddings(spark, dir)
       .select(col("label"), posexplode(asDouble(col("embedding"))))
@@ -215,16 +219,26 @@ object VectorOps {
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
         .getField("c").as("centroid"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("d2"), 6), col("label"))
+    emb
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2",
+                  graft.functions.VectorExprs.vecDist2(col("v"),
+                                                       col("centroid")))
+      .withColumn("rn", row_number().over(wCell))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
 
     def dist2(a: Column, b: Column): Column =
       graft.functions.VectorExprs.vecDist2(a, b)
 
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("d2"), 6), col("label"))
-    val ranked = emb
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("v"), col("centroid")))
-      .withColumn("rn", row_number().over(wCell))
+    val ranked = ivfRanked(spark, dir, emb)
 
     // members live in exactly their nearest cell; QUERIES probe their
     // `graft.ann.nprobe` nearest cells (default 1, the oracle form) —

@@ -487,10 +487,22 @@ object StreamJob {
               .map(_.numRowsRemoved).sum
           }
         }
+        // stop only after a NO-DATA batch follows the output: foreachBatch
+        // writes parquet BEFORE the batch commits to the offset log, so
+        // stopping on the raw count races the commit — a restart would
+        // re-run the uncommitted batch and append duplicates. A
+        // numInputRows == 0 progress entry can only appear after the
+        // data batch fully committed (and it stops pass 1 promptly,
+        // well inside the TTL window).
+        def dataBatchCommitted(): Boolean = {
+          val lp = q.lastProgress
+          lp != null && lp.numInputRows == 0
+        }
         val deadline = System.currentTimeMillis() + 180000L
         while (System.currentTimeMillis() < deadline &&
                (outputCount() < expectTotal ||
-                 { sweep(); awaitEviction && removed == 0L }))
+                 { sweep(); awaitEviction && removed == 0L } ||
+                 !dataBatchCommitted()))
           Thread.sleep(200)
         sweep()
         q.stop()

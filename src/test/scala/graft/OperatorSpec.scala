@@ -255,6 +255,21 @@ class OperatorSpec extends SparkSpec {
     assert(bySource("A").map(_.getAs[Long]("norm_chars")).max >= 1000)
   }
 
+  test("scene cuts: sub-24-byte payloads emit no phantom empty frame") {
+    val session = spark
+    import session.implicits._
+    // 5 bytes → k = 6 stub frames, but only frames 0..4 receive a byte;
+    // the empty 6th frame must NOT appear (it would fire a zero-sig cut
+    // the byte-driven oracle never sees)
+    val dir = writeDocs(Seq((1L, "abcde")).toDF("doc_id", "text"))
+    val scenes = MultimodalOps.sceneCuts(spark, dir).collect()
+    val frames = scenes.map(r => r.getAs[Long]("start_frame") ->
+      r.getAs[Long]("end_frame"))
+    assert(frames.forall { case (s, e) => s >= 0 && e <= 4 },
+           s"phantom frame beyond the occupied range: ${frames.toSeq}")
+    assert(scenes.map(_.getAs[Long]("n_frames")).sum == 5)
+  }
+
   test("image aHash: planted near-dup pair found, unrelated image not") {
     val session = spark
     import session.implicits._
