@@ -37,6 +37,9 @@ object SparkEntry {
     "kpi_tumbling" -> ((s, d) => KpiOps.kpiTumbling(s, d)),
     "kpi_sliding" -> (KpiOps.kpiSliding _),
     "kpi_sliding_paned" -> (KpiOps.kpiSlidingPaned _),
+    // §2.5 W1 via an ACTUAL writeStream drain (T1/T2/K5 machinery under
+    // the DuckDB hash gate, not just the batch twin)
+    "stream_kpi_drain" -> (graft.streaming.StreamDrain.streamKpiDrain _),
     "kpi_lookup" -> ((s, d) => KpiOps.kpiLookup(s, d)),
     "kpi_lookup_5m" -> (KpiOps.kpiLookup5m _),
     "kpi_udaf_p95" -> (KpiOps.kpiUdafP95 _),

@@ -305,21 +305,27 @@ object KpiOps {
          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Sliding panes: each event belongs to the 6 10s-aligned windows
     // [start, start+60s) with start ∈ {floor(ts/10s)*10s - k*10s, k=0..5}.
-    "kpi_sliding" ->
-      s"""WITH x AS (
-         |  SELECT event_type, value, status,
-         |         TIMESTAMP '1970-01-01 00:00:00'
-         |           + (CAST(floor(epoch(ts) / 10) AS BIGINT) * 10 - k * 10) * INTERVAL 1 SECOND
-         |           AS window_start
-         |  FROM $ev ee, UNNEST([0, 1, 2, 3, 4, 5]) AS t(k)
-         |)
-         |SELECT event_type, window_start,
-         |       window_start + INTERVAL 1 MINUTE AS window_end,
-         |       count(*) AS n_events,
-         |       round(sum(value), 4) AS sum_value,
-         |       round(avg(value), 6) AS avg_value,
-         |       count(*) FILTER (WHERE status = 'error') AS error_count,
-         |       round(CAST(count(*) FILTER (WHERE status = 'error') AS DOUBLE) / count(*), 6) AS error_rate
-         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    "kpi_sliding" -> slidingSql,
+    // the streaming drain produces the SAME panes through an actual
+    // writeStream execution (graft.streaming.StreamDrain), so it shares
+    // the batch oracle verbatim
+    "stream_kpi_drain" -> slidingSql
   )
+
+  private lazy val slidingSql: String =
+    s"""WITH x AS (
+       |  SELECT event_type, value, status,
+       |         TIMESTAMP '1970-01-01 00:00:00'
+       |           + (CAST(floor(epoch(ts) / 10) AS BIGINT) * 10 - k * 10) * INTERVAL 1 SECOND
+       |           AS window_start
+       |  FROM $ev ee, UNNEST([0, 1, 2, 3, 4, 5]) AS t(k)
+       |)
+       |SELECT event_type, window_start,
+       |       window_start + INTERVAL 1 MINUTE AS window_end,
+       |       count(*) AS n_events,
+       |       round(sum(value), 4) AS sum_value,
+       |       round(avg(value), 6) AS avg_value,
+       |       count(*) FILTER (WHERE status = 'error') AS error_count,
+       |       round(CAST(count(*) FILTER (WHERE status = 'error') AS DOUBLE) / count(*), 6) AS error_rate
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -8,15 +8,19 @@ import graft.functions.Rounding.round
 /** General OLAP queries over the TPC-H-ish star schema. The reference has
   * no joins at all (SURVEY §2.11); these are the additive capabilities a
   * standalone analytics engine needs, and they double as the scale/bench
-  * workload: multi-way joins with explicit broadcast of dimensions,
-  * partial aggregation, and top-k.
+  * workload: multi-way joins with broadcast dimensions, partial
+  * aggregation, and top-k.
   *
   * Scale notes: fact tables (lineitem/orders) are shuffled at most once
-  * per query; every dimension (region/nation/customer/supplier) is
-  * broadcast — at SF100k customer outgrows broadcast and AQE converts it
-  * to a shuffled hash join automatically, which is why we *hint* rather
-  * than hard-code a strategy. Filters sit directly on scans so parquet
-  * row-group pruning applies (`PushedFilters` in `.explain`).
+  * per query. Fixed-cardinality dims (region=5, nation=25, one-row
+  * aggregates) carry unconditional `broadcast` hints; SF-scaling dims
+  * (customer/supplier/part and frames derived from them) go through
+  * [[Dims.gateTable]], a measured gate that hints only while the base
+  * table's observed row count is under graft.dims.broadcastMaxRows — a
+  * bare hint would override AQE forever and OOM at SF100k, while the
+  * gate's decision reverses itself at scale. Filters sit directly on
+  * scans so parquet row-group pruning applies (`PushedFilters` in
+  * `.explain`).
   */
 object OlapOps {
 
@@ -41,8 +45,8 @@ object OlapOps {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3 shape: shipping priority — customer ⋈ orders ⋈ lineitem,
-    * top-10 revenue. customer is broadcast (small side); orders⋈lineitem
-    * shuffles on orderkey once.
+    * top-10 revenue. customer is gate-broadcast while it fits
+    * ([[Dims.gateTable]]); orders⋈lineitem shuffles on orderkey once.
     */
   def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
@@ -50,7 +54,8 @@ object OlapOps {
     val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Dims.gateTable(spark, dir, "customer")(cust),
+            col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
         .as("revenue"))
@@ -69,9 +74,9 @@ object OlapOps {
     Tables
       .lineitem(spark, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Dims.gateTable(spark, dir, "customer")(Tables.customer(spark, dir)),
             col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Dims.gateTable(spark, dir, "supplier")(Tables.supplier(spark, dir)),
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(spark, dir)),
@@ -91,7 +96,7 @@ object OlapOps {
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 4).as("total_spent"),
            count(lit(1)).as("n_orders"))
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Dims.gateTable(spark, dir, "customer")(Tables.customer(spark, dir)),
             col("o_custkey") === col("c_custkey"))
       .select(col("o_custkey").as("custkey"), col("c_name"),
               col("total_spent"), col("n_orders"))
@@ -402,10 +407,10 @@ object OlapOps {
         col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)
+      .join(Dims.gateTable(spark, dir, "customer")(Tables.customer(spark, dir)
               .select(col("c_custkey"), col("c_nationkey"))),
             col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(Dims.gateTable(spark, dir, "supplier")(Tables.supplier(spark, dir)
               .select(col("s_suppkey"), col("s_nationkey"))),
             col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
@@ -438,7 +443,7 @@ object OlapOps {
                       lit(100) + lit(0.5)).cast("long").as("cents"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("lost_cents"))
-      .join(broadcast(Tables.customer(spark, dir)
+      .join(Dims.gateTable(spark, dir, "customer")(Tables.customer(spark, dir)
               .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
             col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
@@ -470,7 +475,7 @@ object OlapOps {
                       floor(col("o_totalprice") * lit(100) + lit(0.5))
                         .cast("long").as("price_cents")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)
+      .join(Dims.gateTable(spark, dir, "customer")(Tables.customer(spark, dir)
               .select(col("c_custkey"), col("c_name"))),
             col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
@@ -627,7 +632,7 @@ object OlapOps {
       .lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Dims.gateTable(spark, dir, "part")(Tables.part(spark, dir)
               .select(col("p_partkey"), col("p_type"))),
             col("l_partkey") === col("p_partkey"))
       .agg(sum(when(col("p_type") === "PROMO", revCents).otherwise(0L))
@@ -652,7 +657,7 @@ object OlapOps {
   def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables
       .lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Dims.gateTable(spark, dir, "part")(Tables.part(spark, dir)
               .select(col("p_partkey"), col("p_brand"), col("p_size"))),
             col("l_partkey") === col("p_partkey"))
       .filter(
@@ -803,7 +808,7 @@ object OlapOps {
               .select(col("o_orderkey"), col("o_custkey"),
                       year(col("o_orderdate")).cast("long").as("o_year")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(
+      .join(Dims.gateTable(spark, dir, "customer")(
               Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
                 .join(Tables.nation(spark, dir)
                         .select(col("n_nationkey"), col("n_regionkey")),
@@ -814,7 +819,7 @@ object OlapOps {
                       col("n_regionkey") === col("r_regionkey"))
                 .select(col("c_custkey"))),
             col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(Dims.gateTable(spark, dir, "supplier")(Tables.supplier(spark, dir)
               .select(col("s_suppkey"), col("s_nationkey"))
               .join(Tables.nation(spark, dir)
                       .select(col("n_nationkey"), col("n_name").as("supp_nation")),
@@ -843,7 +848,7 @@ object OlapOps {
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
               col("l_quantity"), revCents.as("rev_cents"))
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Dims.gateTable(spark, dir, "part")(Tables.part(spark, dir)
               .select(col("p_partkey"), col("p_retailprice"))),
             col("l_partkey") === col("p_partkey"))
       .withColumn("cost_cents",
@@ -853,7 +858,7 @@ object OlapOps {
               .select(col("o_orderkey"),
                       year(col("o_orderdate")).cast("long").as("o_year")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(Dims.gateTable(spark, dir, "supplier")(Tables.supplier(spark, dir)
               .select(col("s_suppkey"), col("s_nationkey"))
               .join(Tables.nation(spark, dir)
                       .select(col("n_nationkey"), col("n_name").as("nation")),
@@ -1004,9 +1009,11 @@ object OlapOps {
       .limit(20)
     val names = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
     pairs
-      .join(broadcast(names), col("part_a") === col("p_partkey"))
+      .join(Dims.gateTable(spark, dir, "part")(names),
+            col("part_a") === col("p_partkey"))
       .withColumnRenamed("p_name", "name_a").drop("p_partkey")
-      .join(broadcast(names), col("part_b") === col("p_partkey"))
+      .join(Dims.gateTable(spark, dir, "part")(names),
+            col("part_b") === col("p_partkey"))
       .withColumnRenamed("p_name", "name_b").drop("p_partkey")
       .select(col("part_a"), col("part_b"), col("name_a"), col("name_b"),
               col("support"))
@@ -1109,8 +1116,10 @@ object OlapOps {
     * bounded by basket size, as basketPairs documents); item supports
     * are one extra groupBy on the SAME distinct frame; the support
     * threshold prunes before the join-back, so the rule frame is
-    * frequent-pairs-sized, and the single-item support table joins in
-    * as a broadcast.
+    * frequent-pairs-sized. The single-item support table has one row
+    * per distinct part — SF-scaling — so it joins through the measured
+    * [[Dims.gateTable]] gate (broadcast at dev scale, plain shuffled
+    * join once the part count outgrows the bound).
     */
   def basketRules(spark: SparkSession, dir: String): DataFrame = {
     val items = Tables
@@ -1141,11 +1150,13 @@ object OlapOps {
                              col("pa").as("consequent"), col("supp_ab")))
     val d = (c: org.apache.spark.sql.Column) => c.cast("double")
     directed
-      .join(broadcast(itemSupp.withColumnRenamed("l_partkey", "antecedent")
-              .withColumnRenamed("supp", "supp_a")),
+      .join(Dims.gateTable(spark, dir, "part")(
+              itemSupp.withColumnRenamed("l_partkey", "antecedent")
+                .withColumnRenamed("supp", "supp_a")),
             "antecedent")
-      .join(broadcast(itemSupp.withColumnRenamed("l_partkey", "consequent")
-              .withColumnRenamed("supp", "supp_c")),
+      .join(Dims.gateTable(spark, dir, "part")(
+              itemSupp.withColumnRenamed("l_partkey", "consequent")
+                .withColumnRenamed("supp", "supp_c")),
             "consequent")
       .crossJoin(broadcast(nBaskets))
       .select(
@@ -1205,7 +1216,7 @@ object OlapOps {
             col("l_orderkey") === col("l3_orderkey") &&
               col("l_suppkey") =!= col("l3_suppkey"),
             "left_anti")
-      .join(broadcast(
+      .join(Dims.gateTable(spark, dir, "supplier")(
               Tables.supplier(spark, dir)
                 .join(broadcast(Tables.nation(spark, dir)
                         .filter(col("n_name") === "NATION_7")),
@@ -1316,10 +1327,10 @@ object OlapOps {
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)
+      .join(Dims.gateTable(spark, dir, "customer")(Tables.customer(spark, dir)
               .select(col("c_custkey"), col("c_nationkey").as("cn"))),
             col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(Dims.gateTable(spark, dir, "supplier")(Tables.supplier(spark, dir)
               .select(col("s_suppkey"), col("s_nationkey").as("sn"))),
             col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)
@@ -1394,7 +1405,7 @@ object OlapOps {
       .groupBy(col("price_cents"))
       .agg(max(col("p_size")).as("mx"))
       .withColumn("cm_strict", max(col("mx")).over(w))
-    p.join(broadcast(manifest), Seq("price_cents"))
+    p.join(Dims.gateTable(spark, dir, "part")(manifest), Seq("price_cents"))
       .filter((col("cm_strict").isNull || col("cm_strict") < col("p_size")) &&
         col("mx") === col("p_size"))
       .select(col("p_partkey"), col("p_size"), col("price_cents"))

@@ -1014,6 +1014,11 @@ object PipelineOps {
         |                            / (st[1] * st[4] - st[2] * st[2]))
         |                           * st[2]) / st[1] END, 6) AS intercept,
         |       round(CASE WHEN n_points >= 2
+        |                   -- varF = 0 guard mirroring the Spark side:
+        |                   -- DuckDB's IEEE division would yield NaN for
+        |                   -- 0/0, not NULL, and the engines would diverge
+        |                   -- on an all-equal-frequency corpus
+        |                   AND st[1] * st[6] - st[3] * st[3] <> 0
         |             THEN ((st[1] * st[5] - st[2] * st[3])
         |                   * (st[1] * st[5] - st[2] * st[3]))
         |                  / ((st[1] * st[4] - st[2] * st[2])

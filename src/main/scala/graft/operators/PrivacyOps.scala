@@ -18,7 +18,8 @@ import graft.functions.Rounding.round
   * and string columns only (never a formatted double: float-to-string
   * is not portable across engines).
   *
-  * Scale shape: ONE broadcast join (customer is the dim side) then a
+  * Scale shape: ONE dim join (customer, gate-broadcast via
+  * [[Dims.gateTable]] while it fits) then a
   * pure codegen'd map — `regexp_replace`/`regexp_count` chains stay
   * inside whole-stage codegen, nothing shuffles after the join, and the
   * projection pushes down to both scans. At 100 TB this is a map over
@@ -48,7 +49,8 @@ object PrivacyOps {
     Tables
       .orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
-      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .join(Dims.gateTable(spark, dir, "customer")(dim),
+            col("o_custkey") === col("c_custkey"))
       .select(
         col("o_orderkey"),
         concat(
@@ -255,7 +257,7 @@ object PrivacyOps {
     * session-tunable via `graft.privacy.salt` so a new release epoch
     * redraws all noise).
     *
-    * Scale shape: broadcast dim join + one partial-aggregated groupBy;
+    * Scale shape: gate-broadcast dim join + one partial-aggregated groupBy;
     * the noise lookup is a pure codegen'd map over the aggregate's
     * (tiny) output.
     */
@@ -265,7 +267,7 @@ object PrivacyOps {
     Tables
       .orders(spark, dir)
       .select(col("o_custkey"))
-      .join(broadcast(Tables.customer(spark, dir)
+      .join(Dims.gateTable(spark, dir, "customer")(Tables.customer(spark, dir)
               .select(col("c_custkey"), col("c_mktsegment"))),
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))

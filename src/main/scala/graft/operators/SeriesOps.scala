@@ -43,7 +43,15 @@ object SeriesOps {
     val buckets = Tables
       .events(spark, dir)
       .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
-      .agg(round(avg(col("value")), 6).as("av"))
+      // bucket mean from exact micro-unit long sums (order-free), then
+      // ONE double division + the shared round-6 — bit-identical across
+      // engines AND to the streaming EwmaProcessor's sequential fold,
+      // where a raw double `avg(value)` could differ by an ulp with
+      // summation order and flip the 6-dp rounding
+      .agg(count(lit(1)).as("n_ev"),
+           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
+      .withColumn("av", round(col("sm").cast("double") /
+        (col("n_ev") * lit(1000000L)).cast("double"), 6))
     val vals = transform(
       sort_array(collect_list(struct(col("bucket"), col("av")))),
       _.getField("av"))
@@ -631,8 +639,9 @@ object SeriesOps {
     Tables
       .events(spark, dir)
       .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
-      .agg(round(avg(col("value")), 6).as("av"))
-      .withColumn("xc", floor(col("av") * lit(100) + lit(0.5)).cast("long"))
+      .agg(count(lit(1)).as("n_ev"),
+           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
+      .withColumn("xc", expr("(2 * sm + n_ev * 10000L) DIV (2 * n_ev * 10000L)"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("xc")).as("s1"),
            sum(col("xc") * col("xc")).as("s2"))
@@ -674,8 +683,15 @@ object SeriesOps {
     val buckets = Tables
       .events(spark, dir)
       .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bucket"))
-      .agg(round(avg(col("value")), 6).as("av"))
-      .withColumn("xc", floor(col("av") * lit(100) + lit(0.5)).cast("long"))
+      // round-half-up bucket mean in exact integer centi-units:
+      // ⌊Σmicro/(n·10⁴) + ½⌋ = (2·Σmicro + n·10⁴) div (2·n·10⁴). Micro-
+      // unit long sums are order-free, so the streaming fold (which
+      // sums the SAME longs sequentially) is bit-identical by
+      // construction, not merely empirically — values are nonnegative,
+      // so Spark's truncating DIV equals DuckDB's flooring `//`.
+      .agg(count(lit(1)).as("n_ev"),
+           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
+      .withColumn("xc", expr("(2 * sm + n_ev * 10000L) DIV (2 * n_ev * 10000L)"))
     val perType = buckets
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_buckets"),
@@ -1796,7 +1812,8 @@ object SeriesOps {
     "cusum_changepoints" ->
       s"""WITH b AS (
          |  SELECT event_type, date_trunc('minute', ts) AS bucket,
-         |         CAST(floor(round(avg(value), 6) * 100 + 0.5) AS BIGINT) AS xc
+         |         (2 * sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+         |            + count(*) * 10000) // (2 * count(*) * 10000) AS xc
          |  FROM $ev e GROUP BY 1, 2
          |),
          |s AS (
@@ -2133,7 +2150,9 @@ object SeriesOps {
     "series_ewma" ->
       s"""WITH b AS (
          |  SELECT event_type, date_trunc('minute', ts) AS bucket,
-         |         round(avg(value), 6) AS av
+         |         round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+         |                      AS DOUBLE)
+         |                 / CAST(count(*) * 1000000 AS DOUBLE), 6) AS av
          |  FROM $ev e GROUP BY 1, 2
          |)
          |SELECT event_type, count(*) AS n_buckets,

@@ -22,10 +22,12 @@ import org.apache.spark.sql.types._
   * the same single demand on the planner (hash distribution +
   * in-partition sort) and then streams each partition once, maintaining
   * a primitive circular buffer per key and evaluating each frame with
-  * flat double arrays — measured ~40% faster end-to-end at sf0.1, with
-  * no aggregate-buffer serialization in the loop. (Per-row cost stays
-  * O(w log w) from the median/MAD sorts, which are inherent to the
-  * semantics.)
+  * flat double arrays, with no aggregate-buffer serialization in the
+  * loop. Per-row cost is O(w) with small constants: the window multiset
+  * rides an incrementally-maintained sorted array (median is a direct
+  * order-statistics read), and the MAD streams deviations in ascending
+  * order via an outward two-pointer merge from the median's split point
+  * — no per-row comparison sort anywhere.
   *
   * Frame evaluation uses the same sequential folds and midpoint-median
   * rules as [[graft.functions.RollingStatsAggExpr]], so results are
@@ -109,17 +111,35 @@ case class RollingStatsExec(
       val statsRow = new GenericInternalRow(5)
       val statsHolder = new GenericInternalRow(1)
       // rows arrive key-clustered and key-sorted: one live buffer at a time.
-      // Primitive circular buffer; per row the frame is materialized in
-      // arrival order and folded afresh — bit-identical to the
-      // WindowExec/RollingStatsAggExpr form and the DuckDB oracle
-      // (incremental sum maintenance would drift in the last ulps).
+      // Primitive circular buffer for arrival order; `sorted` holds the
+      // SAME window multiset in ascending order, maintained
+      // incrementally — insert/evict are a binary search plus one
+      // arraycopy (memmove intrinsic), replacing the former per-row
+      // O(w log w) comparison sorts. sum/sumSq still fold the frame
+      // afresh IN ARRIVAL ORDER (incremental sum maintenance would
+      // drift in the last ulps vs the WindowExec form); the median
+      // reads the maintained order statistics directly, and the MAD
+      // comes from the outward two-pointer merge below. All values are
+      // bit-identical to WindowExec/RollingStatsAggExpr and the DuckDB
+      // oracle (asserted in CustomPlanSpec).
       var currentKey: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
       val ring = new Array[Double](w)
       val frame = new Array[Double](w)
       val sorted = new Array[Double](w)
-      val dev = new Array[Double](w)
       var start = 0
       var size = 0
+      def insertSorted(x: Double, n: Int): Unit = {
+        var i = java.util.Arrays.binarySearch(sorted, 0, n, x)
+        if (i < 0) i = -i - 1
+        System.arraycopy(sorted, i, sorted, i + 1, n - i)
+        sorted(i) = x
+      }
+      def removeSorted(x: Double, n: Int): Unit = {
+        // x was previously inserted, so it is present; binarySearch on
+        // double[] uses the same total order insertion used
+        val i = java.util.Arrays.binarySearch(sorted, 0, n, x)
+        System.arraycopy(sorted, i + 1, sorted, i, n - i - 1)
+      }
       rows.map { row =>
         val k = keyProj(row)
         if (currentKey == null || k != currentKey) {
@@ -130,8 +150,17 @@ case class RollingStatsExec(
         val v = boundValue.eval(row)
         if (v != null) {
           val x = v.asInstanceOf[Double]
-          if (size < w) { ring((start + size) % w) = x; size += 1 }
-          else { ring(start) = x; start = (start + 1) % w }
+          if (size < w) {
+            ring((start + size) % w) = x
+            insertSorted(x, size)
+            size += 1
+          } else {
+            val evicted = ring(start)
+            ring(start) = x
+            start = (start + 1) % w
+            removeSorted(evicted, size)
+            insertSorted(x, size - 1)
+          }
         }
         var i = 0
         while (i < size) { frame(i) = ring((start + i) % w); i += 1 }
@@ -143,15 +172,45 @@ case class RollingStatsExec(
         val stddev =
           if (size == 0) 0.0
           else math.sqrt(math.max(0.0, sumSq / size - mean * mean))
-        System.arraycopy(frame, 0, sorted, 0, size)
-        java.util.Arrays.sort(sorted, 0, size)
-        def medianOf(a: Array[Double]): Double =
-          if (size == 0) 0.0 else (a((size + 1) / 2 - 1) + a(size / 2)) / 2.0
-        val median = medianOf(sorted)
-        i = 0
-        while (i < size) { dev(i) = math.abs(frame(i) - median); i += 1 }
-        java.util.Arrays.sort(dev, 0, size)
-        val mad = medianOf(dev)
+        val median =
+          if (size == 0) 0.0
+          else (sorted((size + 1) / 2 - 1) + sorted(size / 2)) / 2.0
+        // MAD without sorting deviations: |x − median| is decreasing as
+        // x walks left of the median and increasing as it walks right,
+        // so merging the two runs outward from the split point streams
+        // the deviations in ascending order — rank selection in O(w)
+        // (the offset-window trick). `m − x` for x ≤ m and `x − m` for
+        // x > m are bit-equal to the former `math.abs(x − m)` (IEEE
+        // negation is exact), so the selected deviations are the same
+        // doubles the sort-based form produced.
+        val mad =
+          if (size == 0) 0.0
+          else {
+            var lo0 = 0
+            var hi0 = size
+            while (lo0 < hi0) {
+              val mid = (lo0 + hi0) >>> 1
+              if (sorted(mid) <= median) lo0 = mid + 1 else hi0 = mid
+            }
+            val r1 = (size + 1) / 2 - 1
+            val r2 = size / 2
+            var lo = lo0 - 1
+            var hi = lo0
+            var rank = 0
+            var d1 = 0.0
+            var d2 = 0.0
+            while (rank <= r2) {
+              val dl =
+                if (lo >= 0) median - sorted(lo) else Double.PositiveInfinity
+              val dr =
+                if (hi < size) sorted(hi) - median else Double.PositiveInfinity
+              val d = if (dl <= dr) { lo -= 1; dl } else { hi += 1; dr }
+              if (rank == r1) d1 = d
+              if (rank == r2) d2 = d
+              rank += 1
+            }
+            (d1 + d2) / 2.0
+          }
         statsRow.update(0, size.toLong)
         statsRow.update(1, mean)
         statsRow.update(2, stddev)

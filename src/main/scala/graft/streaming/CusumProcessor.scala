@@ -12,9 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, OutputMode, StatefulProcessor
   * constructor map, and the recursion folds online per key over
   * COMPLETED minute buckets with [[EwmaProcessor]]'s bucket-close and
   * late-drop discipline. Fold arithmetic is bit-identical to the batch
-  * expression (same centi-unit doubles, same max/compare/reset order),
-  * so the final per-type shift counts equal the batch query on the same
-  * data — asserted in StreamingParitySpec across a multi-batch split.
+  * expression BY CONSTRUCTION: bucket sums accumulate exact micro-unit
+  * longs ([[graft.functions.Rounding.microUnitsScalar]] — integer
+  * addition is associative, so batch partition-order sums and this
+  * sequential sum agree exactly, unlike a raw double sum), the centi
+  * bucket value is the same integer round-half-up division, and the
+  * fold runs the same IEEE ops in the same order — so the final
+  * per-type shift counts equal the batch query on the same data,
+  * asserted in StreamingParitySpec across a multi-batch split.
   *
   * State per key: two CUSUM accumulators, two shift counters, and the
   * in-progress bucket triple — a fixed-size ValueState row, the Flink
@@ -26,16 +31,14 @@ object CusumProcessor {
   type Baseline = (Double, Double)
 
   case class CusumState(sh: Double, sl: Double, nh: Long, nl: Long,
-                        curBucket: Long, curSum: Double, curCount: Long,
+                        curBucket: Long, curSumMicro: Long, curCount: Long,
                         nCompleted: Long)
 
   case class CusumCounts(event_type: String, n_buckets: Long,
                          n_shifts_up: Long, n_shifts_down: Long)
 
   val EmptyState: CusumState =
-    CusumState(0.0, 0.0, 0L, 0L, Long.MinValue, 0.0, 0L, 0L)
-
-  private def r6(x: Double): Double = graft.functions.Rounding.scalar(x, 6)
+    CusumState(0.0, 0.0, 0L, 0L, Long.MinValue, 0L, 0L, 0L)
 
   /** One CUSUM step on a closed bucket's centi-unit value — the same
     * doubles and comparison order as the batch `aggregate` lambda.
@@ -54,11 +57,15 @@ object CusumProcessor {
            nl = s.nl + (if (loAlarm) 1L else 0L))
   }
 
-  /** Centi-unit value of a closed bucket: floor(round6(avg)·100 + .5) —
-    * the JVM twin of the batch `xc` column.
+  /** Centi-unit value of a closed bucket — the JVM twin of the batch
+    * `xc` column: round-half-up of the exact micro-unit mean,
+    * `(2·Σmicro + n·10⁴) div (2·n·10⁴)`. Pure long arithmetic on the
+    * SAME per-event micro-unit longs the batch sums, so the value is
+    * order-free and bit-identical across engines by construction.
     */
-  private def centi(sum: Double, count: Long): Double =
-    math.floor(r6(sum / count) * 100 + 0.5)
+  private def centi(sumMicro: Long, count: Long): Double =
+    Math.floorDiv(2L * sumMicro + count * 10000L, 2L * count * 10000L)
+      .toDouble
 
   /** Pure fold core shared by the flatMapGroupsWithState handler and
     * the transformWithState processor.
@@ -74,13 +81,16 @@ object CusumProcessor {
         if (bucket < s.curBucket) () // late event for a closed bucket
         else {
           if (bucket != s.curBucket && s.curCount > 0) {
-            s = step(s, mu, sigma, centi(s.curSum, s.curCount))
-              .copy(curBucket = bucket, curSum = 0.0, curCount = 0L,
+            s = step(s, mu, sigma, centi(s.curSumMicro, s.curCount))
+              .copy(curBucket = bucket, curSumMicro = 0L, curCount = 0L,
                     nCompleted = s.nCompleted + 1)
           } else if (s.curCount == 0L) {
             s = s.copy(curBucket = bucket)
           }
-          s = s.copy(curSum = s.curSum + e.value, curCount = s.curCount + 1)
+          s = s.copy(
+            curSumMicro =
+              s.curSumMicro + graft.functions.Rounding.microUnitsScalar(e.value),
+            curCount = s.curCount + 1)
         }
       }
     s
@@ -94,7 +104,7 @@ object CusumProcessor {
            s: CusumState): Iterator[CusumCounts] =
     if (s.curCount > 0) {
       val (mu, sigma) = baselines.getOrElse(key, (0.0, 0.0))
-      val closed = step(s, mu, sigma, centi(s.curSum, s.curCount))
+      val closed = step(s, mu, sigma, centi(s.curSumMicro, s.curCount))
       Iterator.single(
         CusumCounts(key, s.nCompleted + 1, closed.nh, closed.nl))
     } else if (s.nCompleted > 0) {

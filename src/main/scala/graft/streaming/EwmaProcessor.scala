@@ -5,9 +5,12 @@ import org.apache.spark.sql.streaming.GroupState
 /** Streaming EWMA of the per-minute KPI series — the incremental form of
   * [[graft.operators.SeriesOps.seriesEwma]]: one smoothed level per key,
   * folded over COMPLETED minute buckets in event-time order with the
-  * same α and the same 6-dp bucket rounding as the batch query, so the
-  * final emitted level per key is equal to the batch result on the same
-  * data (asserted in StreamingParitySpec).
+  * same α and the same 6-dp bucket rounding as the batch query. Bucket
+  * sums accumulate exact micro-unit longs (associative — batch
+  * partition-order sums and this sequential sum agree bit-for-bit,
+  * where a raw double sum could drift an ulp and flip the rounding), so
+  * the final emitted level per key equals the batch result on the same
+  * data by construction (asserted in StreamingParitySpec).
   *
   * State per key is four numbers (level, in-progress bucket sum/count/
   * id) — the smallest possible stateful operator, and exactly what the
@@ -26,7 +29,7 @@ object EwmaProcessor {
   case class EwmaState(hasLevel: Boolean,
                        level: Double,
                        curBucket: Long,
-                       curSum: Double,
+                       curSumMicro: Long,
                        curCount: Long,
                        nCompleted: Long)
 
@@ -34,11 +37,19 @@ object EwmaProcessor {
 
   private def r6(x: Double): Double = graft.functions.Rounding.scalar(x, 6)
 
+  /** Bucket mean as the batch twin computes it: exact micro-unit long
+    * sum (order-free — integer addition is associative, so this
+    * sequential sum equals batch partition-order sums bit-for-bit),
+    * ONE double division, shared round-6.
+    */
+  private def bucketAvg(sumMicro: Long, count: Long): Double =
+    r6(sumMicro.toDouble / (count * 1000000L).toDouble)
+
   private def fold(hasLevel: Boolean, level: Double, bucketAvg: Double): Double =
     if (!hasLevel) bucketAvg else (Alpha * bucketAvg) + ((1 - Alpha) * level)
 
   val EmptyState: EwmaState =
-    EwmaState(hasLevel = false, 0.0, Long.MinValue, 0.0, 0L, 0L)
+    EwmaState(hasLevel = false, 0.0, Long.MinValue, 0L, 0L, 0L)
 
   /** Pure fold core shared by the flatMapGroupsWithState handler and the
     * transformWithState [[EwmaStatefulProcessor]] — one code path, so
@@ -57,14 +68,17 @@ object EwmaProcessor {
         if (bucket < s.curBucket) ()
         else {
           if (bucket != s.curBucket && s.curCount > 0) {
-            val avg = r6(s.curSum / s.curCount)
+            val avg = bucketAvg(s.curSumMicro, s.curCount)
             s = s.copy(hasLevel = true, level = fold(s.hasLevel, s.level, avg),
-                       curBucket = bucket, curSum = 0.0, curCount = 0L,
+                       curBucket = bucket, curSumMicro = 0L, curCount = 0L,
                        nCompleted = s.nCompleted + 1)
           } else if (s.curCount == 0L) {
             s = s.copy(curBucket = bucket)
           }
-          s = s.copy(curSum = s.curSum + e.value, curCount = s.curCount + 1)
+          s = s.copy(
+            curSumMicro =
+              s.curSumMicro + graft.functions.Rounding.microUnitsScalar(e.value),
+            curCount = s.curCount + 1)
         }
       }
     s
@@ -73,7 +87,7 @@ object EwmaProcessor {
   /** Provisional emission: close the in-progress bucket virtually. */
   def emit(key: String, s: EwmaState): Iterator[EwmaLevel] =
     if (s.curCount > 0) {
-      val avg = r6(s.curSum / s.curCount)
+      val avg = bucketAvg(s.curSumMicro, s.curCount)
       Iterator.single(
         EwmaLevel(key, s.nCompleted + 1,
                   r6(fold(s.hasLevel, s.level, avg))))

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.functions.Rounding.round
+
+/** Oracle-gated streaming drains: queries whose Spark side actually
+  * executes `writeStream` — the same micro-batch machinery, state
+  * store, and sink path the always-on job runs — then reads the drained
+  * store back as the query result, so the driver's DuckDB hash gate
+  * verifies a streaming execution end-to-end instead of only a batch
+  * twin (reference semantics: `EventAggregationJob.java:79-96`, the
+  * Flink sliding-KPI job whose sink this store stands in for).
+  */
+object StreamDrain {
+
+  /** Run the StreamJob sliding-KPI leg ([[EventPipeline.slidingKpi]]:
+    * watermark → 1m/10s windowed agg → update-mode foreachBatch store)
+    * with `Trigger.AvailableNow` over the events table, then read the
+    * hot store back projected to the batch
+    * [[graft.operators.KpiOps.kpiSliding]] schema — the shared oracle
+    * SQL hash-checks the STREAMED panes against DuckDB.
+    *
+    * Determinism: the stage dir is written as ONE parquet file so the
+    * file source drains in a single micro-batch — every pane emits
+    * exactly once and the watermark can drop nothing (the multi-batch
+    * late-drop path is exercised separately in StreamingParitySpec).
+    * The read-back still keeps only the LAST emission per pane
+    * (update-mode panes re-emit when a later batch touches them), so
+    * the query stays correct if the drain ever runs multi-batch.
+    *
+    * Scale: the production form swaps the trigger for a processing-time
+    * trigger and the source for Kafka — the store then holds one row
+    * per (type, pane) updated in place; this drain is the bounded,
+    * hash-checkable rehearsal of exactly that topology.
+    */
+  def streamKpiDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_kpi_drain").toString
+    val stage = s"$work/staged_events"
+    graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val store = s"$work/hot_aggregates"
+    val q = EventPipeline
+      .slidingKpi(spark.readStream
+        .schema(EventPipeline.eventSchema)
+        .parquet(stage))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$work/ckpt_kpi")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(store)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val latest = Window
+      .partitionBy(col("event_type"), col("window_start"))
+      .orderBy(col("batch_id").desc)
+    spark.read
+      .parquet(store)
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type"),
+        col("window_start"),
+        col("window_end"),
+        col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"),
+        round(col("avg_value"), 6).as("avg_value"),
+        col("error_count"),
+        round(col("error_count") / col("n_events"), 6).as("error_rate"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+}

@@ -490,13 +490,18 @@ object StreamJob {
         // stop only after a NO-DATA batch follows the output: foreachBatch
         // writes parquet BEFORE the batch commits to the offset log, so
         // stopping on the raw count races the commit — a restart would
-        // re-run the uncommitted batch and append duplicates. A
-        // numInputRows == 0 progress entry can only appear after the
-        // data batch fully committed (and it stops pass 1 promptly,
-        // well inside the TTL window).
+        // re-run the uncommitted batch and append duplicates. The zero-
+        // input entry must come AFTER the last data batch: checking
+        // lastProgress alone is not enough, because the warm-up empty
+        // batch precedes the first data batch and progress posts after
+        // the foreachBatch write — the poll can see the parquet output
+        // while lastProgress is still that earlier empty batch, the
+        // exact stop-vs-commit race this guard closes.
         def dataBatchCommitted(): Boolean = {
-          val lp = q.lastProgress
-          lp != null && lp.numInputRows == 0
+          val ps = q.recentProgress
+          val dataIds = ps.filter(_.numInputRows > 0).map(_.batchId)
+          dataIds.nonEmpty &&
+            ps.exists(p => p.numInputRows == 0 && p.batchId > dataIds.max)
         }
         val deadline = System.currentTimeMillis() + 180000L
         while (System.currentTimeMillis() < deadline &&

@@ -537,6 +537,50 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.unset("graft.ssjoin.broadcast")
   }
 
+  test("SF-scaling dim broadcasts go through the measured Dims gate") {
+    // customer/supplier/part (and frames derived from them) grow with
+    // SF — a mandatory broadcast hint on them wins over AQE and is a
+    // guaranteed OOM at full scale. Dims.gateTable hints only while the
+    // measured base-table count is under graft.dims.broadcastMaxRows,
+    // so the SAME auto path that broadcasts at dev scale provably stops
+    // broadcasting when the measurement says the dim is big. Hint
+    // counts are exact: the residue under threshold 0 must be ONLY the
+    // fixed-cardinality hints (nation=25, region=5, one-row aggregates),
+    // proving no mandatory broadcast wraps an SF-scaling side.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hintCount(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    val d = sf("sf0.001")
+    // auto + tiny dims: the measured gate applies every hint
+    assert(hintCount(OlapOps.q3Shipping(spark, d)) == 1)
+    assert(hintCount(PrivacyOps.piiScrub(spark, d)) == 1)
+    assert(hintCount(OlapOps.basketPairs(spark, d)) == 2)
+    assert(hintCount(OlapOps.basketRules(spark, d)) == 3)
+    assert(hintCount(OlapOps.q5LocalSupplier(spark, d)) == 4)
+    // auto + (simulated) huge dims: threshold 0 → measurement exceeds
+    // it → only the fixed-cardinality hints survive
+    spark.conf.set("graft.dims.broadcastMaxRows", "0")
+    try {
+      assert(hintCount(OlapOps.q3Shipping(spark, d)) == 0)
+      assert(hintCount(PrivacyOps.piiScrub(spark, d)) == 0)
+      assert(hintCount(OlapOps.basketPairs(spark, d)) == 0)
+      assert(hintCount(OlapOps.basketRules(spark, d)) == 1,
+             "only the one-row n_baskets frame may stay hinted")
+      assert(hintCount(OlapOps.q5LocalSupplier(spark, d)) == 2,
+             "only nation+region may stay hinted")
+      // the un-hinted q3 still plans as a sound shuffled join
+      val p = planOf(OlapOps.q3Shipping(spark, d))
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.conf.unset("graft.dims.broadcastMaxRows")
+    // explicit overrides
+    spark.conf.set("graft.dims.broadcast", "never")
+    try assert(hintCount(OlapOps.q3Shipping(spark, d)) == 0)
+    finally spark.conf.unset("graft.dims.broadcast")
+    spark.conf.set("graft.dims.broadcast", "force")
+    try assert(hintCount(OlapOps.q3Shipping(spark, d)) == 1)
+    finally spark.conf.unset("graft.dims.broadcast")
+  }
+
   test("q21 stacks semi + anti joins on one order-key partitioning") {
     val p = planOf(OlapOps.q21WaitSuppliers(spark, sf("sf0.001")))
     // both existence checks must be joins, never per-row rescans
