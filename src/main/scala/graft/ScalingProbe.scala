@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve probe for the bench's heavy tail: materializes a
+  * `copies`× replica of a base dataset and times the slowest queries at
+  * both scales, so a hidden super-linearity (a quadratic pair
+  * expansion, an accidental cross-copy join) shows up as a time ratio
+  * well above the data ratio — the cheapest signal the single-scale
+  * bench cannot produce.
+  *
+  * The replica is built by KEY-OFFSET REPLICATION: each copy i shifts
+  * every synthetic key (custkey/orderkey/partkey/suppkey/event_id/
+  * user_id/doc_id/vec_id) by i·(max+1), so the union of `copies` copies
+  * is a self-consistent star schema with the SAME join selectivity,
+  * filter rates, and key-group sizes as the base — the workload scales,
+  * the distributions don't. Two deliberate mutations keep the content
+  * families honest:
+  *   - document text is token-suffixed per copy (`$1xi`), so shingle
+  *     sets are disjoint ACROSS copies and near-dup structure scales
+  *     linearly (verbatim copies would add 45·|docs| cross-copy
+  *     near-dup pairs — super-linear by construction, not an operator
+  *     fault);
+  *   - embeddings rotate by i positions, so LSH buckets and IVF cells
+  *     redistribute instead of stacking 10 identical vectors per id.
+  * region/nation are fixed dimensions and stay as-is; events densify
+  * inside the same time range (10× traffic, same calendar), which is
+  * the realistic growth axis for the streaming tables.
+  *
+  * Usage: `runMain graft.ScalingProbe [baseDir] [scaledDir] [copies]`
+  * Prints one JSON line per probe query with min-of-2 seconds at each
+  * scale and the ratio; SCALING.md records the committed verdicts.
+  */
+object ScalingProbe {
+
+  /** The bench tail: slowest 15 by BENCH_RUNS min-of-3 at sf0.1. */
+  val probes: Seq[String] = Seq(
+    "anomaly_score_window", "recall_matrix", "ann_ivf", "trade_triangles",
+    "trade_reach", "basket_rules", "event_nested_parse", "ssjoin_prefix",
+    "basket_pairs", "ann_lsh_bucketed", "q21_wait_suppliers",
+    "q2_min_cost_supplier", "ann_topk", "cluster_representatives",
+    "contamination_check")
+
+  def buildScaled(spark: SparkSession, base: String, out: String,
+                  copies: Int): Unit = {
+    val marker = Paths.get(s"$out/_built_$copies")
+    if (Files.exists(marker)) return
+    def rd(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def span(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1
+    def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => f(df, i)).reduce(_ unionAll _)
+
+    val cSpan = span(rd("customer"), "c_custkey")
+    val sSpan = span(rd("supplier"), "s_suppkey")
+    val pSpan = span(rd("part"), "p_partkey")
+    val oSpan = span(rd("orders"), "o_orderkey")
+    val ev = rd("events")
+    val eSpan = span(ev, "event_id")
+    val uSpan = span(ev, "user_id")
+    val dSpan = span(rd("documents"), "doc_id")
+    val vSpan = span(rd("embeddings"), "vec_id")
+
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+    wr(rep(rd("customer")) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * cSpan))
+    }, "customer")
+    wr(rep(rd("supplier")) { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * sSpan))
+    }, "supplier")
+    wr(rep(rd("part")) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * pSpan))
+    }, "part")
+    wr(rep(rd("orders")) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oSpan))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * cSpan))
+    }, "orders")
+    wr(rep(rd("lineitem")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * pSpan))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * sSpan))
+    }, "lineitem")
+    wr(rep(ev) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * eSpan))
+        .withColumn("user_id", col("user_id") + lit(i * uSpan))
+    }, "events")
+    wr(rep(rd("documents")) { (df, i) =>
+      val mutated =
+        if (i == 0) df
+        else df.withColumn(
+          "text", regexp_replace(col("text"), "(\\S+)", "$1x" + i))
+      mutated
+        .withColumn("doc_id", col("doc_id") + lit(i * dSpan))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+    wr(rep(rd("embeddings")) { (df, i) =>
+      val rot =
+        if (i == 0) df
+        else df.withColumn(
+          "embedding",
+          expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+            s"slice(embedding, 1, $i))"))
+      rot.withColumn("vec_id", col("vec_id") + lit(i * vSpan))
+    }, "embeddings")
+    Files.createFile(marker)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_scale10x")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Bench's tuned session (8 post-shuffle partitions, AQE off) so the
+    // base-scale numbers are comparable to BENCH_RUNS.json
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, base, out, copies)
+
+    // JIT/codegen warmup, not billed
+    for (q <- probes)
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+
+    def fmt(r: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))
+    def timeAt(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    probes.foreach { name =>
+      val tBase = timeAt(name, base)
+      val tBig = timeAt(name, out)
+      println(s"""{"query":"$name","base_s":${fmt(tBase)},""" +
+        s""""scaled_s":${fmt(tBig)},"copies":$copies,""" +
+        s""""ratio":${fmt(tBig / tBase)}}""")
+    }
+    spark.stop()
+  }
+}

@@ -159,6 +159,7 @@ object SparkEntry {
     "dedup_exact" -> (DedupOps.dedupExact _),
     "minhash_signatures" -> (DedupOps.minhashSignatures _),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh _),
+    "dedup_minhash_wideband" -> (DedupOps.dedupMinhashWideband _),
     "shingle_containment" -> (DedupOps.shingleContainment _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "ssjoin_prefix" -> (DedupOps.ssjoinPrefix _),
@@ -176,7 +177,9 @@ object SparkEntry {
     // training-data pipeline: similarity search
     "ann_topk" -> (VectorOps.annTopK _),
     "ann_lsh_bucketed" -> (VectorOps.annLshBucketed _),
+    "ann_lsh_wideband" -> (VectorOps.annLshWideband _),
     "ann_ivf" -> (VectorOps.annIvf _),
+    "ann_ivf_probed" -> (VectorOps.annIvfProbed _),
     "embed_near_dup" -> (VectorOps.embedNearDup _),
     "semdedup" -> (VectorOps.semdedup _),
     "embed_quantize" -> (VectorOps.embedQuantize _),
@@ -245,6 +248,7 @@ object SparkEntry {
     "compaction_plan" -> (LayoutOps.compactionPlan _),
     // training-data pipeline: multimodal plumbing (stub decode)
     "media_meta" -> (MultimodalOps.mediaMeta _),
+    "media_header_meta" -> (MultimodalOps.mediaHeaderMeta _),
     "frame_sample" -> (MultimodalOps.frameSample _),
     "image_resize" -> (MultimodalOps.imageResize _),
     "audio_features" -> (MultimodalOps.audioFeatures _),

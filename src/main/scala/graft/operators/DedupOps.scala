@@ -173,6 +173,16 @@ object DedupOps {
     minhashLshPairs(spark, dir, k, nBands)
   }
 
+  /** [[dedupMinhashLsh]] at the non-default banding (k=16, bands=8,
+    * rows=2 — higher recall, more candidate shuffle) under its own
+    * oracle ([[minhashLshSqlAt]] at the same banding), so the
+    * `graft.minhash.*` knobs provably cannot desync the engines. The
+    * signature frame is shared with the default via [[minhashSigFrame]]
+    * (same k — the expensive pass runs once).
+    */
+  def dedupMinhashWideband(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(spark, dir, NumHashes, 8)
+
   /** LSH candidate pairs scored with exact shingle overlap, BEFORE the
     * Jaccard threshold — the shared stage of [[minhashLshPairs]] (which
     * filters) and [[shingleContainment]] (which scores asymmetrically).
@@ -680,14 +690,22 @@ object DedupOps {
        |  FROM hs$suffix
        |)""".stripMargin
 
-  private lazy val minhashLshSql: String =
-      s"""$shingleSql, ${sigSql(NumHashes)},
-         |bands AS (
-         |  SELECT doc_id, shingles, b,
-         |         md5(CAST(sig[4 * b + 1] AS VARCHAR) || '|' || CAST(sig[4 * b + 2] AS VARCHAR)
-         |             || '|' || CAST(sig[4 * b + 3] AS VARCHAR) || '|' || CAST(sig[4 * b + 4] AS VARCHAR)) AS band_hash
-         |  FROM sig, UNNEST([0, 1, 2, 3]) t(b)
-         |),
+  /** [[minhashLshSql]] at an explicit (k, bands) — generated from the
+    * same constants [[lshScoredPairs]] uses, so the knob variants (e.g.
+    * `dedup_minhash_wideband`) share one SQL builder with the default.
+    */
+  private def minhashLshSqlAt(k: Int, nBands: Int): String = {
+    val r = k / nBands
+    val bandConcat = (1 to r)
+      .map(i => s"CAST(sig[$r * b + $i] AS VARCHAR)")
+      .mkString(" || '|' || ")
+    val bandList = (0 until nBands).mkString(", ")
+    s"""$shingleSql, ${sigSql(k)},
+       |bands AS (
+       |  SELECT doc_id, shingles, b,
+       |         md5($bandConcat) AS band_hash
+       |  FROM sig, UNNEST([$bandList]) t(b)
+       |),
          |bsz AS (SELECT b, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
@@ -705,7 +723,10 @@ object DedupOps {
          |               / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))), 6) AS jaccard
          |  FROM cand JOIN sh x ON cand.doc1 = x.doc_id JOIN sh y ON cand.doc2 = y.doc_id
          |)
-         |SELECT doc1, doc2, n_common, jaccard FROM scored WHERE jaccard >= $JaccardThreshold ORDER BY doc1, doc2""".stripMargin
+       |SELECT doc1, doc2, n_common, jaccard FROM scored WHERE jaccard >= $JaccardThreshold ORDER BY doc1, doc2""".stripMargin
+  }
+
+  private lazy val minhashLshSql: String = minhashLshSqlAt(NumHashes, Bands)
 
   /** [[minhashLshSql]] with the containment projection instead of the
     * Jaccard threshold — shares every CTE up through `scored`.
@@ -1611,6 +1632,7 @@ object DedupOps {
          |       array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig
          |FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_minhash_wideband" -> minhashLshSqlAt(NumHashes, 8),
     "dedup_rate_by_source" ->
       """WITH h AS (
         |  SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch,

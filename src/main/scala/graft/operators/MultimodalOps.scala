@@ -22,20 +22,35 @@ object MultimodalOps {
                        n_frames: Int, checksum_first: Int)
 
   object StubDecoders {
-    /** STUB decode: deterministic fake metadata from payload shape. A real
-      * deployment replaces this body with an actual codec; the signature
-      * (bytes in, typed meta out) and the surrounding Spark plumbing stay.
+    /** Decode: sniff a REAL container header first ([[MediaHeaders]] —
+      * PNG IHDR / JPEG SOF / WAV fmt parsed from actual header bytes;
+      * exercised under the oracle gate by `media_header_meta`); payloads
+      * that are not a media container (the staged text bytes) fall back
+      * to deterministic STUB metadata derived from payload shape. A real
+      * deployment replaces only the fallback/pixel step with a codec
+      * call; the signature (bytes in, typed meta out) and the
+      * surrounding Spark plumbing stay.
       */
     def decodeImageMeta(doc_id: Long, payload: Array[Byte]): MediaMeta = {
       val n = payload.length.toLong
-      MediaMeta(
-        doc_id = doc_id,
-        n_bytes = n,
-        width = ((n * 7) % 640 + 16).toInt,
-        height = ((n * 13) % 480 + 16).toInt,
-        n_frames = (n % 24 + 1).toInt,
-        checksum_first = if (payload.nonEmpty) payload(0) & 0xff else 0
-      )
+      MediaHeaders.sniff(payload) match {
+        case Some(h) =>
+          MediaMeta(
+            doc_id = doc_id,
+            n_bytes = n,
+            width = h.width,
+            height = h.height,
+            n_frames = 1,
+            checksum_first = if (payload.nonEmpty) payload(0) & 0xff else 0)
+        case None =>
+          MediaMeta(
+            doc_id = doc_id,
+            n_bytes = n,
+            width = ((n * 7) % 640 + 16).toInt,
+            height = ((n * 13) % 480 + 16).toInt,
+            n_frames = (n % 24 + 1).toInt,
+            checksum_first = if (payload.nonEmpty) payload(0) & 0xff else 0)
+      }
     }
   }
 
@@ -60,6 +75,44 @@ object MultimodalOps {
       .mapPartitions { rows =>
         // per-partition init would happen here (codec handles, buffers)
         rows.map(r => StubDecoders.decodeImageMeta(r.doc_id, r.payload))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  case class HeaderMeta(doc_id: Long, format: String, width: Int, height: Int,
+                        sample_rate: Int, channels: Int, parse_ok: Boolean)
+
+  /** Self-gated round trip through REAL container headers: each doc_id
+    * builds a genuine minimal PNG/JPEG/WAV header
+    * ([[MediaHeaders.fixture]] — valid signatures, chunk CRCs, marker
+    * segments), the decode parses width/height/sample-rate/channels back
+    * out of the actual BYTES ([[MediaHeaders.sniff]]), and the output
+    * carries what the PARSER read plus a `parse_ok` verdict against the
+    * encoded values. The DuckDB oracle recomputes the builder's
+    * deterministic formulas from doc_id with `parse_ok = TRUE`, so any
+    * byte-level parsing bug (endianness, offsets, marker walking)
+    * hash-mismatches. Same `mapPartitions` batch shape as [[mediaMeta]];
+    * at 100 TB the fixture construction is replaced by the real binary
+    * column and the parse stays as-is.
+    */
+  def mediaHeaderMeta(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val payload = MediaHeaders.fixture(id)
+          val exp = MediaHeaders.expected(id)
+          val parsed = MediaHeaders.sniff(payload)
+          val h = parsed.getOrElse(
+            MediaHeaders.MediaHeader("unparsed", -1, -1, -1, -1))
+          HeaderMeta(id, h.format, h.width, h.height, h.sampleRate,
+                     h.channels, parsed.contains(exp))
+        }
       }
       .toDF()
       .orderBy(col("doc_id"))
@@ -357,6 +410,27 @@ object MultimodalOps {
         |  FROM p
         |)
         |SELECT * FROM m ORDER BY doc_id""".stripMargin,
+    // the fixture-builder formulas from MediaHeaders.expected, verbatim;
+    // the Spark side reaches these values only by PARSING the real
+    // header bytes it built, so the hash gate checks the byte round trip
+    "media_header_meta" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |            WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |       CAST(CASE WHEN doc_id % 3 IN (0, 1)
+        |                 THEN doc_id % 1920 + 1 ELSE 0 END AS INT) AS width,
+        |       CAST(CASE WHEN doc_id % 3 IN (0, 1)
+        |                 THEN doc_id % 1080 + 1 ELSE 0 END AS INT) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN
+        |              CASE CAST(doc_id % 5 AS INT)
+        |                   WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                   WHEN 2 THEN 22050 WHEN 3 THEN 32000
+        |                   ELSE 44100 END
+        |            ELSE 0 END AS INT) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 3 = 2
+        |                 THEN doc_id % 2 + 1 ELSE 0 END AS INT) AS channels,
+        |       TRUE AS parse_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "frame_sample" ->
       """WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
         |m AS (SELECT doc_id, CAST(n % 24 + 1 AS INT) AS n_frames,

@@ -264,6 +264,34 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Run `build` with a session conf key scoped to `value` — the knob
+    * variants capture the literal at PLAN-BUILD time, so restoring the
+    * previous value immediately after construction is safe.
+    */
+  private def withConf[T](spark: SparkSession, key: String, value: String)(
+      build: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try build
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** [[annIvf]] at `graft.ann.nprobe = 2` — the non-default recall knob
+    * under its own oracle ([[annIvfSqlAt]] at the same probe count), so
+    * the knob provably cannot desync the engines.
+    */
+  def annIvfProbed(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "graft.ann.nprobe", "2")(annIvf(spark, dir))
+
+  /** [[annLshBucketed]] at `graft.ann.bits = 12` — finer sign buckets
+    * (fewer candidates per bucket, lower recall) under its own oracle.
+    */
+  def annLshWideband(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "graft.ann.bits", "12")(annLshBucketed(spark, dir))
+
   /** Per-label centroid statistics — the aggregation building block of an
     * IVF coarse quantizer (here over the given labels; k-means iterations
     * would repeat this agg with assignments recomputed).
@@ -688,16 +716,65 @@ object VectorOps {
   }
 
   /** Shared CTE: double-cast vectors + norms via the same left fold. */
-  private val embSql =
-    """WITH e AS (
-      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings
-      |),
-      |en AS (
-      |  SELECT *, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm,
-      |         array_to_string(list_transform(v[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-      |  FROM e
-      |)""".stripMargin
+  /** Normalized-embedding CTE at an explicit sign-bucket width —
+    * generated from the same constant [[bucketCode]] uses, so the knob
+    * variants (`ann_lsh_wideband`) share one builder with the default.
+    */
+  private def embSqlAt(bits: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |en AS (
+       |  SELECT *, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm,
+       |         array_to_string(list_transform(v[1:$bits], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM e
+       |)""".stripMargin
+
+  private val embSql = embSqlAt(SignBits)
+
+  /** LSH-bucket ANN oracle at an explicit bucket width. */
+  private def annLshSqlAt(bits: Int): String =
+    s"""${embSqlAt(bits)}
+       |SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+       |         round($dotSql / (q.nrm * c.nrm), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY q.vec_id
+       |                ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM en q JOIN en c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF ANN oracle at an explicit query-side probe count: members live
+    * in their nearest cell (rn = 1); queries search their `nprobe`
+    * nearest cells — the same ranked-cells frame [[ivfRanked]] shares
+    * with the Spark side.
+    */
+  private def annIvfSqlAt(nprobe: Int): String =
+    s"""$embSql,
+       |cent AS (
+       |  SELECT label, r.pos, floor((avg(v[r.pos])) * 1e6 + 0.5) / 1e6 AS c
+       |  FROM e, UNNEST(range(1, len(v) + 1)) r(pos)
+       |  GROUP BY label, r.pos
+       |),
+       |cents AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+       |ranked AS (
+       |  SELECT en.vec_id, cents.label, en.v, en.nrm,
+       |         row_number() OVER (PARTITION BY en.vec_id ORDER BY
+       |           floor((list_reduce(list_transform(range(1, len(en.v) + 1),
+       |                  i -> (en.v[i] - cents.centroid[i]) * (en.v[i] - cents.centroid[i])), (a, b) -> a + b)) * 1e6 + 0.5) / 1e6,
+       |           cents.label) AS rn
+       |  FROM en, cents
+       |),
+       |assigned AS (SELECT vec_id, label AS cell, v, nrm FROM ranked WHERE rn = 1),
+       |probing AS (SELECT vec_id, label AS cell, v, nrm FROM ranked
+       |            WHERE vec_id < 20 AND rn <= $nprobe)
+       |SELECT query_id, neighbor_id, cell, cosine, rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
+       |         round($dotSql / (q.nrm * c.nrm), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY q.vec_id
+       |                ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM probing q JOIN assigned c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val dotSql =
     "list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]), (a, b) -> a + b)"
@@ -825,15 +902,7 @@ object VectorOps {
          |  FROM en q JOIN en c ON c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 20
          |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "ann_lsh_bucketed" ->
-      s"""$embSql
-         |SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
-         |         round($dotSql / (q.nrm * c.nrm), 6) AS cosine,
-         |         CAST(row_number() OVER (PARTITION BY q.vec_id
-         |                ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS BIGINT) AS rank
-         |  FROM en q JOIN en c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_bucketed" -> annLshSqlAt(SignBits),
     "embed_near_dup" ->
       s"""$embSql
          |SELECT q.vec_id AS vec1, c.vec_id AS vec2,
@@ -841,32 +910,12 @@ object VectorOps {
          |FROM en q JOIN en c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
          |WHERE round($dotSql / (q.nrm * c.nrm), 6) >= 0.3
          |ORDER BY vec1, vec2""".stripMargin,
-    "ann_ivf" ->
-      s"""$embSql,
-         |cent AS (
-         |  SELECT label, r.pos, floor((avg(v[r.pos])) * 1e6 + 0.5) / 1e6 AS c
-         |  FROM e, UNNEST(range(1, len(v) + 1)) r(pos)
-         |  GROUP BY label, r.pos
-         |),
-         |cents AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
-         |assigned AS (
-         |  SELECT vec_id, label AS cell, v, nrm FROM (
-         |    SELECT en.vec_id, cents.label, en.v, en.nrm,
-         |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
-         |             floor((list_reduce(list_transform(range(1, len(en.v) + 1),
-         |                    i -> (en.v[i] - cents.centroid[i]) * (en.v[i] - cents.centroid[i])), (a, b) -> a + b)) * 1e6 + 0.5) / 1e6,
-         |             cents.label) AS rn
-         |    FROM en, cents
-         |  ) WHERE rn = 1
-         |)
-         |SELECT query_id, neighbor_id, cell, cosine, rank FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
-         |         round($dotSql / (q.nrm * c.nrm), 6) AS cosine,
-         |         CAST(row_number() OVER (PARTITION BY q.vec_id
-         |                ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS BIGINT) AS rank
-         |  FROM assigned q JOIN assigned c ON q.cell = c.cell AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 20
-         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" -> annIvfSqlAt(1),
+    // graft.ann.nprobe=2 path under the gate: queries probe their TWO
+    // nearest cells (candidates stay in exactly their home cell)
+    "ann_ivf_probed" -> annIvfSqlAt(2),
+    // graft.ann.bits=12 path under the gate: finer sign buckets
+    "ann_lsh_wideband" -> annLshSqlAt(12),
     "embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
