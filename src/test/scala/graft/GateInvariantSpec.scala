@@ -22,14 +22,17 @@ class GateInvariantSpec extends SparkSpec {
   test("bench-only session config cannot leak into library code") {
     // Bench.scala deliberately disables AQE and shrinks shuffle
     // partitions for the local micro-bench; a cluster session must never
-    // inherit that posture. Guard: no file in the library surface (i.e.
-    // anything other than Bench.scala) may set either knob, and the
-    // running test session — built the way Verify builds its session —
-    // still has AQE on.
+    // inherit that posture. Guard: no file in the library surface may
+    // set either knob, and the running test session — built the way
+    // Verify builds its session — still has AQE on. Allowlisted mains
+    // (each its own JVM, never a library entry point): Bench.scala and
+    // ScalingProbe.scala, which mirrors Bench's session so its 1× times
+    // are comparable to BENCH_RUNS.json.
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala") && !p.endsWith("Bench.scala"))
+      .filter(p => p.toString.endsWith(".scala") &&
+        !p.endsWith("Bench.scala") && !p.endsWith("ScalingProbe.scala"))
       .filter { p =>
         val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         src.contains("spark.sql.adaptive.enabled") ||
