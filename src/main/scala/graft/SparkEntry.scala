@@ -47,6 +47,8 @@ object SparkEntry {
     "anomaly_score" -> (AnomalyOps.anomalyScore _),
     "anomaly_score_window" -> (AnomalyOps.anomalyScoreWindow _),
     "anomaly_alerts" -> (AnomalyOps.anomalyAlerts _),
+    // §2.7 T3-T9 via an ACTUAL flatMapGroupsWithState writeStream drain
+    "stream_alerts_drain" -> (graft.streaming.StreamDrain.streamAlertsDrain _),
     "anomaly_regions" -> (AnomalyOps.anomalyRegions _),
     "alerts_filter" -> (AnomalyOps.alertsFilter _),
     "alerts_stats" -> (AnomalyOps.alertsStats _),

@@ -545,6 +545,14 @@ object AnomalyOps {
        |  FROM isl GROUP BY event_type, island
        |)""".stripMargin
 
+  private lazy val anomalyAlertsSql: String =
+    s"""$scoredSql
+       |SELECT event_id, event_type, ts, value, z_score, mad_score, severity, anomaly_type,
+       |       printf('Anomaly detected in %s: value=%.2f, mean=%.2f, z-score=%.2f, mad-score=%.2f',
+       |              event_type, round(value, 2), round(mean_value, 2),
+       |              round(z_score, 2), round(mad_score, 2)) AS description
+       |FROM final WHERE is_anomaly ORDER BY event_type, ts, event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "anomaly_regions" ->
       s"""$regionsSqlCte
@@ -572,13 +580,11 @@ object AnomalyOps {
       s"$scoredSql SELECT * FROM final ORDER BY event_type, ts, event_id",
     "anomaly_score_window" ->
       s"$scoredSql SELECT * FROM final ORDER BY event_type, ts, event_id",
-    "anomaly_alerts" ->
-      s"""$scoredSql
-         |SELECT event_id, event_type, ts, value, z_score, mad_score, severity, anomaly_type,
-         |       printf('Anomaly detected in %s: value=%.2f, mean=%.2f, z-score=%.2f, mad-score=%.2f',
-         |              event_type, round(value, 2), round(mean_value, 2),
-         |              round(z_score, 2), round(mad_score, 2)) AS description
-         |FROM final WHERE is_anomaly ORDER BY event_type, ts, event_id""".stripMargin,
+    "anomaly_alerts" -> anomalyAlertsSql,
+    // the streaming drain produces the SAME alert rows through an actual
+    // flatMapGroupsWithState writeStream execution
+    // (graft.streaming.StreamDrain), so it shares the batch oracle
+    "stream_alerts_drain" -> anomalyAlertsSql,
     "alerts_filter" ->
       s"""$scoredSql
          |SELECT event_id, event_type, ts, value, z_score, mad_score, severity

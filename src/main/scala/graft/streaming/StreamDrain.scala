@@ -39,6 +39,65 @@ object StreamDrain {
     * per (type, pane) updated in place; this drain is the bounded,
     * hash-checkable rehearsal of exactly that topology.
     */
+  /** Run the StreamJob anomaly leg ([[EventPipeline.anomalyStream]]:
+    * keyed flatMapGroupsWithState rolling-stats detector — the
+    * reference's `RichFlatMapFunction` + `ValueState` job) through an
+    * actual `writeStream` drain and read the fired-alert store back
+    * projected to the batch [[graft.operators.AnomalyOps.anomalyAlerts]]
+    * schema, sharing its oracle SQL — the second streaming leg under
+    * the DuckDB hash gate, and the stateful-processor one (the KPI
+    * drain exercises the windowed-aggregation path).
+    *
+    * Determinism: the detector is order-dependent (rolling window), and
+    * the processor sorts by (ts, event_id) WITHIN a batch — so the
+    * single-file stage (one micro-batch) makes the fold order exactly
+    * the batch analog's total order. Each event is scored once when it
+    * arrives, so no cross-batch dedup is needed on read-back; the
+    * description column is reconstructed from the streamed r4 fields
+    * with the same format expression the batch query uses (both sides
+    * format the same 4-dp doubles, so the strings agree byte-for-byte).
+    */
+  def streamAlertsDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_alerts_drain").toString
+    val stage = s"$work/staged_events"
+    graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val store = s"$work/alerts"
+    val q = EventPipeline
+      .anomalyStream(spark, spark.readStream
+        .schema(EventPipeline.eventSchema)
+        .parquet(stage))
+      .filter(_.is_anomaly)
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$work/ckpt_alerts")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(store)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read
+      .parquet(store)
+      .withColumn(
+        "description",
+        format_string(
+          "Anomaly detected in %s: value=%.2f, mean=%.2f, z-score=%.2f, mad-score=%.2f",
+          col("event_type"),
+          round(col("value"), 2),
+          round(col("mean_value"), 2),
+          round(col("z_score"), 2),
+          round(col("mad_score"), 2)))
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+              col("z_score"), col("mad_score"), col("severity"),
+              col("anomaly_type"), col("description"))
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+  }
+
   def streamKpiDrain(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft_kpi_drain").toString
     val stage = s"$work/staged_events"

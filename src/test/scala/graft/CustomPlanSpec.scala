@@ -24,6 +24,32 @@ class CustomPlanSpec extends SparkSpec {
     fast.zip(slow).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("incremental sorted-window path matches WindowExec on adversarial data") {
+    // targets the round-7 incremental order-statistics rewrite: heavy
+    // DUPLICATE values (binary-search removal must take an equal
+    // element, any one), monotone runs (insertion always at one end),
+    // a constant key (mad = stddev = 0, zero deviations throughout),
+    // and > window-size rows per key so eviction runs hot
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(42)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(t0 + id * 1000), 1L, typ, v, "{}")
+    val rows =
+      (1L to 400L).map(i => ev(i, "dups", 1.0 + rnd.nextInt(3))) ++
+        (1L to 300L).map(i => ev(400 + i, "up", i.toDouble)) ++
+        (1L to 300L).map(i => ev(700 + i, "down", 301.0 - i)) ++
+        (1L to 150L).map(i => ev(1000 + i, "flat", 7.5))
+    val dir = java.nio.file.Files.createTempDirectory("advwin").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fast = AnomalyOps.anomalyScore(spark, dir).collect()
+    val slow = AnomalyOps.anomalyScoreWindow(spark, dir).collect()
+    assert(fast.length == slow.length && fast.length > 1000)
+    fast.zip(slow).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("ann_topk plans as partial + final TopKPerKey around one exchange") {
     val df = graft.operators.VectorOps.annTopK(spark, sf("sf0.001"))
     df.collect()
