@@ -27,6 +27,9 @@ object SparkEntry {
     "series_p95" -> (SeriesOps.seriesP95 _),
     "series_filtered" -> (SeriesOps.seriesFiltered _),
     "series_ewma" -> (SeriesOps.seriesEwma _),
+    // T-series legs via ACTUAL writeStream drains under the hash gate
+    "stream_ewma_drain" -> (graft.streaming.StreamDrain.streamEwmaDrain _),
+    "stream_cusum_drain" -> (graft.streaming.StreamDrain.streamCusumDrain _),
     "mad_over_frame" -> (SeriesOps.madOverFrame _),
     "robust_stats" -> (SeriesOps.robustStats _),
     "trend_ols" -> (SeriesOps.trendOls _),

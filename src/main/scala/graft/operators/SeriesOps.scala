@@ -1556,6 +1556,73 @@ object SeriesOps {
        |FROM f ORDER BY event_type""".stripMargin
   }
 
+  private lazy val ewmaSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type, date_trunc('minute', ts) AS bucket,
+       |         round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+       |                      AS DOUBLE)
+       |                 / CAST(count(*) * 1000000 AS DOUBLE), 6) AS av
+       |  FROM $ev e GROUP BY 1, 2
+       |)
+       |SELECT event_type, count(*) AS n_buckets,
+       |       round(list_reduce(list(av ORDER BY bucket),
+       |                         (s, x) -> ($Alpha * x) + (${1 - Alpha} * s)), 6)
+       |         AS ewma_value
+       |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private lazy val cusumSql: String =
+      s"""WITH b AS (
+         |  SELECT event_type, date_trunc('minute', ts) AS bucket,
+         |         (2 * sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+         |            + count(*) * 10000) // (2 * count(*) * 10000) AS xc
+         |  FROM $ev e GROUP BY 1, 2
+         |),
+         |s AS (
+         |  SELECT event_type, count(*) AS n_buckets,
+         |         sum(xc) AS s1, sum(xc * xc) AS s2,
+         |         list(CAST(xc AS DOUBLE) ORDER BY bucket) AS vals
+         |  FROM b GROUP BY 1
+         |),
+         |p1 AS (SELECT *, CAST(s1 AS DOUBLE) / n_buckets AS mu FROM s),
+         |p2 AS (
+         |  SELECT *, sqrt(greatest(CAST(s2 AS DOUBLE) / n_buckets - mu * mu,
+         |                          CAST(0 AS DOUBLE))) AS sigma
+         |  FROM p1
+         |),
+         |p AS (
+         |  SELECT *, CAST($CusumK AS DOUBLE) * sigma AS k,
+         |         CAST($CusumH AS DOUBLE) * sigma AS h
+         |  FROM p2
+         |),
+         |f AS (
+         |  SELECT event_type, n_buckets, mu, sigma,
+         |         list_reduce(
+         |           list_prepend([CAST(0 AS DOUBLE), 0, 0, 0],
+         |                        list_transform(vals, x -> [x, 0, 0, 0])),
+         |           (acc, e) -> [
+         |             CASE WHEN greatest(acc[1] + (e[1] - mu - k),
+         |                                CAST(0 AS DOUBLE)) > h THEN 0
+         |                  ELSE greatest(acc[1] + (e[1] - mu - k),
+         |                                CAST(0 AS DOUBLE)) END,
+         |             CASE WHEN greatest(acc[2] + (mu - e[1] - k),
+         |                                CAST(0 AS DOUBLE)) > h THEN 0
+         |                  ELSE greatest(acc[2] + (mu - e[1] - k),
+         |                                CAST(0 AS DOUBLE)) END,
+         |             acc[3] + CASE WHEN greatest(acc[1] + (e[1] - mu - k),
+         |                                         CAST(0 AS DOUBLE)) > h
+         |                           THEN 1 ELSE 0 END,
+         |             acc[4] + CASE WHEN greatest(acc[2] + (mu - e[1] - k),
+         |                                         CAST(0 AS DOUBLE)) > h
+         |                           THEN 1 ELSE 0 END]) AS st
+         |  FROM p
+         |)
+         |SELECT event_type, n_buckets,
+         |       CAST(st[3] AS BIGINT) AS n_shifts_up,
+         |       CAST(st[4] AS BIGINT) AS n_shifts_down,
+         |       round(mu / 100, 4) AS baseline_mean,
+         |       round(sigma / 100, 4) AS baseline_sigma
+         |FROM f ORDER BY event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "iqr_fences" ->
       s"""WITH e AS ($ev),
@@ -1809,58 +1876,17 @@ object SeriesOps {
          |                    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])[1]
          |         / $Ln2, 6) AS mi_bits
          |FROM g""".stripMargin,
-    "cusum_changepoints" ->
-      s"""WITH b AS (
-         |  SELECT event_type, date_trunc('minute', ts) AS bucket,
-         |         (2 * sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
-         |            + count(*) * 10000) // (2 * count(*) * 10000) AS xc
-         |  FROM $ev e GROUP BY 1, 2
-         |),
-         |s AS (
-         |  SELECT event_type, count(*) AS n_buckets,
-         |         sum(xc) AS s1, sum(xc * xc) AS s2,
-         |         list(CAST(xc AS DOUBLE) ORDER BY bucket) AS vals
-         |  FROM b GROUP BY 1
-         |),
-         |p1 AS (SELECT *, CAST(s1 AS DOUBLE) / n_buckets AS mu FROM s),
-         |p2 AS (
-         |  SELECT *, sqrt(greatest(CAST(s2 AS DOUBLE) / n_buckets - mu * mu,
-         |                          CAST(0 AS DOUBLE))) AS sigma
-         |  FROM p1
-         |),
-         |p AS (
-         |  SELECT *, CAST($CusumK AS DOUBLE) * sigma AS k,
-         |         CAST($CusumH AS DOUBLE) * sigma AS h
-         |  FROM p2
-         |),
-         |f AS (
-         |  SELECT event_type, n_buckets, mu, sigma,
-         |         list_reduce(
-         |           list_prepend([CAST(0 AS DOUBLE), 0, 0, 0],
-         |                        list_transform(vals, x -> [x, 0, 0, 0])),
-         |           (acc, e) -> [
-         |             CASE WHEN greatest(acc[1] + (e[1] - mu - k),
-         |                                CAST(0 AS DOUBLE)) > h THEN 0
-         |                  ELSE greatest(acc[1] + (e[1] - mu - k),
-         |                                CAST(0 AS DOUBLE)) END,
-         |             CASE WHEN greatest(acc[2] + (mu - e[1] - k),
-         |                                CAST(0 AS DOUBLE)) > h THEN 0
-         |                  ELSE greatest(acc[2] + (mu - e[1] - k),
-         |                                CAST(0 AS DOUBLE)) END,
-         |             acc[3] + CASE WHEN greatest(acc[1] + (e[1] - mu - k),
-         |                                         CAST(0 AS DOUBLE)) > h
-         |                           THEN 1 ELSE 0 END,
-         |             acc[4] + CASE WHEN greatest(acc[2] + (mu - e[1] - k),
-         |                                         CAST(0 AS DOUBLE)) > h
-         |                           THEN 1 ELSE 0 END]) AS st
-         |  FROM p
-         |)
-         |SELECT event_type, n_buckets,
-         |       CAST(st[3] AS BIGINT) AS n_shifts_up,
-         |       CAST(st[4] AS BIGINT) AS n_shifts_down,
-         |       round(mu / 100, 4) AS baseline_mean,
-         |       round(sigma / 100, 4) AS baseline_sigma
-         |FROM f ORDER BY event_type""".stripMargin,
+    "cusum_changepoints" -> cusumSql,
+    // streaming drain (graft.streaming.StreamDrain.streamCusumDrain):
+    // same fold through an actual writeStream; the streamed CusumCounts
+    // carry no baseline columns, so the oracle is the batch SQL minus them
+    "stream_cusum_drain" ->
+      s"""SELECT event_type, n_buckets, n_shifts_up, n_shifts_down
+         |FROM ($cusumSql) t ORDER BY event_type""".stripMargin,
+    "series_ewma" -> ewmaSql,
+    // streaming drain shares the batch oracle verbatim (final levels
+    // are bit-identical by the micro-unit bucket-sum construction)
+    "stream_ewma_drain" -> ewmaSql,
     "seasonal_anomaly" ->
       s"""WITH h AS (
          |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,
@@ -2147,19 +2173,6 @@ object SeriesOps {
          |       round(st[2], 6) AS trend,
          |       round(st[1] + 3.0 * st[2], 6) AS forecast_3
          |FROM f ORDER BY event_type""".stripMargin,
-    "series_ewma" ->
-      s"""WITH b AS (
-         |  SELECT event_type, date_trunc('minute', ts) AS bucket,
-         |         round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
-         |                      AS DOUBLE)
-         |                 / CAST(count(*) * 1000000 AS DOUBLE), 6) AS av
-         |  FROM $ev e GROUP BY 1, 2
-         |)
-         |SELECT event_type, count(*) AS n_buckets,
-         |       round(list_reduce(list(av ORDER BY bucket),
-         |                         (s, x) -> ($Alpha * x) + (${1 - Alpha} * s)), 6)
-         |         AS ewma_value
-         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
     "series_sum" ->
       s"""SELECT event_type, date_trunc('minute', ts) AS bucket, round(sum(value), 4) AS sum_value
          |FROM $ev e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

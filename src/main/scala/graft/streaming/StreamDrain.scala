@@ -98,6 +98,82 @@ object StreamDrain {
       .orderBy(col("event_type"), col("ts"), col("event_id"))
   }
 
+  /** Stage the events table as a SINGLE parquet file and return its
+    * streaming frame — one file ⇒ one micro-batch under AvailableNow,
+    * which is what makes the order-dependent drains below fold in
+    * exactly the batch analog's (ts, event_id) total order (the
+    * processors sort within a batch; multi-batch ordering is exercised
+    * separately in StreamingParitySpec).
+    */
+  private def stagedStream(spark: SparkSession, dir: String,
+                           work: String): DataFrame = {
+    val stage = s"$work/staged_events"
+    graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    spark.readStream.schema(EventPipeline.eventSchema).parquet(stage)
+  }
+
+  /** Drain an update-mode keyed stream into a store and read back the
+    * LAST emission per key — the provisional-pane contract every
+    * flatMapGroupsWithState leg here uses (each batch re-emits a key's
+    * current value; the final batch's row reflects all data).
+    */
+  private def drainLastPerKey(spark: SparkSession, streamed: DataFrame,
+                              work: String, keyCol: String): DataFrame = {
+    val store = s"$work/store"
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(store)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val latest = Window.partitionBy(col(keyCol)).orderBy(col("batch_id").desc)
+    spark.read
+      .parquet(store)
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+  }
+
+  /** The EWMA leg ([[EventPipeline.ewmaStream]]) through an actual
+    * writeStream drain, final level per key read back against the batch
+    * [[graft.operators.SeriesOps.seriesEwma]] oracle — bit-identical by
+    * the micro-unit bucket-sum construction (see [[EwmaProcessor]]).
+    */
+  def streamEwmaDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_ewma_drain").toString
+    drainLastPerKey(
+      spark,
+      EventPipeline.ewmaStream(spark, stagedStream(spark, dir, work)).toDF(),
+      work, "event_type")
+      .select(col("event_type"), col("n_buckets"), col("ewma_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The CUSUM leg ([[EventPipeline.cusumStream]] with offline-learned
+    * baselines) through an actual writeStream drain, final shift counts
+    * per key read back against the batch `cusum_changepoints` oracle
+    * (minus the baseline columns the streamed counts don't carry).
+    */
+  def streamCusumDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_cusum_drain").toString
+    val baselines = graft.operators.SeriesOps.cusumBaselines(spark, dir)
+    drainLastPerKey(
+      spark,
+      EventPipeline
+        .cusumStream(spark, stagedStream(spark, dir, work), baselines)
+        .toDF(),
+      work, "event_type")
+      .select(col("event_type"), col("n_buckets"), col("n_shifts_up"),
+              col("n_shifts_down"))
+      .orderBy(col("event_type"))
+  }
+
   def streamKpiDrain(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft_kpi_drain").toString
     val stage = s"$work/staged_events"
