@@ -46,7 +46,11 @@ object ScalingProbe {
 
   def buildScaled(spark: SparkSession, base: String, out: String,
                   copies: Int): Unit = {
-    val marker = Paths.get(s"$out/_built_$copies")
+    // marker encodes the BASE DIR too: a rerun against a different base
+    // must rebuild, not silently time the new base against a stale
+    // replica derived from the old one
+    val baseTag = java.lang.Integer.toHexString(base.hashCode)
+    val marker = Paths.get(s"$out/_built_${copies}_$baseTag")
     if (Files.exists(marker)) return
     def rd(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =

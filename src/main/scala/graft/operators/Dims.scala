@@ -36,8 +36,15 @@ import org.apache.spark.sql.functions.broadcast
   *   - graft.dims.broadcastMaxRows = row bound for auto (default 4e6)
   */
 object Dims {
-  /** Per-JVM cache of base-table row counts; parquet count() is a
-    * metadata-only scan and each (dir, table) is probed at most once.
+  /** Per-JVM cache of base-table row counts. The probe is a real (if
+    * cheap) Spark job at plan-construction time: a zero-column parquet
+    * count that reads file footers, not data pages — and each
+    * (dir, table) pays it at most once per JVM. At full cluster scale
+    * even footer-listing a multi-billion-row dim is not free; there the
+    * gate reads the same upper bound from catalog statistics
+    * (table-level row counts every lakehouse catalog maintains) — the
+    * gate only needs an upper BOUND, not a fresh scan, which is why
+    * `baseRows` is a seam rather than inlined at the call sites.
     */
   private val rowCounts = TrieMap.empty[String, Long]
 

@@ -76,12 +76,21 @@ object KpiOps {
     val ev = Tables.eventsWithStatus(spark, dir)
     ev.groupBy(col("event_type"),
                window(col("ts"), "1 minute", "10 seconds").as("w"))
+      // exact micro-unit pane sums (order-free), ONE double division,
+      // shared round — bit-identical across Spark partition order,
+      // DuckDB's ordered sum, AND the streaming state-store merge order
+      // (stream_kpi_drain hash-gates all three against one oracle)
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 6).as("avg_value"),
+        sum(graft.functions.Rounding.microUnits(col("value")))
+          .as("sum_micro"),
         count(when(col("status") === "error", 1)).as("error_count")
       )
+      .withColumn("sum_value",
+                  round(col("sum_micro").cast("double") / lit(1000000.0), 4))
+      .withColumn("avg_value",
+                  round(col("sum_micro").cast("double") /
+                    (col("n_events") * lit(1000000L)).cast("double"), 6))
       .withColumn("error_rate", round(col("error_count") / col("n_events"), 6))
       .select(
         col("event_type"),
@@ -111,18 +120,23 @@ object KpiOps {
     val panes = Tables
       .eventsWithStatus(spark, dir)
       .groupBy(col("event_type"), window(col("ts"), "10 seconds").as("p"))
+      // exact micro-unit pane partials — the two-level summation is
+      // then pure long addition, associative at BOTH levels, so pane
+      // composition order can never drift the window sum
       .agg(count(lit(1)).as("pane_n"),
-           sum(col("value")).as("pane_sum"),
+           sum(graft.functions.Rounding.microUnits(col("value")))
+             .as("pane_micro"),
            count(when(col("status") === "error", 1)).as("pane_err"))
     panes
       .select(col("event_type"), col("p.start").as("pane_start"),
-              col("pane_n"), col("pane_sum"), col("pane_err"),
+              col("pane_n"), col("pane_micro"), col("pane_err"),
               explode(sequence(lit(0), lit(5))).as("k"))
       .withColumn("window_start",
                   col("pane_start") - col("k") * expr("INTERVAL 10 SECONDS"))
       .groupBy(col("event_type"), col("window_start"))
       .agg(sum(col("pane_n")).as("n_events"),
-           round(sum(col("pane_sum")), 4).as("sum_value"),
+           round(sum(col("pane_micro")).cast("double") / lit(1000000.0), 4)
+             .as("sum_value"),
            sum(col("pane_err")).as("error_count"))
       .withColumn("window_end", col("window_start") + expr("INTERVAL 1 MINUTE"))
       .withColumn("error_rate", round(col("error_count") / col("n_events"), 6))
@@ -287,19 +301,20 @@ object KpiOps {
          |  SELECT event_type,
          |         TIMESTAMP '1970-01-01 00:00:00'
          |           + CAST(floor(epoch(ts) / 10) AS BIGINT) * 10 * INTERVAL 1 SECOND AS pane_start,
-         |         count(*) AS pane_n, sum(value) AS pane_sum,
+         |         count(*) AS pane_n,
+         |         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS pane_micro,
          |         count(*) FILTER (WHERE status = 'error') AS pane_err
          |  FROM $ev ee GROUP BY 1, 2
          |),
          |x AS (
          |  SELECT event_type, pane_start - k * 10 * INTERVAL 1 SECOND AS window_start,
-         |         pane_n, pane_sum, pane_err
+         |         pane_n, pane_micro, pane_err
          |  FROM p, UNNEST([0, 1, 2, 3, 4, 5]) t(k)
          |)
          |SELECT event_type, window_start,
          |       window_start + INTERVAL 1 MINUTE AS window_end,
          |       CAST(sum(pane_n) AS BIGINT) AS n_events,
-         |       round(sum(pane_sum), 4) AS sum_value,
+         |       round(CAST(sum(pane_micro) AS DOUBLE) / 1000000.0, 4) AS sum_value,
          |       CAST(sum(pane_err) AS BIGINT) AS error_count,
          |       round(CAST(sum(pane_err) AS DOUBLE) / sum(pane_n), 6) AS error_rate
          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -312,6 +327,8 @@ object KpiOps {
     "stream_kpi_drain" -> slidingSql
   )
 
+  // exact micro-unit pane sums — matches the batch AND streamed Spark
+  // sides bit-for-bit regardless of either engine's summation order
   private lazy val slidingSql: String =
     s"""WITH x AS (
        |  SELECT event_type, value, status,
@@ -323,8 +340,11 @@ object KpiOps {
        |SELECT event_type, window_start,
        |       window_start + INTERVAL 1 MINUTE AS window_end,
        |       count(*) AS n_events,
-       |       round(sum(value), 4) AS sum_value,
-       |       round(avg(value), 6) AS avg_value,
+       |       round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+       |                    AS DOUBLE) / 1000000.0, 4) AS sum_value,
+       |       round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+       |                    AS DOUBLE)
+       |               / CAST(count(*) * 1000000 AS DOUBLE), 6) AS avg_value,
        |       count(*) FILTER (WHERE status = 'error') AS error_count,
        |       round(CAST(count(*) FILTER (WHERE status = 'error') AS DOUBLE) / count(*), 6) AS error_rate
        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -132,8 +132,15 @@ object VectorOps {
     * The scale variant: candidates co-partitioned by bucket, so the join
     * fan-out is |bucket|², not |table|².
     */
-  def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val bits = signBits(spark)
+  def annLshBucketed(spark: SparkSession, dir: String): DataFrame =
+    annLshBucketedAt(spark, dir, signBits(spark), multiProbe(spark))
+
+  /** [[annLshBucketed]] at EXPLICIT (bits, flips) — the session knobs
+    * are read only in the public default entry point above, so variant
+    * builds never mutate shared session conf.
+    */
+  private[operators] def annLshBucketedAt(spark: SparkSession, dir: String,
+                                          bits: Int, flips: Int): DataFrame = {
     val emb = Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
@@ -142,7 +149,7 @@ object VectorOps {
     // query side probes its own bucket (+ Hamming-1 codes under
     // multi-probe); candidates stay in exactly their own bucket
     val left = emb.select(
-      explode(probeCodes(col("bucket"), multiProbe(spark))).as("bucket"),
+      explode(probeCodes(col("bucket"), flips)).as("bucket"),
       col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = emb
       .join(left, Seq("bucket"))
@@ -229,26 +236,31 @@ object VectorOps {
       .withColumn("rn", row_number().over(wCell))
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfAt(spark, dir, ivfProbes(spark))
+
+  /** [[annIvf]] at an EXPLICIT probe count — the session knob is read
+    * only in the public default entry point above, so variant builds
+    * never mutate shared session conf.
+    */
+  private[operators] def annIvfAt(spark: SparkSession, dir: String,
+                                  nprobe: Int): DataFrame = {
     val emb = Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
 
-    def dist2(a: Column, b: Column): Column =
-      graft.functions.VectorExprs.vecDist2(a, b)
-
     val ranked = ivfRanked(spark, dir, emb)
 
     // members live in exactly their nearest cell; QUERIES probe their
-    // `graft.ann.nprobe` nearest cells (default 1, the oracle form) —
-    // the standard IVF recall knob: more probed cells, more candidates
+    // `nprobe` nearest cells (default 1, the oracle form) — the
+    // standard IVF recall knob: more probed cells, more candidates
     val assigned = ranked
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label").as("cell"), col("v"), col("nrm"))
 
     val queries = ranked
-      .filter(col("vec_id") < 20 && col("rn") <= ivfProbes(spark))
+      .filter(col("vec_id") < 20 && col("rn") <= nprobe)
       .select(col("label").as("cell"), col("vec_id").as("query_id"),
               col("v").as("qv"), col("nrm").as("qn"))
     val scoredCell = assigned
@@ -264,33 +276,21 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Run `build` with a session conf key scoped to `value` — the knob
-    * variants capture the literal at PLAN-BUILD time, so restoring the
-    * previous value immediately after construction is safe.
-    */
-  private def withConf[T](spark: SparkSession, key: String, value: String)(
-      build: => T): T = {
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try build
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
-  /** [[annIvf]] at `graft.ann.nprobe = 2` — the non-default recall knob
-    * under its own oracle ([[annIvfSqlAt]] at the same probe count), so
-    * the knob provably cannot desync the engines.
+  /** [[annIvf]] at nprobe = 2 (the non-default `graft.ann.nprobe`
+    * setting) under its own oracle ([[annIvfSqlAt]] at the same probe
+    * count), so the knob provably cannot desync the engines. The count
+    * threads through [[annIvfAt]] explicitly — no shared-session conf
+    * mutation.
     */
   def annIvfProbed(spark: SparkSession, dir: String): DataFrame =
-    withConf(spark, "graft.ann.nprobe", "2")(annIvf(spark, dir))
+    annIvfAt(spark, dir, 2)
 
-  /** [[annLshBucketed]] at `graft.ann.bits = 12` — finer sign buckets
-    * (fewer candidates per bucket, lower recall) under its own oracle.
+  /** [[annLshBucketed]] at bits = 12 (the non-default `graft.ann.bits`
+    * setting) — finer sign buckets (fewer candidates per bucket, lower
+    * recall) under its own oracle, via the explicit-parameter form.
     */
   def annLshWideband(spark: SparkSession, dir: String): DataFrame =
-    withConf(spark, "graft.ann.bits", "12")(annLshBucketed(spark, dir))
+    annLshBucketedAt(spark, dir, 12, flips = 0)
 
   /** Per-label centroid statistics — the aggregation building block of an
     * IVF coarse quantizer (here over the given labels; k-means iterations

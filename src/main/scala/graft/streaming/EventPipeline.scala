@@ -69,15 +69,28 @@ object EventPipeline {
       .withWatermark("ts", "10 seconds")
       .groupBy(col("event_type"),
                window(col("ts"), "1 minute", "10 seconds").as("w"))
+      // pane sums as exact micro-unit longs: integer addition is
+      // associative, so state-store partial-merge order, batch
+      // partition order, and the oracle's ordered sum all agree
+      // bit-for-bit (a raw double sum could drift an ulp with
+      // summation order and flip the 4/6-dp rounding — the same
+      // discipline the EWMA/CUSUM processors follow)
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"),
-        avg(col("value")).as("avg_value"),
+        sum(graft.functions.Rounding.microUnits(col("value")))
+          .as("sum_micro"),
         count(when(col("status") === "error", 1)).as("error_count")
       )
       .select(col("event_type"), col("w.start").as("window_start"),
               col("w.end").as("window_end"), col("n_events"),
-              col("sum_value"), col("avg_value"), col("error_count"))
+              graft.functions.Rounding
+                .round(col("sum_micro").cast("double") / lit(1000000.0), 4)
+                .as("sum_value"),
+              graft.functions.Rounding
+                .round(col("sum_micro").cast("double") /
+                  (col("n_events") * lit(1000000L)).cast("double"), 6)
+                .as("avg_value"),
+              col("error_count"))
 
   /** Streaming dedup on the event id within the watermark horizon —
     * `dropDuplicatesWithinWatermark` bounds state by event time (the

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -14,75 +14,143 @@ import graft.functions.Rounding.round
   * store, and sink path the always-on job runs — then reads the drained
   * store back as the query result, so the driver's DuckDB hash gate
   * verifies a streaming execution end-to-end instead of only a batch
-  * twin (reference semantics: `EventAggregationJob.java:79-96`, the
-  * Flink sliding-KPI job whose sink this store stands in for).
+  * twin. Four legs, four oracles: windowed aggregation
+  * ([[streamKpiDrain]] — `EventAggregationJob.java:79-96`), the keyed
+  * rolling-stats detector ([[streamAlertsDrain]] —
+  * `AnomalyDetectionJob.java:279-368`), and the EWMA / CUSUM
+  * T-series processors ([[streamEwmaDrain]] / [[streamCusumDrain]]).
   */
 object StreamDrain {
+
+  /** Per-run work dirs (staged events copy, store, checkpoint) are
+    * registered for recursive deletion at JVM exit — the drains run
+    * once per Verify and ~4× per query per Bench, and without cleanup
+    * each run would leave a full staged copy of the events table in
+    * /tmp, accumulating without bound. (Deletion cannot happen inside
+    * the query itself: the returned DataFrame lazily reads the store
+    * until the caller consumes it.)
+    */
+  private def tempWorkDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+    dir.toString
+  }
+
+  private def deleteTree(root: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(root)) {
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => })
+    }
+  }
+
+  /** Stage the events table as a SINGLE parquet file and return its
+    * streaming frame — one file ⇒ one micro-batch under AvailableNow,
+    * which is what makes the order-dependent drains below fold in
+    * exactly the batch analog's (ts, event_id) total order (the
+    * processors sort within a batch; multi-batch ordering and the
+    * watermark late-drop path are exercised separately in
+    * StreamingParitySpec).
+    */
+  private def stagedStream(spark: SparkSession, dir: String,
+                           work: String): DataFrame = {
+    val stage = s"$work/staged_events"
+    graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    spark.readStream.schema(EventPipeline.eventSchema).parquet(stage)
+  }
+
+  /** Drain an update-mode stream into a parquet store with the batch id
+    * attached to every emission, and return the store read back. */
+  private def drainToStore(spark: SparkSession, streamed: DataFrame,
+                           work: String): DataFrame = {
+    val store = s"$work/store"
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(store)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(store)
+  }
+
+  /** [[drainToStore]] keeping only the LAST emission per key — the
+    * provisional-pane contract every update-mode leg uses (each batch
+    * re-emits a key's current value; the final batch's row reflects all
+    * data seen).
+    */
+  private def drainLastPerKey(spark: SparkSession, streamed: DataFrame,
+                              work: String, keyCols: Seq[String]): DataFrame = {
+    val latest = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("batch_id").desc)
+    drainToStore(spark, streamed, work)
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+  }
 
   /** Run the StreamJob sliding-KPI leg ([[EventPipeline.slidingKpi]]:
     * watermark → 1m/10s windowed agg → update-mode foreachBatch store)
     * with `Trigger.AvailableNow` over the events table, then read the
     * hot store back projected to the batch
     * [[graft.operators.KpiOps.kpiSliding]] schema — the shared oracle
-    * SQL hash-checks the STREAMED panes against DuckDB.
-    *
-    * Determinism: the stage dir is written as ONE parquet file so the
-    * file source drains in a single micro-batch — every pane emits
-    * exactly once and the watermark can drop nothing (the multi-batch
-    * late-drop path is exercised separately in StreamingParitySpec).
-    * The read-back still keeps only the LAST emission per pane
-    * (update-mode panes re-emit when a later batch touches them), so
-    * the query stays correct if the drain ever runs multi-batch.
+    * SQL hash-checks the STREAMED panes against DuckDB. Pane sums ride
+    * exact micro-unit longs on all three sides (streamed state-store
+    * merge order, batch partition order, oracle ordered sum), so the
+    * gate is immune to summation-order ulp flips.
     *
     * Scale: the production form swaps the trigger for a processing-time
     * trigger and the source for Kafka — the store then holds one row
     * per (type, pane) updated in place; this drain is the bounded,
     * hash-checkable rehearsal of exactly that topology.
     */
+  def streamKpiDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_kpi_drain")
+    drainLastPerKey(
+      spark,
+      EventPipeline.slidingKpi(stagedStream(spark, dir, work)),
+      work, Seq("event_type", "window_start"))
+      .select(
+        col("event_type"),
+        col("window_start"),
+        col("window_end"),
+        col("n_events"),
+        col("sum_value"),
+        col("avg_value"),
+        col("error_count"),
+        round(col("error_count") / col("n_events"), 6).as("error_rate"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
   /** Run the StreamJob anomaly leg ([[EventPipeline.anomalyStream]]:
     * keyed flatMapGroupsWithState rolling-stats detector — the
     * reference's `RichFlatMapFunction` + `ValueState` job) through an
     * actual `writeStream` drain and read the fired-alert store back
     * projected to the batch [[graft.operators.AnomalyOps.anomalyAlerts]]
-    * schema, sharing its oracle SQL — the second streaming leg under
-    * the DuckDB hash gate, and the stateful-processor one (the KPI
-    * drain exercises the windowed-aggregation path).
+    * schema, sharing its oracle SQL — the stateful-processor leg under
+    * the hash gate.
     *
-    * Determinism: the detector is order-dependent (rolling window), and
-    * the processor sorts by (ts, event_id) WITHIN a batch — so the
-    * single-file stage (one micro-batch) makes the fold order exactly
-    * the batch analog's total order. Each event is scored once when it
-    * arrives, so no cross-batch dedup is needed on read-back; the
-    * description column is reconstructed from the streamed r4 fields
-    * with the same format expression the batch query uses (both sides
-    * format the same 4-dp doubles, so the strings agree byte-for-byte).
+    * Each event is scored exactly once when it arrives, so no
+    * last-emission dedup is needed; the description column is rebuilt
+    * from the streamed r4 fields with the same format expression the
+    * batch query uses (both sides format the same 4-dp doubles, so the
+    * strings agree byte-for-byte).
     */
   def streamAlertsDrain(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft_alerts_drain").toString
-    val stage = s"$work/staged_events"
-    graft.Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(stage)
-    val store = s"$work/alerts"
-    val q = EventPipeline
-      .anomalyStream(spark, spark.readStream
-        .schema(EventPipeline.eventSchema)
-        .parquet(stage))
-      .filter(_.is_anomaly)
-      .toDF()
-      .writeStream
-      .outputMode(OutputMode.Update)
-      .option("checkpointLocation", s"$work/ckpt_alerts")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(store)
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    spark.read
-      .parquet(store)
+    val work = tempWorkDir("graft_alerts_drain")
+    drainToStore(
+      spark,
+      EventPipeline
+        .anomalyStream(spark, stagedStream(spark, dir, work))
+        .filter(_.is_anomaly)
+        .toDF(),
+      work)
       .withColumn(
         "description",
         format_string(
@@ -98,59 +166,17 @@ object StreamDrain {
       .orderBy(col("event_type"), col("ts"), col("event_id"))
   }
 
-  /** Stage the events table as a SINGLE parquet file and return its
-    * streaming frame — one file ⇒ one micro-batch under AvailableNow,
-    * which is what makes the order-dependent drains below fold in
-    * exactly the batch analog's (ts, event_id) total order (the
-    * processors sort within a batch; multi-batch ordering is exercised
-    * separately in StreamingParitySpec).
-    */
-  private def stagedStream(spark: SparkSession, dir: String,
-                           work: String): DataFrame = {
-    val stage = s"$work/staged_events"
-    graft.Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(stage)
-    spark.readStream.schema(EventPipeline.eventSchema).parquet(stage)
-  }
-
-  /** Drain an update-mode keyed stream into a store and read back the
-    * LAST emission per key — the provisional-pane contract every
-    * flatMapGroupsWithState leg here uses (each batch re-emits a key's
-    * current value; the final batch's row reflects all data).
-    */
-  private def drainLastPerKey(spark: SparkSession, streamed: DataFrame,
-                              work: String, keyCol: String): DataFrame = {
-    val store = s"$work/store"
-    val q = streamed.writeStream
-      .outputMode(OutputMode.Update)
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(store)
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    val latest = Window.partitionBy(col(keyCol)).orderBy(col("batch_id").desc)
-    spark.read
-      .parquet(store)
-      .withColumn("rn", row_number().over(latest))
-      .filter(col("rn") === 1)
-  }
-
   /** The EWMA leg ([[EventPipeline.ewmaStream]]) through an actual
     * writeStream drain, final level per key read back against the batch
     * [[graft.operators.SeriesOps.seriesEwma]] oracle — bit-identical by
     * the micro-unit bucket-sum construction (see [[EwmaProcessor]]).
     */
   def streamEwmaDrain(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft_ewma_drain").toString
+    val work = tempWorkDir("graft_ewma_drain")
     drainLastPerKey(
       spark,
       EventPipeline.ewmaStream(spark, stagedStream(spark, dir, work)).toDF(),
-      work, "event_type")
+      work, Seq("event_type"))
       .select(col("event_type"), col("n_buckets"), col("ewma_value"))
       .orderBy(col("event_type"))
   }
@@ -161,58 +187,16 @@ object StreamDrain {
     * (minus the baseline columns the streamed counts don't carry).
     */
   def streamCusumDrain(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft_cusum_drain").toString
+    val work = tempWorkDir("graft_cusum_drain")
     val baselines = graft.operators.SeriesOps.cusumBaselines(spark, dir)
     drainLastPerKey(
       spark,
       EventPipeline
         .cusumStream(spark, stagedStream(spark, dir, work), baselines)
         .toDF(),
-      work, "event_type")
+      work, Seq("event_type"))
       .select(col("event_type"), col("n_buckets"), col("n_shifts_up"),
               col("n_shifts_down"))
       .orderBy(col("event_type"))
-  }
-
-  def streamKpiDrain(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft_kpi_drain").toString
-    val stage = s"$work/staged_events"
-    graft.Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(stage)
-    val store = s"$work/hot_aggregates"
-    val q = EventPipeline
-      .slidingKpi(spark.readStream
-        .schema(EventPipeline.eventSchema)
-        .parquet(stage))
-      .writeStream
-      .outputMode(OutputMode.Update)
-      .option("checkpointLocation", s"$work/ckpt_kpi")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(store)
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    val latest = Window
-      .partitionBy(col("event_type"), col("window_start"))
-      .orderBy(col("batch_id").desc)
-    spark.read
-      .parquet(store)
-      .withColumn("rn", row_number().over(latest))
-      .filter(col("rn") === 1)
-      .select(
-        col("event_type"),
-        col("window_start"),
-        col("window_end"),
-        col("n_events"),
-        round(col("sum_value"), 4).as("sum_value"),
-        round(col("avg_value"), 6).as("avg_value"),
-        col("error_count"),
-        round(col("error_count") / col("n_events"), 6).as("error_rate"))
-      .orderBy(col("event_type"), col("window_start"))
   }
 }

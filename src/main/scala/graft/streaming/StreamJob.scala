@@ -496,12 +496,22 @@ object StreamJob {
         // batch precedes the first data batch and progress posts after
         // the foreachBatch write — the poll can see the parquet output
         // while lastProgress is still that earlier empty batch, the
-        // exact stop-vs-commit race this guard closes.
+        // exact stop-vs-commit race this guard closes. The max data
+        // batch id is LATCHED across polls (not re-derived from
+        // recentProgress each time): the progress ring is bounded and
+        // no-data batches cycle it at ~2/s, so in a slow-eviction pass
+        // the data entry would rotate out within a minute and a
+        // ring-only derivation would go permanently false, pinning the
+        // loop to its deadline.
+        var maxDataId = -1L
         def dataBatchCommitted(): Boolean = {
           val ps = q.recentProgress
-          val dataIds = ps.filter(_.numInputRows > 0).map(_.batchId)
-          dataIds.nonEmpty &&
-            ps.exists(p => p.numInputRows == 0 && p.batchId > dataIds.max)
+          ps.foreach { p =>
+            if (p.numInputRows > 0 && p.batchId > maxDataId)
+              maxDataId = p.batchId
+          }
+          maxDataId >= 0 &&
+            ps.exists(p => p.numInputRows == 0 && p.batchId > maxDataId)
         }
         val deadline = System.currentTimeMillis() + 180000L
         while (System.currentTimeMillis() < deadline &&
