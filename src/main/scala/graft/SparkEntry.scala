@@ -65,6 +65,9 @@ object SparkEntry {
     "event_nested_parse" -> (MiscOps.eventNestedParse _),
     "event_json_envelope" -> (MiscOps.eventJsonEnvelope _),
     "events_dedup" -> (MiscOps.eventsDedup _),
+    // K5 exactly-once dedup guard via an ACTUAL writeStream drain fed
+    // real duplicates (dropDuplicatesWithinWatermark under the hash gate)
+    "stream_dedup_drain" -> (graft.streaming.StreamDrain.streamDedupDrain _),
     "distinct_users" -> (MiscOps.distinctUsers _),
     "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
     "approx_p95_gated" -> (MiscOps.approxP95Gated _),
@@ -73,6 +76,12 @@ object SparkEntry {
     "theta_overlap" -> (MiscOps.thetaOverlap _),
     // temporal operators (additive: sessionization, as-of, range join)
     "sessionize" -> (TemporalOps.sessionize _),
+    // gap sessionization via ACTUAL append-mode writeStream drains:
+    // session_window state merges, and transformWithState + event-time
+    // timers — both under the hash gate against the batch oracle
+    "stream_session_drain" -> (graft.streaming.StreamDrain.streamSessionDrain _),
+    "stream_session_timer_drain" ->
+      (graft.streaming.StreamDrain.streamSessionTimerDrain _),
     "concurrent_sessions" -> (TemporalOps.concurrentSessions _),
     "asof_join" -> (TemporalOps.asofJoin _),
     "range_join" -> (TemporalOps.rangeJoin _),
@@ -81,6 +90,9 @@ object SparkEntry {
     "cdc_merge" -> (TemporalOps.cdcMerge _),
     "incr_agg_merge" -> (TemporalOps.incrAggMerge _),
     "click_attribution" -> (TemporalOps.clickAttribution _),
+    // stream-stream interval join via an ACTUAL writeStream drain
+    "stream_attribution_drain" ->
+      (graft.streaming.StreamDrain.streamAttributionDrain _),
     // training-data pipeline: dataset construction
     "stratified_sample" -> (PipelineOps.stratifiedSample _),
     "reservoir_sample" -> (PipelineOps.reservoirSample _),

@@ -491,6 +491,12 @@ object MiscOps {
     "events_dedup" ->
       s"""SELECT event_id, min(ts) AS ts, count(*) AS n_dups
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the drain feeds every event TWICE and must emit each exactly once,
+    // so the oracle is simply the pristine events table (passthrough
+    // columns, no arithmetic)
+    "stream_dedup_drain" ->
+      s"""SELECT event_id, ts, user_id, event_type, value
+         |FROM $ev e ORDER BY event_id""".stripMargin,
     "distinct_users" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,

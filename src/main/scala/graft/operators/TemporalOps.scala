@@ -37,9 +37,18 @@ object TemporalOps {
     Tables
       .events(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      // exact micro-unit session sums (order-free long addition), ONE
+      // double division at the end — bit-identical across Spark
+      // partition order, DuckDB's ordered sum, and the streaming
+      // session-state merge order (stream_session_drain hash-gates all
+      // three against this query's oracle)
+      .agg(count(lit(1)).as("n_events"),
+           sum(graft.functions.Rounding.microUnits(col("value")))
+             .as("sum_micro"))
       .select(col("user_id"), col("sw.start").as("session_start"),
-              col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+              col("sw.end").as("session_end"), col("n_events"),
+              round(col("sum_micro").cast("double") / lit(1000000.0), 4)
+                .as("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
   /** Peak session concurrency by SWEEP-LINE: each session becomes a
@@ -260,6 +269,36 @@ object TemporalOps {
        |  FROM s
        |)""".stripMargin
 
+  /** Shared by `sessionize` (batch) and `stream_session_drain` (the
+    * same sessions through an actual writeStream drain). Micro-unit
+    * exact session sums mirror the Spark sides.
+    */
+  private val sessionizeSql: String =
+    s"""$sessionCtesSql
+       |SELECT user_id, min(ts) AS session_start,
+       |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       |       count(*) AS n_events,
+       |       round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+       |                    AS DOUBLE) / 1000000.0, 4) AS sum_value
+       |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /** Shared by `click_attribution` (batch) and
+    * `stream_attribution_drain` (the same pairs through an actual
+    * stream-stream interval-join drain).
+    */
+  private val clickAttributionSql: String =
+    s"""WITH e AS (${Tables.eventsSql}),
+       |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+       |      FROM e WHERE event_type = 'click'),
+       |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+       |      FROM e WHERE event_type = 'purchase')
+       |SELECT c.user_id AS user_id, click_id, purchase_id, click_ts, purchase_ts,
+       |       round(value, 4) AS purchase_value
+       |FROM c JOIN p ON c.user_id = p.user_id
+       |  AND purchase_ts >= click_ts
+       |  AND purchase_ts <= click_ts + INTERVAL 10 MINUTE
+       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   /** SCD type-2 history construction: collapse each user's status
     * timeline (the derived ok/warning/error band, [[Tables.eventsWithStatus]])
     * into validity intervals — one row per consecutive RUN of the same
@@ -419,12 +458,12 @@ object TemporalOps {
          |       status, ts AS valid_from,
          |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
          |FROM r ORDER BY user_id, version""".stripMargin,
-    "sessionize" ->
-      s"""$sessionCtesSql
-         |SELECT user_id, min(ts) AS session_start,
-         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
-         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
-         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "sessionize" -> sessionizeSql,
+    // the streaming drains emit exactly the batch sessions (the sentinel
+    // closes them all), so the oracle is shared verbatim — one leg via
+    // session_window state merges, one via transformWithState timers
+    "stream_session_drain" -> sessionizeSql,
+    "stream_session_timer_drain" -> sessionizeSql,
     "concurrent_sessions" ->
       s"""$sessionCtesSql,
          |sess AS (
@@ -467,18 +506,10 @@ object TemporalOps {
          |FROM e JOIN wins
          |  ON e.event_type = wins.w_type AND e.ts >= wins.w_start AND e.ts < wins.w_end
          |GROUP BY window_id, w_type ORDER BY window_id""".stripMargin,
-    "click_attribution" ->
-      s"""WITH e AS (${Tables.eventsSql}),
-         |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
-         |      FROM e WHERE event_type = 'click'),
-         |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
-         |      FROM e WHERE event_type = 'purchase')
-         |SELECT c.user_id AS user_id, click_id, purchase_id, click_ts, purchase_ts,
-         |       round(value, 4) AS purchase_value
-         |FROM c JOIN p ON c.user_id = p.user_id
-         |  AND purchase_ts >= click_ts
-         |  AND purchase_ts <= click_ts + INTERVAL 10 MINUTE
-         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "click_attribution" -> clickAttributionSql,
+    // the drain's stream-stream inner join emits exactly the batch
+    // pairs, so the oracle is shared verbatim
+    "stream_attribution_drain" -> clickAttributionSql,
     "latest_events" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |r AS (

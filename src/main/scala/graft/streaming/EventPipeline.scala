@@ -113,9 +113,19 @@ object EventPipeline {
     events
       .withWatermark("ts", "10 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // exact micro-unit session sums — session-window STATE MERGES
+      // (Spark coalesces overlapping per-batch windows in the store)
+      // are then pure long addition, so the merged session's sum is
+      // bit-identical to the batch aggregate regardless of how many
+      // merges built it (the KPI-pane discipline, applied to sessions)
+      .agg(count(lit(1)).as("n_events"),
+           sum(graft.functions.Rounding.microUnits(col("value")))
+             .as("sum_micro"))
       .select(col("user_id"), col("sw.start").as("session_start"),
-              col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+              col("sw.end").as("session_end"), col("n_events"),
+              graft.functions.Rounding
+                .round(col("sum_micro").cast("double") / lit(1000000.0), 4)
+                .as("sum_value"))
 
   /** Keyed stateful anomaly detection (T3): groupByKey(event_type) →
     * flatMapGroupsWithState(AnomalyProcessor.detect). Update-mode output,

@@ -6,9 +6,16 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Running per-user session aggregate (state for
-  * [[SessionStatefulProcessor]]).
+  * [[SessionStatefulProcessor]]). Bounds are exact event-time MICROS —
+  * the parquet timestamps carry microseconds and `session_window`'s
+  * bounds keep them, so millisecond state would truncate `session_end`
+  * by up to 999 µs vs the batch analog (caught by the hash gate). The
+  * value sum rides exact micro-unit longs so the sequential fold is
+  * bit-identical to the batch `sessionize` aggregate (and its DuckDB
+  * oracle) regardless of summation order — the KPI-pane discipline.
   */
-case class SessionAgg(startMillis: Long, lastMillis: Long, n: Long, sum: Double)
+case class SessionAgg(startMicros: Long, lastMicros: Long, n: Long,
+                      sumMicro: Long)
 
 /** A closed gap-session — same shape and semantics as the
   * `session_window` rows of [[graft.operators.TemporalOps.sessionize]]:
@@ -31,7 +38,8 @@ case class SessionClosed(user_id: Long,
   * `EventTimeSessionWindows` + `onEventTime` trigger pattern 1:1, and
   * the explicit form of what `session_window` + Append mode do
   * internally; parity against the batch sessionize is asserted in
-  * StatefulProcessorSpec.
+  * StatefulProcessorSpec, and the leg runs under the DuckDB hash gate
+  * end-to-end as `stream_session_timer_drain`.
   *
   * One live timer per key: each input batch re-arms the timer to the
   * current session's close instant and deletes the stale one, so timer
@@ -55,7 +63,10 @@ class SessionStatefulProcessor
     cur.foreach { s =>
       sess.update(s)
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(s.lastMillis + GapMillis)
+      // timers live in MILLIS; round the micro-exact close instant UP so
+      // the timer can never fire before the true close (at most 1 ms
+      // late — the watermark that trips it is ≥ 10 s past the data)
+      getHandle.registerTimer((s.lastMicros + GapMicros + 999L) / 1000L)
     }
     closed.iterator
   }
@@ -67,7 +78,8 @@ class SessionStatefulProcessor
     val s = sess.get()
     // a stale timer (re-armed later by new events) fires before the
     // session's true close instant — ignore it
-    if (s != null && expiredTimerInfo.getExpiryTimeInMs >= s.lastMillis + GapMillis) {
+    if (s != null &&
+        expiredTimerInfo.getExpiryTimeInMs * 1000L >= s.lastMicros + GapMicros) {
       sess.clear()
       Iterator.single(closedRow(key, s))
     } else Iterator.empty
@@ -78,11 +90,25 @@ object SessionStatefulProcessor {
 
   /** Session gap — keep in sync with TemporalOps.sessionize. */
   val GapMillis: Long = 30 * 60 * 1000L
+  val GapMicros: Long = GapMillis * 1000L
+
+  /** Exact event-time micros of a Timestamp (getTime alone truncates to
+    * millis; the sub-millisecond digits live in getNanos).
+    */
+  private[graft] def micros(ts: Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos.toLong / 1000L
+
+  private[graft] def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
 
   private[streaming] def closedRow(key: Long, s: SessionAgg): SessionClosed =
-    SessionClosed(key, new Timestamp(s.startMillis),
-                  new Timestamp(s.lastMillis + GapMillis), s.n,
-                  graft.functions.Rounding.scalar(s.sum, 4))
+    SessionClosed(key, tsOfMicros(s.startMicros),
+                  tsOfMicros(s.lastMicros + GapMicros), s.n,
+                  graft.functions.Rounding
+                    .scalar(s.sumMicro.toDouble / 1000000.0, 4))
 
   /** Pure session fold (sorts its batch internally; state carries
     * across calls) — shared by the processor and the split-invariance
@@ -95,22 +121,23 @@ object SessionStatefulProcessor {
     val out = Seq.newBuilder[SessionClosed]
     var cur = init
     events.toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (micros(e.ts), e.event_id))
       .foreach { e =>
-        val t = e.ts.getTime
+        val t = micros(e.ts)
+        val micro = graft.functions.Rounding.microUnitsScalar(e.value)
         cur match {
-          case Some(s) if t - s.lastMillis > GapMillis =>
+          case Some(s) if t - s.lastMicros > GapMicros =>
             out += closedRow(key, s)
-            cur = Some(SessionAgg(t, t, 1L, e.value))
+            cur = Some(SessionAgg(t, t, 1L, micro))
           case Some(s) =>
             // min-start: an out-of-order event inside the watermark
             // slack may precede the stored session start; session_window
             // extends the window backwards, so this must too
-            cur = Some(SessionAgg(math.min(s.startMillis, t),
-                                  math.max(s.lastMillis, t),
-                                  s.n + 1, s.sum + e.value))
+            cur = Some(SessionAgg(math.min(s.startMicros, t),
+                                  math.max(s.lastMicros, t),
+                                  s.n + 1, s.sumMicro + micro))
           case None =>
-            cur = Some(SessionAgg(t, t, 1L, e.value))
+            cur = Some(SessionAgg(t, t, 1L, micro))
         }
       }
     (cur, out.result())

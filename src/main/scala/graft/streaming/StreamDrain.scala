@@ -14,11 +14,13 @@ import graft.functions.Rounding.round
   * store, and sink path the always-on job runs — then reads the drained
   * store back as the query result, so the driver's DuckDB hash gate
   * verifies a streaming execution end-to-end instead of only a batch
-  * twin. Four legs, four oracles: windowed aggregation
+  * twin. Six legs, six oracles: windowed aggregation
   * ([[streamKpiDrain]] — `EventAggregationJob.java:79-96`), the keyed
   * rolling-stats detector ([[streamAlertsDrain]] —
-  * `AnomalyDetectionJob.java:279-368`), and the EWMA / CUSUM
-  * T-series processors ([[streamEwmaDrain]] / [[streamCusumDrain]]).
+  * `AnomalyDetectionJob.java:279-368`), the EWMA / CUSUM T-series
+  * processors ([[streamEwmaDrain]] / [[streamCusumDrain]]), gap
+  * sessionization in append mode ([[streamSessionDrain]]), and
+  * watermark-bounded dedup ([[streamDedupDrain]], fed REAL duplicates).
   */
 object StreamDrain {
 
@@ -52,23 +54,28 @@ object StreamDrain {
     * watermark late-drop path are exercised separately in
     * StreamingParitySpec).
     */
-  private def stagedStream(spark: SparkSession, dir: String,
-                           work: String): DataFrame = {
+  private def stagedStream(spark: SparkSession, dir: String, work: String,
+                           augment: DataFrame => DataFrame = identity)
+      : DataFrame = {
     val stage = s"$work/staged_events"
-    graft.Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
+    augment(
+      graft.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value"))
       .coalesce(1)
       .write.mode("overwrite").parquet(stage)
     spark.readStream.schema(EventPipeline.eventSchema).parquet(stage)
   }
 
-  /** Drain an update-mode stream into a parquet store with the batch id
-    * attached to every emission, and return the store read back. */
+  /** Drain a stream into a parquet store with the batch id attached to
+    * every emission, and return the store read back. Update mode for
+    * the provisional-pane legs; Append for the emit-once legs (closed
+    * sessions, dedup pass-through). */
   private def drainToStore(spark: SparkSession, streamed: DataFrame,
-                           work: String): DataFrame = {
+                           work: String,
+                           mode: OutputMode = OutputMode.Update): DataFrame = {
     val store = s"$work/store"
     val q = streamed.writeStream
-      .outputMode(OutputMode.Update)
+      .outputMode(mode)
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -179,6 +186,119 @@ object StreamDrain {
       work, Seq("event_type"))
       .select(col("event_type"), col("n_buckets"), col("ewma_value"))
       .orderBy(col("event_type"))
+  }
+
+  /** The session leg ([[EventPipeline.sessionStream]]: watermark →
+    * `session_window` gap aggregation → APPEND mode, the StreamJob
+    * cold-session store) through an actual writeStream drain, read back
+    * against the batch [[graft.operators.TemporalOps.sessionize]]
+    * oracle. Session sums ride exact micro-unit longs on all three
+    * sides, so the state-store session merges cannot drift the sum.
+    *
+    * Append-mode sessions emit only once the WATERMARK passes their
+    * end, and a bounded drain's watermark stops at max(ts) − delay —
+    * which would strand every session whose gap timeout is still open
+    * at end-of-input. The stage therefore appends one SENTINEL event
+    * (user −1) two hours past the data horizon: it advances the global
+    * watermark past every real session end — the bounded-drain stand-in
+    * for the continuing traffic an always-on pipeline has — and is
+    * filtered from the read-back (its own session stays unemitted in
+    * state). Every real session then emits exactly once, and the drain
+    * equals the batch sessionization in full.
+    */
+  def streamSessionDrain(spark: SparkSession, dir: String): DataFrame =
+    sessionDrainedBy(spark, dir, "graft_session_drain",
+                     EventPipeline.sessionStream)
+
+  /** The TIMER sessionization leg ([[SessionStatefulProcessor]]:
+    * transformWithState + event-time timers, the Flink
+    * `EventTimeSessionWindows` + `onEventTime` pattern) through the same
+    * sentinel-flushed drain, against the same batch oracle — putting the
+    * timer machinery itself (registration, stale-timer re-arm, expiry
+    * emission) under the DuckDB hash gate, not just its spec parity.
+    */
+  def streamSessionTimerDrain(spark: SparkSession, dir: String): DataFrame = {
+    // transformWithState needs the RocksDB provider (multiple column
+    // families); scoped exactly like StreamJob.run — the drain fully
+    // awaits termination before the restore, and the returned frame
+    // only reads the parquet store
+    val (providerKey, rocksdb) = AnomalyStatefulProcessor.rocksdbConf
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksdb)
+    try sessionDrainedBy(
+      spark, dir, "graft_session_timer_drain",
+      staged => {
+        val s = staged.sparkSession
+        import s.implicits._
+        SessionStatefulProcessor.sessionStream(s, staged.as[Event]).toDF()
+      })
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  private def sessionDrainedBy(spark: SparkSession, dir: String,
+                               prefix: String,
+                               leg: DataFrame => DataFrame): DataFrame = {
+    val maxTs = graft.Tables.events(spark, dir)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7200000L)
+    val work = tempWorkDir(prefix)
+    val staged = stagedStream(
+      spark, dir, work,
+      ev => ev.unionAll(
+        ev.sparkSession.range(1).select(
+          lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(1.0).as("value"))))
+    drainToStore(spark, leg(staged), work, OutputMode.Append)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** The dedup leg ([[EventPipeline.dedupedEvents]]:
+    * `dropDuplicatesWithinWatermark` on the event id — the K5
+    * exactly-once guard in front of the cold store) through an actual
+    * writeStream drain. The stage feeds the stream REAL duplicates
+    * (every event twice); the drain must emit each event exactly once,
+    * and the read-back is checked against the pristine events table —
+    * value rides through untouched (no arithmetic), so the hash gate is
+    * exact by passthrough.
+    */
+  def streamDedupDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_dedup_drain")
+    val staged =
+      stagedStream(spark, dir, work, ev => ev.unionAll(ev))
+    drainToStore(spark, EventPipeline.dedupedEvents(staged), work,
+                 OutputMode.Append)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The stream-stream INTERVAL JOIN leg
+    * ([[EventPipeline.attributionStream]]: clicks ⋈ purchases on user
+    * within a 10-minute range, two watermarks bounding the join state)
+    * through an actual writeStream drain, against the batch
+    * [[graft.operators.TemporalOps.clickAttribution]] oracle — the join
+    * machinery class none of the other legs exercise. Inner-join
+    * matches emit within the batch that completes them (no
+    * watermark-gated flush), so no sentinel is needed; `value` is a
+    * passthrough double rounded identically on both sides.
+    */
+  def streamAttributionDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_attrib_drain")
+    drainToStore(
+      spark,
+      EventPipeline.attributionStream(stagedStream(spark, dir, work)),
+      work, OutputMode.Append)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"),
+              round(col("value"), 4).as("purchase_value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
   /** The CUSUM leg ([[EventPipeline.cusumStream]] with offline-learned

@@ -161,12 +161,13 @@ object ProcessorProperties extends Properties("graft.processors") {
       val (s1, _) = SessionStatefulProcessor.advance(1L, None, events.iterator)
       s1.forall { st =>
         // a late-but-in-watermark event 5 s before the session's last —
-        // possibly before its START for single-event sessions
-        val t = st.lastMillis - 5000L
-        val late = event(9999L, t, 1.0)
+        // possibly before its START for single-event sessions (state is
+        // micro-exact; the generated instants are whole millis)
+        val tMicros = st.lastMicros - 5000000L
+        val late = event(9999L, tMicros / 1000L, 1.0)
         val (s2, c2) = SessionStatefulProcessor.advance(1L, s1, Iterator(late))
         c2.isEmpty && s2.exists { n =>
-          n.startMillis == math.min(st.startMillis, t) && n.n == st.n + 1
+          n.startMicros == math.min(st.startMicros, tMicros) && n.n == st.n + 1
         }
       }
     }
