@@ -68,6 +68,13 @@ object SparkEntry {
     // K5 exactly-once dedup guard via an ACTUAL writeStream drain fed
     // real duplicates (dropDuplicatesWithinWatermark under the hash gate)
     "stream_dedup_drain" -> (graft.streaming.StreamDrain.streamDedupDrain _),
+    // keyed transition pairing, MapState drift histogram, and the
+    // incremental per-user view — each through an ACTUAL writeStream drain
+    "stream_transitions_drain" ->
+      (graft.streaming.StreamDrain.streamTransitionsDrain _),
+    "stream_drift_drain" -> (graft.streaming.StreamDrain.streamDriftDrain _),
+    "stream_snapshot_drain" ->
+      (graft.streaming.StreamDrain.streamSnapshotDrain _),
     "distinct_users" -> (MiscOps.distinctUsers _),
     "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
     "approx_p95_gated" -> (MiscOps.approxP95Gated _),

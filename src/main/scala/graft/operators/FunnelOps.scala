@@ -116,6 +116,22 @@ object FunnelOps {
 
   // ---- DuckDB oracles ----------------------------------------------------
 
+  /** Shared by `event_transitions` (batch lead window) and
+    * `stream_transitions_drain` (the same pairs via the keyed streaming
+    * processor through an actual writeStream drain).
+    */
+  private val eventTransitionsSql: String =
+    s"""WITH e AS (${Tables.eventsSql}),
+       |t AS (
+       |  SELECT event_type AS prev_type,
+       |         lead(event_type, 1) OVER (PARTITION BY user_id
+       |                                   ORDER BY ts, event_id) AS next_type
+       |  FROM e
+       |)
+       |SELECT prev_type, next_type, count(*) AS n_transitions
+       |FROM t WHERE next_type IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Top user-journey paths: the 20 most common 3-step event-type
     * sequences across all user timelines (the path-analysis report next
     * to [[eventTransitions]]' Markov pairs). Two `lead`s over the same
@@ -605,17 +621,10 @@ object FunnelOps {
          |       count(DISTINCT user_id) AS n_users
          |FROM (${Tables.eventsSql}) e
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "event_transitions" ->
-      s"""WITH e AS (${Tables.eventsSql}),
-         |t AS (
-         |  SELECT event_type AS prev_type,
-         |         lead(event_type, 1) OVER (PARTITION BY user_id
-         |                                   ORDER BY ts, event_id) AS next_type
-         |  FROM e
-         |)
-         |SELECT prev_type, next_type, count(*) AS n_transitions
-         |FROM t WHERE next_type IS NOT NULL
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "event_transitions" -> eventTransitionsSql,
+    // the drain's pairing processor emits each observed transition
+    // exactly once, so the counted read-back shares the batch oracle
+    "stream_transitions_drain" -> eventTransitionsSql,
     "funnel_conversion" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |v AS (SELECT user_id, min(ts) AS v_ts FROM e

@@ -497,6 +497,15 @@ object MiscOps {
     "stream_dedup_drain" ->
       s"""SELECT event_id, ts, user_id, event_type, value
          |FROM $ev e ORDER BY event_id""".stripMargin,
+    // the incremental-view drain's final per-user snapshot must equal a
+    // from-scratch aggregate (fold∘batches = aggregate); exact integer
+    // micro-unit sums and µs epochs keep the check order-free
+    "stream_snapshot_drain" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+         |            AS BIGINT) AS sum_micros,
+         |       max(epoch_us(ts)) AS last_ts_micros
+         |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
     "distinct_users" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -1623,6 +1623,37 @@ object SeriesOps {
          |       round(sigma / 100, 4) AS baseline_sigma
          |FROM f ORDER BY event_type""".stripMargin
 
+  /** Shared by `drift_tv` (batch) and `stream_drift_drain` (the MapState
+    * histogram processor through an actual writeStream drain).
+    */
+  private val driftTvSql: String =
+    s"""WITH e AS ($ev),
+       |b AS (
+       |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS fh,
+       |         least(CAST(floor(value / 10) AS BIGINT), 50) AS band
+       |  FROM e
+       |),
+       |c AS (
+       |  SELECT event_type, band,
+       |         CAST(sum(CASE WHEN fh THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |         CAST(sum(CASE WHEN fh THEN 0 ELSE 1 END) AS BIGINT) AS d
+       |  FROM b GROUP BY 1, 2
+       |),
+       |t AS (
+       |  SELECT event_type, CAST(sum(c) AS BIGINT) AS na,
+       |         CAST(sum(d) AS BIGINT) AS nb
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT c.event_type, max(na) AS n_first, max(nb) AS n_second,
+       |       CAST(sum(abs(c * nb - d * na)) AS BIGINT) AS tv_num,
+       |       round(CAST(sum(abs(c * nb - d * na)) AS DOUBLE)
+       |             / (2.0 * CAST(max(na) AS DOUBLE)
+       |                * CAST(max(nb) AS DOUBLE)), 6) AS tv_distance,
+       |       CAST(sum(abs(c * nb - d * na)) AS BIGINT) * 5
+       |         > max(na) * max(nb) AS drifted
+       |FROM c JOIN t USING (event_type)
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "iqr_fences" ->
       s"""WITH e AS ($ev),
@@ -2182,33 +2213,11 @@ object SeriesOps {
     "series_p95" ->
       s"""SELECT event_type, date_trunc('hour', ts) AS bucket, round(quantile_cont(value, 0.95), 6) AS p95_value
          |FROM $ev e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "drift_tv" ->
-      s"""WITH e AS ($ev),
-         |b AS (
-         |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS fh,
-         |         least(CAST(floor(value / 10) AS BIGINT), 50) AS band
-         |  FROM e
-         |),
-         |c AS (
-         |  SELECT event_type, band,
-         |         CAST(sum(CASE WHEN fh THEN 1 ELSE 0 END) AS BIGINT) AS c,
-         |         CAST(sum(CASE WHEN fh THEN 0 ELSE 1 END) AS BIGINT) AS d
-         |  FROM b GROUP BY 1, 2
-         |),
-         |t AS (
-         |  SELECT event_type, CAST(sum(c) AS BIGINT) AS na,
-         |         CAST(sum(d) AS BIGINT) AS nb
-         |  FROM c GROUP BY 1
-         |)
-         |SELECT c.event_type, max(na) AS n_first, max(nb) AS n_second,
-         |       CAST(sum(abs(c * nb - d * na)) AS BIGINT) AS tv_num,
-         |       round(CAST(sum(abs(c * nb - d * na)) AS DOUBLE)
-         |             / (2.0 * CAST(max(na) AS DOUBLE)
-         |                * CAST(max(nb) AS DOUBLE)), 6) AS tv_distance,
-         |       CAST(sum(abs(c * nb - d * na)) AS BIGINT) * 5
-         |         > max(na) * max(nb) AS drifted
-         |FROM c JOIN t USING (event_type)
-         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "drift_tv" -> driftTvSql,
+    // MapState drain (graft.streaming.StreamDrain.streamDriftDrain):
+    // the processor's final per-type emission equals the batch row
+    // exactly, so the oracle is shared verbatim
+    "stream_drift_drain" -> driftTvSql,
     "trend_ols" -> {
       val cov =
         "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"

@@ -53,7 +53,7 @@ object AnomalyProcessor {
       state: GroupState[RollingStats]): Iterator[AnomalyAlert] = {
     var stats = state.getOption.getOrElse(RollingStats())
     val out = events.toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (EventTime.micros(e.ts), e.event_id))
       .flatMap { e =>
         stats = stats.add(e.value)
         if (stats.size >= MinSamples) Some(score(e, stats)) else None

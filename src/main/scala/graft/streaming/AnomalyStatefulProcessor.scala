@@ -31,7 +31,7 @@ class AnomalyStatefulProcessor
       timerValues: TimerValues): Iterator[AnomalyAlert] = {
     var st = Option(stats.get()).getOrElse(RollingStats())
     val out = inputRows.toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (EventTime.micros(e.ts), e.event_id))
       .flatMap { e =>
         st = st.add(e.value)
         if (st.size >= AnomalyProcessor.MinSamples)

@@ -30,7 +30,7 @@ object CooldownProcessor {
               alerts: Iterator[AnomalyAlert]): (Option[Long], Seq[FiredAlert]) = {
     var last = init
     val out = alerts.toSeq
-      .sortBy(a => (a.ts.getTime, a.event_id))
+      .sortBy(a => (EventTime.micros(a.ts), a.event_id))
       .flatMap { a =>
         val t = a.ts.getTime
         if (last.forall(l => t - l >= CooldownMillis)) {

@@ -75,7 +75,7 @@ object CusumProcessor {
     val (mu, sigma) = baselines.getOrElse(key, (0.0, 0.0))
     var s = init
     events.toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (EventTime.micros(e.ts), e.event_id))
       .foreach { e =>
         val bucket = Math.floorDiv(e.ts.getTime, 60000L)
         if (bucket < s.curBucket) () // late event for a closed bucket

@@ -58,7 +58,7 @@ object EwmaProcessor {
   def advance(init: EwmaState, events: Iterator[Event]): EwmaState = {
     var s = init
     events.toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (EventTime.micros(e.ts), e.event_id))
       .foreach { e =>
         val bucket = Math.floorDiv(e.ts.getTime, 60000L)
         // Late-data drop: an event whose minute bucket already closed

@@ -92,17 +92,7 @@ object SessionStatefulProcessor {
   val GapMillis: Long = 30 * 60 * 1000L
   val GapMicros: Long = GapMillis * 1000L
 
-  /** Exact event-time micros of a Timestamp (getTime alone truncates to
-    * millis; the sub-millisecond digits live in getNanos).
-    */
-  private[graft] def micros(ts: Timestamp): Long =
-    (ts.getTime / 1000L) * 1000000L + ts.getNanos.toLong / 1000L
-
-  private[graft] def tsOfMicros(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000L)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
-    t
-  }
+  import EventTime.{micros, tsOfMicros}
 
   private[streaming] def closedRow(key: Long, s: SessionAgg): SessionClosed =
     SessionClosed(key, tsOfMicros(s.startMicros),

@@ -217,21 +217,27 @@ object StreamDrain {
     * timer machinery itself (registration, stale-timer re-arm, expiry
     * emission) under the DuckDB hash gate, not just its spec parity.
     */
-  def streamSessionTimerDrain(spark: SparkSession, dir: String): DataFrame = {
-    // transformWithState needs the RocksDB provider (multiple column
-    // families); scoped exactly like StreamJob.run — the drain fully
-    // awaits termination before the restore, and the returned frame
-    // only reads the parquet store
+  def streamSessionTimerDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      sessionDrainedBy(
+        spark, dir, "graft_session_timer_drain",
+        staged => {
+          val s = staged.sparkSession
+          import s.implicits._
+          SessionStatefulProcessor.sessionStream(s, staged.as[Event]).toDF()
+        })
+    }
+
+  /** Run `body` with the RocksDB state-store provider scoped on, exactly
+    * like StreamJob.run — transformWithState needs it (multiple column
+    * families). Safe because every drain fully awaits termination before
+    * the restore, and the returned frame only reads the parquet store.
+    */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val (providerKey, rocksdb) = AnomalyStatefulProcessor.rocksdbConf
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey, rocksdb)
-    try sessionDrainedBy(
-      spark, dir, "graft_session_timer_drain",
-      staged => {
-        val s = staged.sparkSession
-        import s.implicits._
-        SessionStatefulProcessor.sessionStream(s, staged.as[Event]).toDF()
-      })
+    try body
     finally prev match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None    => spark.conf.unset(providerKey)
@@ -319,4 +325,67 @@ object StreamDrain {
               col("n_shifts_down"))
       .orderBy(col("event_type"))
   }
+
+  /** The transitions leg ([[EventPipeline.transitionStream]]: the
+    * incremental per-user `lead` — one last-event record of keyed state)
+    * through an actual writeStream drain; each observed transition is
+    * emitted exactly once, so the read-back only counts the (prev, next)
+    * pairs, shared with the batch `event_transitions` oracle.
+    */
+  def streamTransitionsDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_transitions_drain")
+    drainToStore(
+      spark,
+      EventPipeline
+        .transitionStream(spark, stagedStream(spark, dir, work))
+        .toDF(),
+      work)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** The data-drift monitor ([[DriftStatefulProcessor]] — the MAP-state
+    * processor: one MapState entry per value band) through an actual
+    * writeStream drain, final per-type TV-distance row read back against
+    * the batch `drift_tv` oracle — the MapState machinery class under
+    * the hash gate.
+    */
+  def streamDriftDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_drift_drain")
+      val staged = stagedStream(spark, dir, work)
+      val s = spark
+      import s.implicits._
+      drainLastPerKey(
+        spark,
+        TypedStatefulProcessors.driftStream(spark, staged.as[Event]).toDF(),
+        work, Seq("event_type"))
+        .select(col("event_type"), col("n_first"), col("n_second"),
+                col("tv_num"), col("tv_distance"), col("drifted"))
+        .orderBy(col("event_type"))
+    }
+
+  /** The incremental-view leg ([[UserSnapshotStatefulProcessor]]: per-
+    * user running count / micro-sum / last-seen, the streaming
+    * materialized view) through an actual writeStream drain, final
+    * snapshot per user hash-checked against a from-scratch per-user
+    * aggregate oracle — so the drain proves fold∘batches = aggregate.
+    */
+  def streamSnapshotDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_snapshot_drain")
+      val staged = stagedStream(spark, dir, work)
+      val s = spark
+      import s.implicits._
+      drainLastPerKey(
+        spark,
+        TypedStatefulProcessors
+          .userSnapshotStream(spark, staged.as[Event])
+          .toDF(),
+        work, Seq("user_id"))
+        .select(col("user_id"), col("n_events"), col("sum_micros"),
+                col("last_ts_micros"))
+        .orderBy(col("user_id"))
+    }
 }

@@ -24,7 +24,7 @@ object TransitionProcessor {
               events: Iterator[Event]): (Option[LastEvent], Seq[Transition]) = {
     var prev = init
     val out = events.toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (EventTime.micros(e.ts), e.event_id))
       .flatMap { e =>
         val t = prev.map(p => Transition(key, p.event_type, e.event_type))
         prev = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))

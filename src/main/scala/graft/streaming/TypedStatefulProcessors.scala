@@ -153,7 +153,7 @@ class DedupStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
     else {
       seen.update(true)
       val first = inputRows.toSeq
-        .minBy(e => (e.ts.getTime, e.user_id, e.event_type, e.value))
+        .minBy(e => (EventTime.micros(e.ts), e.user_id, e.event_type, e.value))
       Iterator.single(first)
     }
   }
@@ -194,7 +194,7 @@ object UserSnapshotFold {
   def fold(key: Long, prev: UserSnapshot,
            rows: Iterator[Event]): UserSnapshot =
     rows.foldLeft(prev) { (a, e) =>
-      val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+      val micros = EventTime.micros(e.ts)
       UserSnapshot(key,
                    a.n_events + 1L,
                    a.sum_micros +
@@ -339,15 +339,14 @@ class FunnelStatefulProcessor(ttl: TTLConfig = TTLConfig.NONE)
     // one millisecond fold in event_id order while the batch twin orders
     // them by full microseconds, breaking streaming-batch parity
     val next = inputRows.toSeq
-      .sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L,
-                    e.event_id))
+      .sortBy(e => (EventTime.micros(e.ts), e.event_id))
       .foldLeft(init) { (acc, e) =>
         val step = e.event_type match {
           case "view" => 1
           case "click" => 2
           case _ => 3
         }
-        val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val us = EventTime.micros(e.ts)
         advance(acc, us, step)
       }
     state.update(next)
@@ -432,7 +431,7 @@ class AnomalyListStateProcessor(ttl: TTLConfig = TTLConfig.NONE)
     var st = RollingStats(prior, mom.sum, mom.sumSquares)
     val newValues = Vector.newBuilder[Double]
     val out = inputRows.toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (EventTime.micros(e.ts), e.event_id))
       .flatMap { e =>
         st = st.add(e.value)
         newValues += e.value
