@@ -75,6 +75,9 @@ object SparkEntry {
     "stream_drift_drain" -> (graft.streaming.StreamDrain.streamDriftDrain _),
     "stream_snapshot_drain" ->
       (graft.streaming.StreamDrain.streamSnapshotDrain _),
+    // the per-day HLL sketch fold through an ACTUAL writeStream drain:
+    // exact cumulative counts hash-gated, the estimate self-gated
+    "stream_hll_drain" -> (graft.streaming.StreamDrain.streamHllDrain _),
     "distinct_users" -> (MiscOps.distinctUsers _),
     "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
     "approx_p95_gated" -> (MiscOps.approxP95Gated _),

@@ -243,7 +243,7 @@ object MiscOps {
     * [[approxDistinctUsers]]: rsd is a standard deviation, a 1σ gate
     * would fail healthy sketches on ~1/3 of groups).
     */
-  private val HllSketchTol = 5 * 1.04 / math.sqrt((1 << HllLgK).toDouble)
+  private[graft] val HllSketchTol = 5 * 1.04 / math.sqrt((1 << HllLgK).toDouble)
 
   /** Per-day DataSketches HLL sketches of distinct users, MERGED into a
     * corpus-wide total with `hll_union_agg` — the 100 TB re-aggregation
@@ -497,6 +497,13 @@ object MiscOps {
     "stream_dedup_drain" ->
       s"""SELECT event_id, ts, user_id, event_type, value
          |FROM $ev e ORDER BY event_id""".stripMargin,
+    // the sketch-fold drain (StreamDrain.streamHllDrain): per-day
+    // cumulative counts exact under the hash gate, estimate via the
+    // same 5σ self-gate verdict hll_by_day uses
+    "stream_hll_drain" ->
+      s"""SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+         |       count(DISTINCT user_id) AS n_users_exact, true AS day_ok
+         |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the incremental-view drain's final per-user snapshot must equal a
     // from-scratch aggregate (fold∘batches = aggregate); exact integer
     // micro-unit sums and µs epochs keep the check order-free

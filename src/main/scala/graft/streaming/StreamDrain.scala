@@ -388,4 +388,40 @@ object StreamDrain {
                 col("last_ts_micros"))
         .orderBy(col("user_id"))
     }
+
+  /** The sketch-folding leg ([[HllStatefulProcessor]]: per-day distinct
+    * users folded online, register-identical to `hll_sketch_agg`)
+    * through an actual writeStream drain. The drained day's cumulative
+    * event count is EXACT and order-free, so it rides the hash gate
+    * directly; the sketch estimate — engine-specific by nature — goes
+    * through the same 5σ self-gate verdict the batch `hll_by_day` uses
+    * (exact reference counts computed batch-side only to power the
+    * audit, mirroring [[graft.operators.MiscOps.hllByDay]]).
+    */
+  def streamHllDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_hll_drain")
+      val staged = stagedStream(spark, dir, work)
+      val s = spark
+      import s.implicits._
+      val drained = drainLastPerKey(
+        spark,
+        TypedStatefulProcessors.hllDayStream(spark, staged.as[Event]).toDF(),
+        work, Seq("epoch_day"))
+        .select((col("epoch_day") * 86400).cast("timestamp").as("day"),
+                col("n_seen"), col("est_users"))
+      val exact = graft.Tables.events(spark, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count_distinct(col("user_id")).as("n_users_exact"))
+      drained
+        .join(exact, Seq("day"))
+        .select(
+          col("day"),
+          col("n_seen").as("n_events"),
+          col("n_users_exact"),
+          (abs(col("est_users") /
+                 greatest(col("n_users_exact"), lit(1L)).cast("double") - 1.0)
+            <= graft.operators.MiscOps.HllSketchTol).as("day_ok"))
+        .orderBy(col("day"))
+    }
 }
