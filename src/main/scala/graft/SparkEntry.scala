@@ -78,6 +78,10 @@ object SparkEntry {
     // the per-day HLL sketch fold through an ACTUAL writeStream drain:
     // exact cumulative counts hash-gated, the estimate self-gated
     "stream_hll_drain" -> (graft.streaming.StreamDrain.streamHllDrain _),
+    // the Misra-Gries heavy-hitter fold through an ACTUAL writeStream
+    // drain: provably exact at k=64 > corpus vocab, hash-gated
+    "stream_toptokens_drain" ->
+      (graft.streaming.StreamDrain.streamTopTokensDrain _),
     "distinct_users" -> (MiscOps.distinctUsers _),
     "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
     "approx_p95_gated" -> (MiscOps.approxP95Gated _),
@@ -281,7 +285,10 @@ object SparkEntry {
     "audio_features" -> (MultimodalOps.audioFeatures _),
     "scene_cuts" -> (MultimodalOps.sceneCuts _),
     "image_ahash" -> (MultimodalOps.imageAhash _),
-    "image_dup_pairs" -> (MultimodalOps.imageDupPairs _)
+    "image_dup_pairs" -> (MultimodalOps.imageDupPairs _),
+    // the banded aHash search with PLANTED exact clones — positive rows
+    // guaranteed, so the gate checks found pairs, not just emptiness
+    "image_dup_pairs_planted" -> (MultimodalOps.imageDupPairsPlanted _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

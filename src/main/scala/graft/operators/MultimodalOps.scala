@@ -270,10 +270,13 @@ object MultimodalOps {
   def imageAhash(spark: SparkSession, dir: String): DataFrame =
     ahashFrame(spark, dir).orderBy(col("doc_id"))
 
-  private def ahashFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def ahashFrame(spark: SparkSession, dir: String): DataFrame =
+    ahashFrameOf(spark, payloads(spark, dir))
+
+  private def ahashFrameOf(spark: SparkSession, pay: DataFrame): DataFrame = {
     val session = spark
     import session.implicits._
-    payloads(spark, dir)
+    pay
       .as[PayloadRow]
       .mapPartitions { rows =>
         rows.filter(_.payload.nonEmpty).map { r =>
@@ -315,8 +318,35 @@ object MultimodalOps {
     * lost nothing. Scale: one signature pass, one bucket shuffle —
     * never an image-pair cross join.
     */
-  def imageDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = ahashFrame(spark, dir)
+  def imageDupPairs(spark: SparkSession, dir: String): DataFrame =
+    dupPairsOf(ahashFrame(spark, dir))
+
+  /** Offset for planted duplicate doc ids — far above any real doc_id
+    * at every test SF, so planted pairs are (original, original+offset)
+    * with original < clone.
+    */
+  private[operators] val CloneOffset = 10000000L
+
+  /** [[imageDupPairs]] over the corpus ∪ PLANTED exact duplicates (every
+    * 50th document cloned byte-for-byte under [[CloneOffset]]): the base
+    * corpus has no Hamming≤3 pair at test SFs, so the base query gates
+    * 0-rows-vs-0-rows — this variant guarantees positive rows through
+    * the SAME banded search (a clone shares all four band prefixes with
+    * its source, so the pigeonhole route must surface it with
+    * hamming = 0). The oracle is the all-pairs truth over the identical
+    * augmented corpus; near-dup (1 ≤ d ≤ 3) positives stay covered by
+    * the fixture spec (OperatorSpec).
+    */
+  def imageDupPairsPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val base = payloads(spark, dir)
+    val clones = base
+      .filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(CloneOffset)).as("doc_id"), col("payload"))
+    dupPairsOf(ahashFrameOf(spark, base.union(clones)))
+  }
+
+  private def dupPairsOf(hx: DataFrame): DataFrame = {
+    val bands = hx
       .select(col("doc_id"),
               explode(sequence(lit(0), lit(3))).as("band"),
               col("ahash"))
@@ -348,9 +378,10 @@ object MultimodalOps {
     * grid is generated explicitly so short documents (< 64 bytes) get
     * their empty cells as bit 0 exactly like the Scala arrays do.
     */
-  private val ahashSql: String =
-    """WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n
-      |           FROM documents WHERE octet_length(encode(text)) > 0),
+  private def ahashSqlFrom(src: String): String =
+    s"""WITH srcdocs AS ($src),
+      |p AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+      |           FROM srcdocs WHERE octet_length(encode(text)) > 0),
       |cg AS (SELECT doc_id, n, r.c AS cell FROM p, UNNEST(range(0, 64)) r(c)),
       |b AS (SELECT doc_id, n, CAST(((p2.i - 1) * 64) // n AS BIGINT) AS cell,
       |             ascii(substr(text, CAST(p2.i AS INT), 1)) AS v
@@ -375,6 +406,35 @@ object MultimodalOps {
       |                         ORDER BY q) AS ahash
       |       FROM nib GROUP BY 1)""".stripMargin
 
+  private val ahashSql: String =
+    ahashSqlFrom("SELECT doc_id, text FROM documents")
+
+  /** The augmented corpus [[imageDupPairsPlanted]] hashes: documents ∪
+    * byte-identical clones of every 50th doc under [[CloneOffset]].
+    */
+  private val ahashPlantedSql: String =
+    ahashSqlFrom(
+      s"""SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $CloneOffset AS doc_id, text FROM documents
+         |  WHERE doc_id % 50 = 0""".stripMargin)
+
+  private val hammingPairsSql: String =
+    """ham AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |         CAST(list_sum(list_transform(range(1, 17), i ->
+      |           bit_count(xor(
+      |             CAST(strpos('0123456789abcdef',
+      |                         substr(a.ahash, CAST(i AS INT), 1)) - 1
+      |                  AS BIGINT),
+      |             CAST(strpos('0123456789abcdef',
+      |                         substr(b.ahash, CAST(i AS INT), 1)) - 1
+      |                  AS BIGINT))))) AS BIGINT) AS hamming
+      |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+      |)
+      |SELECT doc1, doc2, hamming FROM ham
+      |WHERE hamming <= 3 ORDER BY doc1, doc2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "image_ahash" ->
       s"""$ahashSql
@@ -383,20 +443,12 @@ object MultimodalOps {
     // (pigeonhole-complete for d <= 3) lost no pair
     "image_dup_pairs" ->
       s"""$ahashSql,
-         |ham AS (
-         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-         |         CAST(list_sum(list_transform(range(1, 17), i ->
-         |           bit_count(xor(
-         |             CAST(strpos('0123456789abcdef',
-         |                         substr(a.ahash, CAST(i AS INT), 1)) - 1
-         |                  AS BIGINT),
-         |             CAST(strpos('0123456789abcdef',
-         |                         substr(b.ahash, CAST(i AS INT), 1)) - 1
-         |                  AS BIGINT))))) AS BIGINT) AS hamming
-         |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
-         |)
-         |SELECT doc1, doc2, hamming FROM ham
-         |WHERE hamming <= 3 ORDER BY doc1, doc2""".stripMargin,
+         |$hammingPairsSql""".stripMargin,
+    // planted-positive twin: all-pairs truth over the augmented corpus;
+    // each clone must surface through the banded search with hamming 0
+    "image_dup_pairs_planted" ->
+      s"""$ahashPlantedSql,
+         |$hammingPairsSql""".stripMargin,
     "media_meta" ->
       // texts are all-ASCII (verified), so the first UTF-8 byte equals the
       // first codepoint: ascii() is a safe byte accessor here.

@@ -975,6 +975,24 @@ object PipelineOps {
         |SELECT token, exact_count AS est_count, CAST(0 AS BIGINT) AS max_err,
         |       exact_count, true AS within_bound
         |FROM c ORDER BY est_count DESC, token LIMIT 25""".stripMargin,
+    // the heavy-hitter drain (StreamDrain.streamTopTokensDrain): the
+    // streamed Misra-Gries fold is provably exact at k=64 > corpus
+    // vocab (same argument as approx_top_tokens above), so the oracle
+    // is the exact per-language top-10 with the (est desc, token)
+    // tie-break the sketch's finish() uses
+    "stream_toptokens_drain" ->
+      """WITH t AS (
+        |  SELECT lang, u.token
+        |  FROM documents,
+        |       UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) u(token)
+        |),
+        |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS est
+        |      FROM t GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |                                   ORDER BY est DESC, token) AS rn
+        |      FROM c)
+        |SELECT lang, token, est, CAST(0 AS BIGINT) AS maxerr
+        |FROM r WHERE rn <= 10 ORDER BY lang, est DESC, token""".stripMargin,
     "zipf_fit" ->
       """WITH t AS (
         |  SELECT doc_id, u.token

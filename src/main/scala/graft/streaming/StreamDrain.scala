@@ -389,6 +389,45 @@ object StreamDrain {
         .orderBy(col("user_id"))
     }
 
+  /** The heavy-hitter leg ([[TopTokensStatefulProcessor]]: per-language
+    * Misra–Gries top-token summaries folded online) through an actual
+    * writeStream drain over the documents corpus replayed as a stream.
+    * At the default k = 64 > the corpus vocabulary no MG compression
+    * ever fires, so the drained summary is EXACT counts with maxerr = 0
+    * and a deterministic (est desc, token) order — the same provable-
+    * exactness argument batch `approx_top_tokens` gates on, now applied
+    * to the STREAMED state-store fold. Each batch re-emits a language's
+    * current top 10, so the read-back keeps only the final batch per
+    * language.
+    */
+  def streamTopTokensDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_toptok_drain")
+      val stage = s"$work/staged_docs"
+      graft.Tables.documents(spark, dir)
+        .select(col("lang"),
+                split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+                      " ").as("tokens"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val s = spark
+      import s.implicits._
+      val docsIn = spark.readStream
+        .schema(spark.read.parquet(stage).schema)
+        .parquet(stage)
+        .as[DocTokens]
+      val drained = drainToStore(
+        spark,
+        TypedStatefulProcessors.topTokensStream(spark, docsIn).toDF(),
+        work)
+      val lastBatch = Window.partitionBy(col("lang"))
+      drained
+        .withColumn("maxb", max(col("batch_id")).over(lastBatch))
+        .filter(col("batch_id") === col("maxb"))
+        .select(col("lang"), col("token"), col("est"), col("maxerr"))
+        .orderBy(col("lang"), col("est").desc, col("token"))
+    }
+
   /** The sketch-folding leg ([[HllStatefulProcessor]]: per-day distinct
     * users folded online, register-identical to `hll_sketch_agg`)
     * through an actual writeStream drain. The drained day's cumulative
