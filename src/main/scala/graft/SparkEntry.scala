@@ -82,6 +82,10 @@ object SparkEntry {
     // drain: provably exact at k=64 > corpus vocab, hash-gated
     "stream_toptokens_drain" ->
       (graft.streaming.StreamDrain.streamTopTokensDrain _),
+    // ONLINE near-dup ingest: the LSH bucket stage through keyed
+    // streaming state, sharing the batch dedup_minhash_lsh oracle
+    "stream_lshdedup_drain" ->
+      (graft.streaming.StreamDrain.streamLshDedupDrain _),
     "distinct_users" -> (MiscOps.distinctUsers _),
     "approx_distinct_users" -> (MiscOps.approxDistinctUsers _),
     "approx_p95_gated" -> (MiscOps.approxP95Gated _),

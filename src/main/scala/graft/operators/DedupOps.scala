@@ -41,7 +41,7 @@ object DedupOps {
   private val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
-  private[operators] val JaccardThreshold = 0.5
+  private[graft] val JaccardThreshold = 0.5
 
   /** Session-tunable (k, bands) with the dev defaults above. */
   private[graft] def minhashConf(spark: SparkSession): (Int, Int) = {
@@ -69,7 +69,7 @@ object DedupOps {
     * removed). The cap is part of the operator's semantics and the
     * DuckDB oracles apply it identically.
     */
-  private[operators] val MaxBucket = 256
+  private[graft] val MaxBucket = 256
 
   /** Upper-triangle (i < j) pair expansion over a sorted in-bucket
     * member list — THE idiom behind every bucketed candidate generator
@@ -189,8 +189,29 @@ object DedupOps {
     */
   private def lshScoredPairs(spark: SparkSession, dir: String,
                              k: Int, nBands: Int): DataFrame = {
+    // bucket → sorted member list → all in-bucket pairs (i < j);
+    // megabuckets dropped (skew guard, see MaxBucket)
+    val candidates = lshBandsFrame(spark, dir, k, nBands)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxBucket)
+      .select(inBucketPairs(col("ds"))((a, b) =>
+        struct(a.as("doc1"), b.as("doc2"))).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .distinct()
+    scoreCandidatePairs(spark, dir, candidates)
+  }
+
+  /** The banded LSH key frame (doc_id, band, band_hash) at an explicit
+    * (k, bands) — the shuffle key every bucketed candidate generator
+    * groups on, and the frame the STREAMING ingest-dedup leg replays
+    * (the offline-signature / online-bucket split, mirroring how the
+    * CUSUM leg ships offline baselines to the online fold).
+    */
+  private[graft] def lshBandsFrame(spark: SparkSession, dir: String,
+                                   k: Int, nBands: Int): DataFrame = {
     val rowsPerBand = k / nBands
-    val bands = minhashSigFrame(spark, dir, k)
+    minhashSigFrame(spark, dir, k)
       .select(col("doc_id"),
               explode(sequence(lit(0), lit(nBands - 1))).as("band"),
               col("sig"))
@@ -201,18 +222,22 @@ object DedupOps {
           (0 until rowsPerBand).map(r =>
             element_at(col("sig"), col("band") * rowsPerBand + r + 1)
               .cast("string")): _*)))
+      .select(col("doc_id"), col("band"), col("band_hash"))
+  }
 
-    // bucket → sorted member list → all in-bucket pairs (i < j);
-    // megabuckets dropped (skew guard, see MaxBucket)
-    val candidates = bands
-      .groupBy(col("band"), col("band_hash"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxBucket)
-      .select(inBucketPairs(col("ds"))((a, b) =>
-        struct(a.as("doc1"), b.as("doc2"))).as("p"))
-      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
-      .distinct()
+  /** [[lshBandsFrame]] at the dev-default (k=16, bands=4) — the knobs
+    * [[minhashLshSql]] hardcodes.
+    */
+  private[graft] def defaultLshBands(spark: SparkSession,
+                                     dir: String): DataFrame =
+    lshBandsFrame(spark, dir, NumHashes, Bands)
 
+  /** Exact-overlap verification of candidate pairs (doc1, doc2): the
+    * shingle join-back + Jaccard scoring shared by every LSH-family
+    * consumer, batch and streamed.
+    */
+  private[graft] def scoreCandidatePairs(spark: SparkSession, dir: String,
+                                         candidates: DataFrame): DataFrame = {
     val sh = shingled(spark, dir).select(col("doc_id"), col("shingles"))
     candidates
       .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("s1")), "doc1")
@@ -1632,6 +1657,10 @@ object DedupOps {
          |       array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig
          |FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshSql,
+    // the ONLINE bucket stage (StreamDrain.streamLshDedupDrain) produces
+    // the same verified pairs through keyed streaming state, so it
+    // shares the batch oracle verbatim
+    "stream_lshdedup_drain" -> minhashLshSql,
     "dedup_minhash_wideband" -> minhashLshSqlAt(NumHashes, 8),
     "dedup_rate_by_source" ->
       """WITH h AS (

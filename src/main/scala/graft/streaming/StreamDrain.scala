@@ -428,6 +428,52 @@ object StreamDrain {
         .orderBy(col("lang"), col("est").desc, col("token"))
     }
 
+  /** ONLINE near-duplicate ingest ([[LshBucketProcessor]]: per-bucket
+    * membership state, candidate pairs emitted as documents arrive)
+    * through an actual writeStream drain — the streaming form of the
+    * batch `dedup_minhash_lsh` bucket stage, sharing its oracle
+    * verbatim. The banded signature keys are staged OFFLINE
+    * ([[graft.operators.DedupOps.defaultLshBands]]) and replayed as the
+    * stream (the signature pass is the expensive stage either way; a
+    * live crawler computes it in the ingest map before the keyed
+    * shuffle). Read-back applies the batch MaxBucket skew cap from
+    * recomputed final bucket sizes, dedups pairs across bands, and
+    * verifies with the exact shingle Jaccard — identical end-to-end
+    * semantics, with the candidate DISCOVERY having actually run
+    * through keyed streaming state.
+    */
+  def streamLshDedupDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_lshdedup_drain")
+      val stage = s"$work/staged_bands"
+      graft.operators.DedupOps.defaultLshBands(spark, dir)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val s = spark
+      import s.implicits._
+      val bandsIn = spark.readStream
+        .schema(spark.read.parquet(stage).schema)
+        .parquet(stage)
+        .as[BandKeyRow]
+      val drained = drainToStore(
+        spark,
+        TypedStatefulProcessors.lshCandidateStream(spark, bandsIn).toDF(),
+        work)
+      val okBuckets = spark.read.parquet(stage)
+        .groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") <= graft.operators.DedupOps.MaxBucket)
+      val candidates = drained
+        .join(okBuckets, Seq("band", "band_hash"), "left_semi")
+        .select(col("doc1"), col("doc2"))
+        .distinct()
+      graft.operators.DedupOps
+        .scoreCandidatePairs(spark, dir, candidates)
+        .filter(col("jaccard") >= graft.operators.DedupOps.JaccardThreshold)
+        .select(col("doc1"), col("doc2"), col("n_common"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+
   /** The sketch-folding leg ([[HllStatefulProcessor]]: per-day distinct
     * users folded online, register-identical to `hll_sketch_agg`)
     * through an actual writeStream drain. The drained day's cumulative

@@ -452,6 +452,70 @@ class AnomalyListStateProcessor(ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** One banded LSH key observation on the streaming ingest-dedup path —
+  * a document's signature slice for one band (signatures computed
+  * offline, the CUSUM-style offline/online split).
+  */
+case class BandKeyRow(doc_id: Long, band: Int, band_hash: String)
+
+/** One candidate near-duplicate pair surfaced online, tagged with the
+  * bucket that produced it (so the read-back can apply the batch
+  * MaxBucket skew cap exactly — see [[LshBucketProcessor]]).
+  */
+case class LshCandidate(doc1: Long, doc2: Long, band: Int, band_hash: String)
+
+/** ONLINE LSH near-duplicate candidate discovery — the streaming ingest
+  * form of the batch `dedup_minhash_lsh` bucket stage: state is the
+  * per-(band, band_hash) member list, and each arriving document emits
+  * a candidate pair with every member already in its bucket, exactly
+  * once per (bucket, pair). Verification (exact shingle Jaccard) stays
+  * a join in the consumer, same as batch.
+  *
+  * Skew posture: state per bucket is capped at [[graft.operators
+  * .DedupOps.MaxBucket]] ids — past the cap the bucket is poisoned
+  * (no growth, no emission), so a boilerplate megabucket on an
+  * unbounded stream cannot grow state or fan out O(n²) pairs. An online
+  * operator cannot retro-drop a bucket the way the batch form drops
+  * buckets by FINAL size, so pairs emitted before the cap tripped are
+  * instead removed by the consumer's size filter — the drain recomputes
+  * final bucket sizes from the staged frame and left-semi-joins, making
+  * the end-to-end semantics equal to batch BY CONSTRUCTION, not just on
+  * cap-free corpora.
+  */
+class LshBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, BandKeyRow, LshCandidate] {
+  import graft.operators.DedupOps.MaxBucket
+
+  @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    members = getHandle.getListState[Long](
+      "bucketMembers", Encoders.scalaLong, ttl)
+
+  override def handleInputRows(
+      key: String,
+      inputRows: Iterator[BandKeyRow],
+      timerValues: TimerValues): Iterator[LshCandidate] = {
+    val existing =
+      if (members.exists()) members.get().toVector else Vector.empty[Long]
+    val seen = scala.collection.mutable.LinkedHashSet(existing: _*)
+    val fresh = Vector.newBuilder[Long]
+    val out = Vector.newBuilder[LshCandidate]
+    inputRows.foreach { r =>
+      if (seen.size < MaxBucket && !seen.contains(r.doc_id)) {
+        seen.foreach { m =>
+          out += LshCandidate(math.min(m, r.doc_id), math.max(m, r.doc_id),
+                              r.band, r.band_hash)
+        }
+        seen += r.doc_id
+        fresh += r.doc_id
+      }
+    }
+    members.appendList(fresh.result().toArray)
+    out.result().iterator
+  }
+}
+
 /** One per-day distinct-users update from the streaming sketch path:
   * UTC epoch day, cumulative events folded into the day's sketch, and
   * the sketch's current estimate.
@@ -669,6 +733,20 @@ object TypedStatefulProcessors {
     docs
       .groupByKey(_.lang)
       .transformWithState(new TopTokensStatefulProcessor(ttl = ttl),
+                          StateTtl.timeMode(ttl),
+                          OutputMode.Update())
+  }
+
+  /** banded signature keys → online candidate near-dup pairs via the
+    * bucket-membership processor; see [[LshBucketProcessor]].
+    */
+  def lshCandidateStream(spark: SparkSession,
+                         bands: Dataset[BandKeyRow]): Dataset[LshCandidate] = {
+    import spark.implicits._
+    val ttl = StateTtl.of(spark)
+    bands
+      .groupByKey(r => s"${r.band}:${r.band_hash}")
+      .transformWithState(new LshBucketProcessor(ttl),
                           StateTtl.timeMode(ttl),
                           OutputMode.Update())
   }

@@ -522,6 +522,37 @@ class StatefulProcessorSpec extends AnyFunSuite {
       events.map(e => e.event_id -> e.ts).toMap)
   }
 
+  test("online LSH buckets: exact-once pair discovery, megabucket poisoned") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.DedupOps.MaxBucket
+    // one hot bucket fed MaxBucket+5 docs across batches plus one small
+    // 3-doc bucket: the small bucket must emit all C(3,2) pairs exactly
+    // once; the hot bucket admits members only up to the cap (state
+    // bounded), so its pair count is exactly C(MaxBucket, 2) no matter
+    // how the batches split
+    val hot = (1 to MaxBucket + 5).map(i => BandKeyRow(i.toLong, 0, "hot"))
+    val small = Seq(1001L, 1002L, 1003L).map(d => BandKeyRow(d, 1, "small"))
+    val out = runStream[BandKeyRow, LshCandidate](
+      "tws_lsh", hot ++ small,
+      in => TypedStatefulProcessors.lshCandidateStream(spark, in.toDS()))
+      .as[LshCandidate].collect()
+
+    val smallPairs = out.filter(_.band_hash == "small")
+    assert(smallPairs.map(p => (p.doc1, p.doc2)).toSet ==
+      Set((1001L, 1002L), (1001L, 1003L), (1002L, 1003L)))
+    assert(smallPairs.length == 3)
+
+    val hotPairs = out.filter(_.band_hash == "hot")
+    assert(hotPairs.length == MaxBucket * (MaxBucket - 1) / 2)
+    assert(hotPairs.map(p => (p.doc1, p.doc2)).distinct.length ==
+      hotPairs.length)
+    // exactly MaxBucket distinct members ever participate — the bucket
+    // never grew past the cap
+    assert(hotPairs.flatMap(p => Seq(p.doc1, p.doc2)).distinct.length ==
+      MaxBucket)
+  }
+
   test("built-in dropDuplicatesWithinWatermark agrees with the custom dedup") {
     val session = spark
     import session.implicits._
