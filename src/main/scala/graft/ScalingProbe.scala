@@ -36,13 +36,19 @@ import org.apache.spark.sql.functions._
   */
 object ScalingProbe {
 
-  /** The bench tail: slowest 15 by BENCH_RUNS min-of-3 at sf0.1. */
+  /** The bench tail: slowest 15 by BENCH_RUNS min-of-3 at sf0.1, plus
+    * three representative writeStream drains (windowed agg state,
+    * flatMapGroupsWithState detector, transformWithState LSH buckets) —
+    * the streaming legs' scaling axis is densified traffic over the
+    * same calendar, exactly what the replica models.
+    */
   val probes: Seq[String] = Seq(
     "anomaly_score_window", "recall_matrix", "ann_ivf", "trade_triangles",
     "trade_reach", "basket_rules", "event_nested_parse", "ssjoin_prefix",
     "basket_pairs", "ann_lsh_bucketed", "q21_wait_suppliers",
     "q2_min_cost_supplier", "ann_topk", "cluster_representatives",
-    "contamination_check")
+    "contamination_check",
+    "stream_kpi_drain", "stream_alerts_drain", "stream_lshdedup_drain")
 
   def buildScaled(spark: SparkSession, base: String, out: String,
                   copies: Int): Unit = {

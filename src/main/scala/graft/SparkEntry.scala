@@ -75,6 +75,10 @@ object SparkEntry {
     "stream_drift_drain" -> (graft.streaming.StreamDrain.streamDriftDrain _),
     "stream_snapshot_drain" ->
       (graft.streaming.StreamDrain.streamSnapshotDrain _),
+    // batch->streaming state MIGRATION: seed from a first-half batch
+    // snapshot, stream the delta, merged view vs full-aggregate oracle
+    "stream_warmstart_drain" ->
+      (graft.streaming.StreamDrain.streamWarmstartDrain _),
     // the per-day HLL sketch fold through an ACTUAL writeStream drain:
     // exact cumulative counts hash-gated, the estimate self-gated
     "stream_hll_drain" -> (graft.streaming.StreamDrain.streamHllDrain _),

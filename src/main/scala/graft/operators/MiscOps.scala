@@ -459,6 +459,18 @@ object MiscOps {
 
   private val ev = s"(${Tables.eventsSql})"
 
+  /** Shared by `stream_snapshot_drain` (cold full-history fold) and
+    * `stream_warmstart_drain` (batch seed + streamed delta): both must
+    * equal the from-scratch per-user aggregate — exact integer
+    * micro-unit sums and µs epochs keep the check order-free.
+    */
+  private val perUserSnapshotSql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+       |       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+       |            AS BIGINT) AS sum_micros,
+       |       max(epoch_us(ts)) AS last_ts_micros
+       |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "event_parse_json" ->
       s"""SELECT event_id, ts, user_id, event_type, value,
@@ -507,12 +519,11 @@ object MiscOps {
     // the incremental-view drain's final per-user snapshot must equal a
     // from-scratch aggregate (fold∘batches = aggregate); exact integer
     // micro-unit sums and µs epochs keep the check order-free
-    "stream_snapshot_drain" ->
-      s"""SELECT user_id, count(*) AS n_events,
-         |       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
-         |            AS BIGINT) AS sum_micros,
-         |       max(epoch_us(ts)) AS last_ts_micros
-         |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_snapshot_drain" -> perUserSnapshotSql,
+    // the MIGRATION drain (StreamDrain.streamWarmstartDrain): batch
+    // seed over the first half + streamed delta must still equal the
+    // from-scratch full aggregate, so the oracle is shared
+    "stream_warmstart_drain" -> perUserSnapshotSql,
     "distinct_users" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,

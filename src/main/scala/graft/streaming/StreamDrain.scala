@@ -389,6 +389,48 @@ object StreamDrain {
         .orderBy(col("user_id"))
     }
 
+  /** BATCH→STREAMING STATE MIGRATION under the hash gate
+    * ([[UserSnapshotWarmStartProcessor]]): the store seeds from a batch
+    * snapshot of the FIRST-half events (transformWithState initial
+    * state), the stream folds only the second-half DELTA, and the
+    * merged view — drained emissions for users the delta touched, the
+    * untouched seed rows for the rest, exactly what a production
+    * cutover's serving store holds — must equal a from-scratch
+    * full-corpus aggregate. Seed aggregation uses the same associative
+    * integer algebra the processor folds (exact micro-unit sums, max
+    * µs), so seed∘delta = full holds bit-for-bit, now proven through an
+    * actual writeStream execution rather than only the spec.
+    */
+  def streamWarmstartDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_warmstart_drain")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val s = spark
+      import s.implicits._
+      val seed = graft.Tables.events(spark, dir)
+        .filter(col("ts") < cut)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(graft.functions.Rounding.microUnits(col("value")))
+               .as("sum_micros"),
+             max(unix_micros(col("ts"))).as("last_ts_micros"))
+      val staged = stagedStream(spark, dir, work,
+                                augment = _.filter(col("ts") >= cut))
+      val drainedLast = drainLastPerKey(
+        spark,
+        TypedStatefulProcessors
+          .userSnapshotWarmStream(spark, staged.as[Event],
+                                  seed.as[UserSnapshot])
+          .toDF(),
+        work, Seq("user_id"))
+        .select(col("user_id"), col("n_events"), col("sum_micros"),
+                col("last_ts_micros"))
+      // seed rows the delta never touched stay as-written in the view
+      val untouched = seed.join(drainedLast.select(col("user_id")),
+                                Seq("user_id"), "left_anti")
+      drainedLast.unionByName(untouched).orderBy(col("user_id"))
+    }
+
   /** The heavy-hitter leg ([[TopTokensStatefulProcessor]]: per-language
     * Misra–Gries top-token summaries folded online) through an actual
     * writeStream drain over the documents corpus replayed as a stream.
