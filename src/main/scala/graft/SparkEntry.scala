@@ -79,6 +79,10 @@ object SparkEntry {
     // snapshot, stream the delta, merged view vs full-aggregate oracle
     "stream_warmstart_drain" ->
       (graft.streaming.StreamDrain.streamWarmstartDrain _),
+    // the windowed-funnel fold (uncapped O(1)-state streaming form)
+    // through an ACTUAL writeStream drain vs the batch histogram oracle
+    "stream_funnel_drain" ->
+      (graft.streaming.StreamDrain.streamFunnelDrain _),
     // the per-day HLL sketch fold through an ACTUAL writeStream drain:
     // exact cumulative counts hash-gated, the estimate self-gated
     "stream_hll_drain" -> (graft.streaming.StreamDrain.streamHllDrain _),

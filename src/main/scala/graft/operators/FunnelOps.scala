@@ -172,7 +172,7 @@ object FunnelOps {
     * truncation, so parity holds at any data. Default is ~60× the
     * densest testdata user and generous for any human timeline.
     */
-  private val FunnelMaxEvents = 4096
+  private[graft] val FunnelMaxEvents = 4096
 
   /** "Not reached" sentinel for the funnel fold: far BELOW any real µs
     * timestamp, chosen so `event_us − sentinel` cannot overflow BIGINT
@@ -455,6 +455,60 @@ object FunnelOps {
         .otherwise(abs((pa - pb) / se) > 1.96).as("significant"))
   }
 
+  /** Shared by `window_funnel` (batch capped fold) and
+    * `stream_funnel_drain` (the uncapped streaming fold through an
+    * actual writeStream drain; equal whenever no user exceeds the
+    * cap — every gate corpus).
+    */
+  private lazy val windowFunnelSql: String =
+      s"""WITH e AS (${Tables.eventsSql}),
+         |fr AS (
+         |  SELECT user_id,
+         |         [epoch_us(ts),
+         |          CASE event_type WHEN 'view' THEN 1
+         |                          WHEN 'click' THEN 2 ELSE 3 END,
+         |          event_id] AS ev,
+         |         epoch_us(ts) AS us, event_id,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+         |  FROM e WHERE event_type IN ('view', 'click', 'purchase')
+         |),
+         |f AS (SELECT * FROM fr WHERE rk <= $FunnelMaxEvents),
+         |folded AS (
+         |  SELECT user_id,
+         |         max(rk) = $FunnelMaxEvents AS at_cap,
+         |         list_reduce(
+         |           list_prepend(
+         |             [CAST($FunnelSentinel AS BIGINT),
+         |              $FunnelSentinel, $FunnelSentinel],
+         |             list(ev ORDER BY us, event_id)),
+         |           (a, e) -> [
+         |             CASE WHEN e[2] = 1 THEN greatest(a[1], e[1]) ELSE a[1] END,
+         |             CASE WHEN e[2] = 2
+         |                    AND e[1] - a[1] <= $FunnelWindowMicros
+         |                  THEN greatest(a[2], a[1]) ELSE a[2] END,
+         |             CASE WHEN e[2] = 3
+         |                    AND e[1] - a[2] <= $FunnelWindowMicros
+         |                  THEN greatest(a[3], a[2]) ELSE a[3] END]) AS s
+         |  FROM f GROUP BY user_id
+         |)
+         |,
+         |depths AS (
+         |  SELECT user_id, at_cap,
+         |         CASE WHEN s[3] > $FunnelSentinel THEN 3
+         |              WHEN s[2] > $FunnelSentinel THEN 2
+         |              WHEN s[1] > $FunnelSentinel THEN 1
+         |              ELSE 0 END AS d
+         |  FROM folded
+         |)
+         |SELECT CAST(COALESCE(d, 0) AS INTEGER) AS depth,
+         |       count(*) AS n_users,
+         |       CAST(sum(CASE WHEN COALESCE(at_cap, false) THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_at_cap
+         |FROM (SELECT DISTINCT user_id FROM e) u
+         |LEFT JOIN depths USING (user_id)
+         |GROUP BY 1 ORDER BY depth""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ab_test_conversion" ->
       s"""WITH e AS (${Tables.eventsSql}),
@@ -535,54 +589,12 @@ object FunnelOps {
          |       count(*) AS n_paths
          |FROM t WHERE t3 IS NOT NULL
          |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
-    "window_funnel" ->
-      s"""WITH e AS (${Tables.eventsSql}),
-         |fr AS (
-         |  SELECT user_id,
-         |         [epoch_us(ts),
-         |          CASE event_type WHEN 'view' THEN 1
-         |                          WHEN 'click' THEN 2 ELSE 3 END,
-         |          event_id] AS ev,
-         |         epoch_us(ts) AS us, event_id,
-         |         row_number() OVER (PARTITION BY user_id
-         |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
-         |  FROM e WHERE event_type IN ('view', 'click', 'purchase')
-         |),
-         |f AS (SELECT * FROM fr WHERE rk <= $FunnelMaxEvents),
-         |folded AS (
-         |  SELECT user_id,
-         |         max(rk) = $FunnelMaxEvents AS at_cap,
-         |         list_reduce(
-         |           list_prepend(
-         |             [CAST($FunnelSentinel AS BIGINT),
-         |              $FunnelSentinel, $FunnelSentinel],
-         |             list(ev ORDER BY us, event_id)),
-         |           (a, e) -> [
-         |             CASE WHEN e[2] = 1 THEN greatest(a[1], e[1]) ELSE a[1] END,
-         |             CASE WHEN e[2] = 2
-         |                    AND e[1] - a[1] <= $FunnelWindowMicros
-         |                  THEN greatest(a[2], a[1]) ELSE a[2] END,
-         |             CASE WHEN e[2] = 3
-         |                    AND e[1] - a[2] <= $FunnelWindowMicros
-         |                  THEN greatest(a[3], a[2]) ELSE a[3] END]) AS s
-         |  FROM f GROUP BY user_id
-         |)
-         |,
-         |depths AS (
-         |  SELECT user_id, at_cap,
-         |         CASE WHEN s[3] > $FunnelSentinel THEN 3
-         |              WHEN s[2] > $FunnelSentinel THEN 2
-         |              WHEN s[1] > $FunnelSentinel THEN 1
-         |              ELSE 0 END AS d
-         |  FROM folded
-         |)
-         |SELECT CAST(COALESCE(d, 0) AS INTEGER) AS depth,
-         |       count(*) AS n_users,
-         |       CAST(sum(CASE WHEN COALESCE(at_cap, false) THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_at_cap
-         |FROM (SELECT DISTINCT user_id FROM e) u
-         |LEFT JOIN depths USING (user_id)
-         |GROUP BY 1 ORDER BY depth""".stripMargin,
+    "window_funnel" -> windowFunnelSql,
+    // the streaming funnel fold (StreamDrain.streamFunnelDrain) needs
+    // no cap — O(1) state per event — and equals the capped batch fold
+    // whenever no user exceeds the cap (every gate corpus; the cap
+    // audit column is batch-side bookkeeping either way)
+    "stream_funnel_drain" -> windowFunnelSql,
     "pagerank_types" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |t AS (

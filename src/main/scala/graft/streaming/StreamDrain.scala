@@ -389,6 +389,50 @@ object StreamDrain {
         .orderBy(col("user_id"))
     }
 
+  /** The windowed-funnel leg ([[FunnelStatefulProcessor]]: three longs
+    * of per-user state folded through the latest-chain-start algebra)
+    * through an actual writeStream drain, final per-user depth read
+    * back into the batch `window_funnel` histogram (shared oracle).
+    * The streaming fold is the UNCAPPED reference semantics — O(1)
+    * state per event, which is why it needs no hot-user guard: the
+    * batch twin's `graft.funnel.maxEvents` cap exists only to bound a
+    * per-key aggregation buffer the incremental form never builds. The
+    * two coincide whenever no user's funnel history exceeds the cap
+    * (every gate corpus — the cap-audit column, batch bookkeeping on
+    * both sides, is all-false there and any future violation flips
+    * `n_at_cap` and fails the hash).
+    */
+  def streamFunnelDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_funnel_drain")
+      val staged = stagedStream(spark, dir, work)
+      val s = spark
+      import s.implicits._
+      val depths = drainLastPerKey(
+        spark,
+        TypedStatefulProcessors.funnelStream(spark, staged.as[Event]).toDF(),
+        work, Seq("user_id"))
+        .select(col("user_id"), col("depth"))
+      val ev = graft.Tables.events(spark, dir)
+      val allUsers = ev.select(col("user_id")).distinct()
+      val maxEv = spark.conf
+        .get("graft.funnel.maxEvents",
+             graft.operators.FunnelOps.FunnelMaxEvents.toString).toInt
+      val capAudit = ev
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg((count(lit(1)) >= maxEv).as("at_cap"))
+      allUsers
+        .join(depths, Seq("user_id"), "left")
+        .join(capAudit, Seq("user_id"), "left")
+        .select(coalesce(col("depth"), lit(0)).cast("int").as("depth"),
+                coalesce(col("at_cap"), lit(false)).as("at_cap"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(when(col("at_cap"), 1L).otherwise(0L)).as("n_at_cap"))
+        .orderBy(col("depth"))
+    }
+
   /** BATCH→STREAMING STATE MIGRATION under the hash gate
     * ([[UserSnapshotWarmStartProcessor]]): the store seeds from a batch
     * snapshot of the FIRST-half events (transformWithState initial
