@@ -482,9 +482,38 @@ case class LshCandidate(doc1: Long, doc2: Long, band: Int, band_hash: String)
   * the end-to-end semantics equal to batch BY CONSTRUCTION, not just on
   * cap-free corpora.
   */
+object LshBucketFold {
+  import graft.operators.DedupOps.MaxBucket
+
+  /** Pure split-invariant core shared by [[LshBucketProcessor]] and
+    * ProcessorProperties: fold one batch of bucket arrivals over the
+    * carried member list, returning (freshly admitted ids, emitted
+    * pairs). Admission is by arrival order under the MaxBucket
+    * poisoning bound; a pair is emitted exactly when its later member
+    * is admitted, so across ANY batch split each pair appears exactly
+    * once.
+    */
+  def step(existing: Vector[Long], rows: Iterator[BandKeyRow])
+      : (Vector[Long], Vector[LshCandidate]) = {
+    val seen = scala.collection.mutable.LinkedHashSet(existing: _*)
+    val fresh = Vector.newBuilder[Long]
+    val out = Vector.newBuilder[LshCandidate]
+    rows.foreach { r =>
+      if (seen.size < MaxBucket && !seen.contains(r.doc_id)) {
+        seen.foreach { m =>
+          out += LshCandidate(math.min(m, r.doc_id), math.max(m, r.doc_id),
+                              r.band, r.band_hash)
+        }
+        seen += r.doc_id
+        fresh += r.doc_id
+      }
+    }
+    (fresh.result(), out.result())
+  }
+}
+
 class LshBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, BandKeyRow, LshCandidate] {
-  import graft.operators.DedupOps.MaxBucket
 
   @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
 
@@ -498,21 +527,9 @@ class LshBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
       timerValues: TimerValues): Iterator[LshCandidate] = {
     val existing =
       if (members.exists()) members.get().toVector else Vector.empty[Long]
-    val seen = scala.collection.mutable.LinkedHashSet(existing: _*)
-    val fresh = Vector.newBuilder[Long]
-    val out = Vector.newBuilder[LshCandidate]
-    inputRows.foreach { r =>
-      if (seen.size < MaxBucket && !seen.contains(r.doc_id)) {
-        seen.foreach { m =>
-          out += LshCandidate(math.min(m, r.doc_id), math.max(m, r.doc_id),
-                              r.band, r.band_hash)
-        }
-        seen += r.doc_id
-        fresh += r.doc_id
-      }
-    }
-    members.appendList(fresh.result().toArray)
-    out.result().iterator
+    val (fresh, out) = LshBucketFold.step(existing, inputRows)
+    members.appendList(fresh.toArray)
+    out.iterator
   }
 }
 

@@ -289,4 +289,33 @@ object ProcessorProperties extends Properties("graft.processors") {
       s2 == sw && (t1 ++ t2) == tw && tw.size == events.size - 1 &&
         tw.zip(tw.drop(1)).forall { case (x, y) => x.next_type == y.prev_type }
     }
+
+  /** Bucket arrivals with duplicates, sized to straddle the MaxBucket
+    * poisoning bound.
+    */
+  private val genBucketDocs: Gen[List[Long]] = for {
+    n <- Gen.choose(1, 2 * graft.operators.DedupOps.MaxBucket)
+    ids <- Gen.listOfN(n, Gen.choose(0L, 400L))
+  } yield ids
+
+  property("lsh buckets: split-invariant exact-once pairs under the cap") =
+    forAll(genBucketDocs, genSplit) { (ids, f) =>
+      import graft.operators.DedupOps.MaxBucket
+      val rows = ids.map(d => BandKeyRow(d, 0, "h"))
+      val (a, b) = splitAt(rows, f)
+      val (m1, p1) = LshBucketFold.step(Vector.empty, a.iterator)
+      val (m2, p2) = LshBucketFold.step(m1, b.iterator)
+      val (mw, pw) = LshBucketFold.step(Vector.empty, rows.iterator)
+      val admitted = ids.distinct.take(MaxBucket)
+      // a pair is emitted when its LATER member is admitted, against
+      // every current member in admission order: ordered by (j, i)
+      val expected = (for {
+        j <- admitted.indices; i <- 0 until j
+      } yield (math.min(admitted(i), admitted(j)),
+               math.max(admitted(i), admitted(j)))).toList
+      (m1 ++ m2) == mw &&
+        (p1 ++ p2) == pw &&
+        mw == admitted.toVector &&
+        pw.map(p => (p.doc1, p.doc2)).toList == expected
+    }
 }
