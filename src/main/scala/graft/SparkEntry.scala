@@ -212,6 +212,9 @@ object SparkEntry {
     // training-data pipeline: text analysis
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),
+    // HTML boilerplate extraction over deterministic page fixtures —
+    // the web-corpus ingest step; body_md5 pins the full extracted text
+    "html_extract" -> (TextOps.htmlExtract _),
     "text_langid" -> (TextOps.textLangId _),
     "gopher_rules" -> (TextOps.gopherRules _),
     "tokenizer_fertility" -> (TextOps.tokenizerFertility _),

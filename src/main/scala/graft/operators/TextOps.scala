@@ -20,6 +20,50 @@ object TextOps {
   /** Whitespace tokens of the trimmed text. */
   private def tokensCol: Column = split(trim(col("text")), "\\s+")
 
+  /** HTML boilerplate extraction — the first step of every web-corpus
+    * pipeline (what trafilatura/jusText do before any quality or dedup
+    * stage runs). The corpus is plain token soup, so each document is
+    * wrapped in a deterministic HTML page FIXTURE (title, script block,
+    * nav/footer boilerplate, entities — all parameterized by doc_id,
+    * the media-header pattern), and the operator must get the article
+    * text back out: drop script blocks and nav/footer chrome, strip
+    * the remaining tags, decode the common entities, and collapse
+    * whitespace. The DuckDB oracle performs the IDENTICAL wrap and
+    * extraction, so any regex/ordering bug hash-mismatches; `body_md5`
+    * pins the full extracted text. Patterns stay in the Java-regex ∩
+    * RE2 subset (no lookaround/backrefs), and the whole pass is native
+    * column expressions — one codegen'd map over the corpus, no
+    * shuffle except the presentation sort.
+    */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><script>var trk="), col("doc_id") % 7,
+      lit(";</script></head><body><nav>home | about | archive</nav><h1>Doc "),
+      col("doc_id"), lit("</h1><p>"), col("text"),
+      lit("</p><footer>&copy; 2024 Example &amp; Co &lt;legal&gt;</footer></body></html>"))
+    val noScript = regexp_replace(raw, "<script[^>]*>[^<]*</script>", " ")
+    val noChrome = regexp_replace(
+      regexp_replace(noScript, "<nav>[^<]*</nav>", " "),
+      "<footer>[^<]*</footer>", " ")
+    val noTags = regexp_replace(noChrome, "<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+                      "&quot;" -> "\"", "&copy;" -> "(c)")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val body = trim(regexp_replace(decoded, "\\s+", " "))
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_extract(raw, "<title>([^<]*)</title>", 1).as("title"),
+        length(raw).cast("long").as("n_raw_chars"),
+        length(body).cast("long").as("n_text_chars"),
+        round(length(body).cast("double") / length(raw).cast("double"), 6)
+          .as("text_ratio"),
+        md5(body).as("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** GPT-2-style pre-tokenizer pieces (letter runs / digit runs /
     * punctuation runs, each with optional leading space) — the "BPE-ish
     * regex" count; a real BPE merges within these pieces, so this is the
@@ -354,6 +398,45 @@ object TextOps {
        |FROM s ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the identical wrap + extraction chain (same regex subset, same
+    // replace order, 'g' for Spark's replace-all default)
+    "html_extract" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |         '</title><script>var trk=' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         ';</script></head><body><nav>home | about | archive</nav><h1>Doc ' ||
+        |         CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |         '</p><footer>&copy; 2024 Example &amp; Co &lt;legal&gt;</footer></body></html>'
+        |           AS raw
+        |  FROM documents
+        |),
+        |x AS (
+        |  SELECT doc_id, raw,
+        |         trim(regexp_replace(
+        |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(raw, '<script[^>]*>[^<]*</script>', ' ', 'g'),
+        |                 '<nav>[^<]*</nav>', ' ', 'g'),
+        |               '<footer>[^<]*</footer>', ' ', 'g'),
+        |             '<[^>]*>', ' ', 'g'),
+        |           '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |           '&quot;', '"', 'g'), '&copy;', '(c)', 'g')) AS body0
+        |  FROM w
+        |),
+        |y AS (SELECT doc_id, raw,
+        |             trim(regexp_replace(body0, '\s+', ' ', 'g')) AS body
+        |      FROM x)
+        |SELECT doc_id,
+        |       regexp_extract(raw, '<title>([^<]*)</title>', 1) AS title,
+        |       CAST(length(raw) AS BIGINT) AS n_raw_chars,
+        |       CAST(length(body) AS BIGINT) AS n_text_chars,
+        |       round(CAST(length(body) AS DOUBLE)
+        |             / CAST(length(raw) AS DOUBLE), 6) AS text_ratio,
+        |       md5(body) AS body_md5
+        |FROM y ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id,
