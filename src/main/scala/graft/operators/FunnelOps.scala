@@ -209,9 +209,25 @@ object FunnelOps {
     * production form also slices a time range first — same caveat
     * family as any per-entity sequence scan).
     */
-  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame =
+    windowFunnelAt(spark, dir, FunnelWindowMicros)
+
+  /** [[windowFunnel]] at a 12-hour window — tight enough that the
+    * corpus produces a genuinely mixed depth histogram (the 7-day
+    * default converts every test user, a single-row gate; measured at
+    * sf0.01 this splits ≈14/100/36 across depths 1/2/3), proving the
+    * window knob cannot desync the engines. Oracle generated by the
+    * same builder at the same window.
+    */
+  def windowFunnelTight(spark: SparkSession, dir: String): DataFrame =
+    windowFunnelAt(spark, dir, TightWindowMicros)
+
+  private val TightWindowMicros = 43200000000L
+
+  private def windowFunnelAt(spark: SparkSession, dir: String,
+                             windowMicros: Long): DataFrame = {
     val big = lit(FunnelSentinel)
-    val w = lit(FunnelWindowMicros)
+    val w = lit(windowMicros)
     val maxEv =
       spark.conf.get("graft.funnel.maxEvents", FunnelMaxEvents.toString).toInt
     val step = when(col("event_type") === "view", 1)
@@ -461,6 +477,9 @@ object FunnelOps {
     * cap — every gate corpus).
     */
   private lazy val windowFunnelSql: String =
+    windowFunnelSqlAt(FunnelWindowMicros)
+
+  private def windowFunnelSqlAt(windowMicros: Long): String =
       s"""WITH e AS (${Tables.eventsSql}),
          |fr AS (
          |  SELECT user_id,
@@ -485,10 +504,10 @@ object FunnelOps {
          |           (a, e) -> [
          |             CASE WHEN e[2] = 1 THEN greatest(a[1], e[1]) ELSE a[1] END,
          |             CASE WHEN e[2] = 2
-         |                    AND e[1] - a[1] <= $FunnelWindowMicros
+         |                    AND e[1] - a[1] <= $windowMicros
          |                  THEN greatest(a[2], a[1]) ELSE a[2] END,
          |             CASE WHEN e[2] = 3
-         |                    AND e[1] - a[2] <= $FunnelWindowMicros
+         |                    AND e[1] - a[2] <= $windowMicros
          |                  THEN greatest(a[3], a[2]) ELSE a[3] END]) AS s
          |  FROM f GROUP BY user_id
          |)
@@ -595,6 +614,8 @@ object FunnelOps {
     // whenever no user exceeds the cap (every gate corpus; the cap
     // audit column is batch-side bookkeeping either way)
     "stream_funnel_drain" -> windowFunnelSql,
+    // mixed-depth histogram at the 60 s window: the knob-proof row
+    "window_funnel_tight" -> windowFunnelSqlAt(TightWindowMicros),
     "pagerank_types" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |t AS (
