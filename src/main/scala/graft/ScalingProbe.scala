@@ -52,12 +52,27 @@ object ScalingProbe {
 
   def buildScaled(spark: SparkSession, base: String, out: String,
                   copies: Int): Unit = {
+    // The embedding rotation has only dim (=64 in the driver fixtures)
+    // distinct positions; past that, copy i ≡ i-dim would stack
+    // identical vectors per id and mint fake cross-copy megabuckets.
+    require(copies >= 2 && copies <= 64,
+            s"copies=$copies out of range: need 2..64 (embedding dim)")
     // marker encodes the BASE DIR too: a rerun against a different base
     // must rebuild, not silently time the new base against a stale
-    // replica derived from the old one
+    // replica derived from the old one. Any OTHER (copies, base)
+    // marker present means the tables on disk were built for a
+    // different configuration — rebuild and clear the stale markers,
+    // otherwise returning to a previously-used combination would
+    // silently time queries against the wrong replica.
     val baseTag = java.lang.Integer.toHexString(base.hashCode)
     val marker = Paths.get(s"$out/_built_${copies}_$baseTag")
     if (Files.exists(marker)) return
+    if (Files.isDirectory(Paths.get(out))) {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(out)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_built_"))
+        .foreach(Files.deleteIfExists(_))
+    }
     def rd(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")

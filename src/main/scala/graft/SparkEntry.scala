@@ -249,7 +249,7 @@ object SparkEntry {
     "event_transitions" -> (FunnelOps.eventTransitions _),
     "pagerank_types" -> (FunnelOps.pagerankTypes _),
     "window_funnel" -> (FunnelOps.windowFunnel _),
-    // 60 s window: mixed-depth histogram, window-knob-proof gate row
+    // 12 h window: mixed-depth histogram, window-knob-proof gate row
     "window_funnel_tight" -> (FunnelOps.windowFunnelTight _),
     "funnel_latency" -> (FunnelOps.funnelLatency _),
     "top_paths" -> (FunnelOps.topPaths _),

@@ -614,7 +614,7 @@ object FunnelOps {
     // whenever no user exceeds the cap (every gate corpus; the cap
     // audit column is batch-side bookkeeping either way)
     "stream_funnel_drain" -> windowFunnelSql,
-    // mixed-depth histogram at the 60 s window: the knob-proof row
+    // mixed-depth histogram at the 12 h window: the knob-proof row
     "window_funnel_tight" -> windowFunnelSqlAt(TightWindowMicros),
     "pagerank_types" ->
       s"""WITH e AS (${Tables.eventsSql}),

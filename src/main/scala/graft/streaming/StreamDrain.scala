@@ -25,16 +25,26 @@ import graft.functions.Rounding.round
 object StreamDrain {
 
   /** Per-run work dirs (staged events copy, store, checkpoint) are
-    * registered for recursive deletion at JVM exit — the drains run
-    * once per Verify and ~4× per query per Bench, and without cleanup
-    * each run would leave a full staged copy of the events table in
-    * /tmp, accumulating without bound. (Deletion cannot happen inside
-    * the query itself: the returned DataFrame lazily reads the store
-    * until the caller consumes it.)
+    * cleaned two ways: (a) when the SAME drain allocates its next work
+    * dir, the previous one is deleted eagerly — by then its lazy
+    * read-back has been consumed (Verify writes each result before the
+    * next query; Bench counts each run before the next), so a min-of-N
+    * bench holds at most one live dir per drain instead of N; (b) one
+    * static JVM shutdown hook drains whatever remains at exit.
+    * (Deletion cannot happen inside the query itself: the returned
+    * DataFrame lazily reads the store until the caller consumes it.)
     */
+  private val liveDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => liveDirs.values().forEach(deleteTree(_))))
+
   private def tempWorkDir(prefix: String): String = {
+    exitHook
     val dir = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+    val prev = liveDirs.put(prefix, dir)
+    if (prev != null) deleteTree(prev)
     dir.toString
   }
 
