@@ -25,8 +25,10 @@ import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
   */
 object StateTtl {
 
+  val Key = "graft.state.ttl"
+
   def of(spark: SparkSession): TTLConfig = {
-    val v = spark.conf.get("graft.state.ttl", "none")
+    val v = spark.conf.get(Key, "none")
     if (v == "none") TTLConfig.NONE
     else {
       val ms =

@@ -240,17 +240,29 @@ object StreamDrain {
 
   /** Run `body` with the RocksDB state-store provider scoped on, exactly
     * like StreamJob.run — transformWithState needs it (multiple column
-    * families). Safe because every drain fully awaits termination before
-    * the restore, and the returned frame only reads the parquet store.
+    * families) — and with `graft.state.ttl` scoped OFF: a TTL forces
+    * processing-time mode, where transformWithState always requests
+    * another batch and `Trigger.AvailableNow` + `awaitTermination` block
+    * forever (the StreamJob TTL drain documents and polls around exactly
+    * this). The drains are bounded gate rehearsals, not long-lived jobs,
+    * so state expiry has nothing to expire here — TTL behavior itself is
+    * exercised by StreamJob's dedicated TTL leg. Safe because every
+    * drain fully awaits termination before the restore, and the
+    * returned frame only reads the parquet store.
     */
   private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val (providerKey, rocksdb) = AnomalyStatefulProcessor.rocksdbConf
     val prev = spark.conf.getOption(providerKey)
+    val prevTtl = spark.conf.getOption(StateTtl.Key)
     spark.conf.set(providerKey, rocksdb)
+    spark.conf.unset(StateTtl.Key)
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None    => spark.conf.unset(providerKey)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      prevTtl.foreach(spark.conf.set(StateTtl.Key, _))
     }
   }
 

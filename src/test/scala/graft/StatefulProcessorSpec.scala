@@ -522,6 +522,20 @@ class StatefulProcessorSpec extends AnyFunSuite {
       events.map(e => e.event_id -> e.ts).toMap)
   }
 
+  test("drains terminate under a session TTL (scoped off inside)") {
+    // a TTL forces processing-time mode where transformWithState always
+    // requests another batch — AvailableNow would hang; the drain
+    // wrapper must scope graft.state.ttl OFF (and restore it after)
+    spark.conf.set(graft.streaming.StateTtl.Key, "60000")
+    try {
+      val out = StreamDrain
+        .streamSnapshotDrain(spark, "/root/testdata/sf0.001")
+        .collect()
+      assert(out.length > 0)
+      assert(spark.conf.get(graft.streaming.StateTtl.Key) == "60000")
+    } finally spark.conf.unset(graft.streaming.StateTtl.Key)
+  }
+
   test("online LSH buckets: exact-once pair discovery, megabucket poisoned") {
     val session = spark
     import session.implicits._
