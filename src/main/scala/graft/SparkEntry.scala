@@ -63,6 +63,9 @@ object SparkEntry {
     // §2.3 P1/P2, §2.8 F6/F7/F11 — parse/serialize
     "event_parse_json" -> (MiscOps.eventParseJson _),
     "event_nested_parse" -> (MiscOps.eventNestedParse _),
+    // Spark 4 VARIANT: heterogeneous payloads through parse_json ->
+    // variant_get, gated against a json-free source-formula oracle
+    "event_variant" -> (MiscOps.eventVariant _),
     "event_json_envelope" -> (MiscOps.eventJsonEnvelope _),
     "events_dedup" -> (MiscOps.eventsDedup _),
     // K5 exactly-once dedup guard via an ACTUAL writeStream drain fed

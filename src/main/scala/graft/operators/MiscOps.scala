@@ -26,6 +26,51 @@ object MiscOps {
               col("value"), col("parsed.k").as("props_k"))
       .orderBy(col("event_id"))
 
+  /** Semi-structured analytics on Spark 4's VARIANT type — the
+    * schema-on-read path for payloads whose shape VARIES by event type
+    * (exactly where a fixed `from_json` StructType stops working):
+    * each type carries a different deterministic JSON payload (clicks a
+    * nested position, views a page/dwell pair, everything else a cents
+    * amount), `parse_json` ingests them into one VARIANT column, and
+    * typed `variant_get` paths extract per-type fields — missing paths
+    * are NULL, so the aggregation needs no per-type branching. The
+    * oracle recomputes the same sums from the SOURCE column formulas
+    * directly (no JSON at all), so the gate verifies the whole
+    * parse_json → shredded-variant → variant_get round trip
+    * reproduces the original arithmetic. VARIANT's binary encoding
+    * scans ~an order of magnitude faster than re-parsing JSON text per
+    * path at 100 TB, which is why this is the idiomatic Spark 4 form
+    * of the open-schema JSONB column.
+    */
+  def eventVariant(spark: SparkSession, dir: String): DataFrame = {
+    val payload = when(
+      col("event_type") === "click",
+      to_json(struct(
+        (col("user_id") % 5).as("btn"),
+        struct((col("event_id") % 97).as("x"),
+               (col("event_id") % 53).as("y")).as("pos"))))
+      .when(
+        col("event_type") === "view",
+        to_json(struct(
+          concat(lit("p"), col("event_id") % 7).as("page"),
+          (col("event_id") % 1000).as("ms"))))
+      .otherwise(
+        to_json(struct(
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))))
+    Tables
+      .events(spark, dir)
+      .withColumn("v", parse_json(payload))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(variant_get(col("v"), "$.pos.x", "long")).as("sum_x"),
+        sum(variant_get(col("v"), "$.pos.y", "long")).as("sum_y"),
+        sum(variant_get(col("v"), "$.ms", "long")).as("sum_ms"),
+        count(variant_get(col("v"), "$.page", "string")).as("n_pages"),
+        sum(variant_get(col("v"), "$.cents", "long")).as("sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** The reference's full nested event schema (§1.2): top-level fields +
     * an `attributes` struct of the common keys. Parsed with an explicit
     * StructType — never inferSchema.
@@ -509,6 +554,23 @@ object MiscOps {
     "stream_dedup_drain" ->
       s"""SELECT event_id, ts, user_id, event_type, value
          |FROM $ev e ORDER BY event_id""".stripMargin,
+    // the VARIANT round trip: the oracle recomputes from the source
+    // column formulas with NO json — Spark must reproduce the same
+    // sums through parse_json -> variant_get to hash-match
+    "event_variant" ->
+      s"""SELECT event_type, count(*) AS n,
+         |       CAST(sum(CASE WHEN event_type = 'click'
+         |                     THEN event_id % 97 END) AS BIGINT) AS sum_x,
+         |       CAST(sum(CASE WHEN event_type = 'click'
+         |                     THEN event_id % 53 END) AS BIGINT) AS sum_y,
+         |       CAST(sum(CASE WHEN event_type = 'view'
+         |                     THEN event_id % 1000 END) AS BIGINT) AS sum_ms,
+         |       CAST(count(CASE WHEN event_type = 'view'
+         |                       THEN 1 END) AS BIGINT) AS n_pages,
+         |       CAST(sum(CASE WHEN event_type NOT IN ('click', 'view')
+         |                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |                END) AS BIGINT) AS sum_cents
+         |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the sketch-fold drain (StreamDrain.streamHllDrain): per-day
     // cumulative counts exact under the hash gate, estimate via the
     // same 5σ self-gate verdict hll_by_day uses
