@@ -86,6 +86,10 @@ object SparkEntry {
     // through an ACTUAL writeStream drain vs the batch histogram oracle
     "stream_funnel_drain" ->
       (graft.streaming.StreamDrain.streamFunnelDrain _),
+    // Spark 4 statestore reader: keyed state read DIRECTLY from the
+    // drained checkpoint's RocksDB store, vs the from-scratch oracle
+    "stream_state_reader" ->
+      (graft.streaming.StreamDrain.streamStateReaderDrain _),
     // the per-day HLL sketch fold through an ACTUAL writeStream drain:
     // exact cumulative counts hash-gated, the estimate self-gated
     "stream_hll_drain" -> (graft.streaming.StreamDrain.streamHllDrain _),

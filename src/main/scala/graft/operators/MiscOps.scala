@@ -582,6 +582,10 @@ object MiscOps {
     // from-scratch aggregate (fold∘batches = aggregate); exact integer
     // micro-unit sums and µs epochs keep the check order-free
     "stream_snapshot_drain" -> perUserSnapshotSql,
+    // the statestore READER (StreamDrain.streamStateReaderDrain): rows
+    // read directly out of the drained checkpoint's RocksDB store must
+    // equal the same from-scratch aggregate
+    "stream_state_reader" -> perUserSnapshotSql,
     // the MIGRATION drain (StreamDrain.streamWarmstartDrain): batch
     // seed over the first half + streamed delta must still equal the
     // from-scratch full aggregate, so the oracle is shared

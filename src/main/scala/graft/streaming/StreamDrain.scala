@@ -411,6 +411,40 @@ object StreamDrain {
         .orderBy(col("user_id"))
     }
 
+  /** STATE-STORE INTROSPECTION (Spark 4 `statestore` reader): drain the
+    * incremental-view processor, then read its keyed state DIRECTLY out
+    * of the checkpoint — not the emissions — and hash-check the state
+    * rows against the same from-scratch per-user aggregate oracle. This
+    * verifies what actually PERSISTED in RocksDB (encoder round trip,
+    * store commit, checkpoint layout), and demonstrates the
+    * state-debugging surface a 100 TB operator needs when a store
+    * misbehaves: query the store like a table, no custom tooling.
+    */
+  def streamStateReaderDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_state_reader")
+      val staged = stagedStream(spark, dir, work)
+      val s = spark
+      import s.implicits._
+      // drain for the side effect of a committed checkpoint; the
+      // emissions themselves are gated by stream_snapshot_drain
+      drainToStore(
+        spark,
+        TypedStatefulProcessors
+          .userSnapshotStream(spark, staged.as[Event])
+          .toDF(),
+        work).count()
+      spark.read
+        .format("statestore")
+        .option("stateVarName", "userSnap")
+        .load(s"$work/ckpt")
+        .select(col("key.value").as("user_id"),
+                col("value.n_events").as("n_events"),
+                col("value.sum_micros").as("sum_micros"),
+                col("value.last_ts_micros").as("last_ts_micros"))
+        .orderBy(col("user_id"))
+    }
+
   /** The windowed-funnel leg ([[FunnelStatefulProcessor]]: three longs
     * of per-user state folded through the latest-chain-start algebra)
     * through an actual writeStream drain, final per-user depth read
