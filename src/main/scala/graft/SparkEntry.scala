@@ -52,6 +52,9 @@ object SparkEntry {
     "anomaly_alerts" -> (AnomalyOps.anomalyAlerts _),
     // §2.7 T3-T9 via an ACTUAL flatMapGroupsWithState writeStream drain
     "stream_alerts_drain" -> (graft.streaming.StreamDrain.streamAlertsDrain _),
+    // the ListState-buffered detector (third parity form) drained
+    "stream_alerts_list_drain" ->
+      (graft.streaming.StreamDrain.streamAlertsListDrain _),
     "anomaly_regions" -> (AnomalyOps.anomalyRegions _),
     "alerts_filter" -> (AnomalyOps.alertsFilter _),
     "alerts_stats" -> (AnomalyOps.alertsStats _),

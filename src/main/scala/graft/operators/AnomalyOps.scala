@@ -585,6 +585,9 @@ object AnomalyOps {
     // flatMapGroupsWithState writeStream execution
     // (graft.streaming.StreamDrain), so it shares the batch oracle
     "stream_alerts_drain" -> anomalyAlertsSql,
+    // the ListState-buffered detector form through its own drain —
+    // third of the three parity forms, same oracle
+    "stream_alerts_list_drain" -> anomalyAlertsSql,
     "alerts_filter" ->
       s"""$scoredSql
          |SELECT event_id, event_type, ts, value, z_score, mad_score, severity

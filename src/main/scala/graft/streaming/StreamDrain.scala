@@ -161,13 +161,41 @@ object StreamDrain {
     */
   def streamAlertsDrain(spark: SparkSession, dir: String): DataFrame = {
     val work = tempWorkDir("graft_alerts_drain")
-    drainToStore(
+    alertsReadback(drainToStore(
       spark,
       EventPipeline
         .anomalyStream(spark, stagedStream(spark, dir, work))
         .filter(_.is_anomaly)
         .toDF(),
-      work)
+      work))
+  }
+
+  /** The SAME detector through the ListState-buffered processor
+    * ([[AnomalyListStateProcessor]] — per-element RocksDB rows +
+    * carried moments, the state shape a 100 TB store wants) — the third
+    * of the three parity-asserted detector forms, now under the hash
+    * gate itself via the shared batch oracle.
+    */
+  def streamAlertsListDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_alerts_list_drain")
+      val staged = stagedStream(spark, dir, work)
+      val s = spark
+      import s.implicits._
+      alertsReadback(drainToStore(
+        spark,
+        TypedStatefulProcessors
+          .anomalyListStream(spark, staged.as[Event])
+          .filter(_.is_anomaly)
+          .toDF(),
+        work))
+    }
+
+  /** Shared read-back projection of a drained alert store: reference
+    * envelope description + deterministic presentation order.
+    */
+  private def alertsReadback(drained: DataFrame): DataFrame =
+    drained
       .withColumn(
         "description",
         format_string(
@@ -181,7 +209,6 @@ object StreamDrain {
               col("z_score"), col("mad_score"), col("severity"),
               col("anomaly_type"), col("description"))
       .orderBy(col("event_type"), col("ts"), col("event_id"))
-  }
 
   /** The EWMA leg ([[EventPipeline.ewmaStream]]) through an actual
     * writeStream drain, final level per key read back against the batch
