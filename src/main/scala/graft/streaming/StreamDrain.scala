@@ -14,13 +14,18 @@ import graft.functions.Rounding.round
   * store, and sink path the always-on job runs — then reads the drained
   * store back as the query result, so the driver's DuckDB hash gate
   * verifies a streaming execution end-to-end instead of only a batch
-  * twin. Six legs, six oracles: windowed aggregation
-  * ([[streamKpiDrain]] — `EventAggregationJob.java:79-96`), the keyed
-  * rolling-stats detector ([[streamAlertsDrain]] —
-  * `AnomalyDetectionJob.java:279-368`), the EWMA / CUSUM T-series
-  * processors ([[streamEwmaDrain]] / [[streamCusumDrain]]), gap
-  * sessionization in append mode ([[streamSessionDrain]]), and
-  * watermark-bounded dedup ([[streamDedupDrain]], fed REAL duplicates).
+  * twin. Every stateful leg runs under the gate this way: windowed
+  * aggregation ([[streamKpiDrain]] — `EventAggregationJob.java:79-96`),
+  * the keyed rolling-stats detector in BOTH processor forms
+  * ([[streamAlertsDrain]] fMGWS — `AnomalyDetectionJob.java:279-368` —
+  * and [[streamAlertsListDrain]] ListState), the EWMA / CUSUM T-series
+  * processors, gap sessionization in append mode (session_window and
+  * timer forms), watermark-bounded dedup (fed REAL duplicates), the
+  * stream-stream attribution join, keyed transitions, the MapState
+  * drift histogram, incremental per-user views (cold, warm-start
+  * migration, and read DIRECTLY from the checkpointed state store),
+  * per-day HLL and per-language Misra–Gries sketch folds, online LSH
+  * near-dup ingest, and the windowed funnel.
   */
 object StreamDrain {
 
