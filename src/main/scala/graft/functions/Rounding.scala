@@ -37,14 +37,22 @@ object Rounding {
     math.floor(x * s + 0.5) / s
   }
 
+  /** Round-half-up fixed-point encoding at an arbitrary scale:
+    * `⌊x·scale + 0.5⌋` as a long — ONE definition for every
+    * fixed-point unit here (micro for metrics, centi for money), so
+    * the hand-typed copies that must stay bit-aligned with the DuckDB
+    * oracles' inline formula live in exactly one place.
+    */
+  def fixedUnits(c: Column, scale: Long): Column =
+    floor(c * lit(scale) + lit(0.5)).cast("long")
+
   /** Exact integer micro-units: `⌊x·10⁶ + 0.5⌋` as a long — the
     * round-half-up fixed-point encoding every money/metric sum uses so
     * aggregation is associative bit-for-bit. One definition shared by
     * the batch operators, the streaming snapshot processor, and the
     * parity specs; the DuckDB oracles write the same formula inline.
     */
-  def microUnits(c: Column): Column =
-    floor(c * lit(1000000) + lit(0.5)).cast("long")
+  def microUnits(c: Column): Column = fixedUnits(c, 1000000L)
 
   /** Scalar twin of [[microUnits]] for streaming state code. */
   def microUnitsScalar(x: Double): Long =

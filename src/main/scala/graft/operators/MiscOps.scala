@@ -56,7 +56,8 @@ object MiscOps {
           (col("event_id") % 1000).as("ms"))))
       .otherwise(
         to_json(struct(
-          floor(col("value") * 100 + 0.5).cast("long").as("cents"))))
+          graft.functions.Rounding.fixedUnits(col("value"), 100L)
+            .as("cents"))))
     Tables
       .events(spark, dir)
       .withColumn("v", parse_json(payload))

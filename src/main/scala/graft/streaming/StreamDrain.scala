@@ -280,7 +280,12 @@ object StreamDrain {
     * so state expiry has nothing to expire here — TTL behavior itself is
     * exercised by StreamJob's dedicated TTL leg. Safe because every
     * drain fully awaits termination before the restore, and the
-    * returned frame only reads the parquet store.
+    * returned frame reads either the parquet store or — for the
+    * statestore leg — a state source whose StateStoreConf is
+    * SNAPSHOTTED from the checkpoint's own metadata at load() time
+    * (inside this scope), not from the session conf at execution time;
+    * a new leg whose lazy read depends on the LIVE session conf must
+    * not rely on this wrapper.
     */
   private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val (providerKey, rocksdb) = AnomalyStatefulProcessor.rocksdbConf
@@ -458,14 +463,15 @@ object StreamDrain {
       val staged = stagedStream(spark, dir, work)
       val s = spark
       import s.implicits._
-      // drain for the side effect of a committed checkpoint; the
-      // emissions themselves are gated by stream_snapshot_drain
+      // drain for the side effect of a committed checkpoint — the
+      // emissions themselves are gated by stream_snapshot_drain, and
+      // drainToStore awaits termination, so nothing reads its store
       drainToStore(
         spark,
         TypedStatefulProcessors
           .userSnapshotStream(spark, staged.as[Event])
           .toDF(),
-        work).count()
+        work)
       spark.read
         .format("statestore")
         .option("stateVarName", "userSnap")

@@ -440,8 +440,8 @@ object StreamJob {
     import session0.implicits._
     val ttlDir = s"$outDir/staged_events_ttl"
     spark.read.parquet(stageDir).write.mode("overwrite").parquet(ttlDir)
-    val prevTtl = spark.conf.getOption("graft.state.ttl")
-    spark.conf.set("graft.state.ttl", TtlMillis.toString)
+    val prevTtl = spark.conf.getOption(StateTtl.Key)
+    spark.conf.set(StateTtl.Key, TtlMillis.toString)
     try {
       // NOT AvailableNow, and NOT processAllAvailable(): the TTL forces
       // TimeMode.ProcessingTime, under which the transformWithState
@@ -532,8 +532,8 @@ object StreamJob {
       val evicted = drain(2 * n, awaitEviction = true)
       (evicted, outputCount() - n)
     } finally prevTtl match {
-      case Some(v) => spark.conf.set("graft.state.ttl", v)
-      case None    => spark.conf.unset("graft.state.ttl")
+      case Some(v) => spark.conf.set(StateTtl.Key, v)
+      case None    => spark.conf.unset(StateTtl.Key)
     }
   }
 
