@@ -59,6 +59,16 @@ object SparkEntry {
     "alerts_filter" -> (AnomalyOps.alertsFilter _),
     "alerts_stats" -> (AnomalyOps.alertsStats _),
     "alert_cooldown" -> (AnomalyOps.alertCooldown _),
+    // EXACT chained cooldown (gap since last FIRED, the true reference
+    // semantics): batch aggregate()-fold form, plus the SAME gate through
+    // actual writeStream drains — the fMGWS processor and the
+    // transformWithState + event-time-timer form, each folding keyed
+    // state across >=3 micro-batches against the shared fold oracle
+    "alert_cooldown_chained" -> (AnomalyOps.alertCooldownChained _),
+    "stream_cooldown_drain" ->
+      (graft.streaming.StreamDrain.streamCooldownDrain _),
+    "stream_cooldown_timer_drain" ->
+      (graft.streaming.StreamDrain.streamCooldownTimerDrain _),
     "alert_routing" -> (AnomalyOps.alertRouting _),
     "detector_agreement" -> (AnomalyOps.detectorAgreement _),
     "order_backlog" -> (OlapOps.orderBacklog _),
@@ -81,6 +91,11 @@ object SparkEntry {
     "stream_drift_drain" -> (graft.streaming.StreamDrain.streamDriftDrain _),
     "stream_snapshot_drain" ->
       (graft.streaming.StreamDrain.streamSnapshotDrain _),
+    // checkpoint KILL-AND-RESUME: pass 1 drains half the chunks and
+    // stops; pass 2 starts a NEW query on the SAME checkpoint over the
+    // late-arriving rest — restored+extended state vs the full oracle
+    "stream_restart_drain" ->
+      (graft.streaming.StreamDrain.streamRestartDrain _),
     // batch->streaming state MIGRATION: seed from a first-half batch
     // snapshot, stream the delta, merged view vs full-aggregate oracle
     "stream_warmstart_drain" ->

@@ -393,6 +393,70 @@ object AnomalyOps {
       .orderBy(col("event_type"), col("severity"), col("ts"), col("event_id"))
   }
 
+  /** Anomalies with the full typed alert schema
+    * ([[graft.streaming.AnomalyAlert]] field set) — the staged input the
+    * cooldown drains replay as a stream
+    * ([[graft.streaming.StreamDrain]]): the detector stage is gated
+    * separately (`stream_alerts_drain`), so the cooldown drains stage its
+    * batch-equal output offline and put only the GATE stage's streaming
+    * execution under the hash check (the same offline-stage pattern as
+    * `stream_lshdedup_drain`).
+    */
+  private[graft] def scoredAlerts(spark: SparkSession, dir: String): DataFrame =
+    scoredStore(spark, dir).filter(col("is_anomaly"))
+
+  /** EXACT chained cooldown (T10), batch form: an alert fires only if
+    * ≥5 min elapsed since the last alert that actually FIRED — the true
+    * reference semantics (`alert-service/main.py:189-202`: firing writes
+    * the suppression key) that [[alertCooldown]]'s `lag` form only
+    * approximates (gap since last SEEN). The greedy pass is inherently
+    * sequential per key, so it runs as a left fold via the `aggregate`
+    * higher-order function over the per-key time-sorted alert list —
+    * the exact fold [[graft.streaming.CooldownProcessor.advance]] runs
+    * online, distributed per (source, severity) key with group size
+    * bounded by alerts-per-key (the collect_list bound every exact
+    * per-key operator here shares). The DuckDB oracle replays the same
+    * fold with `list_reduce`.
+    */
+  def alertCooldownChained(spark: SparkSession, dir: String): DataFrame = {
+    val cooldownMs = graft.streaming.CooldownProcessor.CooldownMillis
+    // lexicographic struct sort = (arrival micros, event_id), the
+    // processor's in-batch order; the fold compares epoch millis, the
+    // processor's `ts.getTime` threshold arithmetic
+    val perKey = scoredAlerts(spark, dir)
+      .select(col("event_type"), col("severity"),
+              struct(unix_micros(col("ts")).as("us"), col("event_id"),
+                     unix_millis(col("ts")).as("ms"), col("ts")).as("x"))
+      .groupBy(col("event_type"), col("severity"))
+      .agg(array_sort(collect_list(col("x"))).as("xs"))
+    val first = element_at(col("xs"), 1)
+    val init = struct(
+      first.getField("ms").as("ms"),
+      array(first.getField("event_id")).as("ids"),
+      array(first.getField("ts")).as("tss"))
+    perKey
+      .withColumn(
+        "r",
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          init,
+          (acc, x) =>
+            when(x.getField("ms") - acc.getField("ms") >= lit(cooldownMs),
+                 struct(
+                   x.getField("ms").as("ms"),
+                   concat(acc.getField("ids"), array(x.getField("event_id")))
+                     .as("ids"),
+                   concat(acc.getField("tss"), array(x.getField("ts")))
+                     .as("tss")))
+              .otherwise(acc)))
+      .select(col("event_type"), col("severity"),
+              explode(arrays_zip(col("r.ids").as("fid"),
+                                 col("r.tss").as("fts"))).as("f"))
+      .select(col("f.fid").as("event_id"), col("event_type"),
+              col("f.fts").as("ts"), col("severity"))
+      .orderBy(col("event_type"), col("severity"), col("ts"), col("event_id"))
+  }
+
   /** Alert routing rules — the reference alert-service's in-memory rule
     * list (`alert-service/main.py:60-77`): (rule_id, enabled,
     * severity_threshold, sources it applies to — empty ⇒ all, notify
@@ -553,7 +617,51 @@ object AnomalyOps {
        |              round(z_score, 2), round(mad_score, 2)) AS description
        |FROM final WHERE is_anomaly ORDER BY event_type, ts, event_id""".stripMargin
 
+  /** EXACT chained-cooldown oracle, shared by the batch
+    * `alert_cooldown_chained` and the two streaming cooldown drains:
+    * the greedy pass is a per-key linked-list walk, replayed as a
+    * recursive CTE — the first alert per (source, severity) fires, and
+    * each fired row joins to the EARLIEST later alert ≥ cooldown past
+    * it (the NOT EXISTS keeps only the minimal-rn candidate, exactly
+    * [[graft.streaming.CooldownProcessor.advance]]'s next firing).
+    * A `list_reduce` fold would be the natural form, but this DuckDB's
+    * list_reduce loses accumulated state across consecutive
+    * accumulator rebuilds (verified minimal repro: a struct/list
+    * accumulator concatenated over 5 elements keeps only the last), so
+    * the oracle walks the chain relationally instead.
+    */
+  private lazy val chainedCooldownSql: String =
+    s"""${scoredSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |alerts AS (SELECT * FROM final WHERE is_anomaly),
+       |a AS (
+       |  SELECT event_type, severity, event_id, ts, epoch_ms(ts) AS ms,
+       |         row_number() OVER (PARTITION BY event_type, severity
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM alerts
+       |),
+       |fired AS (
+       |  SELECT event_type, severity, event_id, ts, ms, rn FROM a WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.event_type, n.severity, n.event_id, n.ts, n.ms, n.rn
+       |  FROM fired f JOIN a n
+       |    ON n.event_type = f.event_type AND n.severity = f.severity
+       |   AND n.rn > f.rn AND n.ms - f.ms >= 300000
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM a m
+       |    WHERE m.event_type = f.event_type AND m.severity = f.severity
+       |      AND m.rn > f.rn AND m.ms - f.ms >= 300000 AND m.rn < n.rn)
+       |)
+       |SELECT event_id, event_type, ts, severity FROM fired
+       |ORDER BY event_type, severity, ts, event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "alert_cooldown_chained" -> chainedCooldownSql,
+    // the SAME chained semantics through actual writeStream executions
+    // (graft.streaming.StreamDrain): the flatMapGroupsWithState gate and
+    // the transformWithState + event-time-timer form, each folding keyed
+    // state across >=3 micro-batches
+    "stream_cooldown_drain" -> chainedCooldownSql,
+    "stream_cooldown_timer_drain" -> chainedCooldownSql,
     "anomaly_regions" ->
       s"""$regionsSqlCte
          |SELECT event_type, start_ts, end_ts, duration_secs, n_alerts,

@@ -39,13 +39,21 @@ object KpiOps {
     val dur = graft.functions.WindowParam.duration(windowParam)
     val ev = Tables.eventsWithStatus(spark, dir)
     ev.groupBy(col("event_type"), window(col("ts"), dur).as("w"))
+      // exact micro-unit window sums, like kpiSliding: integer addition
+      // is order-free, so the gate no longer depends on the fixture's
+      // values being centi-exact (the sliding/stream discipline)
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 6).as("avg_value"),
+        sum(graft.functions.Rounding.microUnits(col("value")))
+          .as("sum_micro"),
         count(when(col("status") === "error", 1)).as("error_count"),
         sort_array(collect_list(col("value"))).as("sorted_values")
       )
+      .withColumn("sum_value",
+                  round(col("sum_micro").cast("double") / lit(1000000.0), 4))
+      .withColumn("avg_value",
+                  round(col("sum_micro").cast("double") /
+                    (col("n_events") * lit(1000000L)).cast("double"), 6))
       .withColumn("error_rate", round(col("error_count") / col("n_events"), 6))
       .withColumn("p95_value",
                   exactPercentile(col("sorted_values"), col("n_events"), 0.95))
@@ -245,8 +253,10 @@ object KpiOps {
        |       TIMESTAMP '1970-01-01 00:00:00'
        |         + (CAST(floor(epoch(ts) / $lenSecs) AS BIGINT) * $lenSecs + $lenSecs) * INTERVAL 1 SECOND AS window_end,
        |       count(*) AS n_events,
-       |       round(sum(value), 4) AS sum_value,
-       |       round(avg(value), 6) AS avg_value,
+       |       round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / 1000000.0, 4) AS sum_value,
+       |       round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / (count(*) * 1000000.0), 6) AS avg_value,
        |       count(*) FILTER (WHERE status = 'error') AS error_count,
        |       round(CAST(count(*) FILTER (WHERE status = 'error') AS DOUBLE) / count(*), 6) AS error_rate,
        |       list_sort(list(value))[CAST(floor(count(*) * 0.95) AS INT) + 1] AS p95_value,

@@ -591,6 +591,11 @@ object MiscOps {
     // seed over the first half + streamed delta must still equal the
     // from-scratch full aggregate, so the oracle is shared
     "stream_warmstart_drain" -> perUserSnapshotSql,
+    // the KILL-AND-RESUME drain (StreamDrain.streamRestartDrain): a new
+    // query resuming the same checkpoint over late-arriving chunks must
+    // land on the same from-scratch aggregate — a lost or double-counted
+    // batch on restart fails the hash
+    "stream_restart_drain" -> perUserSnapshotSql,
     "distinct_users" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -28,6 +28,15 @@ import graft.functions.Rounding.round
   * near-dup ingest, and the windowed funnel.
   */
 object StreamDrain {
+
+  /** Chunk count for the multi-batch legs: the associative folds stage
+    * their input as this many time-ranged files read one per trigger, so
+    * every such drain executes ≥3 micro-batches — state persisted at
+    * batch k is restored and EXTENDED at batch k+1, and the final result
+    * still hash-matches the from-scratch oracle (fold∘batches =
+    * aggregate, now with real batch boundaries in the fold).
+    */
+  private val MultiBatchChunks = 3
 
   /** Per-run work dirs (staged events copy, store, checkpoint) are
     * cleaned two ways: (a) when the SAME drain allocates its next work
@@ -61,33 +70,106 @@ object StreamDrain {
     }
   }
 
-  /** Stage the events table as a SINGLE parquet file and return its
-    * streaming frame — one file ⇒ one micro-batch under AvailableNow,
-    * which is what makes the order-dependent drains below fold in
-    * exactly the batch analog's (ts, event_id) total order (the
-    * processors sort within a batch; multi-batch ordering and the
-    * watermark late-drop path are exercised separately in
-    * StreamingParitySpec).
+  /** Staged-input cache, shared across drains and runs within one JVM:
+    * the staged copy of a source table is immutable for a given
+    * (dir, variant, chunks), so the ~18 drains (×3 bench runs) share ONE
+    * staging write per variant instead of re-copying the table per drain
+    * per run. Augmented variants (sentinel, duplicated, delta) key their
+    * own entries. Cache dirs live for the JVM and are removed by the
+    * shutdown hook; per-run store/checkpoint dirs stay in [[tempWorkDir]].
     */
-  private def stagedStream(spark: SparkSession, dir: String, work: String,
-                           augment: DataFrame => DataFrame = identity)
-      : DataFrame = {
-    val stage = s"$work/staged_events"
-    augment(
-      graft.Tables.events(spark, dir)
-        .select("event_id", "ts", "user_id", "event_type", "value"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(stage)
-    spark.readStream.schema(EventPipeline.eventSchema).parquet(stage)
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedPath(dir: String, variant: String, chunks: Int)
+                        (build: String => Unit): String =
+    stagedCache.computeIfAbsent(s"$dir|$variant|$chunks", _ => {
+      exitHook
+      val stage = Files.createTempDirectory(s"graft_stage_$variant")
+      liveDirs.put(s"stage|$dir|$variant|$chunks", stage)
+      build(stage.toString)
+      stage.toString
+    })
+
+  /** Write `df` into `stageDir` as `chunks` single-file parquet chunks
+    * split by contiguous ranges of `order` (ntile), named and
+    * modification-stamped in range order. The file stream source sorts
+    * unread files by modification time (ascending when `latestFirst` is
+    * false), so with `maxFilesPerTrigger=1` the drain replays chunk k as
+    * micro-batch k: rows arrive across batches in the global `order`,
+    * which (a) keeps every per-key sequential fold in the batch analog's
+    * (ts, event_id) total order — in-batch the processors sort, across
+    * batches the range split guarantees it — and (b) keeps event-time
+    * monotone at chunk granularity, so a 10 s watermark can never drop a
+    * row or close a window a later chunk still feeds.
+    */
+  private def stageChunked(df: DataFrame, stageDir: String, chunks: Int,
+                           order: Seq[Column], firstChunk: Int = 0): Unit = {
+    Files.createDirectories(java.nio.file.Paths.get(stageDir))
+    val parts =
+      if (chunks <= 1) Seq(df)
+      else {
+        val ranked = df.withColumn(
+          "__chunk",
+          ntile(chunks).over(Window.orderBy(order: _*)) - 1)
+        (0 until chunks).map(k =>
+          ranked.filter(col("__chunk") === k).drop("__chunk"))
+      }
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val k = firstChunk + i
+      val tmp = s"$stageDir/_tmp_chunk"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val file = Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.headOption
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      val target = java.nio.file.Paths.get(f"$stageDir/chunk-$k%04d.parquet")
+      Files.move(file, target,
+                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // deterministic ascending mtimes drive the source's replay order
+      Files.setLastModifiedTime(
+        target,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + k * 60000L))
+      deleteTree(java.nio.file.Paths.get(tmp))
+    }
+  }
+
+  /** Staged events stream from the shared cache. `chunks = 1` stages one
+    * file ⇒ one micro-batch (the order-dependent legs); `chunks > 1`
+    * stages time-ranged chunk files read one per trigger, so the drain
+    * executes ≥`chunks` micro-batches and the state store's cross-batch
+    * persistence/merge itself lands under the hash gate ([[drainToStore]]
+    * fails loudly if the source ever coalesces them).
+    */
+  private def stagedStream(spark: SparkSession, dir: String, variant: String,
+                           augment: DataFrame => DataFrame = identity,
+                           chunks: Int = 1): DataFrame = {
+    val stage = stagedPath(dir, variant, chunks) { stageDir =>
+      stageChunked(
+        augment(
+          graft.Tables.events(spark, dir)
+            .select("event_id", "ts", "user_id", "event_type", "value")),
+        stageDir, chunks, Seq(col("ts"), col("event_id")))
+    }
+    val reader = spark.readStream.schema(EventPipeline.eventSchema)
+    (if (chunks > 1) reader.option("maxFilesPerTrigger", "1") else reader)
+      .parquet(stage)
   }
 
   /** Drain a stream into a parquet store with the batch id attached to
     * every emission, and return the store read back. Update mode for
     * the provisional-pane legs; Append for the emit-once legs (closed
-    * sessions, dedup pass-through). */
+    * sessions, dedup pass-through). `expectBatches > 1` asserts the
+    * drain really executed that many micro-batches (max batch_id ≥
+    * expectBatches − 1) — the fail-loud guard that the multi-batch legs'
+    * cross-batch state story can't silently degrade to one batch.
+    */
   private def drainToStore(spark: SparkSession, streamed: DataFrame,
                            work: String,
-                           mode: OutputMode = OutputMode.Update): DataFrame = {
+                           mode: OutputMode = OutputMode.Update,
+                           expectBatches: Int = 1): DataFrame = {
     val store = s"$work/store"
     val q = streamed.writeStream
       .outputMode(mode)
@@ -99,7 +181,16 @@ object StreamDrain {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(store)
+    val drained = spark.read.parquet(store)
+    if (expectBatches > 1) {
+      val maxB = drained.agg(max(col("batch_id"))).head.getLong(0)
+      require(
+        maxB >= expectBatches - 1,
+        s"drain under $work expected >= $expectBatches micro-batches but " +
+          s"max batch_id is $maxB — staged chunks were coalesced, so the " +
+          "cross-batch state claim would be vacuous")
+    }
+    drained
   }
 
   /** [[drainToStore]] keeping only the LAST emission per key — the
@@ -108,11 +199,12 @@ object StreamDrain {
     * data seen).
     */
   private def drainLastPerKey(spark: SparkSession, streamed: DataFrame,
-                              work: String, keyCols: Seq[String]): DataFrame = {
+                              work: String, keyCols: Seq[String],
+                              expectBatches: Int = 1): DataFrame = {
     val latest = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("batch_id").desc)
-    drainToStore(spark, streamed, work)
+    drainToStore(spark, streamed, work, expectBatches = expectBatches)
       .withColumn("rn", row_number().over(latest))
       .filter(col("rn") === 1)
   }
@@ -136,8 +228,10 @@ object StreamDrain {
     val work = tempWorkDir("graft_kpi_drain")
     drainLastPerKey(
       spark,
-      EventPipeline.slidingKpi(stagedStream(spark, dir, work)),
-      work, Seq("event_type", "window_start"))
+      EventPipeline.slidingKpi(
+        stagedStream(spark, dir, "plain", chunks = MultiBatchChunks)),
+      work, Seq("event_type", "window_start"),
+      expectBatches = MultiBatchChunks)
       .select(
         col("event_type"),
         col("window_start"),
@@ -169,7 +263,7 @@ object StreamDrain {
     alertsReadback(drainToStore(
       spark,
       EventPipeline
-        .anomalyStream(spark, stagedStream(spark, dir, work))
+        .anomalyStream(spark, stagedStream(spark, dir, "plain"))
         .filter(_.is_anomaly)
         .toDF(),
       work))
@@ -184,7 +278,7 @@ object StreamDrain {
   def streamAlertsListDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_alerts_list_drain")
-      val staged = stagedStream(spark, dir, work)
+      val staged = stagedStream(spark, dir, "plain")
       val s = spark
       import s.implicits._
       alertsReadback(drainToStore(
@@ -224,7 +318,7 @@ object StreamDrain {
     val work = tempWorkDir("graft_ewma_drain")
     drainLastPerKey(
       spark,
-      EventPipeline.ewmaStream(spark, stagedStream(spark, dir, work)).toDF(),
+      EventPipeline.ewmaStream(spark, stagedStream(spark, dir, "plain")).toDF(),
       work, Seq("event_type"))
       .select(col("event_type"), col("n_buckets"), col("ewma_value"))
       .orderBy(col("event_type"))
@@ -311,7 +405,7 @@ object StreamDrain {
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7200000L)
     val work = tempWorkDir(prefix)
     val staged = stagedStream(
-      spark, dir, work,
+      spark, dir, "sentinel",
       ev => ev.unionAll(
         ev.sparkSession.range(1).select(
           lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
@@ -336,7 +430,7 @@ object StreamDrain {
   def streamDedupDrain(spark: SparkSession, dir: String): DataFrame = {
     val work = tempWorkDir("graft_dedup_drain")
     val staged =
-      stagedStream(spark, dir, work, ev => ev.unionAll(ev))
+      stagedStream(spark, dir, "dup", ev => ev.unionAll(ev))
     drainToStore(spark, EventPipeline.dedupedEvents(staged), work,
                  OutputMode.Append)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -358,7 +452,7 @@ object StreamDrain {
     val work = tempWorkDir("graft_attrib_drain")
     drainToStore(
       spark,
-      EventPipeline.attributionStream(stagedStream(spark, dir, work)),
+      EventPipeline.attributionStream(stagedStream(spark, dir, "plain")),
       work, OutputMode.Append)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
               col("click_ts"), col("purchase_ts"),
@@ -377,7 +471,7 @@ object StreamDrain {
     drainLastPerKey(
       spark,
       EventPipeline
-        .cusumStream(spark, stagedStream(spark, dir, work), baselines)
+        .cusumStream(spark, stagedStream(spark, dir, "plain"), baselines)
         .toDF(),
       work, Seq("event_type"))
       .select(col("event_type"), col("n_buckets"), col("n_shifts_up"),
@@ -396,9 +490,10 @@ object StreamDrain {
     drainToStore(
       spark,
       EventPipeline
-        .transitionStream(spark, stagedStream(spark, dir, work))
+        .transitionStream(
+          spark, stagedStream(spark, dir, "plain", chunks = MultiBatchChunks))
         .toDF(),
-      work)
+      work, expectBatches = MultiBatchChunks)
       .groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n_transitions"))
       .orderBy(col("prev_type"), col("next_type"))
@@ -413,7 +508,7 @@ object StreamDrain {
   def streamDriftDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_drift_drain")
-      val staged = stagedStream(spark, dir, work)
+      val staged = stagedStream(spark, dir, "plain")
       val s = spark
       import s.implicits._
       drainLastPerKey(
@@ -434,7 +529,7 @@ object StreamDrain {
   def streamSnapshotDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_snapshot_drain")
-      val staged = stagedStream(spark, dir, work)
+      val staged = stagedStream(spark, dir, "plain", chunks = MultiBatchChunks)
       val s = spark
       import s.implicits._
       drainLastPerKey(
@@ -442,7 +537,7 @@ object StreamDrain {
         TypedStatefulProcessors
           .userSnapshotStream(spark, staged.as[Event])
           .toDF(),
-        work, Seq("user_id"))
+        work, Seq("user_id"), expectBatches = MultiBatchChunks)
         .select(col("user_id"), col("n_events"), col("sum_micros"),
                 col("last_ts_micros"))
         .orderBy(col("user_id"))
@@ -460,18 +555,20 @@ object StreamDrain {
   def streamStateReaderDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_state_reader")
-      val staged = stagedStream(spark, dir, work)
+      val staged = stagedStream(spark, dir, "plain", chunks = MultiBatchChunks)
       val s = spark
       import s.implicits._
       // drain for the side effect of a committed checkpoint — the
       // emissions themselves are gated by stream_snapshot_drain, and
-      // drainToStore awaits termination, so nothing reads its store
+      // drainToStore awaits termination, so nothing reads its store;
+      // multi-batch, so the state read back below was COMMITTED, RESTORED
+      // and EXTENDED across micro-batches, not written once
       drainToStore(
         spark,
         TypedStatefulProcessors
           .userSnapshotStream(spark, staged.as[Event])
           .toDF(),
-        work)
+        work, expectBatches = MultiBatchChunks)
       spark.read
         .format("statestore")
         .option("stateVarName", "userSnap")
@@ -499,7 +596,7 @@ object StreamDrain {
   def streamFunnelDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_funnel_drain")
-      val staged = stagedStream(spark, dir, work)
+      val staged = stagedStream(spark, dir, "plain")
       val s = spark
       import s.implicits._
       val depths = drainLastPerKey(
@@ -552,7 +649,7 @@ object StreamDrain {
              sum(graft.functions.Rounding.microUnits(col("value")))
                .as("sum_micros"),
              max(unix_micros(col("ts"))).as("last_ts_micros"))
-      val staged = stagedStream(spark, dir, work,
+      val staged = stagedStream(spark, dir, "delta",
                                 augment = _.filter(col("ts") >= cut))
       val drainedLast = drainLastPerKey(
         spark,
@@ -583,23 +680,28 @@ object StreamDrain {
   def streamTopTokensDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_toptok_drain")
-      val stage = s"$work/staged_docs"
-      graft.Tables.documents(spark, dir)
-        .select(col("lang"),
-                split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
-                      " ").as("tokens"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(stage)
+      // doc_id rides along only to give the chunk split a deterministic
+      // total order; the token-count fold itself is order-free (exact
+      // counts at k = 64 > vocab), so any ordering gates identically
+      val stage = stagedPath(dir, "docs", MultiBatchChunks) { stageDir =>
+        stageChunked(
+          graft.Tables.documents(spark, dir)
+            .select(col("doc_id"), col("lang"),
+                    split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+                          " ").as("tokens")),
+          stageDir, MultiBatchChunks, Seq(col("doc_id")))
+      }
       val s = spark
       import s.implicits._
       val docsIn = spark.readStream
         .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
         .parquet(stage)
         .as[DocTokens]
       val drained = drainToStore(
         spark,
         TypedStatefulProcessors.topTokensStream(spark, docsIn).toDF(),
-        work)
+        work, expectBatches = MultiBatchChunks)
       val lastBatch = Window.partitionBy(col("lang"))
       drained
         .withColumn("maxb", max(col("batch_id")).over(lastBatch))
@@ -625,10 +727,10 @@ object StreamDrain {
   def streamLshDedupDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_lshdedup_drain")
-      val stage = s"$work/staged_bands"
-      graft.operators.DedupOps.defaultLshBands(spark, dir)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(stage)
+      val stage = stagedPath(dir, "bands", 1) { stageDir =>
+        stageChunked(graft.operators.DedupOps.defaultLshBands(spark, dir),
+                     stageDir, 1, Seq.empty)
+      }
       val s = spark
       import s.implicits._
       val bandsIn = spark.readStream
@@ -666,13 +768,13 @@ object StreamDrain {
   def streamHllDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_hll_drain")
-      val staged = stagedStream(spark, dir, work)
+      val staged = stagedStream(spark, dir, "plain", chunks = MultiBatchChunks)
       val s = spark
       import s.implicits._
       val drained = drainLastPerKey(
         spark,
         TypedStatefulProcessors.hllDayStream(spark, staged.as[Event]).toDF(),
-        work, Seq("epoch_day"))
+        work, Seq("epoch_day"), expectBatches = MultiBatchChunks)
         .select((col("epoch_day") * 86400).cast("timestamp").as("day"),
                 col("n_seen"), col("est_users"))
       val exact = graft.Tables.events(spark, dir)
@@ -688,5 +790,139 @@ object StreamDrain {
                  greatest(col("n_users_exact"), lit(1L)).cast("double") - 1.0)
             <= graft.operators.MiscOps.HllSketchTol).as("day_ok"))
         .orderBy(col("day"))
+    }
+
+  /** Staged stream of the scored anomaly alerts (the detector stage's
+    * batch-equal output — itself hash-gated by `stream_alerts_drain`),
+    * time-range-chunked so the cooldown gate folds keyed state across
+    * ≥3 micro-batches: the same offline-heavy-stage / stream-keyed-stage
+    * split [[streamLshDedupDrain]] uses.
+    */
+  private def stagedAlertsStream(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stagedPath(dir, "alerts", MultiBatchChunks) { stageDir =>
+      stageChunked(graft.operators.AnomalyOps.scoredAlerts(spark, dir),
+                   stageDir, MultiBatchChunks,
+                   Seq(col("ts"), col("event_id")))
+    }
+    spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+  }
+
+  /** The cooldown gate (T10, `alert-service/main.py:189-202`) through an
+    * actual writeStream drain — the LAST stateful leg that had only a
+    * spec-verified streaming form. [[EventPipeline.cooldownStream]]'s
+    * flatMapGroupsWithState processor suppresses per (source, severity)
+    * any alert < 5 min after the last alert that actually FIRED, carrying
+    * `lastFired` state ACROSS micro-batches (a batch-1 alert is judged
+    * against a firing persisted in batch 0). Each fired alert emits
+    * exactly once, so the read-back is the raw store, gated against the
+    * chained `list_reduce` oracle shared with the batch
+    * [[graft.operators.AnomalyOps.alertCooldownChained]].
+    */
+  def streamCooldownDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_cooldown_drain")
+    val s = spark
+    import s.implicits._
+    firedReadback(drainToStore(
+      spark,
+      EventPipeline
+        .cooldownStream(spark, stagedAlertsStream(spark, dir).as[AnomalyAlert])
+        .toDF(),
+      work, expectBatches = MultiBatchChunks))
+  }
+
+  /** The SAME gate through the transformWithState form with EVENT-TIME
+    * TIMER expiry ([[CooldownStatefulProcessor]]): each firing arms a
+    * timer at `lastFired + cooldown`, and the advancing watermark between
+    * the drain's micro-batches actually FIRES those timers mid-stream,
+    * clearing state that is provably open — so a later batch's alert can
+    * be gated by a key whose state was timer-evicted in between, and the
+    * result must still match the chained oracle (eviction is
+    * verdict-neutral by construction; this drain makes that claim under
+    * the hash gate instead of only StatefulProcessorSpec).
+    */
+  def streamCooldownTimerDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_cooldown_timer_drain")
+      val s = spark
+      import s.implicits._
+      firedReadback(drainToStore(
+        spark,
+        TypedStatefulProcessors
+          .cooldownStreamWithExpiry(
+            spark, stagedAlertsStream(spark, dir).as[AnomalyAlert])
+          .toDF(),
+        work, expectBatches = MultiBatchChunks))
+    }
+
+  /** Shared read-back projection of a drained fired-alert store. */
+  private def firedReadback(drained: DataFrame): DataFrame =
+    drained
+      .select(col("event_id"), col("event_type"), col("ts"), col("severity"))
+      .orderBy(col("event_type"), col("severity"), col("ts"), col("event_id"))
+
+  /** CHECKPOINT KILL-AND-RESUME under the hash gate (T11,
+    * `EventAggregationJob.java:49-53` checkpointing / the reference's
+    * crash-recovery claim): pass 1 drains only the first-half chunks and
+    * STOPS — a clean shutdown with the state store and source offsets
+    * committed to the checkpoint; the second-half chunks then appear in
+    * the source directory, and pass 2 starts a NEW query on the SAME
+    * checkpoint, which must resume exactly where pass 1 left off — skip
+    * the already-committed files, restore every user's state, and extend
+    * it with the delta. The final view (last emission per user across
+    * BOTH passes) is gated against the from-scratch full-corpus
+    * aggregate: a lost or double-counted batch on restart flips
+    * `n_events`/`sum_micros` and fails the hash. Fail-loud guards assert
+    * the restart actually proved something: at least one user spans the
+    * cut (so pass 2 must merge restored state with new data, not start
+    * cold), and pass 2 ran new batch ids beyond pass 1's.
+    */
+  def streamRestartDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_restart_drain")
+      // the stage mutates between passes, so it lives in the per-run work
+      // dir, NOT the shared immutable staging cache
+      val stage = s"$work/staged_events"
+      val ev = graft.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val spanning = ev.filter(col("ts") < cut).select("user_id")
+        .intersect(ev.filter(col("ts") >= cut).select("user_id"))
+        .limit(1).count()
+      require(spanning > 0,
+              "restart drain fixture has no user spanning the cut — the " +
+                "resume would be vacuously correct without restoring state")
+      val s = spark
+      import s.implicits._
+      def drainPass(): DataFrame = drainToStore(
+        spark,
+        TypedStatefulProcessors
+          .userSnapshotStream(
+            spark,
+            spark.readStream.schema(EventPipeline.eventSchema)
+              .option("maxFilesPerTrigger", "1").parquet(stage).as[Event])
+          .toDF(),
+        work)
+      stageChunked(ev.filter(col("ts") < cut), stage, 2,
+                   Seq(col("ts"), col("event_id")))
+      val maxPass1 = drainPass().agg(max(col("batch_id"))).head.getLong(0)
+      // the delta becomes visible only AFTER pass 1 committed and stopped
+      stageChunked(ev.filter(col("ts") >= cut), stage, 2,
+                   Seq(col("ts"), col("event_id")), firstChunk = 2)
+      val drained = drainPass()
+      val maxPass2 = drained.agg(max(col("batch_id"))).head.getLong(0)
+      require(maxPass2 > maxPass1,
+              s"pass 2 ran no new micro-batch (max batch_id $maxPass1 -> " +
+                s"$maxPass2) — the checkpoint resume was never exercised")
+      val latest = Window.partitionBy(col("user_id"))
+        .orderBy(col("batch_id").desc)
+      drained
+        .withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"), col("sum_micros"),
+                col("last_ts_micros"))
+        .orderBy(col("user_id"))
     }
 }
