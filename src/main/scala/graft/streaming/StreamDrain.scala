@@ -22,10 +22,23 @@ import graft.functions.Rounding.round
   * processors, gap sessionization in append mode (session_window and
   * timer forms), watermark-bounded dedup (fed REAL duplicates), the
   * stream-stream attribution join, keyed transitions, the MapState
-  * drift histogram, incremental per-user views (cold, warm-start
-  * migration, and read DIRECTLY from the checkpointed state store),
-  * per-day HLL and per-language Misra–Gries sketch folds, online LSH
-  * near-dup ingest, and the windowed funnel.
+  * drift histogram, the cooldown gate (fMGWS and event-time-timer
+  * forms — `alert-service/main.py:189-202`), incremental per-user
+  * views (cold, warm-start migration, read DIRECTLY from the
+  * checkpointed state store, and killed-and-resumed from the
+  * checkpoint mid-stream), per-day HLL and per-language Misra–Gries
+  * sketch folds, online LSH near-dup ingest, and the windowed funnel.
+  *
+  * Every drain executes MULTIPLE micro-batches: inputs stage as
+  * time-ranged chunk files read one per trigger ([[stageChunked]]), so
+  * cross-batch state persistence, restore, and merge — the production
+  * failure mode a single-batch drain never exercises — is itself under
+  * the hash gate, with a fail-loud batch-count assertion in
+  * [[drainToStore]]. In-batch the processors sort by (event-time µs,
+  * event_id) and across batches the range split preserves that global
+  * order, so the order-dependent folds remain exactly the batch
+  * analog's; ProcessorProperties proves each fold split-invariant
+  * under carried state.
   */
 object StreamDrain {
 
@@ -103,8 +116,9 @@ object StreamDrain {
     * monotone at chunk granularity, so a 10 s watermark can never drop a
     * row or close a window a later chunk still feeds.
     */
-  private def stageChunked(df: DataFrame, stageDir: String, chunks: Int,
-                           order: Seq[Column], firstChunk: Int = 0): Unit = {
+  private[graft] def stageChunked(df: DataFrame, stageDir: String, chunks: Int,
+                                  order: Seq[Column],
+                                  firstChunk: Int = 0): Unit = {
     Files.createDirectories(java.nio.file.Paths.get(stageDir))
     val parts =
       if (chunks <= 1) Seq(df)
@@ -263,10 +277,11 @@ object StreamDrain {
     alertsReadback(drainToStore(
       spark,
       EventPipeline
-        .anomalyStream(spark, stagedStream(spark, dir, "plain"))
+        .anomalyStream(
+          spark, stagedStream(spark, dir, "plain", chunks = MultiBatchChunks))
         .filter(_.is_anomaly)
         .toDF(),
-      work))
+      work, expectBatches = MultiBatchChunks))
   }
 
   /** The SAME detector through the ListState-buffered processor
@@ -278,7 +293,7 @@ object StreamDrain {
   def streamAlertsListDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_alerts_list_drain")
-      val staged = stagedStream(spark, dir, "plain")
+      val staged = stagedStream(spark, dir, "plain", chunks = MultiBatchChunks)
       val s = spark
       import s.implicits._
       alertsReadback(drainToStore(
@@ -287,7 +302,7 @@ object StreamDrain {
           .anomalyListStream(spark, staged.as[Event])
           .filter(_.is_anomaly)
           .toDF(),
-        work))
+        work, expectBatches = MultiBatchChunks))
     }
 
   /** Shared read-back projection of a drained alert store: reference
@@ -318,8 +333,11 @@ object StreamDrain {
     val work = tempWorkDir("graft_ewma_drain")
     drainLastPerKey(
       spark,
-      EventPipeline.ewmaStream(spark, stagedStream(spark, dir, "plain")).toDF(),
-      work, Seq("event_type"))
+      EventPipeline
+        .ewmaStream(
+          spark, stagedStream(spark, dir, "plain", chunks = MultiBatchChunks))
+        .toDF(),
+      work, Seq("event_type"), expectBatches = MultiBatchChunks)
       .select(col("event_type"), col("n_buckets"), col("ewma_value"))
       .orderBy(col("event_type"))
   }
@@ -404,14 +422,19 @@ object StreamDrain {
       .agg(max(col("ts"))).head.getTimestamp(0)
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7200000L)
     val work = tempWorkDir(prefix)
+    // the sentinel has the max ts, so the time-ranged chunk split puts
+    // it in the LAST micro-batch — the watermark flush still happens
+    // only after every real session's data has streamed through
     val staged = stagedStream(
       spark, dir, "sentinel",
       ev => ev.unionAll(
         ev.sparkSession.range(1).select(
           lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(1.0).as("value"))))
-    drainToStore(spark, leg(staged), work, OutputMode.Append)
+          lit(1.0).as("value"))),
+      chunks = MultiBatchChunks)
+    drainToStore(spark, leg(staged), work, OutputMode.Append,
+                 expectBatches = MultiBatchChunks)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"), col("session_start"), col("session_end"),
               col("n_events"), col("sum_value"))
@@ -429,10 +452,10 @@ object StreamDrain {
     */
   def streamDedupDrain(spark: SparkSession, dir: String): DataFrame = {
     val work = tempWorkDir("graft_dedup_drain")
-    val staged =
-      stagedStream(spark, dir, "dup", ev => ev.unionAll(ev))
+    val staged = stagedStream(spark, dir, "dup", ev => ev.unionAll(ev),
+                              chunks = MultiBatchChunks)
     drainToStore(spark, EventPipeline.dedupedEvents(staged), work,
-                 OutputMode.Append)
+                 OutputMode.Append, expectBatches = MultiBatchChunks)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
               col("value"))
       .orderBy(col("event_id"))
@@ -450,10 +473,14 @@ object StreamDrain {
     */
   def streamAttributionDrain(spark: SparkSession, dir: String): DataFrame = {
     val work = tempWorkDir("graft_attrib_drain")
+    // the self-join reads the staged files through TWO source instances
+    // of the same directory, so a batch consumes ~2 files — 5 chunks
+    // keep the drain at >=3 real micro-batches of join-state carry
     drainToStore(
       spark,
-      EventPipeline.attributionStream(stagedStream(spark, dir, "plain")),
-      work, OutputMode.Append)
+      EventPipeline.attributionStream(
+        stagedStream(spark, dir, "plain", chunks = 2 * MultiBatchChunks - 1)),
+      work, OutputMode.Append, expectBatches = MultiBatchChunks)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
               col("click_ts"), col("purchase_ts"),
               round(col("value"), 4).as("purchase_value"))
@@ -471,9 +498,11 @@ object StreamDrain {
     drainLastPerKey(
       spark,
       EventPipeline
-        .cusumStream(spark, stagedStream(spark, dir, "plain"), baselines)
+        .cusumStream(
+          spark, stagedStream(spark, dir, "plain", chunks = MultiBatchChunks),
+          baselines)
         .toDF(),
-      work, Seq("event_type"))
+      work, Seq("event_type"), expectBatches = MultiBatchChunks)
       .select(col("event_type"), col("n_buckets"), col("n_shifts_up"),
               col("n_shifts_down"))
       .orderBy(col("event_type"))
@@ -508,13 +537,13 @@ object StreamDrain {
   def streamDriftDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_drift_drain")
-      val staged = stagedStream(spark, dir, "plain")
+      val staged = stagedStream(spark, dir, "plain", chunks = MultiBatchChunks)
       val s = spark
       import s.implicits._
       drainLastPerKey(
         spark,
         TypedStatefulProcessors.driftStream(spark, staged.as[Event]).toDF(),
-        work, Seq("event_type"))
+        work, Seq("event_type"), expectBatches = MultiBatchChunks)
         .select(col("event_type"), col("n_first"), col("n_second"),
                 col("tv_num"), col("tv_distance"), col("drifted"))
         .orderBy(col("event_type"))
@@ -596,13 +625,13 @@ object StreamDrain {
   def streamFunnelDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_funnel_drain")
-      val staged = stagedStream(spark, dir, "plain")
+      val staged = stagedStream(spark, dir, "plain", chunks = MultiBatchChunks)
       val s = spark
       import s.implicits._
       val depths = drainLastPerKey(
         spark,
         TypedStatefulProcessors.funnelStream(spark, staged.as[Event]).toDF(),
-        work, Seq("user_id"))
+        work, Seq("user_id"), expectBatches = MultiBatchChunks)
         .select(col("user_id"), col("depth"))
       val ev = graft.Tables.events(spark, dir)
       val allUsers = ev.select(col("user_id")).distinct()
@@ -650,14 +679,15 @@ object StreamDrain {
                .as("sum_micros"),
              max(unix_micros(col("ts"))).as("last_ts_micros"))
       val staged = stagedStream(spark, dir, "delta",
-                                augment = _.filter(col("ts") >= cut))
+                                augment = _.filter(col("ts") >= cut),
+                                chunks = MultiBatchChunks)
       val drainedLast = drainLastPerKey(
         spark,
         TypedStatefulProcessors
           .userSnapshotWarmStream(spark, staged.as[Event],
                                   seed.as[UserSnapshot])
           .toDF(),
-        work, Seq("user_id"))
+        work, Seq("user_id"), expectBatches = MultiBatchChunks)
         .select(col("user_id"), col("n_events"), col("sum_micros"),
                 col("last_ts_micros"))
       // seed rows the delta never touched stay as-written in the view
@@ -727,20 +757,26 @@ object StreamDrain {
   def streamLshDedupDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_lshdedup_drain")
-      val stage = stagedPath(dir, "bands", 1) { stageDir =>
+      // pairs are min/max-normalized and emitted exactly once across any
+      // batch split (LshBucketFold), and the read-back's MaxBucket cap
+      // recomputes FINAL bucket sizes — so the chunk order only needs to
+      // be deterministic, not meaningful
+      val stage = stagedPath(dir, "bands", MultiBatchChunks) { stageDir =>
         stageChunked(graft.operators.DedupOps.defaultLshBands(spark, dir),
-                     stageDir, 1, Seq.empty)
+                     stageDir, MultiBatchChunks,
+                     Seq(col("doc_id"), col("band")))
       }
       val s = spark
       import s.implicits._
       val bandsIn = spark.readStream
         .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
         .parquet(stage)
         .as[BandKeyRow]
       val drained = drainToStore(
         spark,
         TypedStatefulProcessors.lshCandidateStream(spark, bandsIn).toDF(),
-        work)
+        work, expectBatches = MultiBatchChunks)
       val okBuckets = spark.read.parquet(stage)
         .groupBy(col("band"), col("band_hash"))
         .agg(count(lit(1)).as("n"))
