@@ -175,6 +175,21 @@ object ScalingProbe {
         s""""scaled_s":${fmt(tBig)},"copies":$copies,""" +
         s""""ratio":${fmt(tBig / tBase)}}""")
     }
+
+    // ssjoin_prefix is the standing worst-ratio watch item: candidate
+    // counts at both scales separate candidate growth (algorithmic)
+    // from execution slowdown (engine) — see DedupOps.ssjoinCandidateStats
+    def candStats(dir: String): (Long, Long, Double) = {
+      val r = graft.operators.DedupOps.ssjoinCandidateStats(spark, dir).head
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val (bd, bc, bp) = candStats(base)
+    val (sd, sc, sp) = candStats(out)
+    println(s"""{"telemetry":"ssjoin_candidates","base_docs":$bd,""" +
+      s""""base_candidates":$bc,"base_per_doc":${fmt(bp)},""" +
+      s""""scaled_docs":$sd,"scaled_candidates":$sc,""" +
+      s""""scaled_per_doc":${fmt(sp)},""" +
+      s""""candidate_ratio":${fmt(sc.toDouble / math.max(bc, 1L))}}""")
     spark.stop()
   }
 }

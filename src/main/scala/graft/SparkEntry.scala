@@ -96,6 +96,11 @@ object SparkEntry {
     // late-arriving rest — restored+extended state vs the full oracle
     "stream_restart_drain" ->
       (graft.streaming.StreamDrain.streamRestartDrain _),
+    // the same kill-and-resume for the WINDOWED-AGGREGATION state
+    // family: panes persisted with partial sums across the stop must
+    // restore (with the watermark) and finish exact
+    "stream_restart_kpi_drain" ->
+      (graft.streaming.StreamDrain.streamRestartKpiDrain _),
     // batch->streaming state MIGRATION: seed from a first-half batch
     // snapshot, stream the delta, merged view vs full-aggregate oracle
     "stream_warmstart_drain" ->

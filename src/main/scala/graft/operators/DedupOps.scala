@@ -436,6 +436,28 @@ object DedupOps {
       .distinct()
   }
 
+  /** Candidate-generation telemetry for [[ssjoinPrefix]] — SCALING.md's
+    * standing watch item (worst 10× time ratio of the probe set): one
+    * row of (corpus docs, candidate pairs, candidates per doc), so the
+    * next scale step can tell CANDIDATE growth (prefix filtering
+    * admitting more pairs as the corpus grows — an algorithmic property)
+    * from execution slowdown (shuffle/verify cost on the same candidate
+    * set — an engine property). ScalingProbe prints this at both scales
+    * next to the time ratio.
+    */
+  private[graft] def ssjoinCandidateStats(spark: SparkSession,
+                                          dir: String): DataFrame = {
+    val nDocs = shingled(spark, dir).count()
+    ssjoinPrefixCandidates(spark, dir)
+      .agg(count(lit(1)).as("n_candidates"))
+      .select(
+        lit(nDocs).as("n_docs"),
+        col("n_candidates"),
+        round(col("n_candidates").cast("double") /
+                math.max(nDocs, 1L).toDouble, 4)
+          .as("candidates_per_doc"))
+  }
+
   /** Exact set-similarity self-join at J ≥ [[SsjoinThreshold]]:
     * [[ssjoinPrefixCandidates]] then exact verification — candidates
     * join back to the persisted shingle frame (twice, by doc id) and

@@ -334,7 +334,11 @@ object KpiOps {
     // the streaming drain produces the SAME panes through an actual
     // writeStream execution (graft.streaming.StreamDrain), so it shares
     // the batch oracle verbatim
-    "stream_kpi_drain" -> slidingSql
+    "stream_kpi_drain" -> slidingSql,
+    // kill-and-resume over the same topology: panes persisted with
+    // partial sums at the stop must restore and finish exact, so the
+    // oracle is again the batch sliding SQL
+    "stream_restart_kpi_drain" -> slidingSql
   )
 
   // exact micro-unit pane sums — matches the batch AND streamed Spark

@@ -915,6 +915,63 @@ object StreamDrain {
     * cut (so pass 2 must merge restored state with new data, not start
     * cold), and pass 2 ran new batch ids beyond pass 1's.
     */
+  /** KILL-AND-RESUME for the OTHER state family: the windowed
+    * aggregation. [[streamRestartDrain]] proves keyed
+    * transformWithState state restores across a restart; this drain
+    * proves the streaming-aggregation state store AND the watermark do —
+    * pass 1 drains the first-half chunks through
+    * [[EventPipeline.slidingKpi]] and stops (panes spanning the cut are
+    * persisted with PARTIAL micro-unit sums), pass 2 resumes the same
+    * checkpoint over the second half, restores those panes and the
+    * committed watermark, and re-emits them with full sums. Last
+    * emission per pane across BOTH passes must hash-match the batch
+    * sliding oracle — a pane lost, double-counted, or dropped-late by a
+    * mis-restored watermark flips an exact integer sum and fails the
+    * gate. (Restored-watermark safety: every pass-2 event is newer than
+    * pass 1's final watermark by the time-ranged split, so nothing is
+    * late on resume; panes still open at the cut end after pass 1's
+    * max ts, hence above its watermark, and cannot have been evicted.)
+    */
+  def streamRestartKpiDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_restart_kpi_drain")
+    val stage = s"$work/staged_events"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    def drainPass(): DataFrame = drainToStore(
+      spark,
+      EventPipeline.slidingKpi(
+        spark.readStream.schema(EventPipeline.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)),
+      work)
+    stageChunked(ev.filter(col("ts") < cut), stage, 2,
+                 Seq(col("ts"), col("event_id")))
+    val maxPass1 = drainPass().agg(max(col("batch_id"))).head.getLong(0)
+    stageChunked(ev.filter(col("ts") >= cut), stage, 2,
+                 Seq(col("ts"), col("event_id")), firstChunk = 2)
+    val drained = drainPass()
+    val maxPass2 = drained.agg(max(col("batch_id"))).head.getLong(0)
+    require(maxPass2 > maxPass1,
+            s"pass 2 ran no new micro-batch (max batch_id $maxPass1 -> " +
+              s"$maxPass2) — the checkpoint resume was never exercised")
+    val latest = Window
+      .partitionBy(col("event_type"), col("window_start"))
+      .orderBy(col("batch_id").desc)
+    drained
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type"),
+        col("window_start"),
+        col("window_end"),
+        col("n_events"),
+        col("sum_value"),
+        col("avg_value"),
+        col("error_count"),
+        round(col("error_count") / col("n_events"), 6).as("error_rate"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
   def streamRestartDrain(spark: SparkSession, dir: String): DataFrame =
     withRocksDb(spark) {
       val work = tempWorkDir("graft_restart_drain")
