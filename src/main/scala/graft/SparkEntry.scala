@@ -101,6 +101,15 @@ object SparkEntry {
     // restore (with the watermark) and finish exact
     "stream_restart_kpi_drain" ->
       (graft.streaming.StreamDrain.streamRestartKpiDrain _),
+    // and for the SESSION-WINDOW family: a session provably straddling
+    // a data-derived cut must merge its restored open state with
+    // post-restart events
+    "stream_restart_session_drain" ->
+      (graft.streaming.StreamDrain.streamRestartSessionDrain _),
+    // and for the STREAM-STREAM JOIN family: an unmatched click in
+    // restored join state must match its post-restart purchase
+    "stream_restart_join_drain" ->
+      (graft.streaming.StreamDrain.streamRestartJoinDrain _),
     // batch->streaming state MIGRATION: seed from a first-half batch
     // snapshot, stream the delta, merged view vs full-aggregate oracle
     "stream_warmstart_drain" ->

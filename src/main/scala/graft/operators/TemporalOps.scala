@@ -463,6 +463,10 @@ object TemporalOps {
     // closes them all), so the oracle is shared verbatim — one leg via
     // session_window state merges, one via transformWithState timers
     "stream_session_drain" -> sessionizeSql,
+    // kill-and-resume over the same topology: the session-window store
+    // restores an OPEN session across a query restart and must still
+    // flush every session exactly once against the same oracle
+    "stream_restart_session_drain" -> sessionizeSql,
     "stream_session_timer_drain" -> sessionizeSql,
     "concurrent_sessions" ->
       s"""$sessionCtesSql,
@@ -510,6 +514,10 @@ object TemporalOps {
     // the drain's stream-stream inner join emits exactly the batch
     // pairs, so the oracle is shared verbatim
     "stream_attribution_drain" -> clickAttributionSql,
+    // kill-and-resume over the same topology: an unmatched click held
+    // in the symmetric-hash join state must survive the restart and
+    // match its post-restart purchase — same oracle
+    "stream_restart_join_drain" -> clickAttributionSql,
     "latest_events" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |r AS (

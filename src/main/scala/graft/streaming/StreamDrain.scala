@@ -207,6 +207,15 @@ object StreamDrain {
     drained
   }
 
+  /** Max batch id observed in a drained store, −1 if the pass emitted
+    * no rows at all (possible for an inner-join pass whose only match
+    * spans the restart cut — the store then holds only 0-row
+    * schema-bearing part files).
+    */
+  private def maxBatchId(drained: DataFrame): Long =
+    Option(drained.agg(max(col("batch_id"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+
   /** [[drainToStore]] keeping only the LAST emission per key — the
     * provisional-pane contract every update-mode leg uses (each batch
     * re-emits a key's current value; the final batch's row reflects all
@@ -946,11 +955,11 @@ object StreamDrain {
       work)
     stageChunked(ev.filter(col("ts") < cut), stage, 2,
                  Seq(col("ts"), col("event_id")))
-    val maxPass1 = drainPass().agg(max(col("batch_id"))).head.getLong(0)
+    val maxPass1 = maxBatchId(drainPass())
     stageChunked(ev.filter(col("ts") >= cut), stage, 2,
                  Seq(col("ts"), col("event_id")), firstChunk = 2)
     val drained = drainPass()
-    val maxPass2 = drained.agg(max(col("batch_id"))).head.getLong(0)
+    val maxPass2 = maxBatchId(drained)
     require(maxPass2 > maxPass1,
             s"pass 2 ran no new micro-batch (max batch_id $maxPass1 -> " +
               s"$maxPass2) — the checkpoint resume was never exercised")
@@ -970,6 +979,138 @@ object StreamDrain {
         col("error_count"),
         round(col("error_count") / col("n_events"), 6).as("error_rate"))
       .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** KILL-AND-RESUME for the SESSION-WINDOW state family: an OPEN
+    * session must survive the restart. The cut is DERIVED FROM THE DATA
+    * — the midpoint of the first in-session (≤ gap) inter-event pause
+    * after the corpus mid-ts — so some session provably straddles it:
+    * pass 1 stops with that session held in the session store
+    * (unemittable: its end exceeds pass 1's final watermark by
+    * construction, since every pass-1 event precedes the cut and the
+    * session's end is its last event + the 30-minute gap), and pass 2,
+    * resuming the same checkpoint, must MERGE the restored open session
+    * with its post-cut events — Spark's session-window state merge
+    * across a query restart. The sentinel (max ts + 2 h, staged only in
+    * pass 2's last chunk) then flushes every session exactly once, and
+    * the union of both passes' append-mode emissions must hash-match
+    * the batch sessionization oracle: a session lost, split in two, or
+    * double-emitted at the restart fails the gate.
+    */
+  def streamRestartSessionDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_restart_session_drain")
+    val stage = s"$work/staged_events"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head
+    val midMs =
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // first in-session pause after the midpoint: a 1-row driver lookup
+    // (metadata-scale, like the CUSUM baselines)
+    val pause = ev
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .filter(col("prev").isNotNull &&
+        unix_millis(col("ts")) - unix_millis(col("prev")) <= 1800000L &&
+        unix_millis(col("prev")) >= midMs)
+      .orderBy(col("prev"), col("ts"), col("event_id"))
+      .limit(1)
+      .select(unix_millis(col("prev")).as("a"), unix_millis(col("ts")).as("b"))
+      .collect()
+    require(pause.nonEmpty,
+            "no in-session pause after the corpus midpoint — the session " +
+              "restart would be vacuously correct with no spanning session")
+    val cutTs =
+      new java.sql.Timestamp((pause(0).getLong(0) + pause(0).getLong(1)) / 2)
+    def drainPass(): DataFrame = drainToStore(
+      spark,
+      EventPipeline.sessionStream(
+        spark.readStream.schema(EventPipeline.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)),
+      work, OutputMode.Append)
+    stageChunked(ev.filter(col("ts") < lit(cutTs)), stage, 2,
+                 Seq(col("ts"), col("event_id")))
+    val maxPass1 = maxBatchId(drainPass())
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7200000L)
+    stageChunked(
+      ev.filter(col("ts") >= lit(cutTs)).unionAll(
+        spark.range(1).select(
+          lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(1.0).as("value"))),
+      stage, 2, Seq(col("ts"), col("event_id")), firstChunk = 2)
+    val drained = drainPass()
+    val maxPass2 = maxBatchId(drained)
+    require(maxPass2 > maxPass1,
+            s"pass 2 ran no new micro-batch (max batch_id $maxPass1 -> " +
+              s"$maxPass2) — the checkpoint resume was never exercised")
+    drained
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** KILL-AND-RESUME for the STREAM-STREAM JOIN state family: an
+    * unmatched click held in the join state must survive the restart
+    * and match a purchase that arrives only after it. The cut is again
+    * data-derived — the midpoint of the first same-user click→purchase
+    * pair whose purchase lands in (click + 10 s, click + 10 min] — so
+    * the click is in pass 1, its purchase in pass 2, and the emitted
+    * match can only come from the RESTORED symmetric-hash join state
+    * (watermark safety: pass 1's final watermark is below the cut,
+    * hence below click + 10 min, so the spanning click cannot have been
+    * evicted; every pass-2 row is ≥ the cut, hence not late). Union of
+    * both passes' inner-join emissions vs the batch attribution oracle.
+    */
+  def streamRestartJoinDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_restart_join_drain")
+    val stage = s"$work/staged_events"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+              col("event_id").as("cid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+              col("event_id").as("pid"))
+    val pair = clicks
+      .join(purchases,
+            col("cu") === col("pu") &&
+              col("pts") > col("cts") + expr("INTERVAL 10 SECONDS") &&
+              col("pts") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+      .orderBy(col("cts"), col("pts"), col("cid"), col("pid"))
+      .limit(1)
+      .select(unix_millis(col("cts")).as("a"), unix_millis(col("pts")).as("b"))
+      .collect()
+    require(pair.nonEmpty,
+            "no click->purchase pair with room for a cut between them — " +
+              "the join-state restart would be vacuously correct")
+    val cutTs =
+      new java.sql.Timestamp((pair(0).getLong(0) + pair(0).getLong(1)) / 2)
+    def drainPass(): DataFrame = drainToStore(
+      spark,
+      EventPipeline.attributionStream(
+        spark.readStream.schema(EventPipeline.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)),
+      work, OutputMode.Append)
+    stageChunked(ev.filter(col("ts") < lit(cutTs)), stage, 2,
+                 Seq(col("ts"), col("event_id")))
+    val maxPass1 = maxBatchId(drainPass())
+    stageChunked(ev.filter(col("ts") >= lit(cutTs)), stage, 2,
+                 Seq(col("ts"), col("event_id")), firstChunk = 2)
+    val drained = drainPass()
+    val maxPass2 = maxBatchId(drained)
+    require(maxPass2 > maxPass1,
+            s"pass 2 ran no new micro-batch (max batch_id $maxPass1 -> " +
+              s"$maxPass2) — the checkpoint resume was never exercised")
+    drained
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"),
+              round(col("value"), 4).as("purchase_value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
   def streamRestartDrain(spark: SparkSession, dir: String): DataFrame =
@@ -1000,12 +1141,12 @@ object StreamDrain {
         work)
       stageChunked(ev.filter(col("ts") < cut), stage, 2,
                    Seq(col("ts"), col("event_id")))
-      val maxPass1 = drainPass().agg(max(col("batch_id"))).head.getLong(0)
+      val maxPass1 = maxBatchId(drainPass())
       // the delta becomes visible only AFTER pass 1 committed and stopped
       stageChunked(ev.filter(col("ts") >= cut), stage, 2,
                    Seq(col("ts"), col("event_id")), firstChunk = 2)
       val drained = drainPass()
-      val maxPass2 = drained.agg(max(col("batch_id"))).head.getLong(0)
+      val maxPass2 = maxBatchId(drained)
       require(maxPass2 > maxPass1,
               s"pass 2 ran no new micro-batch (max batch_id $maxPass1 -> " +
                 s"$maxPass2) — the checkpoint resume was never exercised")
