@@ -43,6 +43,10 @@ object SparkEntry {
     // §2.5 W1 via an ACTUAL writeStream drain (T1/T2/K5 machinery under
     // the DuckDB hash gate, not just the batch twin)
     "stream_kpi_drain" -> (graft.streaming.StreamDrain.streamKpiDrain _),
+    // T2 late-data DROP itself under the gate: planted provably-late
+    // rows (absent from the oracle) must be watermark-dropped
+    "stream_late_drop_drain" ->
+      (graft.streaming.StreamDrain.streamLateDropDrain _),
     "kpi_lookup" -> ((s, d) => KpiOps.kpiLookup(s, d)),
     "kpi_lookup_5m" -> (KpiOps.kpiLookup5m _),
     "kpi_udaf_p95" -> (KpiOps.kpiUdafP95 _),
@@ -69,6 +73,10 @@ object SparkEntry {
       (graft.streaming.StreamDrain.streamCooldownDrain _),
     "stream_cooldown_timer_drain" ->
       (graft.streaming.StreamDrain.streamCooldownTimerDrain _),
+    // the full detector->cooldown->rule-routing topology in ONE drained
+    // streaming execution (the reference's notification path)
+    "stream_routed_drain" ->
+      (graft.streaming.StreamDrain.streamRoutedDrain _),
     "alert_routing" -> (AnomalyOps.alertRouting _),
     "detector_agreement" -> (AnomalyOps.detectorAgreement _),
     "order_backlog" -> (OlapOps.orderBacklog _),
@@ -84,6 +92,10 @@ object SparkEntry {
     // K5 exactly-once dedup guard via an ACTUAL writeStream drain fed
     // real duplicates (dropDuplicatesWithinWatermark under the hash gate)
     "stream_dedup_drain" -> (graft.streaming.StreamDrain.streamDedupDrain _),
+    // the streaming corpus-ingest dedup (first occurrence per content
+    // hash across batches) vs the batch canonical-survivor oracle
+    "stream_docdedup_drain" ->
+      (graft.streaming.StreamDrain.streamDocDedupDrain _),
     // keyed transition pairing, MapState drift histogram, and the
     // incremental per-user view — each through an ACTUAL writeStream drain
     "stream_transitions_drain" ->

@@ -630,7 +630,7 @@ object AnomalyOps {
     * accumulator concatenated over 5 elements keeps only the last), so
     * the oracle walks the chain relationally instead.
     */
-  private lazy val chainedCooldownSql: String =
+  private lazy val chainedFiredCte: String =
     s"""${scoredSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |alerts AS (SELECT * FROM final WHERE is_anomaly),
        |a AS (
@@ -650,7 +650,10 @@ object AnomalyOps {
        |    SELECT 1 FROM a m
        |    WHERE m.event_type = f.event_type AND m.severity = f.severity
        |      AND m.rn > f.rn AND m.ms - f.ms >= 300000 AND m.rn < n.rn)
-       |)
+       |)""".stripMargin
+
+  private lazy val chainedCooldownSql: String =
+    s"""$chainedFiredCte
        |SELECT event_id, event_type, ts, severity FROM fired
        |ORDER BY event_type, severity, ts, event_id""".stripMargin
 
@@ -662,6 +665,23 @@ object AnomalyOps {
     // state across >=3 micro-batches
     "stream_cooldown_drain" -> chainedCooldownSql,
     "stream_cooldown_timer_drain" -> chainedCooldownSql,
+    // the FULL alert topology under one gate: detector output (itself
+    // gated) -> chained cooldown through keyed streaming state -> the
+    // stream-static broadcast rule join, drained; the oracle routes the
+    // recursively-derived fired set through the same rules VALUES
+    "stream_routed_drain" ->
+      s"""$chainedFiredCte,
+         |rules(rule_id, enabled, severity_threshold, rule_sources, channel) AS (
+         |  VALUES (CAST(1 AS BIGINT), true, 'critical', CAST([] AS VARCHAR[]), 'email'),
+         |         (CAST(2 AS BIGINT), true, 'critical', ['click', 'purchase'], 'webhook'),
+         |         (CAST(3 AS BIGINT), true, 'warning', ['error'], 'slack'),
+         |         (CAST(4 AS BIGINT), false, 'warning', CAST([] AS VARCHAR[]), 'email')
+         |)
+         |SELECT f.event_id, f.event_type, f.ts, f.severity, r.rule_id, r.channel
+         |FROM fired f JOIN rules r
+         |  ON r.enabled AND f.severity = r.severity_threshold
+         |     AND (len(r.rule_sources) = 0 OR list_contains(r.rule_sources, f.event_type))
+         |ORDER BY f.event_id, r.rule_id""".stripMargin,
     "anomaly_regions" ->
       s"""$regionsSqlCte
          |SELECT event_type, start_ts, end_ts, duration_secs, n_alerts,

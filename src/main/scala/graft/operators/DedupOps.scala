@@ -1673,6 +1673,17 @@ object DedupOps {
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
         |SELECT md5(norm) AS content_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the ONLINE ingest-dedup drain (StreamDrain.streamDocDedupDrain):
+    // first arrival per content hash across >=3 micro-batches must be
+    // exactly the batch min-doc_id canonical survivor set
+    "stream_docdedup_drain" ->
+      """WITH n AS (SELECT doc_id, source,
+        |                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |          FROM documents),
+        |c AS (SELECT content_hash, min(doc_id) AS doc_id FROM n GROUP BY 1)
+        |SELECT n.doc_id, n.content_hash, n.source
+        |FROM n JOIN c ON n.content_hash = c.content_hash AND n.doc_id = c.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "minhash_signatures" ->
       s"""$shingleSql, ${sigSql(NumHashes)}
          |SELECT doc_id,

@@ -338,7 +338,11 @@ object KpiOps {
     // kill-and-resume over the same topology: panes persisted with
     // partial sums at the stop must restore and finish exact, so the
     // oracle is again the batch sliding SQL
-    "stream_restart_kpi_drain" -> slidingSql
+    "stream_restart_kpi_drain" -> slidingSql,
+    // late-data drop (T2): the drain feeds planted provably-late rows
+    // the oracle never sees — the gate passes only if the watermark
+    // drops them (a leak mints pre-corpus panes or corrupts sums)
+    "stream_late_drop_drain" -> slidingSql
   )
 
   // exact micro-unit pane sums — matches the batch AND streamed Spark

@@ -333,6 +333,73 @@ object StreamDrain {
               col("anomaly_type"), col("description"))
       .orderBy(col("event_type"), col("ts"), col("event_id"))
 
+  /** T2 — LATE-DATA DROP under the hash gate (the watermark's one
+    * OBSERVABLE semantics: `EventAggregationJob.java:68-71` / Flink's
+    * default drop of post-allowed-lateness rows). The stage replays the
+    * real events as three time-ranged chunks, then a FOURTH chunk
+    * carrying five PLANTED rows one hour before the corpus start
+    * (provably late: by then the watermark sits 10 s under the corpus
+    * max, far past every planted pane's end) plus one fresh sentinel
+    * event past the corpus max. The sliding-KPI aggregation must DROP
+    * the planted rows: they use real event types with enormous values,
+    * so a watermark leak would either mint pre-corpus panes or corrupt
+    * real sums — both hash-fail against the batch oracle, which reads
+    * the pristine events table only. The sentinel (filtered from the
+    * read-back) pins that the late batch actually executed: its panes
+    * carry the final batch id, asserted ≥ 3.
+    */
+  def streamLateDropDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_latedrop_drain")
+    val stage = s"$work/staged_events"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head
+    val lateBase = bounds.getTimestamp(0).getTime - 3600000L
+    val sentinelTs = new java.sql.Timestamp(bounds.getTimestamp(1).getTime +
+      3600000L)
+    stageChunked(ev, stage, MultiBatchChunks, Seq(col("ts"), col("event_id")))
+    val plants = spark.range(5).select(
+      (col("id") - 1000000L).as("event_id"),
+      timestamp_millis(lit(lateBase) + col("id") * 1000L).as("ts"),
+      lit(-2L).as("user_id"),
+      lit("click").as("event_type"),
+      lit(999999.0).as("value"))
+    stageChunked(
+      plants.unionAll(
+        spark.range(1).select(
+          lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(1.0).as("value"))),
+      stage, 1, Seq.empty, firstChunk = MultiBatchChunks)
+    val drained = drainToStore(
+      spark,
+      EventPipeline.slidingKpi(
+        spark.readStream.schema(EventPipeline.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)),
+      work)
+    require(
+      maxBatchId(drained) >= MultiBatchChunks,
+      "the late-plant batch never emitted its sentinel panes — the drop " +
+        "claim would be vacuous (batch not executed)")
+    val latest = Window
+      .partitionBy(col("event_type"), col("window_start"))
+      .orderBy(col("batch_id").desc)
+    drained
+      .filter(col("event_type") =!= "sentinel")
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type"),
+        col("window_start"),
+        col("window_end"),
+        col("n_events"),
+        col("sum_value"),
+        col("avg_value"),
+        col("error_count"),
+        round(col("error_count") / col("n_events"), 6).as("error_rate"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
   /** The EWMA leg ([[EventPipeline.ewmaStream]]) through an actual
     * writeStream drain, final level per key read back against the batch
     * [[graft.operators.SeriesOps.seriesEwma]] oracle — bit-identical by
@@ -801,6 +868,43 @@ object StreamDrain {
         .orderBy(col("doc1"), col("doc2"))
     }
 
+  /** Streaming CORPUS-INGEST dedup ([[DocDedupStatefulProcessor]]: one
+    * boolean of state per content hash, first occurrence survives)
+    * through an actual writeStream drain — the online form of the batch
+    * `dedup_exact` semantics. Staged in doc_id order, so
+    * first-arrival-per-hash across the three micro-batches IS the batch
+    * min-doc_id canonical: a duplicate whose original arrived in an
+    * EARLIER batch is suppressed purely by restored state, which is
+    * what the gate now checks (the oracle recomputes canonical
+    * survivors from scratch in DuckDB).
+    */
+  def streamDocDedupDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_docdedup_drain")
+      val stage = stagedPath(dir, "ingestdocs", MultiBatchChunks) { stageDir =>
+        stageChunked(
+          graft.Tables.documents(spark, dir)
+            .select(col("doc_id"),
+                    md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+                      .as("content_hash"),
+                    col("source")),
+          stageDir, MultiBatchChunks, Seq(col("doc_id")))
+      }
+      val s = spark
+      import s.implicits._
+      val docsIn = spark.readStream
+        .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .as[IngestDoc]
+      drainToStore(
+        spark,
+        TypedStatefulProcessors.docDedupStream(spark, docsIn).toDF(),
+        work, expectBatches = MultiBatchChunks)
+        .select(col("doc_id"), col("content_hash"), col("source"))
+        .orderBy(col("doc_id"))
+    }
+
   /** The sketch-folding leg ([[HllStatefulProcessor]]: per-day distinct
     * users folded online, register-identical to `hll_sketch_agg`)
     * through an actual writeStream drain. The drained day's cumulative
@@ -901,6 +1005,31 @@ object StreamDrain {
           .toDF(),
         work, expectBatches = MultiBatchChunks))
     }
+
+  /** The FULL alert topology (S2 detector → T10 cooldown → P8 rule
+    * routing, the reference's events → alerts.v1 → notification path)
+    * under one hash gate: the staged detector output (itself gated by
+    * `stream_alerts_drain`) streams through the keyed cooldown state
+    * and then the stream-static broadcast rule join
+    * ([[EventPipeline.routedAlerts]]), all inside one multi-batch
+    * writeStream execution. Each fired alert fans out to its matching
+    * enabled rules exactly once.
+    */
+  def streamRoutedDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_routed_drain")
+    val s = spark
+    import s.implicits._
+    drainToStore(
+      spark,
+      EventPipeline.routedAlerts(
+        spark,
+        EventPipeline.cooldownStream(
+          spark, stagedAlertsStream(spark, dir).as[AnomalyAlert])),
+      work, expectBatches = MultiBatchChunks)
+      .select(col("event_id"), col("event_type"), col("ts"), col("severity"),
+              col("rule_id"), col("channel"))
+      .orderBy(col("event_id"), col("rule_id"))
+  }
 
   /** Shared read-back projection of a drained fired-alert store. */
   private def firedReadback(drained: DataFrame): DataFrame =
