@@ -94,6 +94,13 @@ object StreamDrain {
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** CONTRACT: the (dir, variant, chunks) key must uniquely determine
+    * the staged CONTENTS — a second caller reusing a variant name with
+    * a different `build` would silently be served the first staging.
+    * Each variant string here belongs to exactly one staging recipe
+    * (plain / dup / sentinel / delta / alerts / docs / ingestdocs /
+    * bands); a new recipe takes a new name.
+    */
   private def stagedPath(dir: String, variant: String, chunks: Int)
                         (build: String => Unit): String =
     stagedCache.computeIfAbsent(s"$dir|$variant|$chunks", _ => {
@@ -120,34 +127,40 @@ object StreamDrain {
                                   order: Seq[Column],
                                   firstChunk: Int = 0): Unit = {
     Files.createDirectories(java.nio.file.Paths.get(stageDir))
-    val parts =
-      if (chunks <= 1) Seq(df)
-      else {
-        val ranked = df.withColumn(
-          "__chunk",
-          ntile(chunks).over(Window.orderBy(order: _*)) - 1)
-        (0 until chunks).map(k =>
-          ranked.filter(col("__chunk") === k).drop("__chunk"))
-      }
-    parts.zipWithIndex.foreach { case (part, i) =>
-      val k = firstChunk + i
-      val tmp = s"$stageDir/_tmp_chunk"
-      part.coalesce(1).write.mode("overwrite").parquet(tmp)
-      import scala.jdk.CollectionConverters._
-      val file = Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.headOption
-        .getOrElse(sys.error(s"no parquet part written under $tmp"))
-      val target = java.nio.file.Paths.get(f"$stageDir/chunk-$k%04d.parquet")
-      Files.move(file, target,
-                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // deterministic ascending mtimes drive the source's replay order
-      Files.setLastModifiedTime(
-        target,
-        java.nio.file.attribute.FileTime.fromMillis(
-          1700000000000L + k * 60000L))
-      deleteTree(java.nio.file.Paths.get(tmp))
+    // the ranked frame is persisted so the single-partition ntile sort
+    // runs ONCE per staging, not once per chunk filter
+    val ranked =
+      if (chunks <= 1) None
+      else Some(
+        df.withColumn("__chunk",
+                      ntile(chunks).over(Window.orderBy(order: _*)) - 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val parts = ranked match {
+      case None => Seq(df)
+      case Some(r) =>
+        (0 until chunks).map(k => r.filter(col("__chunk") === k).drop("__chunk"))
     }
+    try {
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val k = firstChunk + i
+        val tmp = s"$stageDir/_tmp_chunk"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import scala.jdk.CollectionConverters._
+        val file = Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.headOption
+          .getOrElse(sys.error(s"no parquet part written under $tmp"))
+        val target = java.nio.file.Paths.get(f"$stageDir/chunk-$k%04d.parquet")
+        Files.move(file, target,
+                   java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // deterministic ascending mtimes drive the source's replay order
+        Files.setLastModifiedTime(
+          target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+        deleteTree(java.nio.file.Paths.get(tmp))
+      }
+    } finally ranked.foreach(_.unpersist())
   }
 
   /** Staged events stream from the shared cache. `chunks = 1` stages one
@@ -197,24 +210,58 @@ object StreamDrain {
     q.awaitTermination()
     val drained = spark.read.parquet(store)
     if (expectBatches > 1) {
-      val maxB = drained.agg(max(col("batch_id"))).head.getLong(0)
+      val ran = executedBatches(work)
       require(
-        maxB >= expectBatches - 1,
+        ran >= expectBatches,
         s"drain under $work expected >= $expectBatches micro-batches but " +
-          s"max batch_id is $maxB — staged chunks were coalesced, so the " +
+          s"executed $ran — staged chunks were coalesced, so the " +
           "cross-batch state claim would be vacuous")
     }
     drained
   }
 
-  /** Max batch id observed in a drained store, −1 if the pass emitted
-    * no rows at all (possible for an inner-join pass whose only match
-    * spans the restart cut — the store then holds only 0-row
-    * schema-bearing part files).
+  /** Number of micro-batches the drain's checkpoint actually EXECUTED
+    * (committed offset-log entries) — emission-independent, unlike
+    * max(batch_id) over the store: a batch that produced no output rows
+    * (an append-mode leg whose last chunk matched nothing) still commits
+    * its offset, and an all-empty store has no rows to max over at all.
     */
-  private def maxBatchId(drained: DataFrame): Long =
-    Option(drained.agg(max(col("batch_id"))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+  private def executedBatches(work: String): Int = {
+    val dir = java.nio.file.Paths.get(s"$work/ckpt/offsets")
+    if (!Files.isDirectory(dir)) 0
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .count(_.getFileName.toString.forall(_.isDigit))
+    }
+  }
+
+  /** Two-pass KILL-AND-RESUME scaffold shared by the restart drains:
+    * stage the first half, drain and STOP (a clean shutdown with source
+    * offsets and state committed), make the second half visible in the
+    * same source dir, start a NEW query on the SAME checkpoint, and fail
+    * loudly unless both passes actually executed micro-batches. Returns
+    * the drained store plus pass 1's executed-batch count — pass-2
+    * emissions are exactly the rows with `batch_id >=` that count, which
+    * the callers' spanning-state assertions key on.
+    */
+  private def restartPasses(work: String, drainPass: () => DataFrame)
+                           (stageFirst: => Unit)
+                           (stageSecond: => Unit): (DataFrame, Int) = {
+    stageFirst
+    drainPass()
+    val c1 = executedBatches(work)
+    require(c1 > 0,
+            "pass 1 executed no micro-batch — empty first half, the " +
+              "restart claim would be vacuous")
+    stageSecond
+    val drained = drainPass()
+    val c2 = executedBatches(work)
+    require(c2 > c1,
+            s"pass 2 executed no new micro-batch ($c1 -> $c2) — the " +
+              "checkpoint resume was never exercised")
+    (drained, c1)
+  }
 
   /** [[drainToStore]] keeping only the LAST emission per key — the
     * provisional-pane contract every update-mode leg uses (each batch
@@ -223,14 +270,40 @@ object StreamDrain {
     */
   private def drainLastPerKey(spark: SparkSession, streamed: DataFrame,
                               work: String, keyCols: Seq[String],
-                              expectBatches: Int = 1): DataFrame = {
+                              expectBatches: Int = 1): DataFrame =
+    lastPerKey(drainToStore(spark, streamed, work,
+                            expectBatches = expectBatches), keyCols)
+
+  /** Last emission per key over an already-drained store — the
+    * provisional-pane dedup shared by [[drainLastPerKey]] and the
+    * restart/late-drop drains that post-process their stores directly.
+    */
+  private def lastPerKey(drained: DataFrame, keyCols: Seq[String]): DataFrame = {
     val latest = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("batch_id").desc)
-    drainToStore(spark, streamed, work, expectBatches = expectBatches)
+    drained
       .withColumn("rn", row_number().over(latest))
       .filter(col("rn") === 1)
   }
+
+  /** The KPI-pane read-back projection shared by [[streamKpiDrain]],
+    * [[streamLateDropDrain]] and [[streamRestartKpiDrain]] — one
+    * definition, so the column set cannot drift from the sliding oracle
+    * in one copy but not another.
+    */
+  private def kpiPaneReadback(lastPanes: DataFrame): DataFrame =
+    lastPanes
+      .select(
+        col("event_type"),
+        col("window_start"),
+        col("window_end"),
+        col("n_events"),
+        col("sum_value"),
+        col("avg_value"),
+        col("error_count"),
+        round(col("error_count") / col("n_events"), 6).as("error_rate"))
+      .orderBy(col("event_type"), col("window_start"))
 
   /** Run the StreamJob sliding-KPI leg ([[EventPipeline.slidingKpi]]:
     * watermark → 1m/10s windowed agg → update-mode foreachBatch store)
@@ -249,22 +322,12 @@ object StreamDrain {
     */
   def streamKpiDrain(spark: SparkSession, dir: String): DataFrame = {
     val work = tempWorkDir("graft_kpi_drain")
-    drainLastPerKey(
+    kpiPaneReadback(drainLastPerKey(
       spark,
       EventPipeline.slidingKpi(
         stagedStream(spark, dir, "plain", chunks = MultiBatchChunks)),
       work, Seq("event_type", "window_start"),
-      expectBatches = MultiBatchChunks)
-      .select(
-        col("event_type"),
-        col("window_start"),
-        col("window_end"),
-        col("n_events"),
-        col("sum_value"),
-        col("avg_value"),
-        col("error_count"),
-        round(col("error_count") / col("n_events"), 6).as("error_rate"))
-      .orderBy(col("event_type"), col("window_start"))
+      expectBatches = MultiBatchChunks))
   }
 
   /** Run the StreamJob anomaly leg ([[EventPipeline.anomalyStream]]:
@@ -378,26 +441,13 @@ object StreamDrain {
           .option("maxFilesPerTrigger", "1").parquet(stage)),
       work)
     require(
-      maxBatchId(drained) >= MultiBatchChunks,
+      drained.filter(col("event_type") === "sentinel" &&
+        col("batch_id") >= MultiBatchChunks).limit(1).count() > 0,
       "the late-plant batch never emitted its sentinel panes — the drop " +
         "claim would be vacuous (batch not executed)")
-    val latest = Window
-      .partitionBy(col("event_type"), col("window_start"))
-      .orderBy(col("batch_id").desc)
-    drained
-      .filter(col("event_type") =!= "sentinel")
-      .withColumn("rn", row_number().over(latest))
-      .filter(col("rn") === 1)
-      .select(
-        col("event_type"),
-        col("window_start"),
-        col("window_end"),
-        col("n_events"),
-        col("sum_value"),
-        col("avg_value"),
-        col("error_count"),
-        round(col("error_count") / col("n_events"), 6).as("error_rate"))
-      .orderBy(col("event_type"), col("window_start"))
+    kpiPaneReadback(lastPerKey(
+      drained.filter(col("event_type") =!= "sentinel"),
+      Seq("event_type", "window_start")))
   }
 
   /** The EWMA leg ([[EventPipeline.ewmaStream]]) through an actual
@@ -1075,39 +1125,53 @@ object StreamDrain {
     val stage = s"$work/staged_events"
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    // prefer a cut that SPLITS A SINGLE PANE across the restart: the
+    // first pair of same-type events ≤ 50 s apart (any 60 s window
+    // covering both exists ⇒ a pane holds partial sums at the stop).
+    // The sparsest fixture has no such pair — there the drain falls
+    // back to the fixed mid-corpus cut and still verifies watermark
+    // restore + exactly-once resume, with the spanning assertion
+    // applied only when the corpus admits a spanning pane.
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val closePair = ev
+      .withColumn("prev", lag(col("ts"), 1).over(byType))
+      .filter(col("prev").isNotNull &&
+        (unix_millis(col("ts")) - unix_millis(col("prev")))
+          .between(lit(2L), lit(50000L)))
+      .orderBy(col("prev"), col("ts"), col("event_id"))
+      .limit(1)
+      .select(unix_millis(col("prev")).as("a"), unix_millis(col("ts")).as("b"))
+      .collect()
+    val cutTs = closePair.headOption
+      .map(r => new java.sql.Timestamp((r.getLong(0) + r.getLong(1)) / 2))
+      .getOrElse(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
     def drainPass(): DataFrame = drainToStore(
       spark,
       EventPipeline.slidingKpi(
         spark.readStream.schema(EventPipeline.eventSchema)
           .option("maxFilesPerTrigger", "1").parquet(stage)),
       work)
-    stageChunked(ev.filter(col("ts") < cut), stage, 2,
-                 Seq(col("ts"), col("event_id")))
-    val maxPass1 = maxBatchId(drainPass())
-    stageChunked(ev.filter(col("ts") >= cut), stage, 2,
-                 Seq(col("ts"), col("event_id")), firstChunk = 2)
-    val drained = drainPass()
-    val maxPass2 = maxBatchId(drained)
-    require(maxPass2 > maxPass1,
-            s"pass 2 ran no new micro-batch (max batch_id $maxPass1 -> " +
-              s"$maxPass2) — the checkpoint resume was never exercised")
-    val latest = Window
-      .partitionBy(col("event_type"), col("window_start"))
-      .orderBy(col("batch_id").desc)
-    drained
-      .withColumn("rn", row_number().over(latest))
-      .filter(col("rn") === 1)
-      .select(
-        col("event_type"),
-        col("window_start"),
-        col("window_end"),
-        col("n_events"),
-        col("sum_value"),
-        col("avg_value"),
-        col("error_count"),
-        round(col("error_count") / col("n_events"), 6).as("error_rate"))
-      .orderBy(col("event_type"), col("window_start"))
+    val (drained, c1) = restartPasses(work, drainPass _) {
+      stageChunked(ev.filter(col("ts") < lit(cutTs)), stage, 2,
+                   Seq(col("ts"), col("event_id")))
+    } {
+      stageChunked(ev.filter(col("ts") >= lit(cutTs)), stage, 2,
+                   Seq(col("ts"), col("event_id")), firstChunk = 2)
+    }
+    require(drained.filter(col("batch_id") < c1).limit(1).count() > 0,
+            "pass 1 emitted no pane — the cut precedes all data, so the " +
+              "restart restored nothing")
+    if (closePair.nonEmpty) {
+      val spanned = drained.filter(
+        col("batch_id") >= c1 &&
+          col("window_start") < lit(cutTs) && col("window_end") > lit(cutTs))
+        .limit(1).count()
+      require(spanned > 0,
+              "no pane overlapping the cut re-emitted after the resume — " +
+                "the split pane's restored partial sums were never extended")
+    }
+    kpiPaneReadback(lastPerKey(drained, Seq("event_type", "window_start")))
   }
 
   /** KILL-AND-RESUME for the SESSION-WINDOW state family: an OPEN
@@ -1138,10 +1202,14 @@ object StreamDrain {
       .orderBy(col("ts"), col("event_id"))
     // first in-session pause after the midpoint: a 1-row driver lookup
     // (metadata-scale, like the CUSUM baselines)
+    // pause floor of 2 ms keeps the integer midpoint STRICTLY between
+    // the two events — a 0/1 ms pause would floor the cut onto the
+    // earlier event and push both into pass 2, voiding the span
     val pause = ev
       .withColumn("prev", lag(col("ts"), 1).over(byUser))
       .filter(col("prev").isNotNull &&
-        unix_millis(col("ts")) - unix_millis(col("prev")) <= 1800000L &&
+        (unix_millis(col("ts")) - unix_millis(col("prev")))
+          .between(lit(2L), lit(1800000L)) &&
         unix_millis(col("prev")) >= midMs)
       .orderBy(col("prev"), col("ts"), col("event_id"))
       .limit(1)
@@ -1158,23 +1226,31 @@ object StreamDrain {
         spark.readStream.schema(EventPipeline.eventSchema)
           .option("maxFilesPerTrigger", "1").parquet(stage)),
       work, OutputMode.Append)
-    stageChunked(ev.filter(col("ts") < lit(cutTs)), stage, 2,
-                 Seq(col("ts"), col("event_id")))
-    val maxPass1 = maxBatchId(drainPass())
-    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7200000L)
-    stageChunked(
-      ev.filter(col("ts") >= lit(cutTs)).unionAll(
-        spark.range(1).select(
-          lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(1.0).as("value"))),
-      stage, 2, Seq(col("ts"), col("event_id")), firstChunk = 2)
-    val drained = drainPass()
-    val maxPass2 = maxBatchId(drained)
-    require(maxPass2 > maxPass1,
-            s"pass 2 ran no new micro-batch (max batch_id $maxPass1 -> " +
-              s"$maxPass2) — the checkpoint resume was never exercised")
+    val sentinelTs =
+      new java.sql.Timestamp(bounds.getTimestamp(1).getTime + 7200000L)
+    val (drained, c1) = restartPasses(work, drainPass _) {
+      stageChunked(ev.filter(col("ts") < lit(cutTs)), stage, 2,
+                   Seq(col("ts"), col("event_id")))
+    } {
+      stageChunked(
+        ev.filter(col("ts") >= lit(cutTs)).unionAll(
+          spark.range(1).select(
+            lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(1.0).as("value"))),
+        stage, 2, Seq(col("ts"), col("event_id")), firstChunk = 2)
+    }
+    // the restored-merge evidence itself: some session emitted AFTER the
+    // resume began before the cut and ended past it (its end = last
+    // event + gap, so ending >= cut + gap means a post-cut last event)
+    val spanned = drained.filter(
+      col("batch_id") >= c1 && col("session_start") < lit(cutTs) &&
+        col("session_end") >=
+          lit(new java.sql.Timestamp(cutTs.getTime + 1800000L)))
+      .limit(1).count()
+    require(spanned > 0,
+            "no session straddling the cut emitted after the resume — the " +
+              "restored open session was never merged with post-cut events")
     drained
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"), col("session_start"), col("session_end"),
@@ -1225,16 +1301,22 @@ object StreamDrain {
         spark.readStream.schema(EventPipeline.eventSchema)
           .option("maxFilesPerTrigger", "1").parquet(stage)),
       work, OutputMode.Append)
-    stageChunked(ev.filter(col("ts") < lit(cutTs)), stage, 2,
-                 Seq(col("ts"), col("event_id")))
-    val maxPass1 = maxBatchId(drainPass())
-    stageChunked(ev.filter(col("ts") >= lit(cutTs)), stage, 2,
-                 Seq(col("ts"), col("event_id")), firstChunk = 2)
-    val drained = drainPass()
-    val maxPass2 = maxBatchId(drained)
-    require(maxPass2 > maxPass1,
-            s"pass 2 ran no new micro-batch (max batch_id $maxPass1 -> " +
-              s"$maxPass2) — the checkpoint resume was never exercised")
+    val (drained, c1) = restartPasses(work, drainPass _) {
+      stageChunked(ev.filter(col("ts") < lit(cutTs)), stage, 2,
+                   Seq(col("ts"), col("event_id")))
+    } {
+      stageChunked(ev.filter(col("ts") >= lit(cutTs)), stage, 2,
+                   Seq(col("ts"), col("event_id")), firstChunk = 2)
+    }
+    // the restored-join-state evidence itself: a match emitted after the
+    // resume whose click precedes the cut and purchase follows it
+    val spanned = drained.filter(
+      col("batch_id") >= c1 && col("click_ts") < lit(cutTs) &&
+        col("purchase_ts") >= lit(cutTs))
+      .limit(1).count()
+    require(spanned > 0,
+            "no cut-spanning match emitted after the resume — the " +
+              "restored click state never joined a post-restart purchase")
     drained
       .select(col("user_id"), col("click_id"), col("purchase_id"),
               col("click_ts"), col("purchase_ts"),
@@ -1268,22 +1350,15 @@ object StreamDrain {
               .option("maxFilesPerTrigger", "1").parquet(stage).as[Event])
           .toDF(),
         work)
-      stageChunked(ev.filter(col("ts") < cut), stage, 2,
-                   Seq(col("ts"), col("event_id")))
-      val maxPass1 = maxBatchId(drainPass())
       // the delta becomes visible only AFTER pass 1 committed and stopped
-      stageChunked(ev.filter(col("ts") >= cut), stage, 2,
-                   Seq(col("ts"), col("event_id")), firstChunk = 2)
-      val drained = drainPass()
-      val maxPass2 = maxBatchId(drained)
-      require(maxPass2 > maxPass1,
-              s"pass 2 ran no new micro-batch (max batch_id $maxPass1 -> " +
-                s"$maxPass2) — the checkpoint resume was never exercised")
-      val latest = Window.partitionBy(col("user_id"))
-        .orderBy(col("batch_id").desc)
-      drained
-        .withColumn("rn", row_number().over(latest))
-        .filter(col("rn") === 1)
+      val (drained, _) = restartPasses(work, drainPass _) {
+        stageChunked(ev.filter(col("ts") < cut), stage, 2,
+                     Seq(col("ts"), col("event_id")))
+      } {
+        stageChunked(ev.filter(col("ts") >= cut), stage, 2,
+                     Seq(col("ts"), col("event_id")), firstChunk = 2)
+      }
+      lastPerKey(drained, Seq("user_id"))
         .select(col("user_id"), col("n_events"), col("sum_micros"),
                 col("last_ts_micros"))
         .orderBy(col("user_id"))
