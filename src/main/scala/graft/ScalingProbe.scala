@@ -77,7 +77,7 @@ object ScalingProbe {
     def wr(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
     def span(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0) + 1
+      df.agg(max(col(c))).head().getLong(0) + 1
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(i => f(df, i)).reduce(_ unionAll _)
 
@@ -180,7 +180,7 @@ object ScalingProbe {
     // counts at both scales separate candidate growth (algorithmic)
     // from execution slowdown (engine) — see DedupOps.ssjoinCandidateStats
     def candStats(dir: String): (Long, Long, Double) = {
-      val r = graft.operators.DedupOps.ssjoinCandidateStats(spark, dir).head
+      val r = graft.operators.DedupOps.ssjoinCandidateStats(spark, dir).head()
       (r.getLong(0), r.getLong(1), r.getDouble(2))
     }
     val (bd, bc, bp) = candStats(base)

@@ -494,7 +494,7 @@ object DedupOps {
         val maxChars = spark.conf
           .get("graft.ssjoin.broadcastMaxChars", "50000000").toLong
         val totalChars = Tables.documents(spark, dir)
-          .agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)
+          .agg(coalesce(sum(col("n_chars")), lit(0L))).head().getLong(0)
         if (totalChars <= maxChars) broadcast(shBase) else shBase
     }
     ssjoinPrefixCandidates(spark, dir)
@@ -1074,7 +1074,7 @@ object DedupOps {
              coalesce(bit_xor(xxhash64(least(col("src"), col("dst")),
                                        greatest(col("src"), col("dst")))),
                       lit(0L)))
-        .head
+        .head()
       (r.getLong(0), r.getLong(1))
     }
     var oldFp = fingerprint(edges)

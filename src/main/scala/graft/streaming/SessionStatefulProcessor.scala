@@ -79,7 +79,7 @@ class SessionStatefulProcessor
     // a stale timer (re-armed later by new events) fires before the
     // session's true close instant — ignore it
     if (s != null &&
-        expiredTimerInfo.getExpiryTimeInMs * 1000L >= s.lastMicros + GapMicros) {
+        expiredTimerInfo.getExpiryTimeInMs() * 1000L >= s.lastMicros + GapMicros) {
       sess.clear()
       Iterator.single(closedRow(key, s))
     } else Iterator.empty

@@ -416,7 +416,7 @@ object StreamDrain {
     val stage = s"$work/staged_events"
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head
+    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
     val lateBase = bounds.getTimestamp(0).getTime - 3600000L
     val sentinelTs = new java.sql.Timestamp(bounds.getTimestamp(1).getTime +
       3600000L)
@@ -545,7 +545,7 @@ object StreamDrain {
                                prefix: String,
                                leg: DataFrame => DataFrame): DataFrame = {
     val maxTs = graft.Tables.events(spark, dir)
-      .agg(max(col("ts"))).head.getTimestamp(0)
+      .agg(max(col("ts"))).head().getTimestamp(0)
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7200000L)
     val work = tempWorkDir(prefix)
     // the sentinel has the max ts, so the time-ranged chunk split puts
@@ -1195,7 +1195,7 @@ object StreamDrain {
     val stage = s"$work/staged_events"
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head
+    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
     val midMs =
       (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2
     val byUser = Window.partitionBy(col("user_id"))
