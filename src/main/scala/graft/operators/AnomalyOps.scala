@@ -620,36 +620,45 @@ object AnomalyOps {
   /** EXACT chained-cooldown oracle, shared by the batch
     * `alert_cooldown_chained` and the two streaming cooldown drains:
     * the greedy pass is a per-key linked-list walk, replayed as a
-    * recursive CTE — the first alert per (source, severity) fires, and
-    * each fired row joins to the EARLIEST later alert ≥ cooldown past
-    * it (the NOT EXISTS keeps only the minimal-rn candidate, exactly
-    * [[graft.streaming.CooldownProcessor.advance]]'s next firing).
-    * A `list_reduce` fold would be the natural form, but this DuckDB's
-    * list_reduce loses accumulated state across consecutive
-    * accumulator rebuilds (verified minimal repro: a struct/list
-    * accumulator concatenated over 5 elements keeps only the last), so
-    * the oracle walks the chain relationally instead.
+    * recursive CTE. Each alert precomputes its NEXT-FIRING POINTER:
+    * epoch-ms is non-decreasing in the per-key (ts, event_id) order, so
+    * the rows within the cooldown horizon form a prefix and
+    * `count(*) OVER (... RANGE ... 299999 FOLLOWING) + 1` is the rank
+    * of the first alert ≥ cooldown later — exactly
+    * [[graft.streaming.CooldownProcessor.advance]]'s next firing. The
+    * recursion is then a pure rank-equality pointer jump per key.
+    * Two DuckDB-specific notes: (1) the base CTEs are MATERIALIZED —
+    * DuckDB inlines plain CTEs per reference, and the recursive
+    * executor re-evaluates the recursive term's inputs each iteration,
+    * so an unmaterialized base would re-run the whole rolling-stats
+    * scoring fold hundreds of times (observed: the sf0.1 gate hung for
+    * over an hour on exactly that); (2) a `list_reduce` fold would be
+    * the natural form, but this DuckDB's list_reduce loses accumulated
+    * state across consecutive accumulator rebuilds (verified minimal
+    * repro: a struct/list accumulator concatenated over 5 elements
+    * keeps only the last), so the oracle walks the chain relationally.
     */
   private lazy val chainedFiredCte: String =
     s"""${scoredSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |alerts AS (SELECT * FROM final WHERE is_anomaly),
-       |a AS (
-       |  SELECT event_type, severity, event_id, ts, epoch_ms(ts) AS ms,
-       |         row_number() OVER (PARTITION BY event_type, severity
-       |                            ORDER BY ts, event_id) AS rn
+       |alerts AS MATERIALIZED (SELECT * FROM final WHERE is_anomaly),
+       |a AS MATERIALIZED (
+       |  SELECT event_type, severity, event_id, ts,
+       |         row_number() OVER w AS rn,
+       |         count(*) OVER (PARTITION BY event_type, severity
+       |                        ORDER BY epoch_ms(ts)
+       |                        RANGE BETWEEN UNBOUNDED PRECEDING
+       |                              AND 299999 FOLLOWING) + 1 AS next_rn
        |  FROM alerts
+       |  WINDOW w AS (PARTITION BY event_type, severity ORDER BY ts, event_id)
        |),
        |fired AS (
-       |  SELECT event_type, severity, event_id, ts, ms, rn FROM a WHERE rn = 1
+       |  SELECT event_type, severity, event_id, ts, rn, next_rn
+       |  FROM a WHERE rn = 1
        |  UNION ALL
-       |  SELECT n.event_type, n.severity, n.event_id, n.ts, n.ms, n.rn
+       |  SELECT n.event_type, n.severity, n.event_id, n.ts, n.rn, n.next_rn
        |  FROM fired f JOIN a n
        |    ON n.event_type = f.event_type AND n.severity = f.severity
-       |   AND n.rn > f.rn AND n.ms - f.ms >= 300000
-       |  WHERE NOT EXISTS (
-       |    SELECT 1 FROM a m
-       |    WHERE m.event_type = f.event_type AND m.severity = f.severity
-       |      AND m.rn > f.rn AND m.ms - f.ms >= 300000 AND m.rn < n.rn)
+       |   AND n.rn = f.next_rn
        |)""".stripMargin
 
   private lazy val chainedCooldownSql: String =
