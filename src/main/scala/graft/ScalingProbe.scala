@@ -69,9 +69,11 @@ object ScalingProbe {
     if (Files.exists(marker)) return
     if (Files.isDirectory(Paths.get(out))) {
       import scala.jdk.CollectionConverters._
-      Files.list(Paths.get(out)).iterator().asScala
+      val listing = Files.list(Paths.get(out))
+      try listing.iterator().asScala
         .filter(_.getFileName.toString.startsWith("_built_"))
         .foreach(Files.deleteIfExists(_))
+      finally listing.close()
     }
     def rd(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =

@@ -415,8 +415,10 @@ object AnomalyOps {
     * the exact fold [[graft.streaming.CooldownProcessor.advance]] runs
     * online, distributed per (source, severity) key with group size
     * bounded by alerts-per-key (the collect_list bound every exact
-    * per-key operator here shares). The DuckDB oracle replays the same
-    * fold with `list_reduce`.
+    * per-key operator here shares). The DuckDB oracle replays the fold
+    * as a pointer-jump recursive CTE ([[chainedFiredCte]] — this
+    * DuckDB's `list_reduce` corrupts struct/list accumulators, see the
+    * notes there).
     */
   def alertCooldownChained(spark: SparkSession, dir: String): DataFrame = {
     val cooldownMs = graft.streaming.CooldownProcessor.CooldownMillis
@@ -647,7 +649,7 @@ object AnomalyOps {
        |         count(*) OVER (PARTITION BY event_type, severity
        |                        ORDER BY epoch_ms(ts)
        |                        RANGE BETWEEN UNBOUNDED PRECEDING
-       |                              AND 299999 FOLLOWING) + 1 AS next_rn
+       |                              AND ${graft.streaming.CooldownProcessor.CooldownMillis - 1} FOLLOWING) + 1 AS next_rn
        |  FROM alerts
        |  WINDOW w AS (PARTITION BY event_type, severity ORDER BY ts, event_id)
        |),

@@ -78,8 +78,10 @@ object StreamDrain {
   private def deleteTree(root: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverse
+      val s = Files.walk(root)
+      try s.iterator().asScala.toSeq.reverse
         .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => })
+      finally s.close()
     }
   }
 
@@ -146,10 +148,13 @@ object StreamDrain {
         val tmp = s"$stageDir/_tmp_chunk"
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
         import scala.jdk.CollectionConverters._
-        val file = Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.headOption
-          .getOrElse(sys.error(s"no parquet part written under $tmp"))
+        val listing = Files.list(java.nio.file.Paths.get(tmp))
+        val file =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.headOption
+            .getOrElse(sys.error(s"no parquet part written under $tmp"))
+          finally listing.close()
         val target = java.nio.file.Paths.get(f"$stageDir/chunk-$k%04d.parquet")
         Files.move(file, target,
                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -220,19 +225,29 @@ object StreamDrain {
     drained
   }
 
-  /** Number of micro-batches the drain's checkpoint actually EXECUTED
-    * (committed offset-log entries) — emission-independent, unlike
-    * max(batch_id) over the store: a batch that produced no output rows
-    * (an append-mode leg whose last chunk matched nothing) still commits
-    * its offset, and an all-empty store has no rows to max over at all.
+  /** Number of micro-batches the drain's checkpoint actually COMPLETED,
+    * read from the COMMIT log (one entry per finished batch, written
+    * after the batch's sink + state commit) — emission-independent,
+    * unlike max(batch_id) over the store: a batch that produced no
+    * output rows (an append-mode leg whose last chunk matched nothing)
+    * still writes its commit, and an all-empty store has no rows to max
+    * over at all. Commits, not offsets: an offsets entry is written
+    * BEFORE its batch runs, so after a non-clean stop the offset count
+    * can exceed completed batches by one — counting commits keeps the
+    * restart drains' `batch_id >= c1` pass-2 attribution exact even if
+    * a pass ever stopped between offset-write and commit (Spark then
+    * re-runs that batch id on resume, and its emissions belong to
+    * pass 2, which is precisely where the commit count places them).
     */
   private def executedBatches(work: String): Int = {
-    val dir = java.nio.file.Paths.get(s"$work/ckpt/offsets")
+    val dir = java.nio.file.Paths.get(s"$work/ckpt/commits")
     if (!Files.isDirectory(dir)) 0
     else {
-      import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
-        .count(_.getFileName.toString.forall(_.isDigit))
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.forall(_.isDigit))
+      } finally s.close()
     }
   }
 
@@ -1129,9 +1144,10 @@ object StreamDrain {
     // first pair of same-type events ≤ 50 s apart (any 60 s window
     // covering both exists ⇒ a pane holds partial sums at the stop).
     // The sparsest fixture has no such pair — there the drain falls
-    // back to the fixed mid-corpus cut and still verifies watermark
-    // restore + exactly-once resume, with the spanning assertion
-    // applied only when the corpus admits a spanning pane.
+    // back to the corpus min/max MIDPOINT (data-derived, not a
+    // fixture-specific date) and still verifies watermark restore +
+    // exactly-once resume, with the spanning assertion applied only
+    // when the corpus admits a spanning pane.
     val byType = Window.partitionBy(col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     val closePair = ev
@@ -1143,9 +1159,12 @@ object StreamDrain {
       .limit(1)
       .select(unix_millis(col("prev")).as("a"), unix_millis(col("ts")).as("b"))
       .collect()
+    lazy val bounds =
+      ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
     val cutTs = closePair.headOption
       .map(r => new java.sql.Timestamp((r.getLong(0) + r.getLong(1)) / 2))
-      .getOrElse(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      .getOrElse(new java.sql.Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2))
     def drainPass(): DataFrame = drainToStore(
       spark,
       EventPipeline.slidingKpi(
@@ -1204,12 +1223,17 @@ object StreamDrain {
     // (metadata-scale, like the CUSUM baselines)
     // pause floor of 2 ms keeps the integer midpoint STRICTLY between
     // the two events — a 0/1 ms pause would floor the cut onto the
-    // earlier event and push both into pass 2, voiding the span
+    // earlier event and push both into pass 2, voiding the span.
+    // Upper bound gapMs − 1: session_window merges only on a gap
+    // STRICTLY below the 30-minute timeout ([start, start + gap)), so a
+    // pause of exactly gapMs would straddle a session boundary and make
+    // the spanning-session require fail spuriously
+    val gapMs = 1800000L
     val pause = ev
       .withColumn("prev", lag(col("ts"), 1).over(byUser))
       .filter(col("prev").isNotNull &&
         (unix_millis(col("ts")) - unix_millis(col("prev")))
-          .between(lit(2L), lit(1800000L)) &&
+          .between(lit(2L), lit(gapMs - 1)) &&
         unix_millis(col("prev")) >= midMs)
       .orderBy(col("prev"), col("ts"), col("event_id"))
       .limit(1)
@@ -1246,7 +1270,7 @@ object StreamDrain {
     val spanned = drained.filter(
       col("batch_id") >= c1 && col("session_start") < lit(cutTs) &&
         col("session_end") >=
-          lit(new java.sql.Timestamp(cutTs.getTime + 1800000L)))
+          lit(new java.sql.Timestamp(cutTs.getTime + gapMs)))
       .limit(1).count()
     require(spanned > 0,
             "no session straddling the cut emitted after the resume — the " +
@@ -1332,7 +1356,12 @@ object StreamDrain {
       val stage = s"$work/staged_events"
       val ev = graft.Tables.events(spark, dir)
         .select("event_id", "ts", "user_id", "event_type", "value")
-      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      // corpus min/max midpoint — data-derived, so a fixture with a
+      // different date range still splits into two non-trivial passes
+      val bounds =
+        ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+      val cut = lit(new java.sql.Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2))
       val spanning = ev.filter(col("ts") < cut).select("user_id")
         .intersect(ev.filter(col("ts") >= cut).select("user_id"))
         .limit(1).count()
