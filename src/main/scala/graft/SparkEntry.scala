@@ -47,6 +47,10 @@ object SparkEntry {
     // rows (absent from the oracle) must be watermark-dropped
     "stream_late_drop_drain" ->
       (graft.streaming.StreamDrain.streamLateDropDrain _),
+    // T1's ADMISSIBLE side under the gate: rows arriving one micro-batch
+    // late but within the 10 s watermark must merge into open panes
+    "stream_ooo_kpi_drain" ->
+      (graft.streaming.StreamDrain.streamOooKpiDrain _),
     "kpi_lookup" -> ((s, d) => KpiOps.kpiLookup(s, d)),
     "kpi_lookup_5m" -> (KpiOps.kpiLookup5m _),
     "kpi_udaf_p95" -> (KpiOps.kpiUdafP95 _),
@@ -103,6 +107,10 @@ object SparkEntry {
     "stream_drift_drain" -> (graft.streaming.StreamDrain.streamDriftDrain _),
     "stream_snapshot_drain" ->
       (graft.streaming.StreamDrain.streamSnapshotDrain _),
+    // the same keyed state extended by admissible-late rows arriving a
+    // micro-batch behind their event-time peers (OOO staging)
+    "stream_ooo_snapshot_drain" ->
+      (graft.streaming.StreamDrain.streamOooSnapshotDrain _),
     // checkpoint KILL-AND-RESUME: pass 1 drains half the chunks and
     // stops; pass 2 starts a NEW query on the SAME checkpoint over the
     // late-arriving rest — restored+extended state vs the full oracle

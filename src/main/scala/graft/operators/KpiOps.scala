@@ -342,7 +342,11 @@ object KpiOps {
     // late-data drop (T2): the drain feeds planted provably-late rows
     // the oracle never sees — the gate passes only if the watermark
     // drops them (a leak mints pre-corpus panes or corrupts sums)
-    "stream_late_drop_drain" -> slidingSql
+    "stream_late_drop_drain" -> slidingSql,
+    // out-of-order WITHIN the watermark (T1's admissible side): rows
+    // shifted one micro-batch late, inside the 10 s tolerance, must be
+    // merged into the still-open panes — same from-scratch oracle
+    "stream_ooo_kpi_drain" -> slidingSql
   )
 
   // exact micro-unit pane sums — matches the batch AND streamed Spark

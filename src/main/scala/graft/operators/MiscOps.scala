@@ -583,6 +583,9 @@ object MiscOps {
     // from-scratch aggregate (fold∘batches = aggregate); exact integer
     // micro-unit sums and µs epochs keep the check order-free
     "stream_snapshot_drain" -> perUserSnapshotSql,
+    // the same view over the OUT-OF-ORDER staging (rows arriving one
+    // batch late within the watermark must extend restored keyed state)
+    "stream_ooo_snapshot_drain" -> perUserSnapshotSql,
     // the statestore READER (StreamDrain.streamStateReaderDrain): rows
     // read directly out of the drained checkpoint's RocksDB store must
     // equal the same from-scratch aggregate

@@ -142,30 +142,42 @@ object StreamDrain {
       case Some(r) =>
         (0 until chunks).map(k => r.filter(col("__chunk") === k).drop("__chunk"))
     }
-    try {
-      parts.zipWithIndex.foreach { case (part, i) =>
-        val k = firstChunk + i
-        val tmp = s"$stageDir/_tmp_chunk"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import scala.jdk.CollectionConverters._
-        val listing = Files.list(java.nio.file.Paths.get(tmp))
-        val file =
-          try listing.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .toSeq.headOption
-            .getOrElse(sys.error(s"no parquet part written under $tmp"))
-          finally listing.close()
-        val target = java.nio.file.Paths.get(f"$stageDir/chunk-$k%04d.parquet")
-        Files.move(file, target,
-                   java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // deterministic ascending mtimes drive the source's replay order
-        Files.setLastModifiedTime(
-          target,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1700000000000L + k * 60000L))
-        deleteTree(java.nio.file.Paths.get(tmp))
-      }
-    } finally ranked.foreach(_.unpersist())
+    try writeChunkFiles(parts, stageDir, firstChunk)
+    finally ranked.foreach(_.unpersist())
+  }
+
+  /** Write each part as ONE parquet chunk file named and
+    * modification-stamped in sequence order (the file source replays
+    * unread files in ascending mtime order, so chunk k becomes
+    * micro-batch k) — the write half of [[stageChunked]], shared with
+    * the out-of-order staging whose chunk assignment is not a plain
+    * range split.
+    */
+  private def writeChunkFiles(parts: Seq[DataFrame], stageDir: String,
+                              firstChunk: Int = 0): Unit = {
+    Files.createDirectories(java.nio.file.Paths.get(stageDir))
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val k = firstChunk + i
+      val tmp = s"$stageDir/_tmp_chunk"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(java.nio.file.Paths.get(tmp))
+      val file =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.headOption
+          .getOrElse(sys.error(s"no parquet part written under $tmp"))
+        finally listing.close()
+      val target = java.nio.file.Paths.get(f"$stageDir/chunk-$k%04d.parquet")
+      Files.move(file, target,
+                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // deterministic ascending mtimes drive the source's replay order
+      Files.setLastModifiedTime(
+        target,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + k * 60000L))
+      deleteTree(java.nio.file.Paths.get(tmp))
+    }
   }
 
   /** Staged events stream from the shared cache. `chunks = 1` stages one
@@ -1387,6 +1399,290 @@ object StreamDrain {
         stageChunked(ev.filter(col("ts") >= cut), stage, 2,
                      Seq(col("ts"), col("event_id")), firstChunk = 2)
       }
+      lastPerKey(drained, Seq("user_id"))
+        .select(col("user_id"), col("n_events"), col("sum_micros"),
+                col("last_ts_micros"))
+        .orderBy(col("user_id"))
+    }
+
+  /** How far behind the previous batch's max event time a shifted row
+    * may arrive and still be ADMISSIBLE: 9 s against the pipelines' 10 s
+    * watermark delay, a full second of safety margin so ms-truncated
+    * gap arithmetic can never push a shifted row under the watermark.
+    */
+  private val OooSlackMs = 9000L
+
+  /** At most this many rows shift across each chunk boundary — enough
+    * for real merge evidence, surgical enough that the staging stays a
+    * faithful replay of the corpus.
+    */
+  private val OooMaxShift = 8
+
+  /** OUT-OF-ORDER-WITHIN-WATERMARK staging (the arrival class T1's
+    * `forBoundedOutOfOrderness(Duration.ofSeconds(10))` —
+    * `EventAggregationJob.java:68-71` — exists to admit, and the one the
+    * monotone [[stageChunked]] replays never exercise): the corpus is
+    * staged as [[MultiBatchChunks]] chunk files, but the chunk
+    * boundaries are placed on TIGHT inter-event gaps (≤ [[OooSlackMs]])
+    * and the boundary row's close predecessors are SHIFTED into the
+    * next chunk file — file assignment only, event time untouched. Each
+    * shifted row therefore arrives in micro-batch k+1 strictly behind
+    * batch k's max event time yet ≥ 1 s above the 10 s watermark:
+    * late-but-admissible, and the engine must merge it into the
+    * still-open pane / keyed state batch k persisted (pane-open proof:
+    * a window covering the row ends after the row's ts ≥ watermark, so
+    * it cannot have been evicted).
+    *
+    * Boundary selection prefers gaps whose two rows share an event type
+    * — then a sliding pane provably holds rows from BOTH batches, and
+    * [[streamOooKpiDrain]] asserts that pane's two-batch emission with
+    * a grown count. Corpora without same-type tight gaps (the sparsest
+    * fixture) fall back to any-type gaps and the weaker per-row merge
+    * evidence. The shifted rows ride an underscore-hidden `_moved`
+    * sidecar (invisible to the file source), so the cached staging is
+    * self-describing: drains re-read it instead of re-deriving the
+    * assignment.
+    */
+  private def buildOooStage(spark: SparkSession, dir: String,
+                            stageDir: String): Unit = {
+    val chunks = MultiBatchChunks
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = ranked.count()
+      require(n > chunks, s"corpus too small to stage $chunks chunks")
+      // boundary candidates: rows whose immediate predecessor is within
+      // (0, OooSlackMs] — the predecessor is the row that will shift.
+      // rn bounds keep every chunk non-empty after the split.
+      val cands = ranked
+        .filter(col("prev_ms").isNotNull &&
+          col("ms") > col("prev_ms") &&
+          col("ms") - col("prev_ms") <= lit(OooSlackMs) &&
+          col("rn") > 1 && col("rn") < n)
+        .select(col("rn"), col("ms"),
+                (col("event_type") === col("prev_type")).as("same_type"))
+      // nearest candidate to the ideal split point, same-type preferred;
+      // two 1-row driver probes (metadata-scale, like the restart cuts)
+      def pick(target: Long, minRn: Long): (Long, Long, Boolean) = {
+        def nearest(of: DataFrame): Option[(Long, Long, Boolean)] =
+          of.filter(col("rn") > minRn)
+            .orderBy(abs(col("rn") - target), col("rn"))
+            .limit(1)
+            .collect()
+            .headOption
+            .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        nearest(cands.filter(col("same_type")))
+          .orElse(nearest(cands))
+          .getOrElse(sys.error(
+            "no tight inter-event gap to place an out-of-order chunk " +
+              "boundary on — the admissible-late merge claim would be " +
+              "vacuous on this corpus"))
+      }
+      val (b1rn, b1ms, _) = pick(n / 3, 1L)
+      val (b2rn, b2ms, _) = pick(2 * n / 3, b1rn)
+      val assigned = ranked
+        .withColumn("chunk",
+                    when(col("rn") <= b1rn, 0)
+                      .when(col("rn") <= b2rn, 1)
+                      .otherwise(2))
+        .withColumn(
+          "moved",
+          (col("rn") < b1rn && col("rn") >= b1rn - OooMaxShift &&
+            col("ms") >= b1ms - OooSlackMs) ||
+            (col("rn") > b1rn && col("rn") < b2rn &&
+              col("rn") >= b2rn - OooMaxShift &&
+              col("ms") >= b2ms - OooSlackMs))
+        .withColumn("to_chunk",
+                    col("chunk") + when(col("moved"), 1).otherwise(0))
+      val boundaryType = ranked
+        .filter(col("rn") === b1rn || col("rn") === b2rn)
+        .select(col("rn").as("brn"), col("event_type").as("boundary_type"))
+      val moved = assigned
+        .filter(col("moved"))
+        .withColumn("brn", when(col("rn") < b1rn, b1rn).otherwise(b2rn))
+        .withColumn("boundary_ms",
+                    when(col("rn") < b1rn, b1ms).otherwise(b2ms))
+        .join(broadcast(boundaryType), Seq("brn"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("to_chunk"), col("boundary_ms"),
+                (col("event_type") === col("boundary_type")).as("strong"))
+      writeChunkFiles(
+        (0 until chunks).map(k =>
+          assigned.filter(col("to_chunk") === k)
+            .select("event_id", "ts", "user_id", "event_type", "value")),
+        stageDir)
+      moved.coalesce(1).write.mode("overwrite").parquet(s"$stageDir/_moved")
+    } finally ranked.unpersist()
+  }
+
+  /** The cached OOO staging for `dir`, plus its `_moved` sidecar. */
+  private[graft] def oooStaged(spark: SparkSession,
+                               dir: String): (String, DataFrame) = {
+    val stage = stagedPath(dir, "ooo", MultiBatchChunks)(
+      buildOooStage(spark, dir, _))
+    (stage, spark.read.parquet(s"$stage/_moved"))
+  }
+
+  /** Fail-loud audit that the OOO staging really is out of order: every
+    * shifted row must sit in chunk FILE `to_chunk` (the file micro-batch
+    * `to_chunk` reads) while a row with LATER event time sits in the
+    * previous chunk file — and still be admissible, i.e. within the
+    * 10 s watermark of that previous file's max event time. Read from
+    * the staged files themselves, so a regression in the staging logic
+    * (not just in this derivation) trips the drain.
+    */
+  private[graft] def oooStagingAudit(spark: SparkSession, stage: String,
+                                     moved: DataFrame): Unit = {
+    val movedRows = moved
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"),
+              col("to_chunk"))
+      .collect()
+    require(movedRows.length >= 2,
+            "OOO staging shifted fewer than two rows — the " +
+              "admissible-late merge claim would be near-vacuous")
+    val files = (0 until MultiBatchChunks)
+      .map(k => spark.read.parquet(f"$stage/chunk-$k%04d.parquet"))
+    val maxMs =
+      files.map(_.agg(max(unix_millis(col("ts")))).head().getLong(0))
+    movedRows.groupBy(_.getInt(2)).foreach { case (k, rows) =>
+      val ids = rows.map(_.getLong(0)).toIndexedSeq
+      val present = files(k)
+        .filter(col("event_id").isin(ids: _*))
+        .count()
+      require(present == ids.length,
+              s"${ids.length - present} shifted rows missing from chunk " +
+                s"file $k — the staging did not execute the shift")
+      rows.foreach { r =>
+        require(r.getLong(1) < maxMs(k - 1),
+                s"shifted event ${r.getLong(0)} is not behind chunk " +
+                  s"${k - 1}'s max event time — not out of order")
+        require(r.getLong(1) >= maxMs(k - 1) - 10000L,
+                s"shifted event ${r.getLong(0)} is beyond the 10 s " +
+                  "watermark of the previous batch — it would be " +
+                  "DROPPED, not merged")
+      }
+    }
+  }
+
+  /** OUT-OF-ORDER arrival WITHIN the watermark, for the WINDOWED-AGG
+    * state family, under the hash gate: [[EventPipeline.slidingKpi]]
+    * over the [[buildOooStage]] replay — a handful of rows arrive one
+    * micro-batch late (behind already-processed event times, inside the
+    * 10 s tolerance) and must be merged into the still-open panes the
+    * earlier batch persisted; the final panes are gated against the
+    * unchanged batch sliding oracle, whose exact micro-unit sums flip
+    * on a single dropped or double-counted row. Complements
+    * [[streamLateDropDrain]] (rows BEYOND the watermark must drop):
+    * together they pin both sides of the bounded-out-of-orderness
+    * contract. Fail-loud evidence the late merge actually happened:
+    * every shifted row's pane re-emits at that row's (later) batch, and
+    * where a shifted row shares its boundary's event type, one pane
+    * provably emits in BOTH batches with a grown count.
+    */
+  def streamOooKpiDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_ooo_kpi_drain")
+    val (stage, moved) = oooStaged(spark, dir)
+    oooStagingAudit(spark, stage, moved)
+    val drained = drainToStore(
+      spark,
+      EventPipeline.slidingKpi(
+        spark.readStream.schema(EventPipeline.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)),
+      work, expectBatches = MultiBatchChunks)
+    // every shifted row's own-type pane re-emitted at its late batch
+    val movedKeys = moved.select(
+      col("event_id").as("mid"), col("event_type").as("mt"),
+      col("ts").as("mts"), col("to_chunk"), col("boundary_ms"),
+      col("strong"))
+    val paneHits = drained.join(
+      broadcast(movedKeys),
+      col("event_type") === col("mt") &&
+        col("window_start") <= col("mts") && col("window_end") > col("mts") &&
+        col("batch_id") === col("to_chunk"))
+    val hitIds = paneHits.select(col("mid")).distinct().count()
+    val movedCount = moved.count()
+    require(hitIds == movedCount,
+            s"only $hitIds of $movedCount shifted rows re-emitted a pane " +
+              "at their late batch — the admissible-late merge never ran")
+    // the strong form: a pane covering BOTH a shifted row and its
+    // same-type boundary row emitted in both batches, count grown
+    if (moved.filter(col("strong")).limit(1).count() > 0) {
+      val spanned = drained.join(
+        broadcast(movedKeys.filter(col("strong"))),
+        col("event_type") === col("mt") &&
+          col("window_start") <= col("mts") &&
+          unix_millis(col("window_end")) > col("boundary_ms"))
+        .groupBy(col("event_type"), col("window_start"), col("mid"))
+        .agg(countDistinct(col("batch_id")).as("nb"),
+             max(col("n_events")).as("mx"), min(col("n_events")).as("mn"))
+        .filter(col("nb") >= 2 && col("mx") > col("mn"))
+      require(spanned.limit(1).count() > 0,
+              "no pane spanning a shifted row and its same-type boundary " +
+                "row emitted in two batches with a grown count — the " +
+                "open-pane merge left no cross-batch evidence")
+    }
+    kpiPaneReadback(lastPerKey(drained, Seq("event_type", "window_start")))
+  }
+
+  /** The SAME admissible-late arrival class for a KEYED-STATE leg: the
+    * per-user incremental view ([[UserSnapshotStatefulProcessor]] —
+    * count / exact micro-unit sum / max-µs last-seen, a fully
+    * commutative algebra, which is precisely why a production pipeline
+    * may accept bounded out-of-orderness here without reordering) over
+    * the [[buildOooStage]] replay. State persisted for a user in batch
+    * k is restored in batch k+1 and extended by a row that is BEHIND
+    * batch k's max event time; the final snapshots must still equal the
+    * from-scratch aggregate. Fail-loud evidence: every shifted row's
+    * user re-emits at the row's late batch, and at least one such user
+    * also emitted in an earlier batch with a strictly smaller count —
+    * restored-and-extended, not recreated.
+    */
+  def streamOooSnapshotDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_ooo_snapshot_drain")
+      val (stage, moved) = oooStaged(spark, dir)
+      oooStagingAudit(spark, stage, moved)
+      val s = spark
+      import s.implicits._
+      val drained = drainToStore(
+        spark,
+        TypedStatefulProcessors
+          .userSnapshotStream(
+            spark,
+            spark.readStream.schema(EventPipeline.eventSchema)
+              .option("maxFilesPerTrigger", "1").parquet(stage).as[Event])
+          .toDF(),
+        work, expectBatches = MultiBatchChunks)
+      val movedUsers = moved.select(col("user_id").as("mu"),
+                                    col("event_id").as("mid"),
+                                    col("to_chunk"))
+      val atBatch = drained.join(
+        broadcast(movedUsers),
+        col("user_id") === col("mu") && col("batch_id") === col("to_chunk"))
+      val hit = atBatch.select(col("mid")).distinct().count()
+      val movedCount = moved.count()
+      require(hit == movedCount,
+              s"only $hit of $movedCount shifted rows re-emitted their " +
+                "user snapshot at their late batch — the late rows never " +
+                "reached keyed state")
+      val grown = drained.join(broadcast(movedUsers),
+                               col("user_id") === col("mu"))
+        .groupBy(col("user_id"), col("to_chunk"))
+        .agg(max(when(col("batch_id") < col("to_chunk"), col("n_events")))
+               .as("before"),
+             max(when(col("batch_id") === col("to_chunk"), col("n_events")))
+               .as("at"))
+        .filter(col("before").isNotNull && col("at") > col("before"))
+      require(grown.limit(1).count() > 0,
+              "no shifted row's user shows a smaller pre-boundary count — " +
+                "nothing proves restored state was EXTENDED by the late row")
       lastPerKey(drained, Seq("user_id"))
         .select(col("user_id"), col("n_events"), col("sum_micros"),
                 col("last_ts_micros"))
