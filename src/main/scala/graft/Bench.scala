@@ -56,6 +56,15 @@ object Bench {
               "not applied, so an existing session would be mismeasured")
     spark.sparkContext.setLogLevel("WARN")
 
+    def readLoadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    // AMBIENT load, captured before the bench's own 32-thread execution
+    // inflates the 1-minute average — the number load adjudication needs
+    // (the end-of-run reading always carries ~2 of self-load)
+    val loadavgStart = readLoadavg()
+
     // JIT + whole-stage-codegen warmup on the smallest fixture (not
     // billed): every query once, so no measured run pays Janino
     // compilation (~0.1-0.3s/stage) — the baseline's numbers are
@@ -86,6 +95,15 @@ object Bench {
     val headlineTimes = time(headline)
     val extended = SparkEntry.queries.keySet.diff(headline.toSet).toSeq.sorted
     val extendedTimes = time(extended)
+    // the stream_* drains each execute a full multi-micro-batch
+    // writeStream (staging, state store, checkpoint, read-back) per
+    // run — verification machinery whose wall-clock grows with drain
+    // COUNT, not engine speed. Split it out so round-over-round engine
+    // comparisons read batch_extended_total; extended_total stays for
+    // continuity with earlier rounds.
+    val drainTotal = extendedTimes
+      .filter(_._1.startsWith("stream_")).map(_._2).sum
+    val extendedTotal = extendedTimes.map(_._2).sum
 
     val events =
       try spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -109,17 +127,17 @@ object Bench {
       .mkString("{", ",", "}")
     // machine load at measurement time: two rounds running, host noise
     // has masqueraded as per-query regression — record the evidence
-    val loadavg =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split(" ").take(3).mkString(" ")
-      catch { case _: Throwable => "" }
+    // (end-of-run reading kept for continuity; loadavg_start is the
+    // ambient one bench_diff adjudicates on)
+    val loadavg = readLoadavg()
     // the driver stores only a bounded TAIL of this output, so: (1) the
     // per-run variance detail goes to a side file AND a first stdout
     // line; (2) the final JSON line ends with the headline scalars
     // (headline_total / events_per_sec LAST) so any tail capture
     // contains the numbers that matter even if the front is cut off
     val runsLine =
-      s"""{"metric":"bench_runs","runs":$rs,"loadavg":"$loadavg","sf":"$sfDir"}"""
+      s"""{"metric":"bench_runs","runs":$rs,"loadavg":"$loadavg",""" +
+        s""""loadavg_start":"$loadavgStart","sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_RUNS.json"),
       runsLine.getBytes("UTF-8"))
@@ -129,7 +147,10 @@ object Bench {
       s"""{"metric":"headline_total","unit":"sec","sf":"$sfDir",""" +
         s""""queries":$qs,""" +
         s""""events_rows":$events,"loadavg":"$loadavg",""" +
-        s""""extended_total":${fmt(extendedTimes.map(_._2).sum)},""" +
+        s""""loadavg_start":"$loadavgStart",""" +
+        s""""drain_total":${fmt(drainTotal)},""" +
+        s""""batch_extended_total":${fmt(extendedTotal - drainTotal)},""" +
+        s""""extended_total":${fmt(extendedTotal)},""" +
         s""""headline_total":${fmt(headlineTotal)},""" +
         s""""value":${fmt(headlineTotal)},""" +
         s""""events_per_sec":${fmt(eventsPerSec)}}""")

@@ -10,62 +10,135 @@ query is flagged as a REGRESSION only when the new MIN exceeds BOTH
 so a loaded machine (which inflates all three runs of some queries but
 rarely the min) does not masquerade as a code regression.
 
+Load awareness (the round-8 lesson: a 3.91 s "headline regression" was
+captured at loadavg 4.8 and fully recovered on a quiet box): Bench
+records /proc/loadavg both BEFORE its own run (loadavg_start — ambient
+load, the signal that matters) and after (loadavg — inflated by ~2 of
+the bench's own 32-thread self-load by the time it is read). This tool
+prefers loadavg_start with LOAD_LIMIT; for older files that only carry
+the end-of-run reading it falls back to LOAD_LIMIT_END. When either
+side exceeds its limit the verdict line says so and flagged regressions
+are demoted to LOAD-SUSPECT (exit 0) — rerun on a quiet box before
+believing them.
+
+Design changes: a query whose WORK changed on purpose (e.g. a drain
+converted from one micro-batch to three) is not a regression however
+slow it got. Pass --design-changed q1,q2 to annotate those queries as
+DESIGN-CHANGED instead of flagging them.
+
 Usage:
-  python3 tools/bench_diff.py OLD NEW
+  python3 tools/bench_diff.py OLD NEW [--design-changed q1,q2]
 where OLD/NEW are either BENCH_RUNS.json files ({"runs": {q: [r1,r2,r3]}})
 or driver BENCH_r{N}.json files whose tail holds the bench_runs line.
 
-Exit 0 iff no regressions flagged.
+Exit 0 iff no regressions flagged (load-suspect and design-changed
+entries do not fail the gate).
 """
 import json, re, sys
 from pathlib import Path
 
+LOAD_LIMIT = 2.0        # ambient (loadavg_start) limit
+LOAD_LIMIT_END = 4.0    # end-of-run fallback: bench self-load adds ~2
+
+
+def _load_verdict(d):
+    """(1-min loadavg or None, is_ambient) from a parsed bench dict."""
+    for key, ambient in (("loadavg_start", True), ("loadavg", False)):
+        la = d.get(key, "")
+        if isinstance(la, str) and la.split():
+            try:
+                return float(la.split()[0]), ambient
+            except ValueError:
+                pass
+    return None, False
+
 
 def load_runs(path):
+    """Return (runs-dict, (loadavg, is_ambient)) from a bench output."""
     text = Path(path).read_text()
+
+    def parse_line(line):
+        d = json.loads(line)
+        return d["runs"], _load_verdict(d)
+
     # direct bench_runs JSON line(s)
     for line in text.splitlines():
         line = line.strip()
         if line.startswith('{"metric":"bench_runs"') or line.startswith('{"metric": "bench_runs"'):
-            return json.loads(line)["runs"]
+            return parse_line(line)
     # driver BENCH_r{N}.json: JSON object with a raw tail field
     try:
         d = json.loads(text)
         if isinstance(d, dict):
             if "runs" in d:
-                return d["runs"]
+                return d["runs"], _load_verdict(d)
             for v in d.values():
                 if isinstance(v, str) and '"bench_runs"' in v:
                     m = re.search(r'\{"metric":"bench_runs".*?\}(?=\s|$)', v)
                     if m:
-                        return json.loads(m.group(0))["runs"]
+                        return parse_line(m.group(0))
     except json.JSONDecodeError:
         pass
     # fall back: per-query scalar map {"queries": {q: sec}} -> single-run
     try:
         d = json.loads(text)
         if "queries" in d:
-            return {k: [v] for k, v in d["queries"].items()}
+            return {k: [v] for k, v in d["queries"].items()}, _load_verdict(d)
     except json.JSONDecodeError:
         pass
     raise SystemExit(f"could not find bench runs in {path}")
 
 
 def main():
-    old, new = load_runs(sys.argv[1]), load_runs(sys.argv[2])
+    args = [a for a in sys.argv[1:]]
+    design_changed = set()
+    if "--design-changed" in args:
+        i = args.index("--design-changed")
+        design_changed = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    (old, old_load), (new, new_load) = load_runs(args[0]), load_runs(args[1])
+
+    def describe(lv):
+        load, ambient = lv
+        if load is None:
+            return "unknown", None
+        limit = LOAD_LIMIT if ambient else LOAD_LIMIT_END
+        kind = "ambient" if ambient else "end-of-run"
+        return f"{load:.2f} ({kind}, limit {limit})", (load > limit)
+
+    old_desc, old_hot = describe(old_load)
+    new_desc, new_hot = describe(new_load)
+    loaded = [
+        label for label, hot in (("OLD", old_hot), ("NEW", new_hot)) if hot
+    ]
+    if loaded:
+        print(f"LOAD VERDICT: {' and '.join(loaded)} over the load limit — "
+              f"old {old_desc}, new {new_desc}; measurements suspect, "
+              "flagged regressions demoted to LOAD-SUSPECT, rerun on a "
+              "quiet box before acting on them")
+    else:
+        print(f"LOAD VERDICT: ok (old {old_desc}, new {new_desc})")
+
     shared = sorted(set(old) & set(new))
     gone, added = sorted(set(old) - set(new)), sorted(set(new) - set(old))
-    regressions, improvements = [], []
+    regressions, improvements, demoted = [], [], []
     for q in shared:
         omin, omax = min(old[q]), max(old[q])
         nmin = min(new[q])
         if nmin > 2 * omin and nmin > omax + 0.25:
-            regressions.append((q, omin, omax, nmin))
+            if q in design_changed:
+                demoted.append(("DESIGN-CHANGED", q, omin, omax, nmin))
+            elif loaded:
+                demoted.append(("LOAD-SUSPECT", q, omin, omax, nmin))
+            else:
+                regressions.append((q, omin, omax, nmin))
         elif omin > 2 * nmin and omin > 0.25:
             improvements.append((q, omin, nmin))
     print(f"{len(shared)} shared queries; {len(added)} added, {len(gone)} removed")
     for q, omin, omax, nmin in regressions:
         print(f"REGRESSION {q}: old min {omin:.3f}s (max {omax:.3f}) -> new min {nmin:.3f}s")
+    for tag, q, omin, omax, nmin in demoted:
+        print(f"{tag} {q}: old min {omin:.3f}s (max {omax:.3f}) -> new min {nmin:.3f}s")
     for q, omin, nmin in improvements:
         print(f"improved   {q}: {omin:.3f}s -> {nmin:.3f}s")
     if not regressions:
