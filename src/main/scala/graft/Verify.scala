@@ -11,9 +11,18 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_AQE=1 → the CLUSTER-DEFAULT planner posture: Spark's
+    // default 200 shuffle partitions with AQE (on by default in every
+    // library session, never disabled here) free to coalesce partitions
+    // and re-plan joins at runtime. The config-robustness gate pass runs
+    // the full oracle compare under it — every query ends in a total
+    // orderBy, so hashes must hold under ANY partitioning the adaptive
+    // planner picks; a query that flips is a real determinism bug.
+    val shufflePartitions =
+      if (sys.env.get("SPARK_GRAFT_AQE").contains("1")) "200" else cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
