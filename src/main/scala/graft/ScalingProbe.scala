@@ -30,9 +30,15 @@ import org.apache.spark.sql.functions._
   * inside the same time range (10× traffic, same calendar), which is
   * the realistic growth axis for the streaming tables.
   *
-  * Usage: `runMain graft.ScalingProbe [baseDir] [scaledDir] [copies]`
+  * Usage:
+  * `runMain graft.ScalingProbe [baseDir] [scaledDir] [copies] [probesCsv]`
   * Prints one JSON line per probe query with min-of-2 seconds at each
-  * scale and the ratio; SCALING.md records the committed verdicts.
+  * scale and the ratio — plus, for the writeStream drains, a
+  * state-telemetry line (state rows / bytes / files at both scales, via
+  * `StreamDrain.stateTelemetry`) so "state is bounded" is a measured
+  * number rather than prose. The optional 4th arg restricts the probe
+  * set (e.g. the worst-tail five at 30×); SCALING.md records the
+  * committed verdicts.
   */
 object ScalingProbe {
 
@@ -49,6 +55,17 @@ object ScalingProbe {
     "q2_min_cost_supplier", "ann_topk", "cluster_representatives",
     "contamination_check",
     "stream_kpi_drain", "stream_alerts_drain", "stream_lshdedup_drain")
+
+  /** State-telemetry targets: drain query → (its work-dir prefix, the
+    * transformWithState column family to read, None for the agg / fMGWS
+    * default store). Windowed-agg panes, detector GroupState keys, and
+    * MaxBucket-capped LSH membership lists — the three state families
+    * whose boundedness the 100 TB posture rests on.
+    */
+  private val drainState: Map[String, (String, Option[String])] = Map(
+    "stream_kpi_drain" -> (("graft_kpi_drain", None)),
+    "stream_alerts_drain" -> (("graft_alerts_drain", None)),
+    "stream_lshdedup_drain" -> (("graft_lshdedup_drain", Some("bucketMembers"))))
 
   def buildScaled(spark: SparkSession, base: String, out: String,
                   copies: Int): Unit = {
@@ -142,6 +159,9 @@ object ScalingProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_scale10x")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val selected = args.lift(3)
+      .map(_.split(",").toSet)
+      .fold(probes)(want => probes.filter(want.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Bench's tuned session (8 post-shuffle partitions, AQE off) so the
     // base-scale numbers are comparable to BENCH_RUNS.json
@@ -157,7 +177,7 @@ object ScalingProbe {
     buildScaled(spark, base, out, copies)
 
     // JIT/codegen warmup, not billed
-    for (q <- probes)
+    for (q <- selected)
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
 
@@ -170,12 +190,25 @@ object ScalingProbe {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    probes.foreach { name =>
+    def stateLine(name: String, dir: String): Option[String] =
+      drainState.get(name).flatMap { case (prefix, stateVar) =>
+        graft.streaming.StreamDrain.stateTelemetry(spark, prefix, stateVar)
+          .map { case (rows, bytes, files) =>
+            s""""rows":$rows,"bytes":$bytes,"files":$files"""
+          }
+      }
+
+    selected.foreach { name =>
       val tBase = timeAt(name, base)
+      val stBase = stateLine(name, base)
       val tBig = timeAt(name, out)
+      val stBig = stateLine(name, out)
       println(s"""{"query":"$name","base_s":${fmt(tBase)},""" +
         s""""scaled_s":${fmt(tBig)},"copies":$copies,""" +
         s""""ratio":${fmt(tBig / tBase)}}""")
+      for (b <- stBase; s <- stBig)
+        println(s"""{"telemetry":"state_store","query":"$name",""" +
+          s""""base":{$b},"scaled":{$s},"copies":$copies}""")
     }
 
     // ssjoin_prefix is the standing worst-ratio watch item: candidate

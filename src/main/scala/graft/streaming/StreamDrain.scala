@@ -1405,6 +1405,46 @@ object StreamDrain {
         .orderBy(col("user_id"))
     }
 
+  /** STATE-STORE TELEMETRY for a completed drain: row count read back
+    * through Spark's `statestore` source (what the store semantically
+    * HOLDS — panes, keys, or per-element list entries) plus the
+    * checkpoint state directory's on-disk bytes and file count. The
+    * scaling probe prints this at 1× and N× so "state is bounded" is a
+    * measured number, not prose: a windowed agg's rows scale with pane
+    * count (time-bounded), a detector's with keys × ring size, an LSH
+    * bucket store's with MaxBucket-capped membership — none with raw
+    * event count. Reads the LAST work dir the named drain allocated
+    * (still live until the drain's next run); `stateVar` names the
+    * transformWithState column family, None for agg/fMGWS default
+    * stores. Row count falls back to −1 if the reader cannot decode a
+    * store (telemetry must never fail a probe run).
+    */
+  def stateTelemetry(spark: SparkSession, prefix: String,
+                     stateVar: Option[String]): Option[(Long, Long, Long)] =
+    Option(liveDirs.get(prefix)).map { dir =>
+      val ckpt = s"$dir/ckpt"
+      val rows =
+        try {
+          val r = spark.read.format("statestore")
+          stateVar.fold(r)(v => r.option("stateVarName", v))
+            .load(ckpt).count()
+        } catch { case _: Throwable => -1L }
+      val stateDir = java.nio.file.Paths.get(s"$ckpt/state")
+      val (bytes, files) =
+        if (!Files.isDirectory(stateDir)) (0L, 0L)
+        else {
+          val s = Files.walk(stateDir)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.filter(Files.isRegularFile(_))
+              .foldLeft((0L, 0L)) { case ((b, f), p) =>
+                (b + Files.size(p), f + 1)
+              }
+          } finally s.close()
+        }
+      (rows, bytes, files)
+    }
+
   /** How far behind the previous batch's max event time a shifted row
     * may arrive and still be ADMISSIBLE: 9 s against the pipelines' 10 s
     * watermark delay, a full second of safety margin so ms-truncated
