@@ -280,6 +280,24 @@ object ProcessorProperties extends Properties("graft.processors") {
       fold(fold(zero, a), b) == fold(zero, seq)
     }
 
+  property("user snapshot fold: permutation- AND split-invariant (OOO-safe)") =
+    // the algebraic fact the stream_ooo_snapshot_drain gate rests on:
+    // count / exact micro-unit sum / max-µs last-seen is a commutative
+    // monoid, so ANY arrival order across ANY batch split — including a
+    // row arriving a batch behind its event-time peers, the
+    // admissible-late case the OOO staging replays — folds to the same
+    // snapshot as the sorted single batch
+    forAll(genEvents, genSplit, Gen.choose(Long.MinValue, Long.MaxValue)) {
+      (events, f, seed) =>
+        val shuffled = new scala.util.Random(seed).shuffle(events)
+        val (a, b) = splitAt(shuffled, f)
+        val s1 = UserSnapshotFold.fold(1L, UserSnapshotFold.empty(1L),
+                                       a.iterator)
+        val s2 = UserSnapshotFold.fold(1L, s1, b.iterator)
+        s2 == UserSnapshotFold.fold(1L, UserSnapshotFold.empty(1L),
+                                    events.iterator)
+    }
+
   property("transitions: n−1 pairs, chain-linked, split-invariant") =
     forAll(genEvents, genSplit) { (events, f) =>
       val (a, b) = splitAt(events, f)
