@@ -167,6 +167,10 @@ object SparkEntry {
     "stream_session_drain" -> (graft.streaming.StreamDrain.streamSessionDrain _),
     "stream_session_timer_drain" ->
       (graft.streaming.StreamDrain.streamSessionTimerDrain _),
+    // the admissible-late arrival class for the session family: a row
+    // one batch behind its peers must merge BACKWARD into session state
+    "stream_ooo_session_drain" ->
+      (graft.streaming.StreamDrain.streamOooSessionDrain _),
     "concurrent_sessions" -> (TemporalOps.concurrentSessions _),
     "asof_join" -> (TemporalOps.asofJoin _),
     "range_join" -> (TemporalOps.rangeJoin _),

@@ -463,6 +463,10 @@ object TemporalOps {
     // closes them all), so the oracle is shared verbatim — one leg via
     // session_window state merges, one via transformWithState timers
     "stream_session_drain" -> sessionizeSql,
+    // out-of-order WITHIN the watermark: a row arriving one micro-batch
+    // behind its event-time peers must merge (backward) into persisted
+    // session state — same flushed sessions, same oracle
+    "stream_ooo_session_drain" -> sessionizeSql,
     // kill-and-resume over the same topology: the session-window store
     // restores an OPEN session across a query restart and must still
     // flush every session exactly once against the same oracle

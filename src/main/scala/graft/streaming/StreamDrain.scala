@@ -1500,33 +1500,17 @@ object StreamDrain {
       require(n > chunks, s"corpus too small to stage $chunks chunks")
       // boundary candidates: rows whose immediate predecessor is within
       // (0, OooSlackMs] — the predecessor is the row that will shift.
-      // rn bounds keep every chunk non-empty after the split.
+      // rn bounds keep every chunk non-empty after the split. Preference
+      // column: boundary shares its predecessor's event type (a sliding
+      // pane then provably spans the two batches).
       val cands = ranked
         .filter(col("prev_ms").isNotNull &&
           col("ms") > col("prev_ms") &&
           col("ms") - col("prev_ms") <= lit(OooSlackMs) &&
           col("rn") > 1 && col("rn") < n)
         .select(col("rn"), col("ms"),
-                (col("event_type") === col("prev_type")).as("same_type"))
-      // nearest candidate to the ideal split point, same-type preferred;
-      // two 1-row driver probes (metadata-scale, like the restart cuts)
-      def pick(target: Long, minRn: Long): (Long, Long, Boolean) = {
-        def nearest(of: DataFrame): Option[(Long, Long, Boolean)] =
-          of.filter(col("rn") > minRn)
-            .orderBy(abs(col("rn") - target), col("rn"))
-            .limit(1)
-            .collect()
-            .headOption
-            .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-        nearest(cands.filter(col("same_type")))
-          .orElse(nearest(cands))
-          .getOrElse(sys.error(
-            "no tight inter-event gap to place an out-of-order chunk " +
-              "boundary on — the admissible-late merge claim would be " +
-              "vacuous on this corpus"))
-      }
-      val (b1rn, b1ms, _) = pick(n / 3, 1L)
-      val (b2rn, b2ms, _) = pick(2 * n / 3, b1rn)
+                (col("event_type") === col("prev_type")).as("pref"))
+      val ((b1rn, b1ms), (b2rn, b2ms)) = pickOooBoundaries(cands, n)
       val assigned = ranked
         .withColumn("chunk",
                     when(col("rn") <= b1rn, 0)
@@ -1560,6 +1544,34 @@ object StreamDrain {
         stageDir)
       moved.coalesce(1).write.mode("overwrite").parquet(s"$stageDir/_moved")
     } finally ranked.unpersist()
+  }
+
+  /** Two chunk boundaries for an OOO staging: the tight-gap candidates
+    * (columns rn, ms, pref) nearest the ideal N/3 and 2N/3 split points,
+    * `pref`-marked candidates first — four 1-row driver probes
+    * (metadata-scale, like the restart cuts). Fails loudly when the
+    * corpus has no tight gap at all.
+    */
+  private def pickOooBoundaries(cands: DataFrame,
+                                n: Long): ((Long, Long), (Long, Long)) = {
+    def pick(target: Long, minRn: Long): (Long, Long) = {
+      def nearest(of: DataFrame): Option[(Long, Long)] =
+        of.filter(col("rn") > minRn)
+          .orderBy(abs(col("rn") - target), col("rn"))
+          .limit(1)
+          .collect()
+          .headOption
+          .map(r => (r.getLong(0), r.getLong(1)))
+      nearest(cands.filter(col("pref")))
+        .orElse(nearest(cands))
+        .getOrElse(sys.error(
+          "no tight inter-event gap to place an out-of-order chunk " +
+            "boundary on — the admissible-late merge claim would be " +
+            "vacuous on this corpus"))
+    }
+    val b1 = pick(n / 3, 1L)
+    val b2 = pick(2 * n / 3, b1._1)
+    (b1, b2)
   }
 
   /** The cached OOO staging for `dir`, plus its `_moved` sidecar. */
@@ -1728,4 +1740,157 @@ object StreamDrain {
                 col("last_ts_micros"))
         .orderBy(col("user_id"))
     }
+
+  /** OOO staging tuned for the SESSION-WINDOW family: same shift
+    * mechanics as [[buildOooStage]], but boundaries prefer tight gaps
+    * whose shifting predecessor has an IN-SESSION prior event by the
+    * same user that provably stays in an earlier chunk — then the late
+    * row must merge BACKWARD into a session whose earlier rows streamed
+    * in a previous micro-batch, the session-store merge the kpi/snapshot
+    * legs never drive. The sidecar carries that prior's epoch ms
+    * (`prior_ms`, strong rows only), and a sentinel chunk (max ts + 2 h,
+    * its own 4th micro-batch) flushes every real session exactly as the
+    * monotone session drains do. Corpora whose tight gaps have no
+    * same-user in-session prior (the sparsest fixture) fall back to
+    * any tight gap; the drain then skips the merge-evidence assertion
+    * and still gates the full result hash.
+    */
+  private def buildOooSessionStage(spark: SparkSession, dir: String,
+                                   stageDir: String): Unit = {
+    val chunks = MultiBatchChunks
+    val gapMs = 1800000L
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("user_prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      // this row has a same-user prior event close enough to share its
+      // 30-minute session
+      .withColumn("in_session_prior",
+                  col("user_prev_ms").isNotNull &&
+                    col("ms") - col("user_prev_ms") <= lit(gapMs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = ranked.count()
+      require(n > chunks, s"corpus too small to stage $chunks chunks")
+      // boundary preference: the predecessor (the row that shifts) has an
+      // in-session prior OLD enough to stay below the shift band, i.e.
+      // guaranteed to execute in an earlier micro-batch
+      val cands = ranked
+        .withColumn("pred_strong",
+                    lag(col("in_session_prior"), 1).over(w) &&
+                      lag(col("user_prev_ms"), 1).over(w) <
+                        col("ms") - lit(OooSlackMs))
+        .filter(col("prev_ms").isNotNull &&
+          col("ms") > col("prev_ms") &&
+          col("ms") - col("prev_ms") <= lit(OooSlackMs) &&
+          col("rn") > 1 && col("rn") < n)
+        .select(col("rn"), col("ms"),
+                coalesce(col("pred_strong"), lit(false)).as("pref"))
+      val ((b1rn, b1ms), (b2rn, b2ms)) = pickOooBoundaries(cands, n)
+      val assigned = ranked
+        .withColumn("chunk",
+                    when(col("rn") <= b1rn, 0)
+                      .when(col("rn") <= b2rn, 1)
+                      .otherwise(2))
+        .withColumn(
+          "moved",
+          (col("rn") < b1rn && col("rn") >= b1rn - OooMaxShift &&
+            col("ms") >= b1ms - OooSlackMs) ||
+            (col("rn") > b1rn && col("rn") < b2rn &&
+              col("rn") >= b2rn - OooMaxShift &&
+              col("ms") >= b2ms - OooSlackMs))
+        .withColumn("to_chunk",
+                    col("chunk") + when(col("moved"), 1).otherwise(0))
+      val moved = assigned
+        .filter(col("moved"))
+        .withColumn("boundary_ms",
+                    when(col("rn") < b1rn, b1ms).otherwise(b2ms))
+        .withColumn("strong",
+                    col("in_session_prior") &&
+                      col("user_prev_ms") < col("boundary_ms") -
+                        lit(OooSlackMs))
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("to_chunk"), col("boundary_ms"),
+                col("strong"),
+                when(col("strong"), col("user_prev_ms")).as("prior_ms"))
+      writeChunkFiles(
+        (0 until chunks).map(k =>
+          assigned.filter(col("to_chunk") === k)
+            .select("event_id", "ts", "user_id", "event_type", "value")),
+        stageDir)
+      // sentinel chunk — the 4th micro-batch that advances the watermark
+      // past every real session end (the bounded-drain stand-in for
+      // continuing traffic; filtered from the read-back)
+      val maxTs = ranked.agg(max(col("ts"))).head().getTimestamp(0)
+      stageChunked(
+        spark.range(1).select(
+          lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 7200000L)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(1.0).as("value")),
+        stageDir, 1, Seq.empty, firstChunk = chunks)
+      moved.coalesce(1).write.mode("overwrite").parquet(s"$stageDir/_moved")
+    } finally ranked.unpersist()
+  }
+
+  /** The SAME admissible-late arrival class for the SESSION-WINDOW
+    * state family: [[EventPipeline.sessionStream]] (append-mode
+    * `session_window` gap aggregation) over the
+    * [[buildOooSessionStage]] replay. A shifted row arrives a
+    * micro-batch behind its event-time peers, within the 10 s
+    * watermark, and Spark must MERGE it into session state persisted by
+    * earlier batches — including backward extension of a session whose
+    * earlier rows already streamed — then the sentinel flushes every
+    * session exactly once against the unchanged batch sessionization
+    * oracle (exact micro-unit sums: one absorbed-or-dropped row flips
+    * the hash). Fail-loud merge evidence where the corpus admits it:
+    * for a shifted row whose same-user in-session prior stayed in an
+    * earlier batch, the emitted session must START at-or-before that
+    * prior and still COVER the shifted row — a failed merge would mint
+    * a separate late session starting at the shifted row itself.
+    */
+  def streamOooSessionDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_ooo_session_drain")
+    val stage = stagedPath(dir, "ooo_session", MultiBatchChunks)(
+      buildOooSessionStage(spark, dir, _))
+    val moved = spark.read.parquet(s"$stage/_moved")
+    oooStagingAudit(spark, stage, moved)
+    val drained = drainToStore(
+      spark,
+      EventPipeline.sessionStream(
+        spark.readStream.schema(EventPipeline.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)),
+      work, OutputMode.Append, expectBatches = MultiBatchChunks + 1)
+    val strongMoved = moved.filter(col("strong")).select(
+      col("user_id").as("mu"), col("ts").as("mts"), col("prior_ms"))
+    if (strongMoved.limit(1).count() > 0) {
+      // start-vs-prior compared at ms granularity: the sidecar's
+      // prior_ms is unix_millis-truncated while session_start keeps µs,
+      // and when the prior IS the session's first event the µs tail
+      // would fail a full-precision <= spuriously (a merge-failure
+      // session starting at the shifted row still cannot pass — its
+      // start is ≥ 9 s after the prior)
+      val merged = drained.join(
+        broadcast(strongMoved),
+        col("user_id") === col("mu") &&
+          unix_millis(col("session_start")) <= col("prior_ms") &&
+          col("session_start") <= col("mts") &&
+          col("session_end") > col("mts"))
+      require(merged.limit(1).count() > 0,
+              "no emitted session starts at a shifted row's earlier-batch " +
+                "prior and covers the shifted row — the late row was never " +
+                "merged backward into the restored session state")
+    }
+    drained
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
 }
