@@ -1482,6 +1482,16 @@ object StreamDrain {
     * sidecar (invisible to the file source), so the cached staging is
     * self-describing: drains re-read it instead of re-deriving the
     * assignment.
+    *
+    * Coverage note: with [[buildOooSessionStage]] this puts THREE of the
+    * four streaming state families under the admissible-late gate
+    * (windowed agg, keyed transformWithState, session window). The
+    * fourth — the stream-stream join — needs no OOO variant:
+    * [[streamRestartJoinDrain]] already hash-gates a purchase arriving
+    * BATCHES after its click and matching only by probing the restored
+    * join buffer, which is exactly the buffered-lookup path an
+    * admissible-late arrival exercises (a symmetric inner join is
+    * arrival-order-free within the watermark by construction).
     */
   private def buildOooStage(spark: SparkSession, dir: String,
                             stageDir: String): Unit = {
