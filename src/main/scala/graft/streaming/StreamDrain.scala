@@ -1492,6 +1492,17 @@ object StreamDrain {
     * join buffer, which is exactly the buffered-lookup path an
     * admissible-late arrival exercises (a symmetric inner join is
     * arrival-order-free within the watermark by construction).
+    *
+    * The order-DEPENDENT folds (rolling-stats detector, EWMA, CUSUM,
+    * funnel, transitions) are intentionally NOT OOO-staged: their
+    * semantics are defined over per-key event-time order, which
+    * production delivery provides by keying the Kafka topic (per-
+    * partition order ⇒ per-key arrival order — the reference job's own
+    * assumption), and in-batch the processors sort by (event-time µs,
+    * event_id), so out-of-orderness WITHIN one trigger interval is
+    * already tolerated and spec-pinned. Only the commutative/mergeable
+    * families must additionally tolerate CROSS-batch reordering — and
+    * those are exactly the ones gated here.
     */
   private def buildOooStage(spark: SparkSession, dir: String,
                             stageDir: String): Unit = {
@@ -1865,11 +1876,19 @@ object StreamDrain {
     * prior and still COVER the shifted row — a failed merge would mint
     * a separate late session starting at the shifted row itself.
     */
-  def streamOooSessionDrain(spark: SparkSession, dir: String): DataFrame = {
-    val work = tempWorkDir("graft_ooo_session_drain")
+  /** The cached session-OOO staging for `dir`, plus its `_moved`
+    * sidecar (strong rows carry `prior_ms`).
+    */
+  private[graft] def oooSessionStaged(spark: SparkSession,
+                                      dir: String): (String, DataFrame) = {
     val stage = stagedPath(dir, "ooo_session", MultiBatchChunks)(
       buildOooSessionStage(spark, dir, _))
-    val moved = spark.read.parquet(s"$stage/_moved")
+    (stage, spark.read.parquet(s"$stage/_moved"))
+  }
+
+  def streamOooSessionDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_ooo_session_drain")
+    val (stage, moved) = oooSessionStaged(spark, dir)
     oooStagingAudit(spark, stage, moved)
     val drained = drainToStore(
       spark,

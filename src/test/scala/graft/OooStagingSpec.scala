@@ -36,4 +36,36 @@ class OooStagingSpec extends SparkSpec {
     assert(perBoundary.map(_.getInt(0)).toSeq === Seq(1, 2))
     assert(perBoundary.forall(_.getLong(1) >= 1L))
   }
+
+  test("OOO boundary preference picks same-type gaps where the corpus has them") {
+    // sf0.01 has 49 same-type tight gaps — the strong path the sparse
+    // fixture can't exercise: at least one shifted row must share its
+    // boundary row's event type, arming the two-batch grown-pane
+    // assertion in stream_ooo_kpi_drain
+    val (stage, moved) = graft.streaming.StreamDrain.oooStaged(spark, sf("sf0.01"))
+    graft.streaming.StreamDrain.oooStagingAudit(spark, stage, moved)
+    assert(moved.filter(col("strong")).count() >= 1L,
+           "no strong (same-type) shifted row at sf0.01 — the preference " +
+             "logic stopped selecting same-type boundaries")
+  }
+
+  test("session-OOO staging: strong rows carry an earlier-batch in-session prior") {
+    val (stage, moved) =
+      graft.streaming.StreamDrain.oooSessionStaged(spark, sf("sf0.01"))
+    graft.streaming.StreamDrain.oooStagingAudit(spark, stage, moved)
+    val strong = moved.filter(col("strong"))
+    assert(strong.count() >= 1L,
+           "no strong shifted row at sf0.01 — the session boundary " +
+             "preference stopped finding same-user in-session priors")
+    // the prior is in-session (≤ 30 min before the shifted row) and old
+    // enough to provably stay below the shift band of its boundary
+    val bad = strong.filter(
+      col("prior_ms").isNull ||
+        col("prior_ms") >= col("boundary_ms") - 9000L ||
+        unix_millis(col("ts")) - col("prior_ms") > 1800000L)
+    assert(bad.isEmpty, "a strong row's prior violates the in-session / " +
+      "earlier-batch bounds the drain's merge assertion relies on")
+    // the sentinel chunk exists as the 4th micro-batch file
+    assert(new java.io.File(s"$stage/chunk-0003.parquet").exists())
+  }
 }
