@@ -161,7 +161,13 @@ object ScalingProbe {
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val selected = args.lift(3)
       .map(_.split(",").toSet)
-      .fold(probes)(want => probes.filter(want.contains))
+      .fold(probes) { want =>
+        val unknown = want.diff(probes.toSet)
+        require(unknown.isEmpty,
+                s"unknown probe name(s): ${unknown.mkString(", ")} — a " +
+                  "typo would otherwise run an empty probe that exits 0")
+        probes.filter(want.contains)
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Bench's tuned session (8 post-shuffle partitions, AQE off) so the
     // base-scale numbers are comparable to BENCH_RUNS.json
@@ -190,7 +196,9 @@ object ScalingProbe {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    def stateLine(name: String, dir: String): Option[String] =
+    // reads the drain's LAST allocated work dir — must be called right
+    // after timing the scale it describes, before the drain runs again
+    def stateLine(name: String): Option[String] =
       drainState.get(name).flatMap { case (prefix, stateVar) =>
         graft.streaming.StreamDrain.stateTelemetry(spark, prefix, stateVar)
           .map { case (rows, bytes, files) =>
@@ -200,9 +208,9 @@ object ScalingProbe {
 
     selected.foreach { name =>
       val tBase = timeAt(name, base)
-      val stBase = stateLine(name, base)
+      val stBase = stateLine(name)
       val tBig = timeAt(name, out)
-      val stBig = stateLine(name, out)
+      val stBig = stateLine(name)
       println(s"""{"query":"$name","base_s":${fmt(tBase)},""" +
         s""""scaled_s":${fmt(tBig)},"copies":$copies,""" +
         s""""ratio":${fmt(tBig / tBase)}}""")
@@ -213,18 +221,23 @@ object ScalingProbe {
 
     // ssjoin_prefix is the standing worst-ratio watch item: candidate
     // counts at both scales separate candidate growth (algorithmic)
-    // from execution slowdown (engine) — see DedupOps.ssjoinCandidateStats
-    def candStats(dir: String): (Long, Long, Double) = {
-      val r = graft.operators.DedupOps.ssjoinCandidateStats(spark, dir).head()
-      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // from execution slowdown (engine) — see DedupOps.ssjoinCandidateStats.
+    // Only when the probe set includes it: a restricted run that
+    // excluded ssjoin_prefix should not pay two corpus-scale scans.
+    if (selected.contains("ssjoin_prefix")) {
+      def candStats(dir: String): (Long, Long, Double) = {
+        val r =
+          graft.operators.DedupOps.ssjoinCandidateStats(spark, dir).head()
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      }
+      val (bd, bc, bp) = candStats(base)
+      val (sd, sc, sp) = candStats(out)
+      println(s"""{"telemetry":"ssjoin_candidates","base_docs":$bd,""" +
+        s""""base_candidates":$bc,"base_per_doc":${fmt(bp)},""" +
+        s""""scaled_docs":$sd,"scaled_candidates":$sc,""" +
+        s""""scaled_per_doc":${fmt(sp)},""" +
+        s""""candidate_ratio":${fmt(sc.toDouble / math.max(bc, 1L))}}""")
     }
-    val (bd, bc, bp) = candStats(base)
-    val (sd, sc, sp) = candStats(out)
-    println(s"""{"telemetry":"ssjoin_candidates","base_docs":$bd,""" +
-      s""""base_candidates":$bc,"base_per_doc":${fmt(bp)},""" +
-      s""""scaled_docs":$sd,"scaled_candidates":$sc,""" +
-      s""""scaled_per_doc":${fmt(sp)},""" +
-      s""""candidate_ratio":${fmt(sc.toDouble / math.max(bc, 1L))}}""")
     spark.stop()
   }
 }

@@ -1532,20 +1532,7 @@ object StreamDrain {
         .select(col("rn"), col("ms"),
                 (col("event_type") === col("prev_type")).as("pref"))
       val ((b1rn, b1ms), (b2rn, b2ms)) = pickOooBoundaries(cands, n)
-      val assigned = ranked
-        .withColumn("chunk",
-                    when(col("rn") <= b1rn, 0)
-                      .when(col("rn") <= b2rn, 1)
-                      .otherwise(2))
-        .withColumn(
-          "moved",
-          (col("rn") < b1rn && col("rn") >= b1rn - OooMaxShift &&
-            col("ms") >= b1ms - OooSlackMs) ||
-            (col("rn") > b1rn && col("rn") < b2rn &&
-              col("rn") >= b2rn - OooMaxShift &&
-              col("ms") >= b2ms - OooSlackMs))
-        .withColumn("to_chunk",
-                    col("chunk") + when(col("moved"), 1).otherwise(0))
+      val assigned = oooAssign(ranked, b1rn, b1ms, b2rn, b2ms)
       val boundaryType = ranked
         .filter(col("rn") === b1rn || col("rn") === b2rn)
         .select(col("rn").as("brn"), col("event_type").as("boundary_type"))
@@ -1558,6 +1545,7 @@ object StreamDrain {
         .select(col("event_id"), col("ts"), col("user_id"),
                 col("event_type"), col("to_chunk"), col("boundary_ms"),
                 (col("event_type") === col("boundary_type")).as("strong"))
+      requireBothBoundariesShift(moved)
       writeChunkFiles(
         (0 until chunks).map(k =>
           assigned.filter(col("to_chunk") === k)
@@ -1591,8 +1579,46 @@ object StreamDrain {
             "vacuous on this corpus"))
     }
     val b1 = pick(n / 3, 1L)
-    val b2 = pick(2 * n / 3, b1._1)
+    // b2 strictly beyond b1 + 1: an adjacent second boundary would leave
+    // its shift band (b1, b2) empty and silently halve the OOO coverage
+    val b2 = pick(2 * n / 3, b1._1 + 1)
     (b1, b2)
+  }
+
+  /** Chunk + shift assignment shared by the OOO stagings: range chunks
+    * at the two picked boundaries, with each boundary's close
+    * predecessors (≤ [[OooMaxShift]] rows, within [[OooSlackMs]] of the
+    * boundary row) marked `moved` and assigned one chunk later. ONE
+    * definition, so the band arithmetic cannot desynchronize between
+    * the kpi/snapshot staging and the session staging.
+    */
+  private def oooAssign(ranked: DataFrame, b1rn: Long, b1ms: Long,
+                        b2rn: Long, b2ms: Long): DataFrame =
+    ranked
+      .withColumn("chunk",
+                  when(col("rn") <= b1rn, 0)
+                    .when(col("rn") <= b2rn, 1)
+                    .otherwise(2))
+      .withColumn(
+        "moved",
+        (col("rn") < b1rn && col("rn") >= b1rn - OooMaxShift &&
+          col("ms") >= b1ms - OooSlackMs) ||
+          (col("rn") > b1rn && col("rn") < b2rn &&
+            col("rn") >= b2rn - OooMaxShift &&
+            col("ms") >= b2ms - OooSlackMs))
+      .withColumn("to_chunk",
+                  col("chunk") + when(col("moved"), 1).otherwise(0))
+
+  /** Fail loudly if a boundary shifted nothing — a corpus whose tight
+    * gaps cluster could otherwise gate with out-of-order evidence at
+    * only one of the two boundaries.
+    */
+  private def requireBothBoundariesShift(moved: DataFrame): Unit = {
+    val chunksHit = moved.select(col("to_chunk")).distinct().count()
+    require(chunksHit == 2,
+            s"OOO staging shifted rows across $chunksHit of 2 boundaries " +
+              "— a boundary with an empty shift band would silently " +
+              "weaken the admissible-late coverage")
   }
 
   /** The cached OOO staging for `dir`, plus its `_moved` sidecar. */
@@ -1745,17 +1771,27 @@ object StreamDrain {
               s"only $hit of $movedCount shifted rows re-emitted their " +
                 "user snapshot at their late batch — the late rows never " +
                 "reached keyed state")
-      val grown = drained.join(broadcast(movedUsers),
-                               col("user_id") === col("mu"))
+      val perUser = drained.join(broadcast(movedUsers),
+                                 col("user_id") === col("mu"))
         .groupBy(col("user_id"), col("to_chunk"))
         .agg(max(when(col("batch_id") < col("to_chunk"), col("n_events")))
                .as("before"),
              max(when(col("batch_id") === col("to_chunk"), col("n_events")))
                .as("at"))
-        .filter(col("before").isNotNull && col("at") > col("before"))
-      require(grown.limit(1).count() > 0,
-              "no shifted row's user shows a smaller pre-boundary count — " +
-                "nothing proves restored state was EXTENDED by the late row")
+      // restored-and-extended evidence, guarded like the kpi/session
+      // drains' strong assertions: only applicable when some shifted
+      // row's user actually emitted in an earlier batch (a corpus where
+      // every shifted row opens its user's history has no restore to
+      // witness — the at-batch require above and the hash gate still
+      // hold there)
+      if (perUser.filter(col("before").isNotNull).limit(1).count() > 0) {
+        val grown =
+          perUser.filter(col("before").isNotNull && col("at") > col("before"))
+        require(grown.limit(1).count() > 0,
+                "no shifted row's user shows a grown count at its late " +
+                  "batch — nothing proves restored state was EXTENDED by " +
+                  "the late row")
+      }
       lastPerKey(drained, Seq("user_id"))
         .select(col("user_id"), col("n_events"), col("sum_micros"),
                 col("last_ts_micros"))
@@ -1791,10 +1827,13 @@ object StreamDrain {
       .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
       .withColumn("user_prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
       // this row has a same-user prior event close enough to share its
-      // 30-minute session
+      // 30-minute session — STRICTLY below the gap: session_window
+      // merges on [start, start + gap), so an exactly-gap prior lands
+      // in a separate session and would arm the merge assertion with an
+      // unmergeable pair
       .withColumn("in_session_prior",
                   col("user_prev_ms").isNotNull &&
-                    col("ms") - col("user_prev_ms") <= lit(gapMs))
+                    col("ms") - col("user_prev_ms") < lit(gapMs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = ranked.count()
@@ -1814,20 +1853,7 @@ object StreamDrain {
         .select(col("rn"), col("ms"),
                 coalesce(col("pred_strong"), lit(false)).as("pref"))
       val ((b1rn, b1ms), (b2rn, b2ms)) = pickOooBoundaries(cands, n)
-      val assigned = ranked
-        .withColumn("chunk",
-                    when(col("rn") <= b1rn, 0)
-                      .when(col("rn") <= b2rn, 1)
-                      .otherwise(2))
-        .withColumn(
-          "moved",
-          (col("rn") < b1rn && col("rn") >= b1rn - OooMaxShift &&
-            col("ms") >= b1ms - OooSlackMs) ||
-            (col("rn") > b1rn && col("rn") < b2rn &&
-              col("rn") >= b2rn - OooMaxShift &&
-              col("ms") >= b2ms - OooSlackMs))
-        .withColumn("to_chunk",
-                    col("chunk") + when(col("moved"), 1).otherwise(0))
+      val assigned = oooAssign(ranked, b1rn, b1ms, b2rn, b2ms)
       val moved = assigned
         .filter(col("moved"))
         .withColumn("boundary_ms",
@@ -1840,6 +1866,7 @@ object StreamDrain {
                 col("event_type"), col("to_chunk"), col("boundary_ms"),
                 col("strong"),
                 when(col("strong"), col("user_prev_ms")).as("prior_ms"))
+      requireBothBoundariesShift(moved)
       writeChunkFiles(
         (0 until chunks).map(k =>
           assigned.filter(col("to_chunk") === k)

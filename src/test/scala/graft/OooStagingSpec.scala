@@ -57,12 +57,13 @@ class OooStagingSpec extends SparkSpec {
     assert(strong.count() >= 1L,
            "no strong shifted row at sf0.01 — the session boundary " +
              "preference stopped finding same-user in-session priors")
-    // the prior is in-session (≤ 30 min before the shifted row) and old
-    // enough to provably stay below the shift band of its boundary
+    // the prior is in-session (STRICTLY under the 30-min gap —
+    // session_window merges on [start, start + gap)) and old enough to
+    // provably stay below the shift band of its boundary
     val bad = strong.filter(
       col("prior_ms").isNull ||
         col("prior_ms") >= col("boundary_ms") - 9000L ||
-        unix_millis(col("ts")) - col("prior_ms") > 1800000L)
+        unix_millis(col("ts")) - col("prior_ms") >= 1800000L)
     assert(bad.isEmpty, "a strong row's prior violates the in-session / " +
       "earlier-batch bounds the drain's merge assertion relies on")
     // the sentinel chunk exists as the 4th micro-batch file

@@ -94,8 +94,12 @@ def main():
     design_changed = set()
     if "--design-changed" in args:
         i = args.index("--design-changed")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: bench_diff.py OLD NEW [--design-changed q1,q2]")
         design_changed = set(args[i + 1].split(","))
         del args[i:i + 2]
+    if len(args) != 2:
+        raise SystemExit("usage: bench_diff.py OLD NEW [--design-changed q1,q2]")
     (old, old_load), (new, new_load) = load_runs(args[0]), load_runs(args[1])
 
     def describe(lv):
@@ -108,14 +112,20 @@ def main():
 
     old_desc, old_hot = describe(old_load)
     new_desc, new_hot = describe(new_load)
-    loaded = [
-        label for label, hot in (("OLD", old_hot), ("NEW", new_hot)) if hot
-    ]
-    if loaded:
-        print(f"LOAD VERDICT: {' and '.join(loaded)} over the load limit — "
-              f"old {old_desc}, new {new_desc}; measurements suspect, "
-              "flagged regressions demoted to LOAD-SUSPECT, rerun on a "
-              "quiet box before acting on them")
+    # only a HOT NEW side demotes: load on the NEW side inflates new
+    # mins into phantom regressions, whereas load on the OLD side only
+    # RAISES the regression bar — a query that still flags against an
+    # inflated baseline is more credible, not less
+    loaded = bool(new_hot)
+    if new_hot:
+        print(f"LOAD VERDICT: NEW over the load limit — old {old_desc}, "
+              f"new {new_desc}; measurements suspect, flagged regressions "
+              "demoted to LOAD-SUSPECT, rerun on a quiet box before acting "
+              "on them")
+    elif old_hot:
+        print(f"LOAD VERDICT: OLD side was hot (old {old_desc}, new "
+              f"{new_desc}) — baseline inflated, so the regression bar is "
+              "RAISED; anything flagged below is extra credible")
     else:
         print(f"LOAD VERDICT: ok (old {old_desc}, new {new_desc})")
 
