@@ -101,7 +101,7 @@ object StreamDrain {
     * a different `build` would silently be served the first staging.
     * Each variant string here belongs to exactly one staging recipe
     * (plain / dup / sentinel / delta / alerts / docs / ingestdocs /
-    * bands); a new recipe takes a new name.
+    * bands / ooo / ooo_session); a new recipe takes a new name.
     */
   private def stagedPath(dir: String, variant: String, chunks: Int)
                         (build: String => Unit): String =
