@@ -95,14 +95,16 @@ object Bench {
     val headlineTimes = time(headline)
     val extended = SparkEntry.queries.keySet.diff(headline.toSet).toSeq.sorted
     val extendedTimes = time(extended)
-    // the stream_* drains each execute a full multi-micro-batch
+    // the writeStream drains each execute a full multi-micro-batch
     // writeStream (staging, state store, checkpoint, read-back) per
     // run — verification machinery whose wall-clock grows with drain
     // COUNT, not engine speed. Split it out so round-over-round engine
     // comparisons read batch_extended_total; extended_total stays for
-    // continuity with earlier rounds.
+    // continuity with earlier rounds. The split keys on the EXPLICIT
+    // SparkEntry.drainQueries registry (spec-pinned against the name
+    // prefix), not a prefix scrape here.
     val drainTotal = extendedTimes
-      .filter(_._1.startsWith("stream_")).map(_._2).sum
+      .filter(t => SparkEntry.drainQueries.contains(t._1)).map(_._2).sum
     val extendedTotal = extendedTimes.map(_._2).sum
 
     val events =
@@ -130,6 +132,13 @@ object Bench {
     // (end-of-run reading kept for continuity; loadavg_start is the
     // ambient one bench_diff adjudicates on)
     val loadavg = readLoadavg()
+    // self-adjudicated load verdict carried IN the snapshot: anyone
+    // reading a single BENCH file sees whether its numbers were captured
+    // hot without running bench_diff. The 2.0 ambient limit mirrors
+    // bench_diff.py's LOAD_LIMIT — keep the two in sync.
+    val loadHot = loadavgStart.split(" ").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .exists(_ > 2.0)
     // the driver stores only a bounded TAIL of this output, so: (1) the
     // per-run variance detail goes to a side file AND a first stdout
     // line; (2) the final JSON line ends with the headline scalars
@@ -137,7 +146,8 @@ object Bench {
     // contains the numbers that matter even if the front is cut off
     val runsLine =
       s"""{"metric":"bench_runs","runs":$rs,"loadavg":"$loadavg",""" +
-        s""""loadavg_start":"$loadavgStart","sf":"$sfDir"}"""
+        s""""loadavg_start":"$loadavgStart","load_hot":$loadHot,""" +
+        s""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_RUNS.json"),
       runsLine.getBytes("UTF-8"))
@@ -147,7 +157,7 @@ object Bench {
       s"""{"metric":"headline_total","unit":"sec","sf":"$sfDir",""" +
         s""""queries":$qs,""" +
         s""""events_rows":$events,"loadavg":"$loadavg",""" +
-        s""""loadavg_start":"$loadavgStart",""" +
+        s""""loadavg_start":"$loadavgStart","load_hot":$loadHot,""" +
         s""""drain_total":${fmt(drainTotal)},""" +
         s""""batch_extended_total":${fmt(extendedTotal - drainTotal)},""" +
         s""""extended_total":${fmt(extendedTotal)},""" +

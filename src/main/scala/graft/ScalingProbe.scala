@@ -54,18 +54,29 @@ object ScalingProbe {
     "basket_pairs", "ann_lsh_bucketed", "q21_wait_suppliers",
     "q2_min_cost_supplier", "ann_topk", "cluster_representatives",
     "contamination_check",
-    "stream_kpi_drain", "stream_alerts_drain", "stream_lshdedup_drain")
+    "stream_kpi_drain", "stream_alerts_drain", "stream_lshdedup_drain",
+    "stream_session_drain", "stream_attribution_drain")
 
   /** State-telemetry targets: drain query → (its work-dir prefix, the
-    * transformWithState column family to read, None for the agg / fMGWS
-    * default store). Windowed-agg panes, detector GroupState keys, and
-    * MaxBucket-capped LSH membership lists — the three state families
-    * whose boundedness the 100 TB posture rests on.
+    * statestore-reader passes to sum — empty map for the agg / fMGWS
+    * default store, `stateVarName` for a transformWithState column
+    * family, `joinSide` left+right for the symmetric join buffers).
+    * Windowed-agg panes, detector GroupState keys, MaxBucket-capped LSH
+    * membership, open session windows, and the watermark-bounded join
+    * buffers — the five state families whose boundedness the 100 TB
+    * posture rests on.
     */
-  private val drainState: Map[String, (String, Option[String])] = Map(
-    "stream_kpi_drain" -> (("graft_kpi_drain", None)),
-    "stream_alerts_drain" -> (("graft_alerts_drain", None)),
-    "stream_lshdedup_drain" -> (("graft_lshdedup_drain", Some("bucketMembers"))))
+  private val drainState: Map[String, (String, Seq[Map[String, String]])] =
+    Map(
+      "stream_kpi_drain" -> (("graft_kpi_drain", Seq(Map.empty))),
+      "stream_alerts_drain" -> (("graft_alerts_drain", Seq(Map.empty))),
+      "stream_lshdedup_drain" ->
+        (("graft_lshdedup_drain",
+          Seq(Map("stateVarName" -> "bucketMembers")))),
+      "stream_session_drain" -> (("graft_session_drain", Seq(Map.empty))),
+      "stream_attribution_drain" ->
+        (("graft_attrib_drain",
+          Seq(Map("joinSide" -> "left"), Map("joinSide" -> "right")))))
 
   def buildScaled(spark: SparkSession, base: String, out: String,
                   copies: Int): Unit = {
@@ -199,8 +210,8 @@ object ScalingProbe {
     // reads the drain's LAST allocated work dir — must be called right
     // after timing the scale it describes, before the drain runs again
     def stateLine(name: String): Option[String] =
-      drainState.get(name).flatMap { case (prefix, stateVar) =>
-        graft.streaming.StreamDrain.stateTelemetry(spark, prefix, stateVar)
+      drainState.get(name).flatMap { case (prefix, readers) =>
+        graft.streaming.StreamDrain.stateTelemetry(spark, prefix, readers)
           .map { case (rows, bytes, files) =>
             s""""rows":$rows,"bytes":$bytes,"files":$files"""
           }

@@ -29,6 +29,11 @@ object SparkEntry {
     "series_ewma" -> (SeriesOps.seriesEwma _),
     // T-series legs via ACTUAL writeStream drains under the hash gate
     "stream_ewma_drain" -> (graft.streaming.StreamDrain.streamEwmaDrain _),
+    // the same order-DEPENDENT fold fed micro-batches whose files store
+    // rows OUT of event-time order (in-batch shuffle staging): gates the
+    // processors' within-trigger sort, previously spec-pinned only
+    "stream_shuffled_ewma_drain" ->
+      (graft.streaming.StreamDrain.streamShuffledEwmaDrain _),
     "stream_cusum_drain" -> (graft.streaming.StreamDrain.streamCusumDrain _),
     "mad_over_frame" -> (SeriesOps.madOverFrame _),
     "robust_stats" -> (SeriesOps.robustStats _),
@@ -104,6 +109,11 @@ object SparkEntry {
     // incremental per-user view — each through an ACTUAL writeStream drain
     "stream_transitions_drain" ->
       (graft.streaming.StreamDrain.streamTransitionsDrain _),
+    // the transition pairing over the in-batch shuffle staging: a
+    // mis-ordered pair emits a WRONG (prev, next) edge, so this gates
+    // the within-trigger sort for the record-shaped state family
+    "stream_shuffled_transitions_drain" ->
+      (graft.streaming.StreamDrain.streamShuffledTransitionsDrain _),
     "stream_drift_drain" -> (graft.streaming.StreamDrain.streamDriftDrain _),
     "stream_snapshot_drain" ->
       (graft.streaming.StreamDrain.streamSnapshotDrain _),
@@ -116,6 +126,12 @@ object SparkEntry {
     // late-arriving rest — restored+extended state vs the full oracle
     "stream_restart_drain" ->
       (graft.streaming.StreamDrain.streamRestartDrain _),
+    // DIRTY restart: the query is killed AFTER a batch's sink write but
+    // BEFORE its checkpoint commit; the resumed query re-executes that
+    // batch id and the idempotent per-batch-dir sink must REPLACE the
+    // orphaned output — the exactly-once face clean stops never exercise
+    "stream_dirty_restart_drain" ->
+      (graft.streaming.StreamDrain.streamDirtyRestartDrain _),
     // the same kill-and-resume for the WINDOWED-AGGREGATION state
     // family: panes persisted with partial sums across the stop must
     // restore (with the watermark) and finish exact
@@ -370,6 +386,32 @@ object SparkEntry {
     // guaranteed, so the gate checks found pairs, not just emptiness
     "image_dup_pairs_planted" -> (MultimodalOps.imageDupPairsPlanted _)
   )
+
+  /** The writeStream VERIFICATION drains: each run stages chunk files,
+    * executes a multi-micro-batch checkpointed query, and reads a store
+    * back — wall-clock that scales with drain COUNT and verification
+    * depth, not engine speed. Bench splits their total (`drain_total`)
+    * out of `batch_extended_total` using THIS explicit registry, not a
+    * name-prefix scrape; GateInvariantSpec pins the registry equal to
+    * the `stream_`-prefixed query names, so a misnamed or unregistered
+    * drain fails the build instead of silently skewing round-over-round
+    * engine comparisons.
+    */
+  val drainQueries: Set[String] = Set(
+    "stream_ewma_drain", "stream_shuffled_ewma_drain", "stream_cusum_drain",
+    "stream_kpi_drain", "stream_late_drop_drain", "stream_ooo_kpi_drain",
+    "stream_alerts_drain", "stream_alerts_list_drain",
+    "stream_cooldown_drain", "stream_cooldown_timer_drain",
+    "stream_routed_drain", "stream_dedup_drain", "stream_docdedup_drain",
+    "stream_transitions_drain", "stream_shuffled_transitions_drain",
+    "stream_drift_drain", "stream_snapshot_drain",
+    "stream_ooo_snapshot_drain", "stream_restart_drain",
+    "stream_dirty_restart_drain", "stream_restart_kpi_drain",
+    "stream_restart_session_drain", "stream_restart_join_drain",
+    "stream_warmstart_drain", "stream_funnel_drain", "stream_state_reader",
+    "stream_hll_drain", "stream_toptokens_drain", "stream_lshdedup_drain",
+    "stream_session_drain", "stream_session_timer_drain",
+    "stream_ooo_session_drain", "stream_attribution_drain")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has one — including

@@ -20,13 +20,33 @@ object Verify {
     // planner picks; a query that flips is a real determinism bug.
     val shufflePartitions =
       if (sys.env.get("SPARK_GRAFT_AQE").contains("1")) "200" else cpus
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_ROCKSDB=1 → force the RocksDB state-store provider
+    // SESSION-WIDE (the provider a production cluster deploys): the
+    // windowed-agg, session-window, and stream-stream-join drains then
+    // run the full gate on RocksDB instead of the default HDFS-backed
+    // provider. The transformWithState legs already force RocksDB
+    // locally (StreamDrain.withRocksDb), so this posture covers the
+    // remaining three state families — a hash flip under it would be a
+    // provider-semantics bug worth finding before a cluster does.
+    val spark = (if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
+                   builder.config(
+                     graft.streaming.AnomalyStatefulProcessor.rocksdbConf._1,
+                     graft.streaming.AnomalyStatefulProcessor.rocksdbConf._2)
+                 else builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // posture line: lets a gate log prove WHICH planner/provider posture
+    // produced it (stderr, like the per-query failure lines)
+    System.err.println(
+      s"[verify] posture: shuffle_partitions=$shufflePartitions " +
+        s"state_store=${spark.conf.getOption(
+          graft.streaming.AnomalyStatefulProcessor.rocksdbConf._1)
+          .map(_.split('.').last).getOrElse("default(hdfs)")}")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

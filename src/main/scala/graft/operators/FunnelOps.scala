@@ -658,6 +658,10 @@ object FunnelOps {
     // the drain's pairing processor emits each observed transition
     // exactly once, so the counted read-back shares the batch oracle
     "stream_transitions_drain" -> eventTransitionsSql,
+    // same pairing fed files stored OUT of event-time order inside each
+    // micro-batch: a within-trigger sort regression emits wrong edges
+    // and flips this unchanged oracle
+    "stream_shuffled_transitions_drain" -> eventTransitionsSql,
     "funnel_conversion" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |v AS (SELECT user_id, min(ts) AS v_ts FROM e

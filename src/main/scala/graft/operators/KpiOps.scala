@@ -339,6 +339,11 @@ object KpiOps {
     // partial sums at the stop must restore and finish exact, so the
     // oracle is again the batch sliding SQL
     "stream_restart_kpi_drain" -> slidingSql,
+    // DIRTY restart (killed after a batch's sink write, before its
+    // commit; the batch re-executes on resume): an append-style sink
+    // would double the re-run batch's panes, so the unchanged batch
+    // oracle IS the double-write detector
+    "stream_dirty_restart_drain" -> slidingSql,
     // late-data drop (T2): the drain feeds planted provably-late rows
     // the oracle never sees — the gate passes only if the watermark
     // drops them (a leak mints pre-corpus panes or corrupts sums)

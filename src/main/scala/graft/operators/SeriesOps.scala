@@ -1918,6 +1918,10 @@ object SeriesOps {
     // streaming drain shares the batch oracle verbatim (final levels
     // are bit-identical by the micro-unit bucket-sum construction)
     "stream_ewma_drain" -> ewmaSql,
+    // the in-batch-shuffled replay must produce the SAME levels — the
+    // processor's within-trigger (event-time, event_id) sort restores
+    // the fold order the oracle computes over
+    "stream_shuffled_ewma_drain" -> ewmaSql,
     "seasonal_anomaly" ->
       s"""WITH h AS (
          |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_ev,

@@ -291,9 +291,37 @@ object EventPipeline {
       .trigger(trigger) // the reference's 30 s checkpoint cadence, like startKpiSink
       .start()
 
+  /** IDEMPOTENT foreachBatch parquet writer — the shared sink recipe for
+    * every store-then-consume stage boundary (StreamJob's stores, the
+    * StreamDrain gate stores): micro-batch `id` OVERWRITES its own
+    * hive-style `batch_id=<id>` subdirectory of `store`. A batch
+    * re-executed after a crash in the sink-write → checkpoint-commit
+    * window (the exactly-once face Spark's sink contract tells writers
+    * to defend against) therefore REPLACES its orphaned partial output
+    * instead of appending a duplicate. Read back with plain
+    * `spark.read.parquet(store)` — partition discovery restores
+    * `batch_id` as a column (int-typed by inference). Crash-window
+    * re-execution is hash-gated end-to-end by
+    * [[graft.streaming.StreamDrain.streamDirtyRestartDrain]].
+    */
+  def idempotentBatchWriter(store: String): (DataFrame, Long) => Unit =
+    (b: DataFrame, id: Long) =>
+      b.write.mode("overwrite").parquet(s"$store/batch_id=$id")
+
   /** Hot/cold store sink (K5 + §4 caching row): foreachBatch upsert into
     * parquet — the gap-closing writer the reference implies but never
     * ships (SURVEY §2.2 note).
+    *
+    * IDEMPOTENT under batch re-execution: each batch `overwrite`s its own
+    * `batch_$batchId` directory — the standard foreachBatch exactly-once
+    * recipe. If the query dies BETWEEN this write and the checkpoint
+    * commit (the window Spark's sink contract tells writers to defend
+    * against, and where the reference's crash-recovery claim lives —
+    * `README.md:16`, 30 s checkpoints `EventAggregationJob.java:49-53`),
+    * the restarted query re-runs the same batch id over the same
+    * offset-pinned input and REPLACES the partial dir instead of
+    * appending a duplicate. Gated end-to-end by
+    * [[graft.streaming.StreamDrain.streamDirtyRestartDrain]].
     */
   def startKpiSink(
       kpi: DataFrame,
@@ -305,7 +333,7 @@ object EventPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(s"$outDir/batch_$batchId")
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
         ()
       }
       .start()

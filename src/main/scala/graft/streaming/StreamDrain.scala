@@ -101,7 +101,8 @@ object StreamDrain {
     * a different `build` would silently be served the first staging.
     * Each variant string here belongs to exactly one staging recipe
     * (plain / dup / sentinel / delta / alerts / docs / ingestdocs /
-    * bands / ooo / ooo_session); a new recipe takes a new name.
+    * bands / ooo / ooo_session / shuffled); a new recipe takes a new
+    * name.
     */
   private def stagedPath(dir: String, variant: String, chunks: Int)
                         (build: String => Unit): String =
@@ -124,13 +125,24 @@ object StreamDrain {
     * batches the range split guarantees it — and (b) keeps event-time
     * monotone at chunk granularity, so a 10 s watermark can never drop a
     * row or close a window a later chunk still feeds.
+    *
+    * `scramble`: optional sort key applied WITHIN each chunk before the
+    * single-file write — chunk membership (and therefore cross-batch
+    * order, watermark behavior, and the oracles) is untouched, but the
+    * file then STORES its rows out of event-time order, which is how
+    * the in-batch-reordering drains stress the processors' within-
+    * trigger sort.
     */
   private[graft] def stageChunked(df: DataFrame, stageDir: String, chunks: Int,
                                   order: Seq[Column],
-                                  firstChunk: Int = 0): Unit = {
+                                  firstChunk: Int = 0,
+                                  scramble: Option[Column] = None): Unit = {
     Files.createDirectories(java.nio.file.Paths.get(stageDir))
     // the ranked frame is persisted so the single-partition ntile sort
-    // runs ONCE per staging, not once per chunk filter
+    // runs ONCE per staging, not once per chunk filter. HARNESS-SCALE
+    // ONLY: a global no-partition window is a single-partition sort
+    // (Spark rightly warns) — fine for staging fixture corpora for
+    // verification, never a shape to copy into an operator.
     val ranked =
       if (chunks <= 1) None
       else Some(
@@ -140,7 +152,12 @@ object StreamDrain {
     val parts = ranked match {
       case None => Seq(df)
       case Some(r) =>
-        (0 until chunks).map(k => r.filter(col("__chunk") === k).drop("__chunk"))
+        (0 until chunks).map { k =>
+          val part = r.filter(col("__chunk") === k).drop("__chunk")
+          // orderBy → coalesce(1) in writeChunkFiles preserves the sort
+          // (the single task reads the range-sorted partitions in order)
+          scramble.fold(part)(part.orderBy(_))
+        }
     }
     try writeChunkFiles(parts, stageDir, firstChunk)
     finally ranked.foreach(_.unpersist())
@@ -209,6 +226,13 @@ object StreamDrain {
     * drain really executed that many micro-batches (max batch_id ≥
     * expectBatches − 1) — the fail-loud guard that the multi-batch legs'
     * cross-batch state story can't silently degrade to one batch.
+    *
+    * The sink is the IDEMPOTENT per-batch-dir recipe
+    * ([[EventPipeline.idempotentBatchWriter]]): a batch re-executed
+    * after a crash between sink write and checkpoint commit overwrites
+    * its own `batch_id=<id>` subdirectory instead of double-writing —
+    * the exactly-once face [[streamDirtyRestartDrain]] puts under the
+    * hash gate.
     */
   private def drainToStore(spark: SparkSession, streamed: DataFrame,
                            work: String,
@@ -219,13 +243,10 @@ object StreamDrain {
       .outputMode(mode)
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(store)
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(store))
       .start()
     q.awaitTermination()
-    val drained = spark.read.parquet(store)
+    val drained = readStore(spark, store)
     if (expectBatches > 1) {
       val ran = executedBatches(work)
       require(
@@ -236,6 +257,15 @@ object StreamDrain {
     }
     drained
   }
+
+  /** Read a drained store back: partition discovery restores `batch_id`
+    * from the per-batch subdirectories the idempotent sink wrote; cast
+    * to long (directory inference types small ids as int) so downstream
+    * batch-id arithmetic keeps the pre-r10 column type.
+    */
+  private def readStore(spark: SparkSession, store: String): DataFrame =
+    spark.read.parquet(store)
+      .withColumn("batch_id", col("batch_id").cast("long"))
 
   /** Number of micro-batches the drain's checkpoint actually COMPLETED,
     * read from the COMMIT log (one entry per finished batch, written
@@ -1405,6 +1435,90 @@ object StreamDrain {
         .orderBy(col("user_id"))
     }
 
+  /** DIRTY restart — a crash in the sink-write → checkpoint-commit
+    * window, the one exactly-once face the clean-stop restart drains
+    * never exercise (T11/K5; the reference's headline reliability claim
+    * is crash recovery with no data loss — `README.md:16`, 30 s
+    * checkpoints `EventAggregationJob.java:49-53` — and at 100 TB a
+    * crash WILL land in that window eventually). The foreachBatch sink
+    * writes micro-batch 1's parquet and then THROWS on the first
+    * attempt (once-flag), so the query dies with the sink output on
+    * disk but no commit-log entry — exactly the torn state a process
+    * kill leaves. A new query on the SAME checkpoint re-runs batch 1
+    * over the offset-pinned same input from state version 1, and —
+    * because every batch OVERWRITES its own `batch_id=` subdirectory
+    * ([[EventPipeline.idempotentBatchWriter]]) — REPLACES the orphaned
+    * attempt instead of appending a duplicate. The final panes are
+    * gated against the unchanged batch sliding oracle: an append-style
+    * sink would double every batch-1 pane row and (after last-per-key)
+    * still race duplicate batch_id rows — the exact-integer hash flips
+    * either way. Fail-loud audits: the crash fired AFTER the sink write
+    * (orphan files present), batch 1 was provably uncommitted at the
+    * crash, and the re-run REPLACED the orphaned files.
+    */
+  def streamDirtyRestartDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_dirty_restart_drain")
+    val store = s"$work/store"
+    val failAt = 1L
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def startQuery() = EventPipeline
+      .slidingKpi(stagedStream(spark, dir, "plain", chunks = MultiBatchChunks))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        EventPipeline.idempotentBatchWriter(store)(b, id)
+        if (id == failAt && injected.compareAndSet(false, true))
+          sys.error("graft injected crash: sink written, commit pending")
+        ()
+      }
+      .start()
+    val pass1 = startQuery()
+    val died =
+      try { pass1.awaitTermination(); false }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => true
+      }
+    require(died && injected.get,
+            "the injected post-sink crash never fired — the dirty-restart " +
+              "window was not exercised")
+    val attemptDir = java.nio.file.Paths.get(s"$store/batch_id=$failAt")
+    val orphan = listParquetNames(attemptDir)
+    require(orphan.nonEmpty,
+            "no sink files from the killed attempt — the crash landed " +
+              "before the sink write, outside the sink-to-commit window")
+    require(executedBatches(work) <= failAt,
+            s"batch $failAt was already committed at the crash — the " +
+              "restart below would not re-execute it")
+    val pass2 = startQuery()
+    pass2.awaitTermination()
+    require(executedBatches(work) >= MultiBatchChunks,
+            "the restarted query did not complete the staged batches — " +
+              "the re-execution claim would be vacuous")
+    val after = listParquetNames(attemptDir)
+    require(after.nonEmpty && after.intersect(orphan).isEmpty,
+            "the re-executed batch did not REPLACE the orphaned attempt's " +
+              "files — an append-style sink would have double-written here")
+    kpiPaneReadback(
+      lastPerKey(readStore(spark, store), Seq("event_type", "window_start")))
+  }
+
+  /** Parquet part-file names directly under `dir` (empty when the dir
+    * does not exist) — the dirty-restart drain's replaced-not-appended
+    * evidence.
+    */
+  private def listParquetNames(dir: Path): Set[String] =
+    if (!Files.isDirectory(dir)) Set.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally s.close()
+    }
+
   /** STATE-STORE TELEMETRY for a completed drain: row count read back
     * through Spark's `statestore` source (what the store semantically
     * HOLDS — panes, keys, or per-element list entries) plus the
@@ -1418,17 +1532,23 @@ object StreamDrain {
     * transformWithState column family, None for agg/fMGWS default
     * stores. Row count falls back to −1 if the reader cannot decode a
     * store (telemetry must never fail a probe run).
+    *
+    * `readers`: one option map per state-reader pass, summed — most
+    * stores need a single pass (empty map, or `stateVarName` for a
+    * transformWithState column family); the stream-stream join keeps
+    * TWO buffers, read as `joinSide=left` + `joinSide=right`. Any
+    * failing pass poisons the total to −1 rather than under-reporting.
     */
   def stateTelemetry(spark: SparkSession, prefix: String,
-                     stateVar: Option[String]): Option[(Long, Long, Long)] =
+                     readers: Seq[Map[String, String]])
+      : Option[(Long, Long, Long)] =
     Option(liveDirs.get(prefix)).map { dir =>
       val ckpt = s"$dir/ckpt"
-      val rows =
-        try {
-          val r = spark.read.format("statestore")
-          stateVar.fold(r)(v => r.option("stateVarName", v))
-            .load(ckpt).count()
-        } catch { case _: Throwable => -1L }
+      val counts = readers.map { opts =>
+        try spark.read.format("statestore").options(opts).load(ckpt).count()
+        catch { case _: Throwable => -1L }
+      }
+      val rows = if (counts.exists(_ < 0)) -1L else counts.sum
       val stateDir = java.nio.file.Paths.get(s"$ckpt/state")
       val (bytes, files) =
         if (!Files.isDirectory(stateDir)) (0L, 0L)
@@ -1509,6 +1629,9 @@ object StreamDrain {
     val chunks = MultiBatchChunks
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
+    // global no-partition rank = a SINGLE-PARTITION sort (Spark rightly
+    // warns at runtime): HARNESS-SCALE staging derivation only (fixture
+    // corpora, ≤ ~1M rows) — never a shape to copy into an operator
     val w = Window.orderBy(col("ts"), col("event_id"))
     val ranked = ev
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -1557,32 +1680,44 @@ object StreamDrain {
 
   /** Two chunk boundaries for an OOO staging: the tight-gap candidates
     * (columns rn, ms, pref) nearest the ideal N/3 and 2N/3 split points,
-    * `pref`-marked candidates first — four 1-row driver probes
-    * (metadata-scale, like the restart cuts). Fails loudly when the
-    * corpus has no tight gap at all.
+    * `pref`-marked candidates first — a handful of 1-row driver probes
+    * (metadata-scale, like the restart cuts). b2 must sit strictly
+    * beyond b1 + 1: an adjacent second boundary would leave its shift
+    * band (b1, b2) empty and silently halve the OOO coverage. When the
+    * pref-first b1 lands past every remaining candidate (pref gaps
+    * clustered at the corpus tail), the PAIRING is retried — first with
+    * the nearest any-type b1, then anchoring b2 at the LAST candidate
+    * and picking b1 before it — so a hard error means the corpus truly
+    * has no two non-adjacent tight gaps, not that the greedy first pick
+    * painted us into a corner.
     */
   private def pickOooBoundaries(cands: DataFrame,
                                 n: Long): ((Long, Long), (Long, Long)) = {
-    def pick(target: Long, minRn: Long): (Long, Long) = {
-      def nearest(of: DataFrame): Option[(Long, Long)] =
-        of.filter(col("rn") > minRn)
-          .orderBy(abs(col("rn") - target), col("rn"))
-          .limit(1)
-          .collect()
-          .headOption
-          .map(r => (r.getLong(0), r.getLong(1)))
-      nearest(cands.filter(col("pref")))
-        .orElse(nearest(cands))
-        .getOrElse(sys.error(
-          "no tight inter-event gap to place an out-of-order chunk " +
-            "boundary on — the admissible-late merge claim would be " +
-            "vacuous on this corpus"))
-    }
-    val b1 = pick(n / 3, 1L)
-    // b2 strictly beyond b1 + 1: an adjacent second boundary would leave
-    // its shift band (b1, b2) empty and silently halve the OOO coverage
-    val b2 = pick(2 * n / 3, b1._1 + 1)
-    (b1, b2)
+    def nearest(of: DataFrame, target: Long, minRn: Long,
+                maxRnExcl: Long): Option[(Long, Long)] =
+      of.filter(col("rn") > minRn && col("rn") < maxRnExcl)
+        .orderBy(abs(col("rn") - target), col("rn"))
+        .limit(1)
+        .collect()
+        .headOption
+        .map(r => (r.getLong(0), r.getLong(1)))
+    // pref-preferred pick (same preference order as before the retry fix)
+    def pick(target: Long, minRn: Long,
+             maxRnExcl: Long = Long.MaxValue): Option[(Long, Long)] =
+      nearest(cands.filter(col("pref")), target, minRn, maxRnExcl)
+        .orElse(nearest(cands, target, minRn, maxRnExcl))
+    def pairWith(b1: Option[(Long, Long)]) =
+      b1.flatMap(b => pick(2 * n / 3, b._1 + 1).map((b, _)))
+    lazy val lastCand = cands.orderBy(col("rn").desc).limit(1).collect()
+      .headOption.map(r => (r.getLong(0), r.getLong(1)))
+    pairWith(pick(n / 3, 1L))
+      .orElse(pairWith(nearest(cands, n / 3, 1L, Long.MaxValue)))
+      .orElse(lastCand.flatMap(b2 =>
+        pick(n / 3, 1L, b2._1 - 1).map((_, b2))))
+      .getOrElse(sys.error(
+        "no pair of non-adjacent tight inter-event gaps to place the " +
+          "out-of-order chunk boundaries on — the admissible-late merge " +
+          "claim would be vacuous on this corpus"))
   }
 
   /** Chunk + shift assignment shared by the OOO stagings: range chunks
@@ -1818,6 +1953,9 @@ object StreamDrain {
     val gapMs = 1800000L
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
+    // global no-partition rank = a SINGLE-PARTITION sort (Spark rightly
+    // warns at runtime): HARNESS-SCALE staging derivation only (fixture
+    // corpora, ≤ ~1M rows) — never a shape to copy into an operator
     val w = Window.orderBy(col("ts"), col("event_id"))
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -1948,5 +2086,110 @@ object StreamDrain {
       .select(col("user_id"), col("session_start"), col("session_end"),
               col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** IN-BATCH (within-trigger) REORDERING staging for the order-
+    * DEPENDENT folds: the same time-ranged chunk assignment as the
+    * plain staging — cross-batch order, watermarks, and the batch
+    * oracles are untouched — but each chunk FILE stores its rows in
+    * xxhash64 order instead of (ts, event_id) order. The OOO exclusion
+    * argument for the order-dependent families (see [[buildOooStage]])
+    * rests on "in-batch the processors sort by (event-time µs,
+    * event_id)"; replaying THIS staging makes a drain hash-FAIL if that
+    * sort ever disappears, instead of leaving the claim spec-only —
+    * production analog: Kafka delivers a key's events in order PER
+    * POLL, but one trigger interval spans many polls and partitions,
+    * so within-trigger arrival order is never guaranteed.
+    */
+  private def buildShuffledStage(spark: SparkSession, dir: String,
+                                 stageDir: String): Unit =
+    stageChunked(
+      graft.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value"),
+      stageDir, MultiBatchChunks, Seq(col("ts"), col("event_id")),
+      // seed-free deterministic scramble: uncorrelated with event time
+      scramble = Some(xxhash64(col("event_id"))))
+
+  /** Fail-loud audit that the shuffled staging really stores rows out
+    * of event-time order INSIDE each chunk file: each file is read back
+    * in storage order (parquet preserves write order; splits of one
+    * file concatenate in offset order) and at least 10% of adjacent row
+    * pairs must be (ts, event_id) inversions — a hash-random permutation
+    * gives ~50%, an accidentally ordered file gives 0. The collect is
+    * driver-side but HARNESS-SCALE only (fixture corpora), like the OOO
+    * staging audits.
+    */
+  private[graft] def shuffledStagingAudit(spark: SparkSession,
+                                          stage: String): Unit =
+    (0 until MultiBatchChunks).foreach { k =>
+      val rows = spark.read.parquet(f"$stage/chunk-$k%04d.parquet")
+        .select(unix_micros(col("ts")), col("event_id"))
+        .collect()
+      val inversions = rows.sliding(2).count { pair =>
+        pair.length == 2 && {
+          val (a, b) = (pair(0), pair(1))
+          a.getLong(0) > b.getLong(0) ||
+            (a.getLong(0) == b.getLong(0) && a.getLong(1) > b.getLong(1))
+        }
+      }
+      require(inversions * 10L >= (rows.length - 1).toLong,
+              s"chunk file $k holds only $inversions/${rows.length - 1} " +
+                "adjacent event-time inversions — the in-batch shuffle " +
+                "staging is not actually out of order")
+    }
+
+  /** The cached shuffled staging for `dir`. */
+  private def shuffledStaged(spark: SparkSession, dir: String): String =
+    stagedPath(dir, "shuffled", MultiBatchChunks)(
+      buildShuffledStage(spark, dir, _))
+
+  /** The EWMA leg — an order-DEPENDENT per-key fold — over the
+    * [[buildShuffledStage]] replay: every micro-batch delivers its rows
+    * physically out of event-time order, and the drained levels must
+    * still hash-match the batch `series_ewma` oracle. This gates the
+    * processors' within-trigger (event-time µs, event_id) sort
+    * ([[EwmaProcessor]]) through an actual writeStream execution — the
+    * one leg of the order-dependence argument that was previously
+    * spec-pinned only.
+    */
+  def streamShuffledEwmaDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_shuffled_ewma_drain")
+    val stage = shuffledStaged(spark, dir)
+    shuffledStagingAudit(spark, stage)
+    drainLastPerKey(
+      spark,
+      EventPipeline
+        .ewmaStream(
+          spark,
+          spark.readStream.schema(EventPipeline.eventSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stage))
+        .toDF(),
+      work, Seq("event_type"), expectBatches = MultiBatchChunks)
+      .select(col("event_type"), col("n_buckets"), col("ewma_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The per-user transition pairing — the other order-dependent state
+    * shape (a LAST-EVENT record, where a mis-ordered pair emits a wrong
+    * (prev, next) edge rather than a wrong number) — over the same
+    * shuffled replay, against the batch `event_transitions` oracle.
+    */
+  def streamShuffledTransitionsDrain(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    val work = tempWorkDir("graft_shuffled_trans_drain")
+    val stage = shuffledStaged(spark, dir)
+    shuffledStagingAudit(spark, stage)
+    drainToStore(
+      spark,
+      EventPipeline
+        .transitionStream(
+          spark,
+          spark.readStream.schema(EventPipeline.eventSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stage))
+        .toDF(),
+      work, expectBatches = MultiBatchChunks)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("prev_type"), col("next_type"))
   }
 }

@@ -59,10 +59,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_kpi")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/hot_aggregates")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/hot_aggregates"))
       .start()
 
     val alerts = EventPipeline.anomalyStream(spark, events)
@@ -73,10 +70,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_alerts")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/alerts")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/alerts"))
       .start()
 
     // session store: gap sessions close as the watermark passes (append
@@ -87,10 +81,7 @@ object StreamJob {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", s"$outDir/ckpt_sessions")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/sessions")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/sessions"))
       .start()
 
     // smoothed-KPI store (EWMA levels per key) and per-user transition
@@ -102,10 +93,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_ewma")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/ewma_levels")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/ewma_levels"))
       .start()
 
     // timer-closed sessions (transformWithState + event-time timers) —
@@ -123,10 +111,7 @@ object StreamJob {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", s"$outDir/ckpt_sessions_timer")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/sessions_timer")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/sessions_timer"))
       .start()
 
     // live drift dashboard: per-type TV distance vs the reference
@@ -142,10 +127,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_drift")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/drift_snapshots")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/drift_snapshots"))
       .start()
 
     // streaming CUSUM change-point counts: baselines learned offline
@@ -163,10 +145,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_cusum")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/cusum_counts")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/cusum_counts"))
       .start()
 
     val transQuery = EventPipeline
@@ -176,10 +155,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_trans")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/transitions")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/transitions"))
       .start()
 
     // ingest dedup: first occurrence per event_id to the deduped cold
@@ -196,10 +172,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_dedup")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/deduped_events")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/deduped_events"))
       .start()
 
     // live distinct-users dashboard: per-day HLL sketches folded online
@@ -215,10 +188,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_hll")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/hll_days")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/hll_days"))
       .start()
 
     // per-user snapshot store: streaming incremental view maintenance
@@ -235,10 +205,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_usersnap")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/user_snapshots")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/user_snapshots"))
       .start()
 
     // live funnel dashboard: per-user windowed-funnel progress (the
@@ -254,10 +221,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_funnel")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/funnel_progress")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/funnel_progress"))
       .start()
 
     // corpus-ingest dedup: the documents table replayed as a stream
@@ -284,10 +248,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_doc_dedup")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/deduped_docs")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/deduped_docs"))
       .start()
 
     // live corpus-composition dashboard: per-language Misra–Gries top
@@ -305,10 +266,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_toptok")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/top_tokens")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/top_tokens"))
       .start()
 
     kpiQuery.awaitTermination()
@@ -342,10 +300,7 @@ object StreamJob {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$outDir/ckpt_fired")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/fired_alerts")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/fired_alerts"))
       .start()
     firedQuery.awaitTermination()
 
@@ -363,10 +318,7 @@ object StreamJob {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", s"$outDir/ckpt_routed")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("append").parquet(s"$outDir/routed")
-        ()
-      }
+      .foreachBatch(EventPipeline.idempotentBatchWriter(s"$outDir/routed"))
       .start()
     routedQuery.awaitTermination()
 
@@ -470,8 +422,12 @@ object StreamJob {
           .outputMode(OutputMode.Update)
           .option("checkpointLocation", s"$outDir/ckpt_dedup_ttl")
           .foreachBatch { (b: DataFrame, id: Long) =>
+            // empty no-data batches (the TTL's ProcessingTime mode churns
+            // them) skip the write; non-empty ones use the idempotent
+            // per-batch-dir recipe like every other sink
             if (!b.isEmpty) {
-              b.write.mode("append").parquet(s"$outDir/deduped_events_ttl")
+              EventPipeline.idempotentBatchWriter(
+                s"$outDir/deduped_events_ttl")(b, id)
             }
             ()
           }
@@ -489,8 +445,10 @@ object StreamJob {
         }
         // stop only after a NO-DATA batch follows the output: foreachBatch
         // writes parquet BEFORE the batch commits to the offset log, so
-        // stopping on the raw count races the commit — a restart would
-        // re-run the uncommitted batch and append duplicates. The zero-
+        // stopping on the raw count races the commit — the idempotent
+        // per-batch-dir sink would absorb the re-run, but the POLL below
+        // would have counted the uncommitted batch's rows and declared
+        // the pass done before its state actually committed. The zero-
         // input entry must come AFTER the last data batch: checking
         // lastProgress alone is not enough, because the warm-up empty
         // batch precedes the first data batch and progress posts after

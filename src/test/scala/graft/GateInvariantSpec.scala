@@ -19,6 +19,18 @@ class GateInvariantSpec extends SparkSpec {
            s"queries without oracles: ${queries.diff(oracles)}")
   }
 
+  test("drain registry == the stream_-prefixed query names") {
+    // Bench splits drain_total out of batch_extended_total using the
+    // EXPLICIT SparkEntry.drainQueries registry; this pin means a new
+    // drain registered under a non-stream_ name (or a stream_ query
+    // missing from the registry) fails the build instead of silently
+    // skewing round-over-round engine comparisons.
+    val prefixed = SparkEntry.queries.keySet.filter(_.startsWith("stream_"))
+    assert(SparkEntry.drainQueries === prefixed,
+           s"registry-only: ${SparkEntry.drainQueries.diff(prefixed)}; " +
+             s"prefix-only: ${prefixed.diff(SparkEntry.drainQueries)}")
+  }
+
   test("bench-only session config cannot leak into library code") {
     // Bench.scala deliberately disables AQE and shrinks shuffle
     // partitions for the local micro-bench; a cluster session must never

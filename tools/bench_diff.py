@@ -31,8 +31,13 @@ Usage:
 where OLD/NEW are either BENCH_RUNS.json files ({"runs": {q: [r1,r2,r3]}})
 or driver BENCH_r{N}.json files whose tail holds the bench_runs line.
 
-Exit 0 iff no regressions flagged (load-suspect and design-changed
-entries do not fail the gate).
+Exit codes: 0 = clean (design-changed entries do not fail the gate);
+1 = real regressions flagged; 2 = regressions were demoted to
+LOAD-SUSPECT (the NEW side was hot) — a distinct code so a CI/driver
+consumer must acknowledge the demotion instead of a loaded box silently
+passing the regression gate. Since round 10 Bench also emits its own
+"load_hot" verdict in the snapshot; when present it is trusted over
+recomputing from the loadavg strings.
 """
 import json, re, sys
 from pathlib import Path
@@ -42,15 +47,19 @@ LOAD_LIMIT_END = 4.0    # end-of-run fallback: bench self-load adds ~2
 
 
 def _load_verdict(d):
-    """(1-min loadavg or None, is_ambient) from a parsed bench dict."""
+    """(1-min loadavg or None, is_ambient, self_verdict) from a parsed
+    bench dict. self_verdict is Bench's own "load_hot" boolean when the
+    snapshot carries one (round 10+), else None."""
+    hot = d.get("load_hot")
+    self_verdict = hot if isinstance(hot, bool) else None
     for key, ambient in (("loadavg_start", True), ("loadavg", False)):
         la = d.get(key, "")
         if isinstance(la, str) and la.split():
             try:
-                return float(la.split()[0]), ambient
+                return float(la.split()[0]), ambient, self_verdict
             except ValueError:
                 pass
-    return None, False
+    return None, False, self_verdict
 
 
 def load_runs(path):
@@ -103,12 +112,15 @@ def main():
     (old, old_load), (new, new_load) = load_runs(args[0]), load_runs(args[1])
 
     def describe(lv):
-        load, ambient = lv
+        load, ambient, self_verdict = lv
         if load is None:
-            return "unknown", None
+            return ("unknown", None) if self_verdict is None else (
+                f"self-reported load_hot={self_verdict}", self_verdict)
         limit = LOAD_LIMIT if ambient else LOAD_LIMIT_END
         kind = "ambient" if ambient else "end-of-run"
-        return f"{load:.2f} ({kind}, limit {limit})", (load > limit)
+        # Bench's own verdict (same limit) wins when present
+        hot = self_verdict if self_verdict is not None else (load > limit)
+        return f"{load:.2f} ({kind}, limit {limit})", hot
 
     old_desc, old_hot = describe(old_load)
     new_desc, new_hot = describe(new_load)
@@ -153,7 +165,10 @@ def main():
         print(f"improved   {q}: {omin:.3f}s -> {nmin:.3f}s")
     if not regressions:
         print("no regressions outside the noise envelope")
-    sys.exit(1 if regressions else 0)
+    # exit 2: nothing hard-flagged, but flags were DEMOTED for load —
+    # a consumer must acknowledge the demotion, not read it as clean
+    load_suspect = any(t == "LOAD-SUSPECT" for t, *_ in demoted)
+    sys.exit(1 if regressions else (2 if load_suspect else 0))
 
 
 if __name__ == "__main__":
