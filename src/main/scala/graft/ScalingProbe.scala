@@ -57,26 +57,37 @@ object ScalingProbe {
     "stream_kpi_drain", "stream_alerts_drain", "stream_lshdedup_drain",
     "stream_session_drain", "stream_attribution_drain")
 
-  /** State-telemetry targets: drain query → (its work-dir prefix, the
-    * statestore-reader passes to sum — empty map for the agg / fMGWS
-    * default store, `stateVarName` for a transformWithState column
-    * family, `joinSide` left+right for the symmetric join buffers).
+  /** State-telemetry targets: drain query → work-dir prefix + labeled
+    * phases, each phase a set of statestore-reader passes to sum —
+    * empty map for the agg / fMGWS default store, `stateVarName` for a
+    * transformWithState column family, `joinSide` left+right for the
+    * symmetric join buffers, `batchId` to read a MID-STREAM version.
     * Windowed-agg panes, detector GroupState keys, MaxBucket-capped LSH
     * membership, open session windows, and the watermark-bounded join
     * buffers — the five state families whose boundedness the 100 TB
-    * posture rests on.
+    * posture rests on. The session drain reports two phases: mid-stream
+    * (open sessions concurrently held after batch 1 — should track
+    * concurrent sessions, not events) and final (after the sentinel's
+    * watermark flush every real session is EVICTED — eviction proven,
+    * not assumed).
     */
-  private val drainState: Map[String, (String, Seq[Map[String, String]])] =
-    Map(
-      "stream_kpi_drain" -> (("graft_kpi_drain", Seq(Map.empty))),
-      "stream_alerts_drain" -> (("graft_alerts_drain", Seq(Map.empty))),
-      "stream_lshdedup_drain" ->
-        (("graft_lshdedup_drain",
-          Seq(Map("stateVarName" -> "bucketMembers")))),
-      "stream_session_drain" -> (("graft_session_drain", Seq(Map.empty))),
-      "stream_attribution_drain" ->
-        (("graft_attrib_drain",
-          Seq(Map("joinSide" -> "left"), Map("joinSide" -> "right")))))
+  private val drainState
+      : Map[String, (String, Seq[(String, Seq[Map[String, String]])])] = Map(
+    "stream_kpi_drain" ->
+      (("graft_kpi_drain", Seq(("final", Seq(Map.empty))))),
+    "stream_alerts_drain" ->
+      (("graft_alerts_drain", Seq(("final", Seq(Map.empty))))),
+    "stream_lshdedup_drain" ->
+      (("graft_lshdedup_drain",
+        Seq(("final", Seq(Map("stateVarName" -> "bucketMembers")))))),
+    "stream_session_drain" ->
+      (("graft_session_drain",
+        Seq(("mid_batch1", Seq(Map("batchId" -> "1"))),
+            ("final", Seq(Map.empty))))),
+    "stream_attribution_drain" ->
+      (("graft_attrib_drain",
+        Seq(("final",
+             Seq(Map("joinSide" -> "left"), Map("joinSide" -> "right")))))))
 
   def buildScaled(spark: SparkSession, base: String, out: String,
                   copies: Int): Unit = {
@@ -209,25 +220,28 @@ object ScalingProbe {
 
     // reads the drain's LAST allocated work dir — must be called right
     // after timing the scale it describes, before the drain runs again
-    def stateLine(name: String): Option[String] =
-      drainState.get(name).flatMap { case (prefix, readers) =>
-        graft.streaming.StreamDrain.stateTelemetry(spark, prefix, readers)
-          .map { case (rows, bytes, files) =>
-            s""""rows":$rows,"bytes":$bytes,"files":$files"""
-          }
+    def stateLines(name: String): Seq[(String, String)] =
+      drainState.get(name).toSeq.flatMap { case (prefix, phases) =>
+        phases.flatMap { case (label, readers) =>
+          graft.streaming.StreamDrain.stateTelemetry(spark, prefix, readers)
+            .map { case (rows, bytes, files) =>
+              label -> s""""rows":$rows,"bytes":$bytes,"files":$files"""
+            }
+        }
       }
 
     selected.foreach { name =>
       val tBase = timeAt(name, base)
-      val stBase = stateLine(name)
+      val stBase = stateLines(name).toMap
       val tBig = timeAt(name, out)
-      val stBig = stateLine(name)
+      val stBig = stateLines(name).toMap
       println(s"""{"query":"$name","base_s":${fmt(tBase)},""" +
         s""""scaled_s":${fmt(tBig)},"copies":$copies,""" +
         s""""ratio":${fmt(tBig / tBase)}}""")
-      for (b <- stBase; s <- stBig)
+      for ((label, b) <- stBase.toSeq.sortBy(_._1); s <- stBig.get(label))
         println(s"""{"telemetry":"state_store","query":"$name",""" +
-          s""""base":{$b},"scaled":{$s},"copies":$copies}""")
+          s""""phase":"$label","base":{$b},"scaled":{$s},""" +
+          s""""copies":$copies}""")
     }
 
     // ssjoin_prefix is the standing worst-ratio watch item: candidate
