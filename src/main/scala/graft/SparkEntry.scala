@@ -68,6 +68,11 @@ object SparkEntry {
     // the ListState-buffered detector (third parity form) drained
     "stream_alerts_list_drain" ->
       (graft.streaming.StreamDrain.streamAlertsListDrain _),
+    // the detector over the in-batch shuffle staging: one transposed
+    // pair scores two events against wrong rings, so the unchanged
+    // oracle gates the within-trigger sort for the flagship job
+    "stream_shuffled_alerts_drain" ->
+      (graft.streaming.StreamDrain.streamShuffledAlertsDrain _),
     "anomaly_regions" -> (AnomalyOps.anomalyRegions _),
     "alerts_filter" -> (AnomalyOps.alertsFilter _),
     "alerts_stats" -> (AnomalyOps.alertsStats _),
@@ -132,6 +137,12 @@ object SparkEntry {
     // orphaned output — the exactly-once face clean stops never exercise
     "stream_dirty_restart_drain" ->
       (graft.streaming.StreamDrain.streamDirtyRestartDrain _),
+    // the same dirty-restart window for the transformWithState family:
+    // the crashed attempt already committed state version 2, so the
+    // re-executed batch must ROLL the store BACK to version 1 and
+    // refold — the RocksDB version-rollback face of re-execution
+    "stream_dirty_restart_snapshot_drain" ->
+      (graft.streaming.StreamDrain.streamDirtySnapshotDrain _),
     // the same kill-and-resume for the WINDOWED-AGGREGATION state
     // family: panes persisted with partial sums across the stop must
     // restore (with the watermark) and finish exact
@@ -401,12 +412,14 @@ object SparkEntry {
     "stream_ewma_drain", "stream_shuffled_ewma_drain", "stream_cusum_drain",
     "stream_kpi_drain", "stream_late_drop_drain", "stream_ooo_kpi_drain",
     "stream_alerts_drain", "stream_alerts_list_drain",
+    "stream_shuffled_alerts_drain",
     "stream_cooldown_drain", "stream_cooldown_timer_drain",
     "stream_routed_drain", "stream_dedup_drain", "stream_docdedup_drain",
     "stream_transitions_drain", "stream_shuffled_transitions_drain",
     "stream_drift_drain", "stream_snapshot_drain",
     "stream_ooo_snapshot_drain", "stream_restart_drain",
-    "stream_dirty_restart_drain", "stream_restart_kpi_drain",
+    "stream_dirty_restart_drain", "stream_dirty_restart_snapshot_drain",
+    "stream_restart_kpi_drain",
     "stream_restart_session_drain", "stream_restart_join_drain",
     "stream_warmstart_drain", "stream_funnel_drain", "stream_state_reader",
     "stream_hll_drain", "stream_toptokens_drain", "stream_lshdedup_drain",

@@ -727,6 +727,10 @@ object AnomalyOps {
     // the ListState-buffered detector form through its own drain —
     // third of the three parity forms, same oracle
     "stream_alerts_list_drain" -> anomalyAlertsSql,
+    // the detector over micro-batch files stored OUT of event-time
+    // order: the processor's within-trigger sort must restore the ring
+    // order or scores (and is_anomaly itself) flip this same oracle
+    "stream_shuffled_alerts_drain" -> anomalyAlertsSql,
     "alerts_filter" ->
       s"""$scoredSql
          |SELECT event_id, event_type, ts, value, z_score, mad_score, severity

@@ -599,6 +599,11 @@ object MiscOps {
     // land on the same from-scratch aggregate — a lost or double-counted
     // batch on restart fails the hash
     "stream_restart_drain" -> perUserSnapshotSql,
+    // DIRTY restart for the keyed-state family: the crashed attempt has
+    // already committed state version 2, so the re-executed batch must
+    // ROLL BACK to version 1 and refold — double-fold or version-skew
+    // flips the exact integer snapshot sums against this same oracle
+    "stream_dirty_restart_snapshot_drain" -> perUserSnapshotSql,
     "distinct_users" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          |FROM $ev e GROUP BY 1 ORDER BY 1""".stripMargin,

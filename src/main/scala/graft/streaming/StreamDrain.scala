@@ -1456,14 +1456,55 @@ object StreamDrain {
     * (orphan files present), batch 1 was provably uncommitted at the
     * crash, and the re-run REPLACED the orphaned files.
     */
-  def streamDirtyRestartDrain(spark: SparkSession, dir: String): DataFrame = {
-    val work = tempWorkDir("graft_dirty_restart_drain")
+  def streamDirtyRestartDrain(spark: SparkSession, dir: String): DataFrame =
+    kpiPaneReadback(lastPerKey(
+      dirtyRestartedStore(
+        spark, tempWorkDir("graft_dirty_restart_drain"),
+        EventPipeline.slidingKpi(
+          stagedStream(spark, dir, "plain", chunks = MultiBatchChunks))),
+      Seq("event_type", "window_start")))
+
+  /** The SAME dirty-restart window for the transformWithState family:
+    * the crashed attempt of batch 1 has already COMMITTED state version
+    * 2 to the store (tasks commit state before the query-level commit
+    * log is written), so the resumed query's re-execution of batch 1
+    * must load state version 1 — STATE-VERSION ROLLBACK, the RocksDB
+    * face of re-execution the windowed-agg drain doesn't isolate — and
+    * refold the batch to identical snapshots. Final per-user view vs
+    * the unchanged from-scratch aggregate oracle.
+    */
+  def streamDirtySnapshotDrain(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) {
+      val work = tempWorkDir("graft_dirty_snapshot_drain")
+      val staged = stagedStream(spark, dir, "plain", chunks = MultiBatchChunks)
+      val s = spark
+      import s.implicits._
+      lastPerKey(
+        dirtyRestartedStore(
+          spark, work,
+          TypedStatefulProcessors
+            .userSnapshotStream(spark, staged.as[Event])
+            .toDF()),
+        Seq("user_id"))
+        .select(col("user_id"), col("n_events"), col("sum_micros"),
+                col("last_ts_micros"))
+        .orderBy(col("user_id"))
+    }
+
+  /** The injected-crash scaffold shared by the dirty-restart drains:
+    * run `streamed` through an update-mode AvailableNow drain whose
+    * foreachBatch writes batch `failAt`'s sink output and then THROWS
+    * on the first attempt; assert the torn state (orphan sink files
+    * present, batch uncommitted), restart on the same checkpoint, and
+    * assert the re-execution REPLACED the orphan. Returns the drained
+    * store read back.
+    */
+  private def dirtyRestartedStore(spark: SparkSession, work: String,
+                                  streamed: DataFrame,
+                                  failAt: Long = 1L): DataFrame = {
     val store = s"$work/store"
-    val failAt = 1L
     val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
-    def startQuery() = EventPipeline
-      .slidingKpi(stagedStream(spark, dir, "plain", chunks = MultiBatchChunks))
-      .writeStream
+    def startQuery() = streamed.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -1500,8 +1541,7 @@ object StreamDrain {
     require(after.nonEmpty && after.intersect(orphan).isEmpty,
             "the re-executed batch did not REPLACE the orphaned attempt's " +
               "files — an append-style sink would have double-written here")
-    kpiPaneReadback(
-      lastPerKey(readStore(spark, store), Seq("event_type", "window_start")))
+    readStore(spark, store)
   }
 
   /** Parquet part-file names directly under `dir` (empty when the dir
@@ -2167,6 +2207,30 @@ object StreamDrain {
       work, Seq("event_type"), expectBatches = MultiBatchChunks)
       .select(col("event_type"), col("n_buckets"), col("ewma_value"))
       .orderBy(col("event_type"))
+  }
+
+  /** The flagship DETECTOR (keyed rolling-stats fMGWS — the reference's
+    * core anomaly job) over the same shuffled replay: scoring each
+    * event against the 100 PRECEDING values is order-dependence in its
+    * sharpest form (one transposed pair scores two events against
+    * wrong rings and can flip is_anomaly itself), so the drained
+    * alerts hash-matching the unchanged batch `anomaly_alerts` oracle
+    * gates [[AnomalyProcessor]]'s within-trigger sort end-to-end.
+    */
+  def streamShuffledAlertsDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_shuffled_alerts_drain")
+    val stage = shuffledStaged(spark, dir)
+    shuffledStagingAudit(spark, stage)
+    alertsReadback(drainToStore(
+      spark,
+      EventPipeline
+        .anomalyStream(
+          spark,
+          spark.readStream.schema(EventPipeline.eventSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stage))
+        .filter(_.is_anomaly)
+        .toDF(),
+      work, expectBatches = MultiBatchChunks))
   }
 
   /** The per-user transition pairing — the other order-dependent state
