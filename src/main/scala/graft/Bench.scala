@@ -134,11 +134,16 @@ object Bench {
     val loadavg = readLoadavg()
     // self-adjudicated load verdict carried IN the snapshot: anyone
     // reading a single BENCH file sees whether its numbers were captured
-    // hot without running bench_diff. The 2.0 ambient limit mirrors
-    // bench_diff.py's LOAD_LIMIT — keep the two in sync.
+    // hot without running bench_diff, and bench_diff itself reads the
+    // embedded verdict + limit (its own constant is only a fallback for
+    // pre-r11 files). JSON null when /proc/loadavg was unreadable — a
+    // confident "false" there would make an UNKNOWN load read as
+    // "verified not hot" downstream.
+    val loadLimit = 2.0
     val loadHot = loadavgStart.split(" ").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
-      .exists(_ > 2.0)
+      .map(_ > loadLimit)
+      .fold("null")(_.toString)
     // the driver stores only a bounded TAIL of this output, so: (1) the
     // per-run variance detail goes to a side file AND a first stdout
     // line; (2) the final JSON line ends with the headline scalars
@@ -147,6 +152,7 @@ object Bench {
     val runsLine =
       s"""{"metric":"bench_runs","runs":$rs,"loadavg":"$loadavg",""" +
         s""""loadavg_start":"$loadavgStart","load_hot":$loadHot,""" +
+        s""""load_limit":$loadLimit,""" +
         s""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_RUNS.json"),
@@ -158,6 +164,7 @@ object Bench {
         s""""queries":$qs,""" +
         s""""events_rows":$events,"loadavg":"$loadavg",""" +
         s""""loadavg_start":"$loadavgStart","load_hot":$loadHot,""" +
+        s""""load_limit":$loadLimit,""" +
         s""""drain_total":${fmt(drainTotal)},""" +
         s""""batch_extended_total":${fmt(extendedTotal - drainTotal)},""" +
         s""""extended_total":${fmt(extendedTotal)},""" +

@@ -143,6 +143,16 @@ object SparkEntry {
     // refold — the RocksDB version-rollback face of re-execution
     "stream_dirty_restart_snapshot_drain" ->
       (graft.streaming.StreamDrain.streamDirtySnapshotDrain _),
+    // the same crash window for the SESSION-WINDOW family: the
+    // re-executed batch must re-MERGE the restored open session that
+    // provably straddles the data-derived crash batch
+    "stream_dirty_restart_session_drain" ->
+      (graft.streaming.StreamDrain.streamDirtySessionDrain _),
+    // and for the STREAM-STREAM JOIN family: the crashed attempt already
+    // committed join-buffer version 2, so the re-run must roll BOTH
+    // symmetric buffers back and re-derive its matches exactly once
+    "stream_dirty_restart_join_drain" ->
+      (graft.streaming.StreamDrain.streamDirtyJoinDrain _),
     // the same kill-and-resume for the WINDOWED-AGGREGATION state
     // family: panes persisted with partial sums across the stop must
     // restore (with the watermark) and finish exact
@@ -419,6 +429,7 @@ object SparkEntry {
     "stream_drift_drain", "stream_snapshot_drain",
     "stream_ooo_snapshot_drain", "stream_restart_drain",
     "stream_dirty_restart_drain", "stream_dirty_restart_snapshot_drain",
+    "stream_dirty_restart_session_drain", "stream_dirty_restart_join_drain",
     "stream_restart_kpi_drain",
     "stream_restart_session_drain", "stream_restart_join_drain",
     "stream_warmstart_drain", "stream_funnel_drain", "stream_state_reader",

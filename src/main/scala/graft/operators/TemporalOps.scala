@@ -471,6 +471,10 @@ object TemporalOps {
     // restores an OPEN session across a query restart and must still
     // flush every session exactly once against the same oracle
     "stream_restart_session_drain" -> sessionizeSql,
+    // DIRTY restart (crash between sink write and checkpoint commit)
+    // over the same topology: the re-executed batch must re-merge the
+    // restored open session — same flushed sessions, same oracle
+    "stream_dirty_restart_session_drain" -> sessionizeSql,
     "stream_session_timer_drain" -> sessionizeSql,
     "concurrent_sessions" ->
       s"""$sessionCtesSql,
@@ -522,6 +526,11 @@ object TemporalOps {
     // in the symmetric-hash join state must survive the restart and
     // match its post-restart purchase — same oracle
     "stream_restart_join_drain" -> clickAttributionSql,
+    // DIRTY restart over the same topology: the crashed attempt already
+    // committed join-buffer version 2, so the re-executed batch must
+    // roll both symmetric buffers back and re-derive its matches
+    // exactly once — same emitted pairs, same oracle
+    "stream_dirty_restart_join_drain" -> clickAttributionSql,
     "latest_events" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |r AS (

@@ -1491,6 +1491,164 @@ object StreamDrain {
         .orderBy(col("user_id"))
     }
 
+  /** The SAME dirty-restart window for the SESSION-WINDOW state family:
+    * the crash batch must re-MERGE restored open-session state. The cut
+    * is data-derived exactly like [[streamRestartSessionDrain]] (midpoint
+    * of the first in-session pause after the corpus mid-ts), and the
+    * staging pins the crash to the session-merge replay: chunk 0 — the
+    * whole pre-cut half — is micro-batch 0, so state version 1 provably
+    * holds the straddling OPEN session (every pre-cut event precedes the
+    * cut, so batch 0's watermark sits below the cut, below that
+    * session's end); the crashed-and-re-executed batch 1 is the first
+    * post-cut chunk, whose re-run must load version 1 (state-version
+    * rollback) and merge the open session with its post-cut events. The
+    * sentinel in the last chunk flushes every session exactly once; the
+    * final emissions are gated against the unchanged batch sessionize
+    * oracle, with a fail-loud assert that some session straddling the
+    * cut was emitted at-or-after the crash batch.
+    */
+  def streamDirtySessionDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_dirty_session_drain")
+    val stage = s"$work/staged_events"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+    val midMs =
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2
+    // same pause-pick bounds as the clean restart drain: floor 2 ms keeps
+    // the integer midpoint strictly between the two events; upper bound
+    // gapMs − 1 keeps the pause inside ONE session (session_window is
+    // end-exclusive)
+    val gapMs = 1800000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pause = ev
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .filter(col("prev").isNotNull &&
+        (unix_millis(col("ts")) - unix_millis(col("prev")))
+          .between(lit(2L), lit(gapMs - 1)) &&
+        unix_millis(col("prev")) >= midMs)
+      .orderBy(col("prev"), col("ts"), col("event_id"))
+      .limit(1)
+      .select(unix_millis(col("prev")).as("a"), unix_millis(col("ts")).as("b"))
+      .collect()
+    require(pause.nonEmpty,
+            "no in-session pause after the corpus midpoint — the dirty " +
+              "session restart would be vacuous with no spanning session")
+    val cutTs =
+      new java.sql.Timestamp((pause(0).getLong(0) + pause(0).getLong(1)) / 2)
+    val sentinelTs =
+      new java.sql.Timestamp(bounds.getTimestamp(1).getTime + 7200000L)
+    stageChunked(ev.filter(col("ts") < lit(cutTs)), stage, 1,
+                 Seq(col("ts"), col("event_id")))
+    stageChunked(
+      ev.filter(col("ts") >= lit(cutTs)).unionAll(
+        spark.range(1).select(
+          lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(1.0).as("value"))),
+      stage, 2, Seq(col("ts"), col("event_id")), firstChunk = 1)
+    val drained = dirtyRestartedStore(
+      spark, work,
+      EventPipeline.sessionStream(
+        spark.readStream.schema(EventPipeline.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)),
+      mode = OutputMode.Append)
+    // the session-merge-replay evidence: a session that began before the
+    // cut and ended past it (last event post-cut) emitted at-or-after
+    // the crashed batch — its merge necessarily replayed the restored
+    // version-1 open state
+    val spanned = drained.filter(
+      col("batch_id") >= 1L && col("session_start") < lit(cutTs) &&
+        col("session_end") >=
+          lit(new java.sql.Timestamp(cutTs.getTime + gapMs)))
+      .limit(1).count()
+    require(spanned > 0,
+            "no session straddling the cut emitted at-or-after the crash " +
+              "batch — the re-execution never replayed the open session")
+    drained
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** The SAME dirty-restart window for the STREAM-STREAM JOIN state
+    * family: the crashed attempt of the fail batch has already committed
+    * join-BUFFER version 2 (both symmetric sides), so the re-executed
+    * batch must roll the buffers back to version 1 and re-derive its
+    * matches — otherwise the re-run double-buffers its rows and a later
+    * purchase matches twice. Cut = midpoint of the first same-user
+    * click→purchase pair (purchase in (click+10 s, click+10 min]) whose
+    * click follows the corpus mid-ts, so the spanning click is buffered
+    * in pre-crash state and its purchase arrives at-or-after the crash
+    * batch; staging mirrors [[streamAttributionDrain]]'s two-source-
+    * instance file consumption (pre-cut as 2 chunks, post-cut as 3).
+    * Union of all emitted matches vs the unchanged batch attribution
+    * oracle.
+    */
+  def streamDirtyJoinDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_dirty_join_drain")
+    val stage = s"$work/staged_events"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+    val midMs =
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+              col("event_id").as("cid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+              col("event_id").as("pid"))
+    val pair = clicks
+      .join(purchases,
+            col("cu") === col("pu") &&
+              col("pts") > col("cts") + expr("INTERVAL 10 SECONDS") &&
+              col("pts") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+      .filter(unix_millis(col("cts")) >= midMs)
+      .orderBy(col("cts"), col("pts"), col("cid"), col("pid"))
+      .limit(1)
+      .select(unix_millis(col("cts")).as("a"), unix_millis(col("pts")).as("b"))
+      .collect()
+    require(pair.nonEmpty,
+            "no post-midpoint click->purchase pair with room for a cut — " +
+              "the dirty join restart would be vacuously correct")
+    val cutTs =
+      new java.sql.Timestamp((pair(0).getLong(0) + pair(0).getLong(1)) / 2)
+    // the self-join reads the stage through two source instances (~2
+    // files per trigger — see streamAttributionDrain), so pre-cut stages
+    // as TWO chunks (micro-batch 0 = the whole pre-cut half, buffering
+    // the spanning click) and post-cut as three (the crash batch 1 then
+    // holds the earliest post-cut slice, which contains the spanning
+    // purchase — its match is IN the orphaned sink output and must be
+    // re-derived from rolled-back buffers)
+    stageChunked(ev.filter(col("ts") < lit(cutTs)), stage, 2,
+                 Seq(col("ts"), col("event_id")))
+    stageChunked(ev.filter(col("ts") >= lit(cutTs)), stage, 3,
+                 Seq(col("ts"), col("event_id")), firstChunk = 2)
+    val drained = dirtyRestartedStore(
+      spark, work,
+      EventPipeline.attributionStream(
+        spark.readStream.schema(EventPipeline.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)),
+      mode = OutputMode.Append)
+    // the rolled-back-buffer evidence: a match whose click precedes the
+    // cut and purchase follows it, emitted at-or-after the crash batch
+    val spanned = drained.filter(
+      col("batch_id") >= 1L && col("click_ts") < lit(cutTs) &&
+        col("purchase_ts") >= lit(cutTs))
+      .limit(1).count()
+    require(spanned > 0,
+            "no cut-spanning match emitted at-or-after the crash batch — " +
+              "the re-executed batch never probed the restored click state")
+    drained
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"),
+              round(col("value"), 4).as("purchase_value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** The injected-crash scaffold shared by the dirty-restart drains:
     * run `streamed` through an update-mode AvailableNow drain whose
     * foreachBatch writes batch `failAt`'s sink output and then THROWS
@@ -1501,11 +1659,13 @@ object StreamDrain {
     */
   private def dirtyRestartedStore(spark: SparkSession, work: String,
                                   streamed: DataFrame,
-                                  failAt: Long = 1L): DataFrame = {
+                                  failAt: Long = 1L,
+                                  mode: OutputMode = OutputMode.Update)
+      : DataFrame = {
     val store = s"$work/store"
     val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
     def startQuery() = streamed.writeStream
-      .outputMode(OutputMode.Update)
+      .outputMode(mode)
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -1551,7 +1711,13 @@ object StreamDrain {
     // verification state, so dropping it without a final snapshot is
     // correct; the next streaming query restarts maintenance lazily.
     // (Production never sees this shape: a crashed driver's providers
-    // die with its JVM.)
+    // die with its JVM.) stop() is a JVM-GLOBAL unload — safe only
+    // because no other streaming query is running in this session;
+    // assert that instead of assuming it, so a future concurrent-drain
+    // bench cannot silently yank providers from under a live query.
+    require(spark.streams.active.isEmpty,
+            "StateStore.stop() is JVM-global: refusing to unload state " +
+              "providers while another streaming query is active")
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     readStore(spark, store)
   }
@@ -1762,8 +1928,15 @@ object StreamDrain {
       b1.flatMap(b => pick(2 * n / 3, b._1 + 1).map((b, _)))
     lazy val lastCand = cands.orderBy(col("rn").desc).limit(1).collect()
       .headOption.map(r => (r.getLong(0), r.getLong(1)))
-    pairWith(pick(n / 3, 1L))
-      .orElse(pairWith(nearest(cands, n / 3, 1L, Long.MaxValue)))
+    val prefB1 = nearest(cands.filter(col("pref")), n / 3, 1L, Long.MaxValue)
+    lazy val anyB1 = nearest(cands, n / 3, 1L, Long.MaxValue)
+    pairWith(prefB1.orElse(anyB1))
+      // retry with the any-type b1 ONLY when the first attempt actually
+      // used a (different) pref b1 — with no pref candidates the first
+      // attempt already fell back to the any-type nearest, and repeating
+      // the identical pairing would just burn driver probes
+      .orElse(if (prefB1.isDefined && prefB1 != anyB1) pairWith(anyB1)
+              else None)
       .orElse(lastCand.flatMap(b2 =>
         pick(n / 3, 1L, b2._1 - 1).map((_, b2))))
       .getOrElse(sys.error(

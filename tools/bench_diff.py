@@ -15,11 +15,13 @@ captured at loadavg 4.8 and fully recovered on a quiet box): Bench
 records /proc/loadavg both BEFORE its own run (loadavg_start — ambient
 load, the signal that matters) and after (loadavg — inflated by ~2 of
 the bench's own 32-thread self-load by the time it is read). This tool
-prefers loadavg_start with LOAD_LIMIT; for older files that only carry
-the end-of-run reading it falls back to LOAD_LIMIT_END. When either
-side exceeds its limit the verdict line says so and flagged regressions
-are demoted to LOAD-SUSPECT (exit 0) — rerun on a quiet box before
-believing them.
+prefers loadavg_start with the ambient limit; for older files that only
+carry the end-of-run reading it falls back to LOAD_LIMIT_END. When the
+NEW side is hot the verdict line says so and flagged regressions are
+demoted to LOAD-SUSPECT — the run then exits 2 (see "Exit codes"
+below), so a consumer must acknowledge the demotion instead of reading
+a loaded box as a clean pass; rerun on a quiet box before believing
+the demoted entries.
 
 Design changes: a query whose WORK changed on purpose (e.g. a drain
 converted from one micro-batch to three) is not a regression however
@@ -37,29 +39,36 @@ LOAD-SUSPECT (the NEW side was hot) — a distinct code so a CI/driver
 consumer must acknowledge the demotion instead of a loaded box silently
 passing the regression gate. Since round 10 Bench also emits its own
 "load_hot" verdict in the snapshot; when present it is trusted over
-recomputing from the loadavg strings.
+recomputing from the loadavg strings. Since round 11 the snapshot also
+carries "load_limit" (the ambient limit Bench itself adjudicated with);
+when present it is the single source of truth and the LOAD_LIMIT
+constant below is only a fallback for older files.
 """
 import json, re, sys
 from pathlib import Path
 
-LOAD_LIMIT = 2.0        # ambient (loadavg_start) limit
+LOAD_LIMIT = 2.0        # ambient fallback for pre-r11 files (see above)
 LOAD_LIMIT_END = 4.0    # end-of-run fallback: bench self-load adds ~2
 
 
 def _load_verdict(d):
-    """(1-min loadavg or None, is_ambient, self_verdict) from a parsed
-    bench dict. self_verdict is Bench's own "load_hot" boolean when the
-    snapshot carries one (round 10+), else None."""
+    """(1-min loadavg or None, is_ambient, self_verdict, limit) from a
+    parsed bench dict. self_verdict is Bench's own "load_hot" boolean
+    when the snapshot carries one (round 10+; null/absent means load was
+    unknown at capture); limit is the snapshot's embedded "load_limit"
+    (round 11+) or None."""
     hot = d.get("load_hot")
     self_verdict = hot if isinstance(hot, bool) else None
+    limit = d.get("load_limit")
+    limit = float(limit) if isinstance(limit, (int, float)) else None
     for key, ambient in (("loadavg_start", True), ("loadavg", False)):
         la = d.get(key, "")
         if isinstance(la, str) and la.split():
             try:
-                return float(la.split()[0]), ambient, self_verdict
+                return float(la.split()[0]), ambient, self_verdict, limit
             except ValueError:
                 pass
-    return None, False, self_verdict
+    return None, False, self_verdict, limit
 
 
 def load_runs(path):
@@ -112,11 +121,14 @@ def main():
     (old, old_load), (new, new_load) = load_runs(args[0]), load_runs(args[1])
 
     def describe(lv):
-        load, ambient, self_verdict = lv
+        load, ambient, self_verdict, embedded_limit = lv
         if load is None:
             return ("unknown", None) if self_verdict is None else (
                 f"self-reported load_hot={self_verdict}", self_verdict)
-        limit = LOAD_LIMIT if ambient else LOAD_LIMIT_END
+        # the snapshot's own embedded limit (round 11+) is the single
+        # source of truth; the constants are fallbacks for older files
+        limit = embedded_limit if (ambient and embedded_limit is not None) \
+            else (LOAD_LIMIT if ambient else LOAD_LIMIT_END)
         kind = "ambient" if ambient else "end-of-run"
         # Bench's own verdict (same limit) wins when present
         hot = self_verdict if self_verdict is not None else (load > limit)
