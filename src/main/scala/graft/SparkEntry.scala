@@ -204,6 +204,11 @@ object SparkEntry {
     "stream_session_drain" -> (graft.streaming.StreamDrain.streamSessionDrain _),
     "stream_session_timer_drain" ->
       (graft.streaming.StreamDrain.streamSessionTimerDrain _),
+    // mid-stream statestore time travel: the session store AS OF batch
+    // 1, open sessions gated against a time-sliced + watermark-evicted
+    // batch oracle — the mid-incident state-debugging surface
+    "stream_midstate_reader" ->
+      (graft.streaming.StreamDrain.streamMidstateReader _),
     // the admissible-late arrival class for the session family: a row
     // one batch behind its peers must merge BACKWARD into session state
     "stream_ooo_session_drain" ->
@@ -435,6 +440,7 @@ object SparkEntry {
     "stream_warmstart_drain", "stream_funnel_drain", "stream_state_reader",
     "stream_hll_drain", "stream_toptokens_drain", "stream_lshdedup_drain",
     "stream_session_drain", "stream_session_timer_drain",
+    "stream_midstate_reader",
     "stream_ooo_session_drain", "stream_attribution_drain")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

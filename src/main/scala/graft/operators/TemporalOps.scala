@@ -476,6 +476,59 @@ object TemporalOps {
     // restored open session — same flushed sessions, same oracle
     "stream_dirty_restart_session_drain" -> sessionizeSql,
     "stream_session_timer_drain" -> sessionizeSql,
+    // MID-STREAM read of the session store AS OF batch 1 (statestore
+    // time travel): the oracle re-derives the staging's own cut — the
+    // first two ntile(3) chunks over (ts, event_id) with the sentinel
+    // in the ranking — gap-sessionizes that slice, and drops sessions
+    // batch 1's watermark evicted (end <= max batch-0 event time,
+    // ms-floored, minus the 10 s delay; µs-precision comparison)
+    "stream_midstate_reader" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |mx AS (SELECT max(ts) AS m FROM e),
+         |a AS (
+         |  SELECT event_id, ts, user_id, value FROM e
+         |  UNION ALL
+         |  SELECT CAST(-1 AS BIGINT), m + INTERVAL 2 HOUR,
+         |         CAST(-1 AS BIGINT), 1.0 FROM mx
+         |),
+         |c AS (
+         |  SELECT *, ntile(3) OVER (ORDER BY ts, event_id) - 1 AS chunk
+         |  FROM a
+         |),
+         |wm AS (
+         |  SELECT (CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT)
+         |            - 10000) * 1000 AS w_us
+         |  FROM c WHERE chunk = 0
+         |),
+         |l AS (
+         |  SELECT user_id, ts, value,
+         |         lag(ts) OVER (PARTITION BY user_id
+         |                       ORDER BY ts, event_id) AS prev_ts
+         |  FROM c WHERE chunk <= 1
+         |),
+         |s AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR ts - prev_ts > INTERVAL 30 MINUTE
+         |                 THEN 1 ELSE 0 END AS new_s
+         |  FROM l
+         |),
+         |g AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                             ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM s
+         |),
+         |sess AS (
+         |  SELECT user_id, min(ts) AS session_start,
+         |         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |         count(*) AS n_events,
+         |         round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+         |                      AS DOUBLE) / 1000000.0, 4) AS sum_value
+         |  FROM g GROUP BY user_id, sid
+         |)
+         |SELECT user_id, session_start, session_end, n_events, sum_value
+         |FROM sess, wm
+         |WHERE epoch_us(session_end) > w_us
+         |ORDER BY user_id, session_start""".stripMargin,
     "concurrent_sessions" ->
       s"""$sessionCtesSql,
          |sess AS (

@@ -598,17 +598,19 @@ object StreamDrain {
     }
   }
 
-  private def sessionDrainedBy(spark: SparkSession, dir: String,
-                               prefix: String,
-                               leg: DataFrame => DataFrame): DataFrame = {
+  /** The session legs' shared staging: the events table plus one
+    * SENTINEL row (user −1) two hours past the data horizon, chunked by
+    * time into [[MultiBatchChunks]] files. The sentinel has the max ts,
+    * so the time-ranged chunk split puts it in the LAST micro-batch —
+    * the watermark flush still happens only after every real session's
+    * data has streamed through.
+    */
+  private def sentinelStagedStream(spark: SparkSession,
+                                   dir: String): DataFrame = {
     val maxTs = graft.Tables.events(spark, dir)
       .agg(max(col("ts"))).head().getTimestamp(0)
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7200000L)
-    val work = tempWorkDir(prefix)
-    // the sentinel has the max ts, so the time-ranged chunk split puts
-    // it in the LAST micro-batch — the watermark flush still happens
-    // only after every real session's data has streamed through
-    val staged = stagedStream(
+    stagedStream(
       spark, dir, "sentinel",
       ev => ev.unionAll(
         ev.sparkSession.range(1).select(
@@ -616,12 +618,83 @@ object StreamDrain {
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
           lit(1.0).as("value"))),
       chunks = MultiBatchChunks)
+  }
+
+  private def sessionDrainedBy(spark: SparkSession, dir: String,
+                               prefix: String,
+                               leg: DataFrame => DataFrame): DataFrame = {
+    val work = tempWorkDir(prefix)
+    val staged = sentinelStagedStream(spark, dir)
     drainToStore(spark, leg(staged), work, OutputMode.Append,
                  expectBatches = MultiBatchChunks)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"), col("session_start"), col("session_end"),
               col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** MID-STREAM state read for the SESSION-WINDOW store — the
+    * state-debugging surface a 100 TB operator uses mid-incident: query
+    * the store AS OF an earlier batch while the query has long moved
+    * past it. Drains the session topology ([[EventPipeline.sessionStream]]
+    * over the sentinel staging), then reads the session store AS OF
+    * batch 1 — two of the three data chunks folded, the third still
+    * unseen — through the `statestore` source's `batchId` time travel,
+    * and gates the OPEN sessions against a time-sliced batch oracle.
+    * The oracle re-derives the cut in SQL: events in the first two
+    * `ntile(3)` chunks of the staging's own (ts, event_id) split
+    * (sentinel included in the ranking, exactly as staged),
+    * gap-sessionized, minus the sessions batch 1's watermark evicted —
+    * `session_end <= wm`, where wm = batch 0's max event time
+    * (ms-floored, Spark's event-time stats are milliseconds) minus the
+    * 10 s delay, compared at µs precision. Fail-loud audits: the
+    * mid-stream read is non-empty, strictly larger than the final store
+    * (eviction really ran after batch 1 — mid-stream state, not a
+    * settled store), and every surviving session's end clears the
+    * watermark cut the oracle assumes.
+    */
+  def streamMidstateReader(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_midstate_reader")
+    drainToStore(
+      spark,
+      EventPipeline.sessionStream(sentinelStagedStream(spark, dir)),
+      work, OutputMode.Append, expectBatches = MultiBatchChunks)
+    def stateAt(batch: Option[Int]): DataFrame = {
+      val rd = spark.read.format("statestore")
+      batch.fold(rd)(b => rd.option("batchId", b)).load(s"$work/ckpt")
+    }
+    val mid = stateAt(Some(1))
+      .select(col("key.user_id").as("user_id"),
+              col("value.session_window.start").as("session_start"),
+              col("value.session_window.end").as("session_end"),
+              col("value.count").as("n_events"),
+              graft.functions.Rounding
+                .round(col("value.sum").cast("double") / lit(1000000.0), 4)
+                .as("sum_value"))
+    // audits are metadata-scale (the store holds OPEN sessions only —
+    // watermark-bounded, hundreds of rows at gate scale), harness-only
+    val midCount = mid.count()
+    val finalCount = stateAt(None).count()
+    require(midCount > 0, "mid-stream session store read back empty — " +
+      "the batchId time travel returned nothing to gate")
+    require(midCount > finalCount,
+            s"mid-stream store ($midCount rows) not larger than the " +
+              s"final store ($finalCount) — batch 2 and the sentinel " +
+              "flush evicted nothing, so the read is not mid-stream")
+    // batch 1's watermark, engine-side: max ts of the staged chunk-0
+    // file (exactly batch 0's input), ms-floored, minus the 10 s delay
+    val stage = liveDirs.get(s"stage|$dir|sentinel|$MultiBatchChunks")
+    require(stage != null, "sentinel staging missing from the live-dir " +
+      "registry — the watermark audit has no chunk-0 file to read")
+    val max0 = spark.read.parquet(s"$stage/chunk-0000.parquet")
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val wmUs = (max0.getTime - 10000L) * 1000L
+    val evicted = mid.filter(unix_micros(col("session_end")) <= wmUs).count()
+    require(evicted == 0,
+            s"$evicted surviving sessions end at-or-below batch 1's " +
+              "watermark — the store kept rows the oracle's eviction " +
+              "cut says are gone")
+    mid.orderBy(col("user_id"), col("session_start"))
   }
 
   /** The dedup leg ([[EventPipeline.dedupedEvents]]:

@@ -263,6 +263,62 @@ class TemporalPipelineSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("the", 2L), ("cat", 1L)))
   }
 
+  test("midstate reader: batch-1 session store equals the time-sliced, " +
+       "watermark-evicted batch sessionization") {
+    val dir = sf("sf0.001")
+    val mid = graft.streaming.StreamDrain.streamMidstateReader(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+                 r.getTimestamp(2).getTime, r.getLong(3)) -> r.getDouble(4))
+      .toMap
+
+    // independent DataFrame-API re-derivation of the oracle: sentinel
+    // unioned into the ntile ranking, first two chunks sessionized,
+    // sessions ending at-or-below batch 1's watermark evicted
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 7200000L)).as("ts"),
+      lit(-1L).as("user_id"), lit(1.0).as("value"))
+    val chunked = ev.unionAll(sentinel).withColumn(
+      "chunk",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))) - 1)
+    val wmUs = (chunked.filter(col("chunk") === 0)
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime - 10000L) * 1000L
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runByUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Long.MinValue, 0)
+    val oracle = chunked
+      .filter(col("chunk") <= 1)
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s",
+                  when(col("prev").isNull ||
+                    unix_micros(col("ts")) - unix_micros(col("prev")) >
+                      1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(runByUser))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("lastTs"),
+           count(lit(1)).as("n"),
+           sum(graft.functions.Rounding.microUnits(col("value"))).as("sm"))
+      .withColumn("en", timestamp_micros(unix_micros(col("lastTs")) +
+        1800L * 1000000L))
+      .filter(unix_micros(col("en")) > wmUs)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime,
+                 r.getTimestamp(6).getTime, r.getLong(4)) ->
+        math.rint(r.getLong(5).toDouble / 100.0) / 10000.0)
+      .toMap
+
+    assert(mid.keySet == oracle.keySet)
+    assert(mid.nonEmpty)
+    mid.foreach { case (k, v) => assert(math.abs(v - oracle(k)) < 1e-9) }
+  }
+
   test("kpi rollup: grand total equals the sum of per-type subtotals") {
     val df = OlapOps.kpiRollup(spark, sf("sf0.001")).collect()
     val grand = df.find(r =>
