@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   *     linearly (verbatim copies would add 45·|docs| cross-copy
   *     near-dup pairs — super-linear by construction, not an operator
   *     fault);
-  *   - embeddings rotate by i positions, so LSH buckets and IVF cells
-  *     redistribute instead of stacking 10 identical vectors per id.
+  *   - embeddings rotate by i mod dim positions (negated for copies ≥
+  *     dim — both isometries), so LSH buckets and IVF cells
+  *     redistribute instead of stacking identical vectors per id.
   * region/nation are fixed dimensions and stay as-is; events densify
   * inside the same time range (10× traffic, same calendar), which is
   * the realistic growth axis for the streaming tables.
@@ -92,10 +93,13 @@ object ScalingProbe {
   def buildScaled(spark: SparkSession, base: String, out: String,
                   copies: Int): Unit = {
     // The embedding rotation has only dim (=64 in the driver fixtures)
-    // distinct positions; past that, copy i ≡ i-dim would stack
-    // identical vectors per id and mint fake cross-copy megabuckets.
-    require(copies >= 2 && copies <= 64,
-            s"copies=$copies out of range: need 2..64 (embedding dim)")
+    // distinct positions; copies 64..127 therefore compose the rotation
+    // with NEGATION (also an isometry — norms and pairwise angles within
+    // a copy are preserved, and −v points opposite every rotation of v,
+    // so cross-copy vectors stay distinct instead of stacking identical
+    // megabuckets). 2·dim = 128 distinct transforms bounds `copies`.
+    require(copies >= 2 && copies <= 128,
+            s"copies=$copies out of range: need 2..128 (2x embedding dim)")
     // marker encodes the BASE DIR too: a rerun against a different base
     // must rebuild, not silently time the new base against a stale
     // replica derived from the old one. Any OTHER (copies, base)
@@ -166,13 +170,18 @@ object ScalingProbe {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
     wr(rep(rd("embeddings")) { (df, i) =>
+      val r = i % 64
       val rot =
-        if (i == 0) df
+        if (r == 0) df
         else df.withColumn(
           "embedding",
-          expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-            s"slice(embedding, 1, $i))"))
-      rot.withColumn("vec_id", col("vec_id") + lit(i * vSpan))
+          expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+            s"slice(embedding, 1, $r))"))
+      val oriented =
+        if (i < 64) rot
+        else rot.withColumn(
+          "embedding", expr("transform(embedding, x -> -x)"))
+      oriented.withColumn("vec_id", col("vec_id") + lit(i * vSpan))
     }, "embeddings")
     Files.createFile(marker)
   }
