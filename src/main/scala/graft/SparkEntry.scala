@@ -209,6 +209,10 @@ object SparkEntry {
     // batch oracle — the mid-incident state-debugging surface
     "stream_midstate_reader" ->
       (graft.streaming.StreamDrain.streamMidstateReader _),
+    // the join twin: both symmetric buffers AS OF batch 2, gated
+    // against the watermark+interval eviction horizon re-derived in SQL
+    "stream_midstate_join_reader" ->
+      (graft.streaming.StreamDrain.streamMidstateJoinReader _),
     // the admissible-late arrival class for the session family: a row
     // one batch behind its peers must merge BACKWARD into session state
     "stream_ooo_session_drain" ->
@@ -440,7 +444,7 @@ object SparkEntry {
     "stream_warmstart_drain", "stream_funnel_drain", "stream_state_reader",
     "stream_hll_drain", "stream_toptokens_drain", "stream_lshdedup_drain",
     "stream_session_drain", "stream_session_timer_drain",
-    "stream_midstate_reader",
+    "stream_midstate_reader", "stream_midstate_join_reader",
     "stream_ooo_session_drain", "stream_attribution_drain")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -482,6 +482,44 @@ object TemporalOps {
     // in the ranking — gap-sessionizes that slice, and drops sessions
     // batch 1's watermark evicted (end <= max batch-0 event time,
     // ms-floored, minus the 10 s delay; µs-precision comparison)
+    // MID-STREAM read of BOTH stream-stream join buffers AS OF batch 2
+    // (statestore time travel, joinSide left+right): the oracle slices
+    // the first three ntile(5) chunks, computes batch 2's watermark as
+    // the MIN of the two sides' ms-floored event-time maxima over
+    // chunks 0..1 minus the 10 s delay, and keeps exactly the rows a
+    // future match could still involve — clicks >= wm - 10 min (the
+    // join bound solved for the left side), purchases >= wm
+    "stream_midstate_join_reader" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |c AS (
+         |  SELECT *, ntile(5) OVER (ORDER BY ts, event_id) - 1 AS chunk
+         |  FROM e
+         |),
+         |wm AS (
+         |  SELECT (least(
+         |            max(CASE WHEN event_type = 'click'
+         |                     THEN CAST(floor(epoch_us(ts) / 1000) AS BIGINT)
+         |                END),
+         |            max(CASE WHEN event_type = 'purchase'
+         |                     THEN CAST(floor(epoch_us(ts) / 1000) AS BIGINT)
+         |                END)) - 10000) * 1000 AS w_us
+         |  FROM c WHERE chunk <= 1
+         |),
+         |seen AS (SELECT * FROM c WHERE chunk <= 2)
+         |SELECT side, user_id, ts, event_id, purchase_value FROM (
+         |  SELECT 'click' AS side, user_id, ts, event_id,
+         |         CAST(NULL AS DOUBLE) AS purchase_value
+         |  FROM seen, wm
+         |  WHERE event_type = 'click'
+         |    AND epoch_us(ts) >= w_us - 600000000
+         |  UNION ALL
+         |  SELECT 'purchase' AS side, user_id, ts, event_id,
+         |         round(value, 4) AS purchase_value
+         |  FROM seen, wm
+         |  WHERE event_type = 'purchase'
+         |    AND epoch_us(ts) >= w_us
+         |)
+         |ORDER BY side, event_id""".stripMargin,
     "stream_midstate_reader" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |mx AS (SELECT max(ts) AS m FROM e),

@@ -743,6 +743,90 @@ object StreamDrain {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** MID-STREAM state read for the STREAM-STREAM JOIN buffers — the
+    * join twin of [[streamMidstateReader]]: drain the attribution
+    * topology ([[EventPipeline.attributionStream]] over the shared
+    * 5-chunk staging), then read BOTH symmetric buffers AS OF batch 2 —
+    * three of five chunks probed, two still unseen — via the
+    * `statestore` source's `batchId` + `joinSide` time travel, and gate
+    * the buffered rows against a time-sliced batch oracle. The oracle
+    * re-derives the eviction horizon in SQL: the query watermark is the
+    * MIN of the two sides' event-time maxima over batches < 2
+    * (ms-floored per side, minus the 10 s delay — each `withWatermark`
+    * node tracks only the rows its side saw), and the buffers keep
+    * exactly the rows a future match could still involve — clicks with
+    * `click_ts ≥ wm − 10 min` (the join condition's upper bound solved
+    * for the left side) and purchases with `purchase_ts ≥ wm` (a
+    * purchase only matches clicks at or before it). Both predicates
+    * verified against the engine at every probed batch version; the
+    * boundary comparison is µs-exact. Fail-loud audits: both buffers
+    * non-empty, strictly larger than the final (post-eviction) buffers,
+    * and no kept row below the horizon the oracle assumes.
+    */
+  def streamMidstateJoinReader(spark: SparkSession, dir: String): DataFrame = {
+    val joinChunks = 2 * MultiBatchChunks - 1
+    val work = tempWorkDir("graft_midstate_join")
+    drainToStore(
+      spark,
+      EventPipeline.attributionStream(
+        stagedStream(spark, dir, "plain", chunks = joinChunks)),
+      work, OutputMode.Append, expectBatches = MultiBatchChunks)
+    def side(s: String, batch: Option[Int]): DataFrame = {
+      val rd = spark.read.format("statestore").option("joinSide", s)
+      batch.fold(rd)(b => rd.option("batchId", b)).load(s"$work/ckpt")
+    }
+    val midBatch = 2
+    val left = side("left", Some(midBatch)).select(
+      lit("click").as("side"),
+      col("value.c_user").as("user_id"),
+      col("value.click_ts").as("ts"),
+      col("value.click_id").as("event_id"),
+      lit(null).cast("double").as("purchase_value"))
+    val right = side("right", Some(midBatch)).select(
+      lit("purchase").as("side"),
+      col("value.p_user").as("user_id"),
+      col("value.purchase_ts").as("ts"),
+      col("value.purchase_id").as("event_id"),
+      round(col("value.value"), 4).as("purchase_value"))
+    // audits are metadata-scale: the buffers hold only rows inside the
+    // fixed watermark+interval horizon (hundreds at gate scale)
+    val (nL, nR) = (left.count(), right.count())
+    require(nL > 0 && nR > 0,
+            s"mid-stream join buffers empty (left=$nL right=$nR) — " +
+              "nothing to gate")
+    val (fL, fR) =
+      (side("left", None).count(), side("right", None).count())
+    require(nL > fL && nR > fR,
+            s"mid-stream buffers (L$nL/R$nR) not larger than the final " +
+              s"ones (L$fL/R$fR) — later batches evicted nothing, so " +
+              "the read is not mid-stream")
+    // engine-side horizon audit: the watermark from the staged chunk
+    // files batch 2 ran under (per-side maxima over chunks 0..1)
+    val stage = liveDirs.get(s"stage|$dir|plain|$joinChunks")
+    require(stage != null, "plain 5-chunk staging missing from the " +
+      "live-dir registry — the horizon audit has no chunk files to read")
+    val preFiles = (0 until midBatch)
+      .map(k => f"$stage/chunk-$k%04d.parquet")
+    val pre = spark.read.parquet(preFiles: _*)
+    val wmRow = pre.agg(
+      max(when(col("event_type") === "click", unix_millis(col("ts"))))
+        .as("mc"),
+      max(when(col("event_type") === "purchase", unix_millis(col("ts"))))
+        .as("mp")).head()
+    require(!wmRow.isNullAt(0) && !wmRow.isNullAt(1),
+            "a side saw no events in chunks 0..1 — the watermark audit " +
+              "cannot derive batch 2's horizon")
+    val wmUs = (math.min(wmRow.getLong(0), wmRow.getLong(1)) - 10000L) * 1000L
+    val below =
+      left.filter(unix_micros(col("ts")) < wmUs - 600000000L).count() +
+        right.filter(unix_micros(col("ts")) < wmUs).count()
+    require(below == 0,
+            s"$below buffered rows sit below batch 2's eviction horizon " +
+              "— the store kept rows the oracle's watermark cut says " +
+              "are gone")
+    left.unionAll(right).orderBy(col("side"), col("event_id"))
+  }
+
   /** The CUSUM leg ([[EventPipeline.cusumStream]] with offline-learned
     * baselines) through an actual writeStream drain, final shift counts
     * per key read back against the batch `cusum_changepoints` oracle

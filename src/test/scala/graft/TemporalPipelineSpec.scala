@@ -319,6 +319,39 @@ class TemporalPipelineSpec extends SparkSpec {
     mid.foreach { case (k, v) => assert(math.abs(v - oracle(k)) < 1e-9) }
   }
 
+  test("midstate join reader: batch-2 buffers equal the time-sliced, " +
+       "horizon-evicted click/purchase sets") {
+    val dir = sf("sf0.001")
+    val mid = graft.streaming.StreamDrain.streamMidstateJoinReader(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+      .toSet
+
+    val chunked = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+      .withColumn("chunk",
+                  ntile(5).over(org.apache.spark.sql.expressions.Window
+                    .orderBy(col("ts"), col("event_id"))) - 1)
+    val wmRow = chunked.filter(col("chunk") <= 1).agg(
+      max(when(col("event_type") === "click", unix_millis(col("ts")))),
+      max(when(col("event_type") === "purchase", unix_millis(col("ts")))))
+      .head()
+    val wmUs = (math.min(wmRow.getLong(0), wmRow.getLong(1)) - 10000L) * 1000L
+    val seen = chunked.filter(col("chunk") <= 2)
+    val oracle = (seen
+      .filter(col("event_type") === "click" &&
+        unix_micros(col("ts")) >= wmUs - 600000000L)
+      .select(lit("click").as("side"), col("event_id")) unionAll seen
+      .filter(col("event_type") === "purchase" &&
+        unix_micros(col("ts")) >= wmUs)
+      .select(lit("purchase").as("side"), col("event_id")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    assert(mid == oracle)
+    assert(mid.exists(_._1 == "click") && mid.exists(_._1 == "purchase"))
+  }
+
   test("kpi rollup: grand total equals the sum of per-type subtotals") {
     val df = OlapOps.kpiRollup(spark, sf("sf0.001")).collect()
     val grand = df.find(r =>
