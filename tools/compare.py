@@ -5,7 +5,7 @@ same parquet tables and diff against the Spark parquet output.
 
 Usage: python3 tools/compare.py [sfdir] [outdir] [--skip-verify]
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -16,9 +16,16 @@ OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in sys.argv:
+    # Default covers the single-posture gates; the COMBINED posture
+    # (SPARK_GRAFT_AQE=1 SPARK_GRAFT_ROCKSDB=1 — 200 state partitions,
+    # each a RocksDB instance per drain) legitimately needs ~2x, so the
+    # knob exists rather than a blanket doubling that would let a hung
+    # normal gate sit twice as long before surfacing.
+    verify_timeout = int(os.environ.get("GRAFT_VERIFY_TIMEOUT", "1800"))
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
-        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+        cwd="/root/repo", capture_output=True, text=True,
+        timeout=verify_timeout)
     tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
     if r.returncode != 0:
         print("VERIFY FAILED:\n", tail)
