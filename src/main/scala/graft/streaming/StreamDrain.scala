@@ -246,6 +246,25 @@ object StreamDrain {
       .foreachBatch(EventPipeline.idempotentBatchWriter(store))
       .start()
     q.awaitTermination()
+    // Unload this JVM's state-store providers before handing the store
+    // back — the round-10 dirty-restart forensics applied to EVERY
+    // drain: the ~39 drains run back-to-back in Bench/Verify, each
+    // leaving its checkpoint's providers loaded, so the 60 s
+    // maintenance tick sweeps an ever-growing provider set (snapshot
+    // consolidation per partition, against work dirs the next
+    // allocation may already have deleted) and bills the cost to
+    // whichever unrelated query happens to be running — measured in
+    // round 11 as a uniform drag on every drain plus 3-5x spikes on
+    // the bench's alphabetical tail. Safe: the returned frame reads
+    // the parquet store (the statestore legs build batch state-source
+    // reads that create fresh read-only providers at scan time), the
+    // checkpoints are throwaway verification state, and the next
+    // streaming query restarts maintenance lazily. stop() is
+    // JVM-global, so assert drains are not running concurrently.
+    require(spark.streams.active.isEmpty,
+            "StateStore.stop() is JVM-global: refusing to unload state " +
+              "providers while another streaming query is active")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     val drained = readStore(spark, store)
     if (expectBatches > 1) {
       val ran = executedBatches(work)
