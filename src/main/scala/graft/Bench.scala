@@ -65,6 +65,37 @@ object Bench {
     // (the end-of-run reading always carries ~2 of self-load)
     val loadavgStart = readLoadavg()
 
+    // HOST FINGERPRINT (the round-11 lesson: 7 phantom regressions with
+    // a confident "LOAD VERDICT: ok" were 100% host delta — two quiet
+    // but DIFFERENT boxes; judge A/B of both code versions on one box
+    // showed 66s vs 69s). Two signals ship in every snapshot so
+    // bench_diff can adjudicate host identity instead of being blind to
+    // it: the CPU model string, and a fixed single-thread calibration
+    // loop (300M xorshift64 steps, min-of-3 after one unbilled JIT
+    // warmup pass) whose wall time moves with the box's single-thread
+    // speed — the same axis that scales every per-query min.
+    val hostCpu =
+      try scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .collectFirst { case l if l.startsWith("model name") =>
+          l.split(":", 2)(1).trim }
+        .getOrElse("")
+      catch { case _: Throwable => "" }
+    def calibPass(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 300000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      // xorshift64 never maps a nonzero state to 0 — the require keeps
+      // the loop observable so JIT cannot dead-code it
+      require(x != 0L, "xorshift64 broke")
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibPass() // JIT warmup, unbilled
+    val calibSec = (1 to 3).map(_ => calibPass()).min
+
     // JIT + whole-stage-codegen warmup on the smallest fixture (not
     // billed): every query once, so no measured run pays Janino
     // compilation (~0.1-0.3s/stage) — the baseline's numbers are
@@ -149,10 +180,15 @@ object Bench {
     // line; (2) the final JSON line ends with the headline scalars
     // (headline_total / events_per_sec LAST) so any tail capture
     // contains the numbers that matter even if the front is cut off
+    // JSON-safe: the cpu model string is free text from /proc/cpuinfo
+    val hostCpuJson = hostCpu.replace("\\", "\\\\").replace("\"", "\\\"")
+    val hostFields =
+      s""""host_cpu":"$hostCpuJson","calib_sec":${fmt(calibSec)},"""
     val runsLine =
       s"""{"metric":"bench_runs","runs":$rs,"loadavg":"$loadavg",""" +
         s""""loadavg_start":"$loadavgStart","load_hot":$loadHot,""" +
         s""""load_limit":$loadLimit,""" +
+        hostFields +
         s""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_RUNS.json"),
@@ -165,6 +201,7 @@ object Bench {
         s""""events_rows":$events,"loadavg":"$loadavg",""" +
         s""""loadavg_start":"$loadavgStart","load_hot":$loadHot,""" +
         s""""load_limit":$loadLimit,""" +
+        hostFields +
         s""""drain_total":${fmt(drainTotal)},""" +
         s""""batch_extended_total":${fmt(extendedTotal - drainTotal)},""" +
         s""""extended_total":${fmt(extendedTotal)},""" +

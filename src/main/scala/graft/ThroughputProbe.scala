@@ -2,9 +2,10 @@ package graft
 
 import java.util.concurrent.ConcurrentLinkedQueue
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryListener, StreamingQueryProgress, Trigger}
+import org.apache.spark.sql.types.LongType
 
 /** SUSTAINED-STREAMING throughput + latency probe — the measured mapping
   * for the two reference headline claims the batch bench cannot prove:
@@ -15,44 +16,74 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryListener, Trigg
   * What runs: the FULL detection-to-alert topology — the deterministic
   * DSv2 micro-batch source ([[graft.sources.EventsV2]], paced by its
   * admission-control read limit) → keyed rolling-stats anomaly detector
-  * ([[graft.streaming.EventPipeline.anomalyStream]]) → per-(source,
-  * severity) cooldown gate → broadcast rule routing → the idempotent
+  * ([[graft.streaming.EventPipeline.anomalyStream]]) → the idempotent
   * per-batch parquet alert sink — under a real
   * `Trigger.ProcessingTime(1s)`, NOT AvailableNow: arrival is paced, so
   * the numbers are sustained-rate numbers, not drain-as-fast-as-you-can
-  * numbers.
+  * numbers. All statistics definitions live in the spec-pinned
+  * [[ProbeStats]] (nearest-rank percentiles, the first-trigger-start →
+  * last-trigger-end wall denominator, the e2e compositions).
   *
-  * What is measured, straight from `StreamingQueryProgress` over ≥20
-  * data-carrying triggers per config:
-  *   - sustained events/sec = total input rows / wall-clock from the
-  *     first trigger's start to the last trigger's end (includes every
-  *     pacing gap — the honest sustained-rate denominator);
-  *   - inputRowsPerSecond (mean) and processedRowsPerSecond (p50) as
-  *     reported by the engine per trigger;
-  *   - triggerExecution p50/p95 (ms): ingest-to-alert-sink processing
-  *     time within a trigger;
-  *   - e2e_p95_ms = trigger interval + triggerExecution p95: the
-  *     worst-case detection-to-alert latency an event pays (it waits at
-  *     most one interval for its trigger, then one execution to reach
-  *     the alert sink) — the number the <2 s claim is judged on.
+  * Four measurement families, each emitted as one JSON line (also
+  * written to THROUGHPUT.json):
   *
-  * Two configs: `reference_rate` arrives at exactly the reference's
-  * 5,000 events/sec (pass bar: keeps up with zero backlog — trigger p95
-  * under the interval); `headroom` arrives at 10× that (where the
-  * single-box capacity ceiling actually is). One JSON line per config,
-  * also appended to THROUGHPUT.json for the committed artifact.
+  *  1. `reference_rate` / `headroom` — the detector leg at exactly the
+  *     reference's 5,000 ev/s arrival and at 10× it. Pass semantics are
+  *     IN the artifact: `zero_backlog` (trigger p95 strictly under the
+  *     interval — the stream keeps up), `bar_events_per_sec` (the 2×
+  *     allowance bar `meets_ingest` is judged against), and
+  *     `e2e_p95_ms` (one interval wait + one p95 execution) vs
+  *     `baseline_latency_ms`.
+  *  2. The same two configs under BOTH state-store providers
+  *     (`state_store` field): the default HDFS-backed provider and
+  *     RocksDB — the backend the reference's detection job declares
+  *     (`anomaly-detection/pom.xml`, flink-statebackend-rocksdb) and
+  *     what a production low-latency deployment runs.
+  *     `SPARK_GRAFT_ROCKSDB=1` restricts the probe to RocksDB only.
+  *  3. `chained` — the full USER-VISIBLE alert path. Production runs
+  *     detection and cooldown→routing as TWO queries joined by a
+  *     store-then-consume boundary (Spark forbids two update-mode
+  *     fMGWS stages in one query — the same stage boundary the
+  *     reference draws at the alerts.v1 Kafka topic,
+  *     `alert-service/main.py:121-147`). Both queries run LIVE
+  *     simultaneously: the detector stamps each alert batch with a
+  *     wall-clock `detect_wall_ms` at its sink write; the consumer
+  *     (cooldown gate → broadcast rule routing, sub-second 250 ms
+  *     trigger) stamps `routed_wall_ms` after computing each routed
+  *     batch; the per-row detect→routed gap is then measured exactly
+  *     by a post-run join on `event_id`, and
+  *     `chained_e2e_p95_ms = interval + detector exec p95 + gap p95`
+  *     ([[ProbeStats.chainedE2eP95Ms]] — conservative: the detector's
+  *     sink-write ms are billed twice at the seam).
+  *  4. `capacity_knee` — the single-box ceiling: arrival rate ramps
+  *     ×1.5 from the headroom rate until the probe stops keeping up
+  *     (zero_backlog or the <2 s bar flips), then one bisection step
+  *     pins the knee. The knee is the perf-regression canary: a
+  *     capacity number moves before a pass/fail bar flips.
   *
   * Scale posture: everything between source and sink is the production
   * topology — keyed state bounded by key count, broadcast dims, no
-  * driver-side work in the loop. On a cluster the source swaps for
-  * Kafka ([[graft.streaming.EventPipeline.kafkaSourceOptions]]) and the
-  * rates scale with partitions × executors; this probe pins the
-  * single-box local[32] floor.
+  * driver-side work in the loop (the gap join runs AFTER the queries
+  * stop, over row counts bounded by the alert rate). On a cluster the
+  * source swaps for Kafka
+  * ([[graft.streaming.EventPipeline.kafkaSourceOptions]]) and the rates
+  * scale with partitions × executors; this probe pins the single-box
+  * local[32] floor.
   */
 object ThroughputProbe {
 
   private case class Config(name: String, rowsPerTrigger: Long,
                             dataTriggers: Int, intervalMs: Long)
+
+  /** One measured probe run (rendered line + the fields decisions read). */
+  private case class Result(line: String, sustained: Double, execP95: Long,
+                            zeroBacklog: Boolean, meetsLatency: Boolean,
+                            exhausted: Boolean) {
+    def pass: Boolean = exhausted && zeroBacklog && meetsLatency
+  }
+
+  private val BarEventsPerSec = 2500.0 // the baseline's 2x allowance
+  private val BaselineLatencyMs = 2000L
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,10 +101,35 @@ object ThroughputProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val providerKey = graft.streaming.AnomalyStatefulProcessor.rocksdbConf._1
+    val rocksClass = graft.streaming.AnomalyStatefulProcessor.rocksdbConf._2
+    // SPARK_GRAFT_ROCKSDB=1 forces the RocksDB-only posture (driver
+    // parity with Verify's posture flag); default emits BOTH providers'
+    // rows so the committed artifact carries the comparison.
+    val providers: Seq[(String, Option[String])] =
+      if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
+        Seq("rocksdb" -> Some(rocksClass))
+      else Seq("hdfs" -> None, "rocksdb" -> Some(rocksClass))
+    def setProvider(cls: Option[String]): Unit = cls match {
+      case Some(c) => spark.conf.set(providerKey, c)
+      case None    => spark.conf.unset(providerKey)
+    }
+
     val configs = Seq(
       Config("reference_rate", 5000L, 25, 1000L),
       Config("headroom", 50000L, 25, 1000L))
-    val lines = configs.map(run(spark, _))
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    for ((psName, cls) <- providers) {
+      setProvider(cls)
+      configs.foreach(c => lines += run(spark, c, psName).line)
+      lines += runChained(spark, psName)
+    }
+
+    // capacity knee under the FIRST provider in the posture (default:
+    // hdfs — the same provider the committed per-config rows lead with)
+    setProvider(providers.head._2)
+    lines += findKnee(spark, providers.head._1)
+
     lines.foreach(println)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("THROUGHPUT.json"),
@@ -90,7 +146,8 @@ object ThroughputProbe {
     * routing consumer is a SEPARATE query in production (store-then-
     * consume — Spark forbids two update-mode fMGWS stages in one query,
     * the same stage boundary the reference draws at the Kafka topic);
-    * its per-trigger cost is gated and timed by `stream_routed_drain`.
+    * the `chained` config runs both queries live and measures the full
+    * path.
     */
   private def alertTopology(spark: SparkSession,
                             events: DataFrame): DataFrame =
@@ -98,38 +155,69 @@ object ThroughputProbe {
       .filter(_.is_anomaly)
       .toDF()
 
-  private def run(spark: SparkSession, cfg: Config): String = {
-    val rows = cfg.rowsPerTrigger * cfg.dataTriggers
-    // the DSv2 generator's admission control paces exactly rowsPerBatch
-    // ids per trigger; the generated schema maps onto the pipeline's
-    // Event columns (source → event_type, metric → value, user id
-    // parsed from its "user_NNNN" form)
-    val events = spark.readStream
+  /** The paced deterministic event stream at `rowsPerTrigger`/trigger. */
+  private def pacedEvents(spark: SparkSession, rows: Long,
+                          rowsPerTrigger: Long): DataFrame =
+    spark.readStream
       .format("graft-events")
       .option("rows", rows)
-      .option("rowsPerBatch", cfg.rowsPerTrigger)
+      .option("rowsPerBatch", rowsPerTrigger)
       .load()
       .select(col("event_id"), col("ts"),
               expr("CAST(substring(user_id, 6) AS BIGINT)").as("user_id"),
               col("source").as("event_type"),
               col("metric").as("value"))
 
-    val progresses =
-      new ConcurrentLinkedQueue[
-        org.apache.spark.sql.streaming.StreamingQueryProgress]()
+  private def execMsOf(p: StreamingQueryProgress): Long =
+    Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
+
+  private def isoMs(ts: String): Long =
+    java.time.Instant.parse(ts).toEpochMilli
+
+  private def fmt(r: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(r))
+
+  /** Install a progress-collecting listener; returns (queue, remove). */
+  private def collectProgress(spark: SparkSession)
+      : (ConcurrentLinkedQueue[StreamingQueryProgress], () => Unit) = {
+    val q = new ConcurrentLinkedQueue[StreamingQueryProgress]()
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        progresses.add(e.progress); ()
+        q.add(e.progress); ()
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    (q, () => spark.streams.removeListener(listener))
+  }
+
+  /** Probe scratch cleanup shared by every run: no query may still be
+    * live, and the state-store providers unload eagerly (a deferred
+    * maintenance snapshot must not bleed into the next config's
+    * measurements — the same rationale as the dirty-restart drains).
+    */
+  private def unloadState(spark: SparkSession): Unit = {
+    require(spark.streams.active.isEmpty,
+            "probe query still active at cleanup")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
+  /** One detector-leg run. `failFast = false` (the knee search) turns
+    * a fell-hopelessly-behind deadline into a failed Result instead of
+    * an exception.
+    */
+  private def run(spark: SparkSession, cfg: Config, stateStore: String,
+                  failFast: Boolean = true): Result = {
+    val rows = cfg.rowsPerTrigger * cfg.dataTriggers
+    val events = pacedEvents(spark, rows, cfg.rowsPerTrigger)
+    val (progresses, removeListener) = collectProgress(spark)
 
     val work = java.nio.file.Files.createTempDirectory("graft_tput")
+    var exhausted = true
     val q = alertTopology(spark, events).writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$work/ckpt")
@@ -141,27 +229,33 @@ object ThroughputProbe {
       import scala.jdk.CollectionConverters._
       def seen(): Long =
         progresses.iterator().asScala.map(_.numInputRows).sum
+      // knee probes (failFast=false) give up at 4x the expected wall —
+      // a probe that far behind has already failed, and the ramp should
+      // not stall eight minutes proving it harder
+      val slack = if (failFast) (20L, 120000L) else (4L, 60000L)
       val deadline = System.nanoTime() +
-        (cfg.dataTriggers * cfg.intervalMs * 20 + 120000L) * 1000000L
-      while (seen() < rows && q.isActive) {
-        require(System.nanoTime() < deadline,
-                s"${cfg.name}: source not exhausted in time — the paced " +
-                  "stream fell hopelessly behind its arrival rate")
-        Thread.sleep(200)
+        (cfg.dataTriggers * cfg.intervalMs * slack._1 + slack._2) * 1000000L
+      while (exhausted && seen() < rows && q.isActive) {
+        if (System.nanoTime() >= deadline) {
+          require(!failFast,
+                  s"${cfg.name}: source not exhausted in time — the paced " +
+                    "stream fell hopelessly behind its arrival rate")
+          exhausted = false
+        } else Thread.sleep(200)
       }
-      q.processAllAvailable()
+      if (exhausted) q.processAllAvailable()
     } finally {
       q.stop(); q.awaitTermination()
-      spark.streams.removeListener(listener)
+      removeListener()
     }
 
     import scala.jdk.CollectionConverters._
     val data = progresses.iterator().asScala.toSeq
       .filter(_.numInputRows > 0)
       .sortBy(_.timestamp)
-    require(data.size >= 20,
+    require(data.size >= math.min(20, cfg.dataTriggers * 4 / 5),
             s"${cfg.name}: only ${data.size} data triggers — the " +
-              "sustained-rate claim needs >= 20")
+              "sustained-rate claim needs a real sample")
     val totalRows = data.map(_.numInputRows).sum
     val alerts =
       try spark.read.parquet(s"$work/store").count()
@@ -170,17 +264,11 @@ object ThroughputProbe {
             s"${cfg.name}: the alert sink stayed empty — the topology " +
               "under measurement never detected anything")
 
-    def iso(ts: String): Long = java.time.Instant.parse(ts).toEpochMilli
-    def exec(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long =
-      Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
-    val execMs = data.map(exec).sorted
-    def pct(s: Seq[Long], p: Double): Long =
-      s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
-    // first trigger's start to the LAST trigger's end — every pacing gap
-    // included, so this is the sustained-rate denominator
-    val wallMs =
-      iso(data.last.timestamp) + exec(data.last) - iso(data.head.timestamp)
-    val sustained = totalRows.toDouble * 1000.0 / wallMs
+    val execMs = data.map(execMsOf).sorted
+    val wallMs = ProbeStats.wallMs(isoMs(data.head.timestamp),
+                                   isoMs(data.last.timestamp),
+                                   execMsOf(data.last))
+    val sustained = ProbeStats.sustainedPerSec(totalRows, wallMs)
     val inputAvg = {
       val xs = data.map(_.inputRowsPerSecond).filter(!_.isNaN)
       if (xs.isEmpty) 0.0 else xs.sum / xs.size
@@ -188,29 +276,246 @@ object ThroughputProbe {
     val procSorted = data.map(_.processedRowsPerSecond).filter(!_.isNaN).sorted
     val procP50 =
       if (procSorted.isEmpty) 0.0 else procSorted(procSorted.size / 2)
-    val p50 = pct(execMs, 0.50)
-    val p95 = pct(execMs, 0.95)
-    val e2eP95 = cfg.intervalMs + p95
-    // cleanup: the checkpoint/store are probe scratch; unload the state
-    // providers eagerly (same rationale as the dirty-restart drains —
-    // a deferred maintenance snapshot must not bleed into the next
-    // config's measurements)
-    require(spark.streams.active.isEmpty,
-            "probe query still active at cleanup")
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    def fmt(r: Double): String =
-      String.format(java.util.Locale.ROOT, "%.1f", Double.box(r))
-    s"""{"metric":"throughput_probe","config":"${cfg.name}",""" +
+    val p50 = ProbeStats.pct(execMs, 0.50)
+    val p95 = ProbeStats.pct(execMs, 0.95)
+    val e2eP95 = ProbeStats.e2eP95Ms(cfg.intervalMs, p95)
+    val zeroBacklog = ProbeStats.zeroBacklog(cfg.intervalMs, p95)
+    unloadState(spark)
+    // meets_ingest carries its own semantics in-line: sustained rate at
+    // or over the 2x-allowance bar AND zero backlog (the 4,663-vs-5,000
+    // reading is self-explanatory: arrival was 5,000/s including pacing
+    // gaps, and the stream kept up — trigger p95 under the interval)
+    val meetsIngest = sustained >= BarEventsPerSec && zeroBacklog
+    val meetsLatency = e2eP95 < BaselineLatencyMs
+    val line =
+      s"""{"metric":"throughput_probe","config":"${cfg.name}",""" +
+        s""""state_store":"$stateStore",""" +
+        s""""rows":$totalRows,"rows_per_trigger":${cfg.rowsPerTrigger},""" +
+        s""""trigger_interval_ms":${cfg.intervalMs},""" +
+        s""""data_triggers":${data.size},""" +
+        s""""sustained_events_per_sec":${fmt(sustained)},""" +
+        s""""input_rows_per_sec_avg":${fmt(inputAvg)},""" +
+        s""""processed_rows_per_sec_p50":${fmt(procP50)},""" +
+        s""""trigger_ms_p50":$p50,"trigger_ms_p95":$p95,""" +
+        s""""e2e_p95_ms":$e2eP95,"alerts_emitted":$alerts,""" +
+        s""""zero_backlog":$zeroBacklog,"exhausted":$exhausted,""" +
+        s""""bar_events_per_sec":${BarEventsPerSec.toLong},""" +
+        s""""baseline_events_per_sec":5000,""" +
+        s""""baseline_latency_ms":$BaselineLatencyMs,""" +
+        s""""meets_ingest":$meetsIngest,"meets_latency":$meetsLatency}"""
+    Result(line, sustained, p95, zeroBacklog, meetsLatency, exhausted)
+  }
+
+  /** The CHAINED user-visible alert path: detector query and
+    * cooldown→routing consumer query live at the same time, joined by
+    * the store-then-consume boundary, with wall-clock stamps at both
+    * sinks so the handoff gap is measured per routed row — not argued.
+    * The consumer runs a sub-second (250 ms) trigger: the second leg's
+    * wait must fit inside the 2 s end-to-end budget alongside the
+    * detector's full 1 s interval.
+    */
+  private def runChained(spark: SparkSession, stateStore: String): String = {
+    val cfg = Config("chained", 5000L, 25, 1000L)
+    val consumerIntervalMs = 250L
+    val rows = cfg.rowsPerTrigger * cfg.dataTriggers
+    val work = java.nio.file.Files.createTempDirectory("graft_chain")
+    val alertDir = s"$work/alerts"
+    val routedDir = s"$work/routed"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(alertDir))
+
+    val (progresses, removeListener) = collectProgress(spark)
+    val s0 = spark
+    import s0.implicits._
+
+    // consumer first (its file source lists the pre-created empty alert
+    // dir, so it sees batch-0 alert files the moment they land instead
+    // of paying its own startup on the first measured rows)
+    val alertSchema = Encoders.product[graft.streaming.AnomalyAlert].schema
+      .add("detect_wall_ms", LongType)
+    val alertsIn = spark.readStream
+      .schema(alertSchema)
+      .parquet(alertDir)
+      .as[graft.streaming.AnomalyAlert]
+    val routed = graft.streaming.EventPipeline.routedAlerts(
+      spark, graft.streaming.EventPipeline.cooldownStream(spark, alertsIn))
+    val consumer = routed.writeStream
+      .queryName("graft_chain_consumer")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$work/ckpt_consumer")
+      .trigger(Trigger.ProcessingTime(s"$consumerIntervalMs milliseconds"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val pb = b.persist()
+        val n = pb.count() // materialize BEFORE stamping: the stamp is
+        // post-compute, pre-write — the gap can only over-state, never
+        // hide, the consumer's work
+        if (n > 0)
+          pb.withColumn("routed_wall_ms", lit(System.currentTimeMillis()))
+            .write.mode("overwrite").parquet(s"$routedDir/b$id")
+        pb.unpersist(); ()
+      }
+      .start()
+
+    // detector: same topology as the single-query configs, with the
+    // wall-clock detect stamp taken at sink-write start (early =
+    // conservative: those ms are also inside the exec p95 leg 1 bills)
+    val events = pacedEvents(spark, rows, cfg.rowsPerTrigger)
+    val detector = alertTopology(spark, events).writeStream
+      .queryName("graft_chain_detector")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$work/ckpt_detector")
+      .trigger(Trigger.ProcessingTime(s"${cfg.intervalMs} milliseconds"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.withColumn("detect_wall_ms", lit(System.currentTimeMillis()))
+          .write.mode("overwrite").parquet(s"$alertDir/b$id")
+        ()
+      }
+      .start()
+
+    try {
+      import scala.jdk.CollectionConverters._
+      def seen(): Long = progresses.iterator().asScala
+        .filter(_.name == "graft_chain_detector").map(_.numInputRows).sum
+      val deadline = System.nanoTime() +
+        (cfg.dataTriggers * cfg.intervalMs * 20 + 120000L) * 1000000L
+      while (seen() < rows && detector.isActive) {
+        require(System.nanoTime() < deadline,
+                "chained: source not exhausted in time — the paced " +
+                  "stream fell hopelessly behind its arrival rate")
+        Thread.sleep(200)
+      }
+      detector.processAllAvailable()
+      detector.stop(); detector.awaitTermination()
+      // drain the remaining alert files through the live consumer —
+      // these rows were detected moments ago, so their gaps are real
+      // 250ms-cadence gaps, not a drain artifact
+      consumer.processAllAvailable()
+    } finally {
+      if (detector.isActive) detector.stop()
+      consumer.stop(); consumer.awaitTermination()
+      removeListener()
+    }
+
+    import scala.jdk.CollectionConverters._
+    val all = progresses.iterator().asScala.toSeq
+    val det = all.filter(p => p.name == "graft_chain_detector" &&
+        p.numInputRows > 0).sortBy(_.timestamp)
+    val cons = all.filter(p => p.name == "graft_chain_consumer" &&
+        p.numInputRows > 0).sortBy(_.timestamp)
+    require(det.size >= 20,
+            s"chained: only ${det.size} detector data triggers")
+    require(cons.size >= 10,
+            s"chained: only ${cons.size} consumer data triggers — the " +
+              "handoff leg was never really live")
+
+    // measured per-routed-row handoff gap: detect-stamp → routed-stamp,
+    // joined on event_id AFTER both queries stopped (no driver work in
+    // the measured loop; row count bounded by the routed-alert rate)
+    val alertsRead = spark.read.option("recursiveFileLookup", "true")
+      .parquet(alertDir)
+    val routedRead = spark.read.option("recursiveFileLookup", "true")
+      .parquet(routedDir)
+    val gaps = routedRead.select(col("event_id"), col("routed_wall_ms"))
+      .join(alertsRead.select(col("event_id"), col("detect_wall_ms")),
+            "event_id")
+      .select((col("routed_wall_ms") - col("detect_wall_ms")).as("gap"))
+      .orderBy("gap")
+      .as[Long].collect().toSeq
+    val alerts = alertsRead.count()
+    val routedRows = routedRead.count()
+    require(gaps.size >= 50,
+            s"chained: only ${gaps.size} routed rows carry a measured " +
+              "gap — the path under measurement barely fired")
+    require(gaps.head >= 0, "chained: negative handoff gap — the wall " +
+      "stamps are inconsistent")
+
+    val detExec = det.map(execMsOf).sorted
+    val consExec = cons.map(execMsOf).sorted
+    val totalRows = det.map(_.numInputRows).sum
+    val wallMs = ProbeStats.wallMs(isoMs(det.head.timestamp),
+                                   isoMs(det.last.timestamp),
+                                   execMsOf(det.last))
+    val sustained = ProbeStats.sustainedPerSec(totalRows, wallMs)
+    val detP50 = ProbeStats.pct(detExec, 0.50)
+    val detP95 = ProbeStats.pct(detExec, 0.95)
+    val consP50 = ProbeStats.pct(consExec, 0.50)
+    val consP95 = ProbeStats.pct(consExec, 0.95)
+    val gapP50 = ProbeStats.pct(gaps, 0.50)
+    val gapP95 = ProbeStats.pct(gaps, 0.95)
+    val chainedP95 = ProbeStats.chainedE2eP95Ms(cfg.intervalMs, detP95, gapP95)
+    // BOTH queries must keep up for the chain to be sustainable
+    val zeroBacklog = ProbeStats.zeroBacklog(cfg.intervalMs, detP95) &&
+      ProbeStats.zeroBacklog(consumerIntervalMs, consP95)
+    unloadState(spark)
+    s"""{"metric":"throughput_probe","config":"chained",""" +
+      s""""state_store":"$stateStore",""" +
       s""""rows":$totalRows,"rows_per_trigger":${cfg.rowsPerTrigger},""" +
       s""""trigger_interval_ms":${cfg.intervalMs},""" +
-      s""""data_triggers":${data.size},""" +
+      s""""consumer_interval_ms":$consumerIntervalMs,""" +
+      s""""data_triggers":${det.size},""" +
+      s""""consumer_data_triggers":${cons.size},""" +
       s""""sustained_events_per_sec":${fmt(sustained)},""" +
-      s""""input_rows_per_sec_avg":${fmt(inputAvg)},""" +
-      s""""processed_rows_per_sec_p50":${fmt(procP50)},""" +
-      s""""trigger_ms_p50":$p50,"trigger_ms_p95":$p95,""" +
-      s""""e2e_p95_ms":$e2eP95,"alerts_emitted":$alerts,""" +
-      s""""baseline_events_per_sec":5000,"baseline_latency_ms":2000,""" +
-      s""""meets_ingest":${sustained >= 2500.0},""" +
-      s""""meets_latency":${e2eP95 < 2000}}"""
+      s""""trigger_ms_p50":$detP50,"trigger_ms_p95":$detP95,""" +
+      s""""consumer_trigger_ms_p50":$consP50,""" +
+      s""""consumer_trigger_ms_p95":$consP95,""" +
+      s""""handoff_gap_p50_ms":$gapP50,"handoff_gap_p95_ms":$gapP95,""" +
+      s""""chained_e2e_p95_ms":$chainedP95,""" +
+      s""""alerts_emitted":$alerts,"routed_rows":$routedRows,""" +
+      s""""zero_backlog":$zeroBacklog,""" +
+      s""""bar_events_per_sec":${BarEventsPerSec.toLong},""" +
+      s""""baseline_events_per_sec":5000,""" +
+      s""""baseline_latency_ms":$BaselineLatencyMs,""" +
+      s""""meets_ingest":${sustained >= BarEventsPerSec && zeroBacklog},""" +
+      s""""meets_latency":${chainedP95 < BaselineLatencyMs}}"""
+  }
+
+  /** Single-box capacity knee: ramp the arrival rate ×1.5 from just
+    * above the headroom config until a probe stops passing (pass =
+    * source exhausted + zero backlog + e2e under the 2 s bar), then one
+    * bisection step between the last pass and the first fail. The knee
+    * is reported as the highest PASSING rate with its measured numbers.
+    */
+  private def findKnee(spark: SparkSession, stateStore: String): String = {
+    val probes = scala.collection.mutable.ArrayBuffer[(Long, Result)]()
+    def probe(rate: Long): Result = {
+      val r = run(spark, Config(s"knee_$rate", rate, 20, 1000L), stateStore,
+                  failFast = false)
+      probes += rate -> r
+      r
+    }
+    // 50k/s passed as the committed headroom config; start above it
+    var lastPass = 50000L
+    var lastPassResult: Option[Result] = None
+    var rate = 75000L
+    var firstFail = 0L
+    while (firstFail == 0L && rate <= 1600000L) {
+      val r = probe(rate)
+      if (r.pass) { lastPass = rate; lastPassResult = Some(r); rate = rate * 3 / 2 }
+      else firstFail = rate
+    }
+    if (firstFail > 0L && firstFail - lastPass > lastPass / 5) {
+      val mid = (lastPass + firstFail) / 2 / 1000L * 1000L
+      val r = probe(mid)
+      if (r.pass) { lastPass = mid; lastPassResult = Some(r) }
+      else firstFail = mid
+    }
+    val kneeStats = lastPassResult
+      .map(r => s""""sustained_at_knee":${fmt(r.sustained)},""" +
+        s""""trigger_ms_p95_at_knee":${r.execP95},""")
+      .getOrElse("")
+    val probeArr = probes
+      .map { case (rt, r) =>
+        s"""{"rate":$rt,"pass":${r.pass},""" +
+          s""""sustained":${fmt(r.sustained)},""" +
+          s""""trigger_ms_p95":${r.execP95},""" +
+          s""""zero_backlog":${r.zeroBacklog},""" +
+          s""""meets_latency":${r.meetsLatency},"exhausted":${r.exhausted}}"""
+      }
+      .mkString("[", ",", "]")
+    s"""{"metric":"capacity_knee","state_store":"$stateStore",""" +
+      s""""knee_events_per_sec":$lastPass,""" +
+      kneeStats +
+      s""""first_failing_rate":$firstFail,""" +
+      s""""trigger_interval_ms":1000,"data_triggers_per_probe":20,""" +
+      s""""probes":$probeArr}"""
   }
 }

@@ -476,12 +476,6 @@ object TemporalOps {
     // restored open session — same flushed sessions, same oracle
     "stream_dirty_restart_session_drain" -> sessionizeSql,
     "stream_session_timer_drain" -> sessionizeSql,
-    // MID-STREAM read of the session store AS OF batch 1 (statestore
-    // time travel): the oracle re-derives the staging's own cut — the
-    // first two ntile(3) chunks over (ts, event_id) with the sentinel
-    // in the ranking — gap-sessionizes that slice, and drops sessions
-    // batch 1's watermark evicted (end <= max batch-0 event time,
-    // ms-floored, minus the 10 s delay; µs-precision comparison)
     // MID-STREAM read of BOTH stream-stream join buffers AS OF batch 2
     // (statestore time travel, joinSide left+right): the oracle slices
     // the first three ntile(5) chunks, computes batch 2's watermark as
@@ -520,6 +514,12 @@ object TemporalOps {
          |    AND epoch_us(ts) >= w_us
          |)
          |ORDER BY side, event_id""".stripMargin,
+    // MID-STREAM read of the session store AS OF batch 1 (statestore
+    // time travel): the oracle re-derives the staging's own cut — the
+    // first two ntile(3) chunks over (ts, event_id) with the sentinel
+    // in the ranking — gap-sessionizes that slice, and drops sessions
+    // batch 1's watermark evicted (end <= max batch-0 event time,
+    // ms-floored, minus the 10 s delay; µs-precision comparison)
     "stream_midstate_reader" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |mx AS (SELECT max(ts) AS m FROM e),

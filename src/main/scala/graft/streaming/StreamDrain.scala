@@ -708,9 +708,17 @@ object StreamDrain {
     val max0 = spark.read.parquet(s"$stage/chunk-0000.parquet")
       .agg(max(col("ts"))).head().getTimestamp(0)
     val wmUs = (max0.getTime - 10000L) * 1000L
-    val evicted = mid.filter(unix_micros(col("session_end")) <= wmUs).count()
+    // 1 ms boundary band: Spark derives eviction horizons with
+    // conservative ms-granularity adjustments, so a row landing inside
+    // the boundary millisecond could legitimately survive the store
+    // while this re-derivation evicts it. The audit tolerates that one
+    // band (a boundary row then surfaces as a diagnosable HASH-GATE
+    // diff against the exact oracle, not a require crash); rows more
+    // than 1 ms below the horizon still fail loud.
+    val evicted =
+      mid.filter(unix_micros(col("session_end")) <= wmUs - 1000L).count()
     require(evicted == 0,
-            s"$evicted surviving sessions end at-or-below batch 1's " +
+            s"$evicted surviving sessions end >1ms below batch 1's " +
               "watermark — the store kept rows the oracle's eviction " +
               "cut says are gone")
     mid.orderBy(col("user_id"), col("session_start"))
@@ -778,9 +786,19 @@ object StreamDrain {
     * for the left side) and purchases with `purchase_ts ≥ wm` (a
     * purchase only matches clicks at or before it). Both predicates
     * verified against the engine at every probed batch version; the
-    * boundary comparison is µs-exact. Fail-loud audits: both buffers
-    * non-empty, strictly larger than the final (post-eviction) buffers,
-    * and no kept row below the horizon the oracle assumes.
+    * boundary comparison is µs-exact up to the documented 1 ms audit
+    * band. Fail-loud audits: both buffers non-empty, strictly larger
+    * than the final (post-eviction) buffers, and no kept row below the
+    * horizon the oracle assumes.
+    *
+    * LOCKSTEP ASSUMPTION encoded by `midBatch = 2`: the self-join reads
+    * the staged directory through TWO file-source instances, and each
+    * instance admits exactly ONE staged file per micro-batch
+    * (`maxFilesPerTrigger = 1` in [[stagedStream]], deterministic
+    * ascending mtimes), so batch id `b` ⇔ chunks `0..b` seen on BOTH
+    * sides. If either source ever drifted off that one-file-per-batch
+    * pace, the oracle's chunk slice would no longer equal batch 2's
+    * input and the hash gate / horizon audits fail loud.
     */
   def streamMidstateJoinReader(spark: SparkSession, dir: String): DataFrame = {
     val joinChunks = 2 * MultiBatchChunks - 1
@@ -836,13 +854,19 @@ object StreamDrain {
             "a side saw no events in chunks 0..1 — the watermark audit " +
               "cannot derive batch 2's horizon")
     val wmUs = (math.min(wmRow.getLong(0), wmRow.getLong(1)) - 10000L) * 1000L
+    // same 1 ms boundary band as the session-store audit above: Spark's
+    // join state-watermark derivation applies conservative ms-granularity
+    // adjustments, so a buffered row inside the boundary millisecond is
+    // legitimate survival, not a kept-dead row — it would show up as a
+    // diagnosable hash-gate diff, which is the exact check
     val below =
-      left.filter(unix_micros(col("ts")) < wmUs - 600000000L).count() +
-        right.filter(unix_micros(col("ts")) < wmUs).count()
+      left.filter(unix_micros(col("ts")) < wmUs - 600000000L - 1000L)
+        .count() +
+        right.filter(unix_micros(col("ts")) < wmUs - 1000L).count()
     require(below == 0,
-            s"$below buffered rows sit below batch 2's eviction horizon " +
-              "— the store kept rows the oracle's watermark cut says " +
-              "are gone")
+            s"$below buffered rows sit >1ms below batch 2's eviction " +
+              "horizon — the store kept rows the oracle's watermark cut " +
+              "says are gone")
     left.unionAll(right).orderBy(col("side"), col("event_id"))
   }
 

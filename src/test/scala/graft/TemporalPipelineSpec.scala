@@ -311,7 +311,11 @@ class TemporalPipelineSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(2).getTime,
                  r.getTimestamp(6).getTime, r.getLong(4)) ->
-        math.rint(r.getLong(5).toDouble / 100.0) / 10000.0)
+        // same half-up definition as the engine/DuckDB side
+        // (Rounding.scalar = floor(x·1e4 + 0.5)/1e4); math.rint here
+        // would be half-EVEN and diverge whenever a session's
+        // micro-unit sum is ≡50 mod 100
+        graft.functions.Rounding.scalar(r.getLong(5).toDouble / 1e6, 4))
       .toMap
 
     assert(mid.keySet == oracle.keySet)

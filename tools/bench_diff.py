@@ -23,6 +23,29 @@ below), so a consumer must acknowledge the demotion instead of reading
 a loaded box as a clean pass; rerun on a quiet box before believing
 the demoted entries.
 
+Host awareness (the round-11 lesson: 7 phantom regressions printed a
+confident "LOAD VERDICT: ok" because BOTH boxes were quiet — they were
+different boxes, and a same-box A/B of the two code versions showed the
+entire delta was the host). Since round 12 Bench embeds a host
+fingerprint in every snapshot: "host_cpu" (the /proc/cpuinfo model
+string) and "calib_sec" (a fixed single-thread xorshift64 loop,
+min-of-3 — a direct measure of the box's single-thread speed, the axis
+that scales every per-query min). This tool compares the fingerprints:
+
+  - SAME host (cpu strings match, calib ratio within CALIB_BAND):
+    flags stand — a regression on a verified-same box is real.
+  - DIFFERENT host (cpu mismatch or calib ratio outside the band):
+    flags are demoted to HOST-SUSPECT and the run exits 3. When both
+    calibrations are known, each demoted entry is additionally checked
+    against a calibration-NORMALIZED bar (old thresholds scaled by
+    new_calib/old_calib); entries that still flag after normalization
+    are printed with "survives calib-normalized bar" — the ones worth
+    a same-box rerun first.
+  - UNVERIFIABLE (either side predates the fingerprint): cross-host
+    delta cannot be ruled out, so flags are demoted to HOST-SUSPECT
+    (exit 3) rather than asserted — exactly the failure mode that
+    mis-flagged round 11.
+
 Design changes: a query whose WORK changed on purpose (e.g. a drain
 converted from one micro-batch to three) is not a regression however
 slow it got. Pass --design-changed q1,q2 to annotate those queries as
@@ -34,21 +57,27 @@ where OLD/NEW are either BENCH_RUNS.json files ({"runs": {q: [r1,r2,r3]}})
 or driver BENCH_r{N}.json files whose tail holds the bench_runs line.
 
 Exit codes: 0 = clean (design-changed entries do not fail the gate);
-1 = real regressions flagged; 2 = regressions were demoted to
-LOAD-SUSPECT (the NEW side was hot) — a distinct code so a CI/driver
-consumer must acknowledge the demotion instead of a loaded box silently
-passing the regression gate. Since round 10 Bench also emits its own
+1 = real regressions flagged on a verified-same quiet host;
+2 = regressions were demoted to LOAD-SUSPECT (the NEW side was hot);
+3 = regressions were demoted to HOST-SUSPECT (different or
+unverifiable host identity). 3 outranks 2 when both apply — host
+identity failing means the numbers are incomparable regardless of
+load. A CI/driver consumer must acknowledge a demotion (2 or 3)
+instead of a loaded or foreign box silently passing — or failing —
+the regression gate. Since round 10 Bench also emits its own
 "load_hot" verdict in the snapshot; when present it is trusted over
 recomputing from the loadavg strings. Since round 11 the snapshot also
-carries "load_limit" (the ambient limit Bench itself adjudicated with);
-when present it is the single source of truth and the LOAD_LIMIT
-constant below is only a fallback for older files.
+carries "load_limit" (the ambient limit Bench itself adjudicated
+with); when present it is the single source of truth and the
+LOAD_LIMIT constant below is only a fallback for older files.
 """
 import json, re, sys
 from pathlib import Path
 
 LOAD_LIMIT = 2.0        # ambient fallback for pre-r11 files (see above)
 LOAD_LIMIT_END = 4.0    # end-of-run fallback: bench self-load adds ~2
+CALIB_BAND = 1.15       # calib ratio outside [1/band, band] = not the
+                        # same-speed box (r11's host delta was ~1.4x)
 
 
 def _load_verdict(d):
@@ -71,13 +100,24 @@ def _load_verdict(d):
     return None, False, self_verdict, limit
 
 
+def _host_fingerprint(d):
+    """(cpu model string or None, calib_sec or None) — round 12+."""
+    cpu = d.get("host_cpu")
+    cpu = cpu if isinstance(cpu, str) and cpu else None
+    calib = d.get("calib_sec")
+    calib = float(calib) if isinstance(calib, (int, float)) and calib > 0 \
+        else None
+    return cpu, calib
+
+
 def load_runs(path):
-    """Return (runs-dict, (loadavg, is_ambient)) from a bench output."""
+    """Return (runs, load-verdict-tuple, host-fingerprint) from a bench
+    output."""
     text = Path(path).read_text()
 
     def parse_line(line):
         d = json.loads(line)
-        return d["runs"], _load_verdict(d)
+        return d["runs"], _load_verdict(d), _host_fingerprint(d)
 
     # direct bench_runs JSON line(s)
     for line in text.splitlines():
@@ -89,7 +129,7 @@ def load_runs(path):
         d = json.loads(text)
         if isinstance(d, dict):
             if "runs" in d:
-                return d["runs"], _load_verdict(d)
+                return d["runs"], _load_verdict(d), _host_fingerprint(d)
             for v in d.values():
                 if isinstance(v, str) and '"bench_runs"' in v:
                     m = re.search(r'\{"metric":"bench_runs".*?\}(?=\s|$)', v)
@@ -101,7 +141,8 @@ def load_runs(path):
     try:
         d = json.loads(text)
         if "queries" in d:
-            return {k: [v] for k, v in d["queries"].items()}, _load_verdict(d)
+            return ({k: [v] for k, v in d["queries"].items()},
+                    _load_verdict(d), _host_fingerprint(d))
     except json.JSONDecodeError:
         pass
     raise SystemExit(f"could not find bench runs in {path}")
@@ -118,7 +159,8 @@ def main():
         del args[i:i + 2]
     if len(args) != 2:
         raise SystemExit("usage: bench_diff.py OLD NEW [--design-changed q1,q2]")
-    (old, old_load), (new, new_load) = load_runs(args[0]), load_runs(args[1])
+    old, old_load, old_host = load_runs(args[0])
+    new, new_load, new_host = load_runs(args[1])
 
     def describe(lv):
         load, ambient, self_verdict, embedded_limit = lv
@@ -153,6 +195,46 @@ def main():
     else:
         print(f"LOAD VERDICT: ok (old {old_desc}, new {new_desc})")
 
+    # ---- host adjudication (round 12+) ----
+    (ocpu, ocal), (ncpu, ncal) = old_host, new_host
+    calib_ratio = (ncal / ocal) if (ocal and ncal) else None
+    if ocpu is None and ocal is None and ncpu is None and ncal is None:
+        host_same, host_desc = None, (
+            "unverifiable — neither snapshot carries a host fingerprint "
+            "(pre-r12); cross-host delta cannot be ruled out")
+    elif (ocpu is None or ocal is None) or (ncpu is None or ncal is None):
+        host_same, host_desc = None, (
+            "unverifiable — only one side carries a host fingerprint; "
+            "cross-host delta cannot be ruled out")
+    else:
+        same_cpu = ocpu == ncpu
+        in_band = 1.0 / CALIB_BAND <= calib_ratio <= CALIB_BAND
+        host_same = same_cpu and in_band
+        detail = (f"cpu {'match' if same_cpu else 'MISMATCH'} "
+                  f"('{ocpu}' vs '{ncpu}'), single-thread calib "
+                  f"{ocal:.3f}s -> {ncal:.3f}s (ratio {calib_ratio:.2f}, "
+                  f"band {CALIB_BAND})")
+        host_desc = ("same host/speed — " + detail) if host_same else (
+            "DIFFERENT host or speed — " + detail)
+    if host_same is False:
+        print(f"HOST VERDICT: {host_desc}; flagged regressions demoted to "
+              "HOST-SUSPECT — per-query deltas track the calib ratio, not "
+              "the code; rerun both versions on ONE box before acting")
+    elif host_same is None:
+        print(f"HOST VERDICT: {host_desc}; flagged regressions (if any) "
+              "demoted to HOST-SUSPECT")
+    else:
+        print(f"HOST VERDICT: {host_desc}")
+    host_suspect_mode = host_same is not True
+
+    def survives_normalized(omin, omax, nmin):
+        """Still a regression after scaling the old bounds by the
+        measured host-speed ratio? Only answerable with both calibs."""
+        if calib_ratio is None:
+            return False
+        r = max(calib_ratio, 1.0)  # only a SLOWER new box excuses slowdowns
+        return nmin > 2 * omin * r and nmin > omax * r + 0.25
+
     shared = sorted(set(old) & set(new))
     gone, added = sorted(set(old) - set(new)), sorted(set(new) - set(old))
     regressions, improvements, demoted = [], [], []
@@ -161,9 +243,14 @@ def main():
         nmin = min(new[q])
         if nmin > 2 * omin and nmin > omax + 0.25:
             if q in design_changed:
-                demoted.append(("DESIGN-CHANGED", q, omin, omax, nmin))
+                demoted.append(("DESIGN-CHANGED", q, omin, omax, nmin, ""))
+            elif host_suspect_mode:
+                note = (" [survives calib-normalized bar — rerun this one "
+                        "first]" if survives_normalized(omin, omax, nmin)
+                        else "")
+                demoted.append(("HOST-SUSPECT", q, omin, omax, nmin, note))
             elif loaded:
-                demoted.append(("LOAD-SUSPECT", q, omin, omax, nmin))
+                demoted.append(("LOAD-SUSPECT", q, omin, omax, nmin, ""))
             else:
                 regressions.append((q, omin, omax, nmin))
         elif omin > 2 * nmin and omin > 0.25:
@@ -171,16 +258,20 @@ def main():
     print(f"{len(shared)} shared queries; {len(added)} added, {len(gone)} removed")
     for q, omin, omax, nmin in regressions:
         print(f"REGRESSION {q}: old min {omin:.3f}s (max {omax:.3f}) -> new min {nmin:.3f}s")
-    for tag, q, omin, omax, nmin in demoted:
-        print(f"{tag} {q}: old min {omin:.3f}s (max {omax:.3f}) -> new min {nmin:.3f}s")
+    for tag, q, omin, omax, nmin, note in demoted:
+        print(f"{tag} {q}: old min {omin:.3f}s (max {omax:.3f}) -> new min {nmin:.3f}s{note}")
     for q, omin, nmin in improvements:
         print(f"improved   {q}: {omin:.3f}s -> {nmin:.3f}s")
     if not regressions:
         print("no regressions outside the noise envelope")
-    # exit 2: nothing hard-flagged, but flags were DEMOTED for load —
-    # a consumer must acknowledge the demotion, not read it as clean
+    # exits 2/3: nothing hard-flagged, but flags were DEMOTED — a
+    # consumer must acknowledge the demotion, not read it as clean.
+    # HOST (3) outranks LOAD (2): incomparable hosts void the numbers
+    # regardless of load.
+    host_suspect = any(t == "HOST-SUSPECT" for t, *_ in demoted)
     load_suspect = any(t == "LOAD-SUSPECT" for t, *_ in demoted)
-    sys.exit(1 if regressions else (2 if load_suspect else 0))
+    sys.exit(1 if regressions else
+             (3 if host_suspect else (2 if load_suspect else 0)))
 
 
 if __name__ == "__main__":
