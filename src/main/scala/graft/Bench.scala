@@ -74,27 +74,8 @@ object Bench {
     // loop (300M xorshift64 steps, min-of-3 after one unbilled JIT
     // warmup pass) whose wall time moves with the box's single-thread
     // speed — the same axis that scales every per-query min.
-    val hostCpu =
-      try scala.io.Source.fromFile("/proc/cpuinfo").getLines()
-        .collectFirst { case l if l.startsWith("model name") =>
-          l.split(":", 2)(1).trim }
-        .getOrElse("")
-      catch { case _: Throwable => "" }
-    def calibPass(): Double = {
-      val t0 = System.nanoTime()
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < 300000000) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-        i += 1
-      }
-      // xorshift64 never maps a nonzero state to 0 — the require keeps
-      // the loop observable so JIT cannot dead-code it
-      require(x != 0L, "xorshift64 broke")
-      (System.nanoTime() - t0) / 1e9
-    }
-    calibPass() // JIT warmup, unbilled
-    val calibSec = (1 to 3).map(_ => calibPass()).min
+    val hostCpu = HostCalib.cpuModel
+    val calibSec = HostCalib.calibrate()
 
     // JIT + whole-stage-codegen warmup on the smallest fixture (not
     // billed): every query once, so no measured run pays Janino

@@ -56,7 +56,13 @@ object ScalingProbe {
     "q2_min_cost_supplier", "ann_topk", "cluster_representatives",
     "contamination_check",
     "stream_kpi_drain", "stream_alerts_drain", "stream_lshdedup_drain",
-    "stream_session_drain", "stream_attribution_drain")
+    "stream_session_drain", "stream_attribution_drain",
+    // not a SparkEntry query: the TTL-bounded LSH state probe
+    // (StreamDrain.lshTtlStateProbe) — history at the probed scale,
+    // TTL passes, a fixed live window lands; final state must be
+    // ~live-window-sized at EVERY scale (the bounded column SCALING.md
+    // pairs with the honest linear-in-corpus no-TTL row)
+    "stream_lshttl_state")
 
   /** State-telemetry targets: drain query → work-dir prefix + labeled
     * phases, each phase a set of statestore-reader passes to sum —
@@ -240,17 +246,33 @@ object ScalingProbe {
       }
 
     selected.foreach { name =>
-      val tBase = timeAt(name, base)
-      val stBase = stateLines(name).toMap
-      val tBig = timeAt(name, out)
-      val stBig = stateLines(name).toMap
-      println(s"""{"query":"$name","base_s":${fmt(tBase)},""" +
-        s""""scaled_s":${fmt(tBig)},"copies":$copies,""" +
-        s""""ratio":${fmt(tBig / tBase)}}""")
-      for ((label, b) <- stBase.toSeq.sortBy(_._1); s <- stBig.get(label))
-        println(s"""{"telemetry":"state_store","query":"$name",""" +
-          s""""phase":"$label","base":{$b},"scaled":{$s},""" +
+      if (name == "stream_lshttl_state") {
+        // TTL-bounded state probe: not a timed SparkEntry query — the
+        // deliverable is the state-row comparison, both runs sharing
+        // the BASE corpus as the fixed live window
+        def fields(m: Map[String, Long]): String =
+          m.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        val sBase = graft.streaming.StreamDrain
+          .lshTtlStateProbe(spark, base, base)
+        val sBig = graft.streaming.StreamDrain
+          .lshTtlStateProbe(spark, out, base)
+        println(s"""{"telemetry":"ttl_state","query":"$name",""" +
+          s""""base":{${fields(sBase)}},"scaled":{${fields(sBig)}},""" +
           s""""copies":$copies}""")
+      } else {
+        val tBase = timeAt(name, base)
+        val stBase = stateLines(name).toMap
+        val tBig = timeAt(name, out)
+        val stBig = stateLines(name).toMap
+        println(s"""{"query":"$name","base_s":${fmt(tBase)},""" +
+          s""""scaled_s":${fmt(tBig)},"copies":$copies,""" +
+          s""""ratio":${fmt(tBig / tBase)}}""")
+        for ((label, b) <- stBase.toSeq.sortBy(_._1); s <- stBig.get(label))
+          println(s"""{"telemetry":"state_store","query":"$name",""" +
+            s""""phase":"$label","base":{$b},"scaled":{$s},""" +
+            s""""copies":$copies}""")
+      }
     }
 
     // ssjoin_prefix is the standing worst-ratio watch item: candidate

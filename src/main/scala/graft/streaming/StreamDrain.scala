@@ -1983,6 +1983,127 @@ object StreamDrain {
       (rows, bytes, files)
     }
 
+  /** TTL-BOUNDED LSH ingest-dedup state at scale — the measured form of
+    * SCALING.md's "linear-in-corpus, TTL-boundable when the dedup
+    * horizon is finite" claim (the no-TTL telemetry row is honestly
+    * linear: 20k → 200k membership entries at 10× docs). The probe:
+    * the corpus at `dir`'s banded signature keys drain as HISTORY
+    * ([[MultiBatchChunks]] chunk files), the `graft.state.ttl` window
+    * passes, then a FIXED-SIZE LIVE window (the base corpus at
+    * `liveDir`'s bands — identical content at every scale) drains
+    * through the SAME checkpoint. Every history bucket entry has then
+    * expired, so the FINAL `bucketMembers` store must hold ~the live
+    * window's entries no matter how much history streamed through —
+    * the store is bounded by the TTL horizon's traffic, not the corpus.
+    *
+    * TTL forces TimeMode.ProcessingTime, under which transformWithState
+    * always requests another batch — `Trigger.AvailableNow` and
+    * `processAllAvailable` would block forever (the exact bound
+    * StreamJob.ttlDrain documents), so this probe uses the same
+    * poll-the-progress workaround: default trigger, await the input
+    * rows and a TTL sweep (`numRowsRemoved > 0`) with a fail-loud
+    * deadline, then one extra sweep interval before the read.
+    *
+    * Returns measured counts for the SCALING.md row:
+    * history/live band rows in, rows the TTL sweeps reported removed,
+    * and the final state rows.
+    */
+  def lshTtlStateProbe(spark: SparkSession, dir: String, liveDir: String,
+                       ttlMs: Long = 4000L): Map[String, Long] = {
+    val (providerKey, rocksdb) = AnomalyStatefulProcessor.rocksdbConf
+    val prevProvider = spark.conf.getOption(providerKey)
+    val prevTtl = spark.conf.getOption(StateTtl.Key)
+    spark.conf.set(providerKey, rocksdb) // transformWithState requires it
+    spark.conf.set(StateTtl.Key, ttlMs.toString)
+    try {
+      val work = tempWorkDir("graft_lshttl_probe")
+      val stage = s"$work/stage"
+      stageChunked(graft.operators.DedupOps.defaultLshBands(spark, dir),
+                   stage, MultiBatchChunks, Seq(col("doc_id"), col("band")))
+      val historyRows = spark.read.parquet(stage).count()
+      val liveBands = graft.operators.DedupOps.defaultLshBands(spark, liveDir)
+      val liveRows = liveBands.count()
+      val s = spark
+      import s.implicits._
+      val bandsIn = spark.readStream
+        .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .as[BandKeyRow]
+      val q = TypedStatefulProcessors.lshCandidateStream(spark, bandsIn)
+        .toDF()
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch(EventPipeline.idempotentBatchWriter(s"$work/store"))
+        .start()
+      // recentProgress rotates (processing-time mode churns no-data
+      // batches), so fold the monotone counters as they stream past
+      // instead of summing the buffer at the end
+      val seenBatches = scala.collection.mutable.Set[Long]()
+      var inputSum = 0L
+      var removedSum = 0L
+      def fold(): Unit =
+        q.recentProgress.foreach { p =>
+          if (seenBatches.add(p.batchId)) {
+            inputSum += p.numInputRows
+            removedSum += p.stateOperators.map(_.numRowsRemoved).sum
+          }
+        }
+      def await(cond: => Boolean, what: String): Unit = {
+        val deadline = System.nanoTime() + (240000L + ttlMs) * 1000000L
+        while ({ fold(); !cond }) {
+          require(System.nanoTime() < deadline,
+                  s"lshTtlStateProbe: timed out awaiting $what")
+          Thread.sleep(100)
+        }
+      }
+      // keep folding THROUGH the sleeps: recentProgress is a 100-entry
+      // ring and processing-time mode churns no-data batches, so an
+      // unpolled sleep could rotate a sweeping batch's counters away
+      def sleepFold(ms: Long): Unit = {
+        val end = System.nanoTime() + ms * 1000000L
+        while (System.nanoTime() < end) { fold(); Thread.sleep(100) }
+      }
+      try {
+        await(inputSum >= historyRows, "the history chunks to drain")
+        sleepFold(ttlMs + 1500L) // let every history entry expire
+        stageChunked(liveBands, stage, 1, Seq(col("doc_id"), col("band")),
+                     firstChunk = MultiBatchChunks)
+        await(inputSum >= historyRows + liveRows && removedSum > 0,
+              "the live window to drain and a TTL sweep to report " +
+                "removals")
+        sleepFold(1500L) // one more sweep interval past the last data
+        fold()
+      } finally {
+        q.stop(); q.awaitTermination()
+      }
+      require(spark.streams.active.isEmpty,
+              "StateStore.stop() is JVM-global: refusing to unload state " +
+                "providers while another streaming query is active")
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      val finalRows = spark.read.format("statestore")
+        .option("stateVarName", "bucketMembers")
+        .load(s"$work/ckpt").count()
+      require(removedSum > 0 && finalRows > 0,
+              s"lshTtlStateProbe: vacuous run (removed=$removedSum, " +
+                s"final=$finalRows) — nothing expired or nothing survived")
+      Map("history_band_rows" -> historyRows,
+          "live_band_rows" -> liveRows,
+          "ttl_removed_rows" -> removedSum,
+          "state_rows_final" -> finalRows)
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      prevTtl match {
+        case Some(v) => spark.conf.set(StateTtl.Key, v)
+        case None    => spark.conf.unset(StateTtl.Key)
+      }
+    }
+  }
+
   /** How far behind the previous batch's max event time a shifted row
     * may arrive and still be ADMISSIBLE: 9 s against the pipelines' 10 s
     * watermark delay, a full second of safety margin so ms-truncated
