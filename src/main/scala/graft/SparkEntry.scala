@@ -91,6 +91,11 @@ object SparkEntry {
     // streaming execution (the reference's notification path)
     "stream_routed_drain" ->
       (graft.streaming.StreamDrain.streamRoutedDrain _),
+    // the SAME topology fused into one keyed stage (detector + cooldown
+    // in a single flatMapGroupsWithState over raw events) — the
+    // low-latency single-query form, gated on the identical oracle
+    "stream_fused_routed_drain" ->
+      (graft.streaming.StreamDrain.streamFusedRoutedDrain _),
     "alert_routing" -> (AnomalyOps.alertRouting _),
     "detector_agreement" -> (AnomalyOps.detectorAgreement _),
     "order_backlog" -> (OlapOps.orderBacklog _),
@@ -433,7 +438,8 @@ object SparkEntry {
     "stream_alerts_drain", "stream_alerts_list_drain",
     "stream_shuffled_alerts_drain",
     "stream_cooldown_drain", "stream_cooldown_timer_drain",
-    "stream_routed_drain", "stream_dedup_drain", "stream_docdedup_drain",
+    "stream_routed_drain", "stream_fused_routed_drain",
+    "stream_dedup_drain", "stream_docdedup_drain",
     "stream_transitions_drain", "stream_shuffled_transitions_drain",
     "stream_drift_drain", "stream_snapshot_drain",
     "stream_ooo_snapshot_drain", "stream_restart_drain",

@@ -55,6 +55,12 @@ import org.apache.spark.sql.types.LongType
   *     `chained_e2e_p95_ms = interval + detector exec p95 + gap p95`
   *     ([[ProbeStats.chainedE2eP95Ms]] — conservative: the detector's
   *     sink-write ms are billed twice at the seam).
+  *     Alongside it, `chained_fused` measures the FUSED single-query
+  *     topology ([[graft.streaming.EventPipeline.fusedAlertStream]] —
+  *     detector + cooldown in one keyed stage + the broadcast rule
+  *     join, hash-gated by `stream_fused_routed_drain`): the same
+  *     user-visible detection→routed-alert path with the stage
+  *     boundary removed, whose e2e is one interval + one execution.
   *  4. `capacity_knee` — the single-box ceiling: arrival rate ramps
   *     ×1.5 from the headroom rate until the probe stops keeping up
   *     (zero_backlog or the <2 s bar flips), then one bisection step
@@ -171,6 +177,18 @@ object ThroughputProbe {
           kneeSeed = Some(c.rowsPerTrigger -> r)
       }
       if (wanted("chained")) lines += runChained(spark, psName)
+      // the FUSED single-query alert path (detector + cooldown in one
+      // keyed stage + broadcast routing — EventPipeline.fusedAlertStream,
+      // hash-gated by stream_fused_routed_drain): the low-latency answer
+      // to the chained config's stage-boundary cost. One interval + one
+      // execution IS its user-visible e2e, so the standard run() e2e
+      // math measures the full detection-to-routed-alert path.
+      if (wanted("chained_fused"))
+        lines += run(spark, Config("chained_fused", 5000L, 25, 1000L), psName,
+                     topology = (s, ev) =>
+                       graft.streaming.EventPipeline.routedAlerts(
+                         s, graft.streaming.EventPipeline
+                           .fusedAlertStream(s, ev))).line
     }
 
     // capacity knee under the FIRST provider in the posture (default:
@@ -283,7 +301,9 @@ object ThroughputProbe {
     * an exception.
     */
   private def run(spark: SparkSession, cfg: Config, stateStore: String,
-                  failFast: Boolean = true): Result = {
+                  failFast: Boolean = true,
+                  topology: (SparkSession, DataFrame) => DataFrame
+                    = alertTopology): Result = {
     if (cfg.name != "warmup") Thread.sleep(SettleMs)
     val calibSec = if (cfg.name == "warmup") 0.0 else HostCalib.calibrate()
     val rows = cfg.rowsPerTrigger * cfg.dataTriggers
@@ -292,7 +312,7 @@ object ThroughputProbe {
 
     val work = java.nio.file.Files.createTempDirectory("graft_tput")
     var exhausted = true
-    val q = alertTopology(spark, events).writeStream
+    val q = topology(spark, events).writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.ProcessingTime(s"${cfg.intervalMs} milliseconds"))
@@ -327,16 +347,34 @@ object ThroughputProbe {
     val data = progresses.iterator().asScala.toSeq
       .filter(_.numInputRows > 0)
       .sortBy(_.timestamp)
-    require(data.size >= math.min(20, cfg.dataTriggers * 4 / 5),
-            s"${cfg.name}: only ${data.size} data triggers — the " +
-              "sustained-rate claim needs a real sample")
+    val smallSample = data.size < math.min(20, cfg.dataTriggers * 4 / 5)
+    if (failFast) require(!smallSample,
+      s"${cfg.name}: only ${data.size} data triggers — the " +
+        "sustained-rate claim needs a real sample")
     val totalRows = data.map(_.numInputRows).sum
     val alerts =
       try spark.read.parquet(s"$work/store").count()
       catch { case _: Throwable => 0L }
-    require(alerts > 0,
-            s"${cfg.name}: the alert sink stayed empty — the topology " +
-              "under measurement never detected anything")
+    if (failFast) require(alerts > 0,
+      s"${cfg.name}: the alert sink stayed empty — the topology " +
+        "under measurement never detected anything")
+    if (data.isEmpty || smallSample || alerts == 0) {
+      // non-failFast degraded probe (a knee probe hopelessly past
+      // capacity, or an alert-free warmup): record a FAILED Result
+      // instead of throwing — run() must never abort main and discard
+      // the already-measured lines, which are only written at the end
+      unloadState(spark)
+      val degradedP95 =
+        if (data.isEmpty) 0L else ProbeStats.pct(data.map(execMsOf).sorted, 0.95)
+      val line =
+        s"""{"metric":"throughput_probe","config":"${cfg.name}",""" +
+          s""""state_store":"$stateStore","rows":$totalRows,""" +
+          s""""data_triggers":${data.size},"alerts_emitted":$alerts,""" +
+          s""""trigger_ms_p95":$degradedP95,"exhausted":$exhausted,""" +
+          s""""probe_failed":true,"calib_sec":${fmt3(calibSec)}}"""
+      return Result(line, 0.0, degradedP95, zeroBacklog = false,
+                    meetsLatency = false, exhausted = false, calibSec)
+    }
 
     val execMs = data.map(execMsOf).sorted
     val wallMs = ProbeStats.wallMs(isoMs(data.head.timestamp),
@@ -460,6 +498,20 @@ object ThroughputProbe {
         val tmp = s"$work/alert_scratch_$id"
         b.withColumn("detect_wall_ms", lit(System.currentTimeMillis()))
           .write.mode("overwrite").parquet(tmp)
+        // idempotent under batch replay (mirroring idempotentBatchWriter's
+        // overwrite-by-batch semantics): a batch re-executed after a
+        // crash in the sink-write → checkpoint-commit window REPLACES
+        // its previous attempt's uniquely-named part files instead of
+        // leaving both — duplicate alert rows would double-join in the
+        // post-run gap measurement, and a replayed detect stamp later
+        // than the consumer's routed stamp would read as a negative gap
+        val old = java.nio.file.Files.list(java.nio.file.Paths.get(alertDir))
+        try {
+          import scala.jdk.CollectionConverters._
+          old.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(s"b${id}_"))
+            .foreach(java.nio.file.Files.delete)
+        } finally old.close()
         val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
         try {
           import scala.jdk.CollectionConverters._

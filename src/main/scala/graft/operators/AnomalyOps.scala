@@ -668,6 +668,25 @@ object AnomalyOps {
        |SELECT event_id, event_type, ts, severity FROM fired
        |ORDER BY event_type, severity, ts, event_id""".stripMargin
 
+  /** Fired set routed through the rules VALUES — shared by the two-query
+    * (`stream_routed_drain`) and fused-single-query
+    * (`stream_fused_routed_drain`) topologies, whose results must be
+    * byte-identical.
+    */
+  private lazy val routedDrainSql: String =
+    s"""$chainedFiredCte,
+       |rules(rule_id, enabled, severity_threshold, rule_sources, channel) AS (
+       |  VALUES (CAST(1 AS BIGINT), true, 'critical', CAST([] AS VARCHAR[]), 'email'),
+       |         (CAST(2 AS BIGINT), true, 'critical', ['click', 'purchase'], 'webhook'),
+       |         (CAST(3 AS BIGINT), true, 'warning', ['error'], 'slack'),
+       |         (CAST(4 AS BIGINT), false, 'warning', CAST([] AS VARCHAR[]), 'email')
+       |)
+       |SELECT f.event_id, f.event_type, f.ts, f.severity, r.rule_id, r.channel
+       |FROM fired f JOIN rules r
+       |  ON r.enabled AND f.severity = r.severity_threshold
+       |     AND (len(r.rule_sources) = 0 OR list_contains(r.rule_sources, f.event_type))
+       |ORDER BY f.event_id, r.rule_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "alert_cooldown_chained" -> chainedCooldownSql,
     // the SAME chained semantics through actual writeStream executions
@@ -680,19 +699,12 @@ object AnomalyOps {
     // gated) -> chained cooldown through keyed streaming state -> the
     // stream-static broadcast rule join, drained; the oracle routes the
     // recursively-derived fired set through the same rules VALUES
-    "stream_routed_drain" ->
-      s"""$chainedFiredCte,
-         |rules(rule_id, enabled, severity_threshold, rule_sources, channel) AS (
-         |  VALUES (CAST(1 AS BIGINT), true, 'critical', CAST([] AS VARCHAR[]), 'email'),
-         |         (CAST(2 AS BIGINT), true, 'critical', ['click', 'purchase'], 'webhook'),
-         |         (CAST(3 AS BIGINT), true, 'warning', ['error'], 'slack'),
-         |         (CAST(4 AS BIGINT), false, 'warning', CAST([] AS VARCHAR[]), 'email')
-         |)
-         |SELECT f.event_id, f.event_type, f.ts, f.severity, r.rule_id, r.channel
-         |FROM fired f JOIN rules r
-         |  ON r.enabled AND f.severity = r.severity_threshold
-         |     AND (len(r.rule_sources) = 0 OR list_contains(r.rule_sources, f.event_type))
-         |ORDER BY f.event_id, r.rule_id""".stripMargin,
+    "stream_routed_drain" -> routedDrainSql,
+    // the SAME topology FUSED into one keyed stage (detector + cooldown
+    // in a single flatMapGroupsWithState over RAW events, then the
+    // broadcast rule join) — identical oracle by construction: one
+    // state commit instead of two must be byte-equal
+    "stream_fused_routed_drain" -> routedDrainSql,
     "anomaly_regions" ->
       s"""$regionsSqlCte
          |SELECT event_type, start_ts, end_ts, duration_secs, n_alerts,

@@ -204,6 +204,30 @@ object EventPipeline {
         CooldownProcessor.gate)
   }
 
+  /** FUSED detector + cooldown in ONE keyed stage
+    * ([[FusedAlertProcessor]]): the cooldown key (source, severity)
+    * nests under the detector key `source`, so a single
+    * flatMapGroupsWithState carries both states and the query pays one
+    * shuffle, one state commit, one trigger interval — the low-latency
+    * topology the `chained_fused` probe config measures against the
+    * reference's <2 s bar. Semantics hash-gated against the same
+    * recursive-CTE oracle as the two-query path
+    * (`stream_fused_routed_drain`).
+    */
+  def fusedAlertStream(
+      spark: SparkSession,
+      events: DataFrame): Dataset[CooldownProcessor.FiredAlert] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              col("value"))
+      .as[Event]
+      .filter(_.value > 0) // P3 validity filter, same as anomalyStream
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        FusedAlertProcessor.detectAndGate)
+  }
+
   /** Stream–stream interval join (Flink `intervalJoin` ≙ Spark's
     * watermarked stream-stream join with a time-bound condition):
     * click→purchase attribution — each purchase matched to the same

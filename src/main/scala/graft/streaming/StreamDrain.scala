@@ -1338,6 +1338,30 @@ object StreamDrain {
       .orderBy(col("event_id"), col("rule_id"))
   }
 
+  /** The SAME full alert topology FUSED into one keyed stage
+    * ([[EventPipeline.fusedAlertStream]]: detector + chained cooldown in
+    * a single flatMapGroupsWithState, then the stream-static broadcast
+    * rule join) under the hash gate. Unlike [[streamRoutedDrain]], the
+    * input here is the RAW event stream — the drain proves the fused
+    * processor reproduces detector→cooldown→routing end-to-end from
+    * events, against the IDENTICAL recursive-CTE oracle the two-query
+    * path is gated on: byte-equal results from one state commit instead
+    * of two is precisely the fused topology's claim.
+    */
+  def streamFusedRoutedDrain(spark: SparkSession, dir: String): DataFrame = {
+    val work = tempWorkDir("graft_fused_routed_drain")
+    drainToStore(
+      spark,
+      EventPipeline.routedAlerts(
+        spark,
+        EventPipeline.fusedAlertStream(
+          spark, stagedStream(spark, dir, "plain", chunks = MultiBatchChunks))),
+      work, expectBatches = MultiBatchChunks)
+      .select(col("event_id"), col("event_type"), col("ts"), col("severity"),
+              col("rule_id"), col("channel"))
+      .orderBy(col("event_id"), col("rule_id"))
+  }
+
   /** Shared read-back projection of a drained fired-alert store. */
   private def firedReadback(drained: DataFrame): DataFrame =
     drained

@@ -37,14 +37,18 @@ class GateInvariantSpec extends SparkSpec {
     // inherit that posture. Guard: no file in the library surface may
     // set either knob, and the running test session — built the way
     // Verify builds its session — still has AQE on. Allowlisted mains
-    // (each its own JVM, never a library entry point): Bench.scala and
-    // ScalingProbe.scala, which mirrors Bench's session so its 1× times
-    // are comparable to BENCH_RUNS.json.
+    // (each its own JVM, never a library entry point): Bench.scala,
+    // ScalingProbe.scala (mirrors Bench's session so its 1× times are
+    // comparable to BENCH_RUNS.json), and ThroughputProbe.scala (the
+    // sustained-latency probe, whose measured stateful-streaming
+    // posture pins shuffle partitions = state commit fan-out — a
+    // documented per-deployment latency setting, not library default).
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = java.nio.file.Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala") &&
-        !p.endsWith("Bench.scala") && !p.endsWith("ScalingProbe.scala"))
+        !p.endsWith("Bench.scala") && !p.endsWith("ScalingProbe.scala") &&
+        !p.endsWith("ThroughputProbe.scala"))
       .filter { p =>
         val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         src.contains("spark.sql.adaptive.enabled") ||

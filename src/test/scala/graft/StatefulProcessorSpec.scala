@@ -303,6 +303,47 @@ class StatefulProcessorSpec extends AnyFunSuite {
     assert(tws == fmgws)
   }
 
+  test("fused detector+cooldown stage matches the two-stage composition") {
+    val session = spark
+    import session.implicits._
+    val events = sortedEvents()
+
+    // the fused single-stage processor through an actual 3-batch stream
+    val fused = runStream[Event, CooldownProcessor.FiredAlert](
+      "fused_alerts", events.toSeq,
+      in => EventPipeline.fusedAlertStream(spark, in.toDF()))
+      .as[CooldownProcessor.FiredAlert]
+      .collect()
+      .map(f => (f.event_id, f.event_type, f.severity))
+      .toSet
+
+    // reference: the two stages as pure folds over the same per-key
+    // arrival order (detector scoring, then the chained cooldown gate)
+    val alerts = events.toSeq
+      .filter(_.value > 0)
+      .groupBy(_.event_type)
+      .values.toSeq
+      .flatMap { es =>
+        var stats = RollingStats()
+        es.sortBy(e => (EventTime.micros(e.ts), e.event_id)).flatMap { e =>
+          stats = stats.add(e.value)
+          if (stats.size >= AnomalyProcessor.MinSamples)
+            Some(AnomalyProcessor.score(e, stats))
+          else None
+        }
+      }
+      .filter(_.is_anomaly)
+    val fired = alerts
+      .groupBy(a => (a.event_type, a.severity))
+      .values.toSeq
+      .flatMap(as => CooldownProcessor.advance(None, as.iterator)._2)
+      .map(f => (f.event_id, f.event_type, f.severity))
+      .toSet
+
+    assert(fused.nonEmpty)
+    assert(fused == fired)
+  }
+
   test("transformWithState stages chain: anomaly → cooldown in one query") {
     val session = spark
     import session.implicits._

@@ -40,7 +40,10 @@ that scales every per-query min). This tool compares the fingerprints:
     against a calibration-NORMALIZED bar (old thresholds scaled by
     new_calib/old_calib); entries that still flag after normalization
     are printed with "survives calib-normalized bar" — the ones worth
-    a same-box rerun first.
+    a same-box rerun first. The demotion is DIRECTIONAL: when the NEW
+    box is measurably FASTER (calib ratio < 1/CALIB_BAND), a faster
+    host cannot explain a slower run, so regressions are NOT demoted —
+    they stand as hard flags (exit 1) unless the load demotion applies.
   - UNVERIFIABLE (either side predates the fingerprint): cross-host
     delta cannot be ruled out, so flags are demoted to HOST-SUSPECT
     (exit 3) rather than asserted — exactly the failure mode that
@@ -216,7 +219,16 @@ def main():
                   f"band {CALIB_BAND})")
         host_desc = ("same host/speed — " + detail) if host_same else (
             "DIFFERENT host or speed — " + detail)
-    if host_same is False:
+    # directional demotion: a measurably FASTER new box (calib ratio
+    # under 1/band) cannot explain a slower run, so the host mismatch
+    # excuses nothing in the regression direction — flags stand
+    faster_new = calib_ratio is not None and calib_ratio < 1.0 / CALIB_BAND
+    if host_same is False and faster_new:
+        print(f"HOST VERDICT: {host_desc}; NEW box is measurably FASTER — "
+              "a faster host cannot explain a slower run, so flagged "
+              "regressions STAND as hard flags (improvements below may be "
+              "partly host speed)")
+    elif host_same is False:
         print(f"HOST VERDICT: {host_desc}; flagged regressions demoted to "
               "HOST-SUSPECT — per-query deltas track the calib ratio, not "
               "the code; rerun both versions on ONE box before acting")
@@ -225,7 +237,7 @@ def main():
               "demoted to HOST-SUSPECT")
     else:
         print(f"HOST VERDICT: {host_desc}")
-    host_suspect_mode = host_same is not True
+    host_suspect_mode = host_same is not True and not faster_new
 
     def survives_normalized(omin, omax, nmin):
         """Still a regression after scaling the old bounds by the
