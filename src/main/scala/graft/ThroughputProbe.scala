@@ -162,6 +162,21 @@ object ThroughputProbe {
       Config("reference_rate", 5000L, 25, 1000L),
       Config("headroom", 50000L, 25, 1000L))
     val lines = scala.collection.mutable.ArrayBuffer[String]()
+    // measured lines append to SPARK_GRAFT_PROBE_OUT the moment they
+    // exist — a crash in a LATER family must not discard an earlier
+    // family's already-paid measurement (the same fail-degraded-not-dead
+    // contract as run()'s failFast=false path)
+    val probeOut = sys.env.get("SPARK_GRAFT_PROBE_OUT")
+    def record(line: String): Unit = {
+      lines += line
+      probeOut.foreach { out =>
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(out), (line + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        catch { case _: Throwable => }
+      }
+    }
     var kneeSeed: Option[(Long, Result)] = None
     for ((psName, cls) <- providers) {
       setProvider(cls)
@@ -172,11 +187,11 @@ object ThroughputProbe {
       run(spark, Config("warmup", 2000L, 8, 250L), psName, failFast = false)
       configs.filter(c => wanted(c.name)).foreach { c =>
         val r = run(spark, c, psName)
-        lines += r.line
+        record(r.line)
         if (c.name == "headroom" && psName == providers.head._1)
           kneeSeed = Some(c.rowsPerTrigger -> r)
       }
-      if (wanted("chained")) lines += runChained(spark, psName)
+      if (wanted("chained")) record(runChained(spark, psName))
       // the FUSED single-query alert path (detector + cooldown in one
       // keyed stage + broadcast routing — EventPipeline.fusedAlertStream,
       // hash-gated by stream_fused_routed_drain): the low-latency answer
@@ -184,11 +199,11 @@ object ThroughputProbe {
       // execution IS its user-visible e2e, so the standard run() e2e
       // math measures the full detection-to-routed-alert path.
       if (wanted("chained_fused"))
-        lines += run(spark, Config("chained_fused", 5000L, 25, 1000L), psName,
-                     topology = (s, ev) =>
-                       graft.streaming.EventPipeline.routedAlerts(
-                         s, graft.streaming.EventPipeline
-                           .fusedAlertStream(s, ev))).line
+        record(run(spark, Config("chained_fused", 5000L, 25, 1000L), psName,
+                   topology = (s, ev) =>
+                     graft.streaming.EventPipeline.routedAlerts(
+                       s, graft.streaming.EventPipeline
+                         .fusedAlertStream(s, ev))).line)
     }
 
     // capacity knee under the FIRST provider in the posture (default:
@@ -197,31 +212,22 @@ object ThroughputProbe {
     // line can never contradict the artifact's own 50k verdict
     if (wanted("knee")) {
       setProvider(providers.head._2)
-      lines += findKnee(spark, providers.head._1, kneeSeed)
+      record(findKnee(spark, providers.head._1, kneeSeed))
     }
 
     lines.foreach(println)
-    // full default runs write the artifact; subset runs may APPEND to
-    // an explicit SPARK_GRAFT_PROBE_OUT instead — the capture recipe
-    // for this box, whose 32-thread capacity is too neighbor-noisy for
-    // one long session to measure every family fairly (each line then
-    // comes from its own fresh-JVM, settled-box run; the per-line
-    // calib_sec records the evidence)
-    sys.env.get("SPARK_GRAFT_PROBE_OUT") match {
-      case Some(out) =>
-        try java.nio.file.Files.write(
-          java.nio.file.Paths.get(out),
-          (lines.mkString("", "\n", "\n")).getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
-        catch { case _: Throwable => }
-      case None =>
-        if (want.isEmpty)
-          try java.nio.file.Files.write(
-            java.nio.file.Paths.get("THROUGHPUT.json"),
-            (lines.mkString("", "\n", "\n")).getBytes("UTF-8"))
-          catch { case _: Throwable => }
-    }
+    // full default runs additionally write the assembled artifact (a
+    // partial/subset run can never masquerade as it); subset runs have
+    // already streamed their lines to SPARK_GRAFT_PROBE_OUT above —
+    // the capture recipe for this box, whose 32-thread capacity is too
+    // neighbor-noisy for one long session to measure every family
+    // fairly (each line then comes from its own fresh-JVM, settled-box
+    // run; the per-line calib_sec records the evidence)
+    if (probeOut.isEmpty && want.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("THROUGHPUT.json"),
+        (lines.mkString("", "\n", "\n")).getBytes("UTF-8"))
+      catch { case _: Throwable => }
     spark.stop()
   }
 
@@ -659,9 +665,15 @@ object ThroughputProbe {
         if (r.pass) { lastPass = down / 1000L * 1000L; lastPassResult = Some(r) }
         else down = down * 2 / 3
       }
-      require(lastPass > 0L,
-              "capacity knee: no passing rate found down to 5k/s — the " +
-                "box cannot sustain even the reference arrival rate")
+      if (lastPass == 0L) {
+        // no passing rate down to 5k/s — the box (in this window)
+        // cannot sustain even the reference arrival rate. Record the
+        // honest zero-knee line WITH the probe evidence instead of
+        // throwing: a throw here would discard every already-measured
+        // line of the run (the same fail-degraded-not-dead contract
+        // run()'s failFast=false path keeps)
+        return kneeLine(stateStore, 0L, None, 0L, probes.toSeq)
+      }
     }
     var rate = lastPass * 3 / 2
     var firstFail = 0L
@@ -676,6 +688,15 @@ object ThroughputProbe {
       if (r.pass) { lastPass = mid; lastPassResult = Some(r) }
       else firstFail = mid
     }
+    kneeLine(stateStore, lastPass, lastPassResult, firstFail, probes.toSeq)
+  }
+
+  /** Render the capacity_knee JSON line (also the zero-knee degraded
+    * form, which keeps the probe evidence instead of throwing).
+    */
+  private def kneeLine(stateStore: String, lastPass: Long,
+                       lastPassResult: Option[Result], firstFail: Long,
+                       probes: Seq[(Long, Result)]): String = {
     val kneeStats = lastPassResult
       .map(r => s""""sustained_at_knee":${fmt(r.sustained)},""" +
         s""""trigger_ms_p95_at_knee":${r.execP95},""")
