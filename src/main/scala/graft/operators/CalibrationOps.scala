@@ -64,10 +64,13 @@ object CalibrationOps {
   def recallMatrix(spark: SparkSession, dir: String): DataFrame = {
     val t = truthStore.getOrBuild(spark, dir)(DedupOps.sampleTruth(spark, dir))
     val minhashRows = MinhashGrid.map { case (k, b) =>
+      // r13: sample filter pushed below the exact-Jaccard verification
+      // (identical match set — the filter commutes with pair-local
+      // scoring; see minhashLshPairsSampled), so each grid row verifies
+      // only in-sample candidates instead of the whole corpus's
       val caught = DedupOps
-        .minhashLshPairs(spark, dir, k, b)
-        .filter(col("doc1") < DedupOps.RecallSampleDocs &&
-          col("doc2") < DedupOps.RecallSampleDocs)
+        .minhashLshPairsSampled(spark, dir, k, b,
+                                DedupOps.RecallSampleDocs)
         .agg(count(lit(1)).as("n_caught"))
       t.crossJoin(caught)
         .select(

@@ -188,10 +188,21 @@ object DedupOps {
     * filters) and [[shingleContainment]] (which scores asymmetrically).
     */
   private def lshScoredPairs(spark: SparkSession, dir: String,
-                             k: Int, nBands: Int): DataFrame = {
-    // bucket → sorted member list → all in-bucket pairs (i < j);
-    // megabuckets dropped (skew guard, see MaxBucket)
-    val candidates = lshBandsFrame(spark, dir, k, nBands)
+                             k: Int, nBands: Int): DataFrame =
+    scoreCandidatePairs(spark, dir, lshCandidates(spark, dir, k, nBands))
+
+  /** The UNSCORED LSH candidate pairs at (k, bands): bucket → sorted
+    * member list → all in-bucket pairs (i < j); megabuckets dropped
+    * (skew guard, see MaxBucket). Split out of [[lshScoredPairs]] (r13)
+    * so consumers that only need a SLICE of the candidate set —
+    * [[CalibrationOps.recallMatrix]]'s bounded-sample recall rows — can
+    * filter before the exact-Jaccard verification join instead of
+    * scoring the whole corpus's candidates and discarding 95+ % of the
+    * work (guide §1.2: don't compute things you throw away).
+    */
+  private[operators] def lshCandidates(spark: SparkSession, dir: String,
+                                       k: Int, nBands: Int): DataFrame =
+    lshBandsFrame(spark, dir, k, nBands)
       .groupBy(col("band"), col("band_hash"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxBucket)
@@ -199,8 +210,6 @@ object DedupOps {
         struct(a.as("doc1"), b.as("doc2"))).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
-    scoreCandidatePairs(spark, dir, candidates)
-  }
 
   /** The banded LSH key frame (doc_id, band, band_hash) at an explicit
     * (k, bands) — the shuffle key every bucketed candidate generator
@@ -264,6 +273,26 @@ object DedupOps {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc1"), col("doc2"), col("n_common"), col("jaccard"))
       .orderBy(col("doc1"), col("doc2"))
+
+  /** Verified near-dup pairs RESTRICTED to the recall sample — exactly
+    * `minhashLshPairs(...).filter(doc1 < maxDoc && doc2 < maxDoc)` (the
+    * doc-id filter commutes with the pair-local scoring), but with the
+    * filter applied to the CANDIDATE set before the shingle join-back,
+    * so the exact-Jaccard verification only scores in-sample pairs.
+    * The bucket-size (MaxBucket) guard still sees the FULL corpus's
+    * buckets inside [[lshCandidates]], which is what the recall oracle
+    * states (r13; motivates guide §1.2 / §2.3 — project/filter before
+    * the expensive join).
+    */
+  private[operators] def minhashLshPairsSampled(
+      spark: SparkSession, dir: String, k: Int, nBands: Int,
+      maxDoc: Long): DataFrame =
+    scoreCandidatePairs(
+      spark, dir,
+      lshCandidates(spark, dir, k, nBands)
+        .filter(col("doc1") < maxDoc && col("doc2") < maxDoc))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc1"), col("doc2"), col("n_common"), col("jaccard"))
 
   /** Asymmetric shingle containment over the LSH candidate pairs:
     * c1 = |A∩B|/|A| and c2 = |A∩B|/|B| alongside the symmetric Jaccard.
@@ -864,8 +893,20 @@ object DedupOps {
               col("min_quality"), col("max_quality"))
       .orderBy(col("reason"))
 
+  /** Per-dataset persisted cluster-label frame (r13): THREE queries
+    * consume the full LSH → union-find/star-contraction pipeline
+    * (`dedup_clusters`, `cluster_representatives`, `golden_records`),
+    * and each call of [[dedupClustersImpl]] does EAGER work (pair
+    * count + label derivation) — so without sharing, the whole
+    * clustering ran once per consumer per bench run. Same idiom as
+    * [[cascadeStore]]: at cluster scale this is the written
+    * cluster-assignment table every downstream stage joins.
+    */
+  private val clusterStore = new FrameStore(2)
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    dedupClustersImpl(spark, dir, DriverUnionFindMaxPairs)
+    clusterStore.getOrBuild(spark, dir)(
+      dedupClustersImpl(spark, dir, DriverUnionFindMaxPairs))
 
   /** Canonical-document selection per near-dup cluster — the decision
     * stage after [[dedupClusters]]: a dedup pipeline keeps ONE document

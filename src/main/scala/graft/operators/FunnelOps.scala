@@ -339,6 +339,15 @@ object FunnelOps {
     val n = nodes.count()
     val teleport = (15L * PrScale) / (100L * n)
     var ranks = nodes.select(col("node"), lit(PrScale / n).as("rank"))
+    // r13 examined, left as shuffle joins ON MEASUREMENT: broadcasting
+    // the per-round rank/contrib vectors (the canonical PageRank shape
+    // for a corpus-scale edge list) was tried and REGRESSED 0.63 s →
+    // 2.15 s at sf0.1 — with EVERY frame here bounded by the event-type
+    // domain, the 2·PrIters sequential broadcast builds (each a blocking
+    // driver job) cost more than the tiny 8-partition shuffles they
+    // replace, and at scale the frames stay domain-bounded so the
+    // trade never flips. Guide §1.1: empirical loop overrides the
+    // first-principles default.
     for (_ <- 1 to PrIters) {
       val contribs = withOut
         .join(ranks, col("src") === col("node"))

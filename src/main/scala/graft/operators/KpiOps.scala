@@ -81,19 +81,42 @@ object KpiOps {
     * the aggregate — same dataflow Flink's pane assignment performs.
     */
   def kpiSliding(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.eventsWithStatus(spark, dir)
-    ev.groupBy(col("event_type"),
-               window(col("ts"), "1 minute", "10 seconds").as("w"))
-      // exact micro-unit pane sums (order-free), ONE double division,
+    // r13 (§2.3 "aggregate before you shuffle"): computed by PANE
+    // COMPOSITION — 10 s tumbling panes first (no row expansion on the
+    // event stream), then each 1-minute window composed from its 6
+    // covering panes. Every aggregate here is pane-additive
+    // (count / exact micro-unit sum / error count; avg derives from the
+    // composed sum), and long addition is associative at both levels,
+    // so the result is bit-identical to the direct 6×-expansion form —
+    // the unchanged DuckDB oracle gates that. At 100 TB the win is the
+    // pre-aggregation input: the old form expanded every event 6× before
+    // the partial agg; this form aggregates raw events once and expands
+    // only the pane table (events-per-pane× smaller). Same dataflow as
+    // [[kpiSlidingPaned]] (Li et al., "No Pane, No Gain"), kept there as
+    // the didactic named query; the window set is identical because a
+    // window has an event iff it has a non-empty covering pane.
+    val panes = Tables
+      .eventsWithStatus(spark, dir)
+      .groupBy(col("event_type"), window(col("ts"), "10 seconds").as("p"))
+      .agg(count(lit(1)).as("pane_n"),
+           sum(graft.functions.Rounding.microUnits(col("value")))
+             .as("pane_micro"),
+           count(when(col("status") === "error", 1)).as("pane_err"))
+    panes
+      .select(col("event_type"), col("p.start").as("pane_start"),
+              col("pane_n"), col("pane_micro"), col("pane_err"),
+              explode(sequence(lit(0), lit(5))).as("k"))
+      .withColumn("window_start",
+                  col("pane_start") - col("k") * expr("INTERVAL 10 SECONDS"))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(sum(col("pane_n")).as("n_events"),
+           sum(col("pane_micro")).as("sum_micro"),
+           sum(col("pane_err")).as("error_count"))
+      // exact micro-unit window sums (order-free), ONE double division,
       // shared round — bit-identical across Spark partition order,
       // DuckDB's ordered sum, AND the streaming state-store merge order
       // (stream_kpi_drain hash-gates all three against one oracle)
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(graft.functions.Rounding.microUnits(col("value")))
-          .as("sum_micro"),
-        count(when(col("status") === "error", 1)).as("error_count")
-      )
+      .withColumn("window_end", col("window_start") + expr("INTERVAL 1 MINUTE"))
       .withColumn("sum_value",
                   round(col("sum_micro").cast("double") / lit(1000000.0), 4))
       .withColumn("avg_value",
@@ -102,8 +125,8 @@ object KpiOps {
       .withColumn("error_rate", round(col("error_count") / col("n_events"), 6))
       .select(
         col("event_type"),
-        col("w.start").as("window_start"),
-        col("w.end").as("window_end"),
+        col("window_start"),
+        col("window_end"),
         col("n_events"),
         col("sum_value"),
         col("avg_value"),

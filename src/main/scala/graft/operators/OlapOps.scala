@@ -992,12 +992,17 @@ object OlapOps {
     * so the hash match proves the expansion lost no pair.
     */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    // r13 (§2.4): collect_set replaces distinct()+collect_list — the
+    // same sorted distinct-parts array in ONE exchange keyed on
+    // l_orderkey (with map-side partial sets) instead of a distinct
+    // exchange on (orderkey, partkey) followed by a second exchange on
+    // orderkey (plan diff: 3 Exchange → 2, one lineitem-scale shuffle
+    // removed; plans/r13/basket_pairs_*.txt)
     val baskets = Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
       .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) > 1)
     val pairs = baskets
       .select(DedupOps.inBucketPairs(col("parts"))((a, b) =>
@@ -1050,8 +1055,12 @@ object OlapOps {
     var n = dist.count()
     var done = false
     while (!done) {
+      // broadcast the one-edge expansion side: both frames are bounded
+      // by |nations|², so every BFS round is a broadcast join + one
+      // tiny aggregate instead of two sort-merge exchanges (guide §3.1)
       val grown = dist
-        .join(bi.withColumnRenamed("src", "mid").withColumnRenamed("dst", "nxt"),
+        .join(broadcast(bi.withColumnRenamed("src", "mid")
+                .withColumnRenamed("dst", "nxt")),
               col("dst") === col("mid"))
         .filter(col("src") =!= col("nxt"))
         .select(col("src"), col("nxt").as("dst"),
@@ -1122,6 +1131,14 @@ object OlapOps {
     * join once the part count outgrows the bound).
     */
   def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    // r13 examined, left on the shared distinct() ON MEASUREMENT: the
+    // basket_pairs rewrite (collect_set, one exchange) was tried here
+    // too and REGRESSED 1.36 s → 1.65 s — with THREE consumers
+    // (basket count, item supports, pair supports) the shared
+    // distinct's cheap codegen HashAggregate beats re-running the
+    // ObjectHashAggregate set-build above the reused exchange per
+    // consumer. basket_pairs (ONE consumer) keeps the collect_set form,
+    // where it wins. Guide §1.1: measure, don't assume.
     val items = Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -1317,11 +1334,27 @@ object OlapOps {
     * set is the nation table, so plain lexicographic orientation
     * suffices.
     */
+  /** Persisted trade-edge frame (r13 optimization, guide §2.4/§5): the
+    * gated edge list is consumed by TWO queries (`trade_triangles`,
+    * `trade_reach`) and — worse — by THREE subtrees of the triangle
+    * query's single plan (e1 ⋈ e2 ⋈semi e3), each of which re-ran the
+    * full lineitem⋈orders⋈customer⋈supplier⋈nation aggregation before
+    * this round (plan evidence: `plans/r13/trade_triangles_before.txt`,
+    * 50 Exchange nodes / 2 independent lineitem scans; after: the
+    * corpus-scale subtree appears once). The frame itself is bounded by
+    * |nations|² — metadata scale — so persisting it is the written
+    * edge-list table any production graph pass materializes.
+    */
+  private val tradeEdgeStore = new FrameStore(2)
+
   /** Gated undirected trade edges shared by [[tradeTriangles]] and
     * [[tradeReach]]: nation pairs whose summed trade volume clears the
     * data-adaptive 1.2× mean-pair gate (integer cross-multiplied).
     */
-  private def tradeGatedEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def tradeGatedEdges(spark: SparkSession, dir: String): DataFrame =
+    tradeEdgeStore.getOrBuild(spark, dir)(tradeGatedEdgesPlan(spark, dir))
+
+  private def tradeGatedEdgesPlan(spark: SparkSession, dir: String): DataFrame = {
     val trade = Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -1357,11 +1390,16 @@ object OlapOps {
 
   def tradeTriangles(spark: SparkSession, dir: String): DataFrame = {
     val edges = tradeGatedEdges(spark, dir)
+    // edge-list joins carry unconditional broadcast hints: the frame is
+    // bounded by |nations|² (fixed-cardinality, the Dims doctrine for
+    // nation-derived frames), so the wedge/close joins run broadcast
+    // over the persisted edge list instead of three SortMergeJoin
+    // exchanges (guide §3.1; r13 — see plans/r13/trade_triangles_*.txt)
     val tris = edges
       .select(col("u").as("ta"), col("v").as("tb"))
-      .join(edges.select(col("u").as("tb2"), col("v").as("tc")),
+      .join(broadcast(edges.select(col("u").as("tb2"), col("v").as("tc"))),
             col("tb") === col("tb2"))
-      .join(edges.select(col("u").as("ta3"), col("v").as("tc3")),
+      .join(broadcast(edges.select(col("u").as("ta3"), col("v").as("tc3"))),
             col("ta") === col("ta3") && col("tc") === col("tc3"),
             "left_semi")
     tris

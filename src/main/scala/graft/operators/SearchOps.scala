@@ -321,31 +321,48 @@ object SearchOps {
             "doc_id")
     // 1.0/3.0 (not n/3.0) so both engines evaluate bit-identical doubles:
     // floor(300 * (1.0/3.0)) = 99 but floor(300/3.0) = 100.
-    val cuts = byLang
+    //
+    // r13 (§1.2/§2.4): ONE per-language aggregate carries (lp, doc)
+    // structs, so the cutoffs AND the bucket assignment both come from
+    // the same collected list — before, `byLang` (the whole docLogprob
+    // pipeline: vocabulary agg + posting join + per-doc fold) was
+    // evaluated TWICE, once under the cutoff aggregate and once under
+    // the bucket join (plan diff: 26 Exchange → ~8, docLogprob subtree
+    // ×2 → ×1; plans/r13/perplexity_buckets_*.txt). The k-th element of
+    // the (lp, doc)-sorted list has the same lp as the k-th of the
+    // lp-sorted list (ties permute equal values only), so the cutoffs
+    // are bit-identical. Memory bound is unchanged — the old cutoff
+    // aggregate already collected every logprob per language (the
+    // documented 100 TB swap stays `approx_percentile`).
+    val perLang = byLang
       .groupBy(col("lang"))
-      .agg(sort_array(collect_list(col("logprob_per_token"))).as("sorted"),
+      .agg(sort_array(collect_list(struct(
+             col("logprob_per_token").as("lp"), col("doc_id").as("d"))))
+             .as("sorted"),
            count(lit(1)).as("n"))
       .select(
         col("lang"),
         element_at(col("sorted"),
                    floor(col("n") * lit(1.0 / 3.0)).cast("int") + 1)
-          .as("cut_low"),
+          .getField("lp").as("cut_low"),
         element_at(col("sorted"),
                    floor(col("n") * lit(2.0 / 3.0)).cast("int") + 1)
-          .as("cut_high"))
-    byLang
-      .join(broadcast(cuts), "lang")
+          .getField("lp").as("cut_high"),
+        col("sorted"))
+    perLang
+      .select(col("lang"), col("cut_low"), col("cut_high"),
+              explode(col("sorted")).as("e"))
       .withColumn("bucket",
-                  when(col("logprob_per_token") <= col("cut_low"), "tail")
-                    .when(col("logprob_per_token") <= col("cut_high"), "middle")
+                  when(col("e.lp") <= col("cut_low"), "tail")
+                    .when(col("e.lp") <= col("cut_high"), "middle")
                     .otherwise("head"))
       .groupBy(col("lang"), col("bucket"), col("cut_low"), col("cut_high"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(floor(col("logprob_per_token") * lit(1000000.0) + lit(0.5))
+        sum(floor(col("e.lp") * lit(1000000.0) + lit(0.5))
           .cast("long")).as("slp"),
-        min(col("logprob_per_token")).as("min_logprob"),
-        max(col("logprob_per_token")).as("max_logprob"))
+        min(col("e.lp")).as("min_logprob"),
+        max(col("e.lp")).as("max_logprob"))
       .select(col("lang"), col("bucket"), col("n_docs"),
               round(col("slp").cast("double") / col("n_docs") / lit(1000000.0),
                     6).as("avg_logprob"),

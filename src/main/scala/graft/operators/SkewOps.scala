@@ -83,20 +83,33 @@ object SkewOps {
         .mightContain(bloom, xxhash64(col("l_partkey"))))
     val exact =
       candidates.join(keys, col("l_partkey") === col("p_partkey"), "left_semi")
-    val audit = broadcast(
-      candidates
-        .agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(li.agg(count(lit(1)).as("n_total")))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .select(
-          (col("n_candidates") < col("n_total")).as("bloom_pruned"),
-          ((col("n_candidates") - col("n_exact")).cast("double") <=
-            col("n_total").cast("double") * lit(0.01)).as("fp_ok")))
-    exact
+    // r13 (§1.2/§2.4): the audit used to read lineitem FOUR times
+    // (candidate count, total count, exact count, and the visible
+    // aggregate). Now: ONE audit pass computes n_total and n_candidates
+    // together as conditional aggregates (the bloom probe rides inside
+    // the count — same ReusedSubquery bloom), and n_exact is the sum of
+    // the visible aggregate's own per-group counts, so the grouped
+    // subtree is shared (ReuseExchange) instead of re-scanned. Plan
+    // diff: 4 lineitem scans → 2 (plans/r13/bloom_semi_join_*.txt).
+    // The pruned-semi-join shape itself is untouched — candidates →
+    // exact semi-join → aggregate is still the production path.
+    val grouped = exact
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
            round(sum(col("l_quantity")), 2).as("sum_qty"),
            count_distinct(col("l_partkey")).as("n_parts"))
+    val audit = broadcast(
+      li.agg(
+          count(lit(1)).as("n_total"),
+          count(when(graft.functions.BloomExprs
+                       .mightContain(bloom, xxhash64(col("l_partkey"))),
+                     1)).as("n_candidates"))
+        .crossJoin(grouped.agg(sum(col("n_rows")).as("n_exact")))
+        .select(
+          (col("n_candidates") < col("n_total")).as("bloom_pruned"),
+          ((col("n_candidates") - col("n_exact")).cast("double") <=
+            col("n_total").cast("double") * lit(0.01)).as("fp_ok")))
+    grouped
       .crossJoin(audit)
       .orderBy(col("l_returnflag"))
   }

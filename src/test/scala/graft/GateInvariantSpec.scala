@@ -42,13 +42,15 @@ class GateInvariantSpec extends SparkSpec {
     // comparable to BENCH_RUNS.json), and ThroughputProbe.scala (the
     // sustained-latency probe, whose measured stateful-streaming
     // posture pins shuffle partitions = state commit fan-out — a
-    // documented per-deployment latency setting, not library default).
+    // documented per-deployment latency setting, not library default),
+    // and QueryProbe.scala (the optimization-round dev harness that
+    // must reproduce Bench's exact session posture to be comparable).
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = java.nio.file.Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala") &&
         !p.endsWith("Bench.scala") && !p.endsWith("ScalingProbe.scala") &&
-        !p.endsWith("ThroughputProbe.scala"))
+        !p.endsWith("ThroughputProbe.scala") && !p.endsWith("QueryProbe.scala"))
       .filter { p =>
         val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         src.contains("spark.sql.adaptive.enabled") ||

@@ -68,15 +68,27 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("pane-composed sliding KPIs agree with the direct expansion") {
-    val direct = KpiOps.kpiSliding(spark, sf("sf0.001"))
-      .select("event_type", "window_start", "n_events", "error_count")
+    // the direct 6×-expansion form stated INLINE: since r13 both
+    // kpiSliding and kpiSlidingPaned ship the pane-composed plan, so
+    // the equivalence anchor must be independent of either
+    val direct = Tables
+      .eventsWithStatus(spark, sf("sf0.001"))
+      .groupBy(col("event_type"),
+               window(col("ts"), "1 minute", "10 seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+           count(when(col("status") === "error", 1)).as("error_count"))
+      .select(col("event_type"), col("w.start").as("window_start"),
+              col("n_events"), col("error_count"))
       .collect().map(r => (r.getString(0), r.getTimestamp(1),
                            r.getLong(2), r.getLong(3))).toSet
-    val paned = KpiOps.kpiSlidingPaned(spark, sf("sf0.001"))
-      .select("event_type", "window_start", "n_events", "error_count")
-      .collect().map(r => (r.getString(0), r.getTimestamp(1),
-                           r.getLong(2), r.getLong(3))).toSet
-    assert(direct == paned)
+    for (form <- Seq(KpiOps.kpiSliding(spark, sf("sf0.001")),
+                     KpiOps.kpiSlidingPaned(spark, sf("sf0.001")))) {
+      val paned = form
+        .select("event_type", "window_start", "n_events", "error_count")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1),
+                             r.getLong(2), r.getLong(3))).toSet
+      assert(direct == paned)
+    }
   }
 
   test("minhash LSH: megabuckets are dropped by the skew guard") {
