@@ -419,9 +419,17 @@ object DedupOps {
               explode(graft.functions.TextExprs.withSize(col("shingles")))
                 .as("p"))
       .select(col("doc_id"), col("p.x").as("shingle"), col("p.n").as("n_sh"))
-    val dfreq = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // r13 (§2.4): document frequency as a WINDOW count over the posting
+    // frame instead of groupBy + join-back — before, `posts` (the
+    // corpus-wide shingle explode) was evaluated twice (aggregate build
+    // + join probe) and the postings crossed two shuffles; the window
+    // form explodes once and shuffles once, keyed on the same shingle
+    // (the docLogprobBigram c2 idiom). df values are identical: shingle
+    // sets are distinct per doc, so the per-shingle posting count IS the
+    // document frequency either way.
     posts
-      .join(dfreq, "shingle")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
       .groupBy(col("doc_id"), col("n_sh"))
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
       // posexplode: the PREFIX POSITION of each indexed shingle rides

@@ -107,8 +107,23 @@ object MiscOps {
     */
   def eventNestedParse(spark: SparkSession, dir: String): DataFrame = {
     val regions = array(lit("us-east"), lit("us-west"), lit("eu-west"), lit("ap-south"))
-    val raw = Tables
-      .eventsWithStatus(spark, dir)
+    // r13 (§2.3 shuffle fewer bytes): the degenerate-input widening
+    // repartition moved BELOW the JSON build — the exchange now carries
+    // the ~40-byte typed event columns instead of the ~250-byte JSON
+    // strings it used to move, and the serialize (to_json + 2×md5 +
+    // date_format) runs on the widened side at full parallelism along
+    // with the parse. Same row set, same plan shape otherwise
+    // (plans/r13/event_nested_parse_*.txt).
+    val ev0 = Tables.eventsWithStatus(spark, dir)
+    // The sf fixture is one parquet file = one input split, which would
+    // run the whole serialize+parse stage on a single core; a 100 TB
+    // stream arrives over thousands of Kafka/file partitions, so
+    // widening a degenerate input to the executor count is a no-op
+    // there and a 32x here.
+    val cores = spark.sparkContext.defaultParallelism
+    val ev =
+      if (ev0.rdd.getNumPartitions < cores) ev0.repartition(cores) else ev0
+    val raw = ev
       .select(to_json(struct(
         col("event_id").cast("string").as("event_id"),
         col("event_type").as("source"),
@@ -132,14 +147,7 @@ object MiscOps {
       StructField("attributes", MapType(StringType, StringType))
     ))
 
-    // The sf fixture is one parquet file = one input split, which would
-    // run the whole parse stage on a single core; a 100 TB stream arrives
-    // over thousands of Kafka/file partitions, so widening a degenerate
-    // input to the executor count is a no-op there and a 32x here.
-    val cores = spark.sparkContext.defaultParallelism
-    val wide = if (raw.rdd.getNumPartitions < cores) raw.repartition(cores) else raw
-
-    wide
+    raw
       // explode(array(...)) generate-barrier: JsonToStructs is
       // codegen-fallback with no common-subexpression reuse, and the
       // pushed-down null filter plus the projection would otherwise each

@@ -36,12 +36,25 @@ object SearchOps {
     * as [[PipelineOps.vocabTopK]]: the per-token aggregation is the only
     * shuffle, with effective map-side combine.
     */
+  /** Per-dataset persisted (doc, token, tf) posting frame (r13): the
+    * tokenization pass is the expensive stage of every LM-scoring
+    * query, and it was re-run per consumer (`tfidf_topterms`,
+    * `dsir_weights`, `doc_logprob` → `perplexity_buckets`) AND twice
+    * inside docLogprob itself (vocabulary aggregate + posting join are
+    * different subtrees, so ReuseExchange cannot share their scans).
+    * Same idiom as DedupOps.shingleStore — at cluster scale this is the
+    * written postings table every retrieval pipeline materializes.
+    */
+  private val termStore = new FrameStore(2)
+
   private def termFreqs(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"),
-              explode(graft.functions.TextExprs.tokenCounts(col("text"))).as("tc"))
-      .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
+    termStore.getOrBuild(spark, dir) {
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"),
+                explode(graft.functions.TextExprs.tokenCounts(col("text"))).as("tc"))
+        .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
+    }
 
   /** One-row (n_docs) frame for broadcast — the scalar-subquery shape. */
   private def nDocs(spark: SparkSession, dir: String): DataFrame =
