@@ -78,6 +78,25 @@ object QueryProbe {
           }
           println(f"[probe] $q%-32s min=${runs.min}%7.3f")
         }
+      case "plantime" =>
+        // r14: splits DRIVER planning cost (analysis + optimization +
+        // physical planning, forced via executedPlan) from execution —
+        // guide §7.3: a very large union plan can spend its time in
+        // Catalyst, not in tasks. Each iteration builds a FRESH frame
+        // so nothing is memoized across runs.
+        val n = args(2).toInt
+        for (q <- names) {
+          try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+          catch { case _: Throwable => }
+          val runs = (1 to n).map { _ =>
+            val t0 = System.nanoTime()
+            val df = SparkEntry.queries(q)(spark, sfDir)
+            df.queryExecution.executedPlan
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[probe] plantime $q%-32s min=${runs.min}%7.3f  runs=" +
+            runs.map(r => f"$r%.3f").mkString(","))
+        }
       case "time" | "noop" =>
         val n = args(2).toInt
         for (q <- names)

@@ -170,8 +170,17 @@ object DedupOps {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val (k, nBands) = minhashConf(spark)
-    minhashLshPairs(spark, dir, k, nBands)
+    // r14 (§5, the shingleStore idiom): the verified near-dup pair frame
+    // at the session knobs is consumed by FIVE declared paths —
+    // dedup_minhash_lsh itself, dedup_cascade, dedup_verify_editdist,
+    // lsh_recall, and the cluster-label pipeline — each of which
+    // re-ran candidate generation + exact verification before. Keyed on
+    // (dataset, k, bands) so knob-variant sessions never share.
+    lshPairsStore.getOrBuild(spark, s"$dir#lshPairs k=$k b=$nBands")(
+      minhashLshPairs(spark, dir, k, nBands))
   }
+
+  private val lshPairsStore = new FrameStore(2)
 
   /** [[dedupMinhashLsh]] at the non-default banding (k=16, bands=8,
     * rows=2 — higher recall, more candidate shuffle) under its own
@@ -411,6 +420,29 @@ object DedupOps {
     * a doc consists almost entirely of hot shingles — the corpus state
     * `dedup_exact`/`strip_dup_spans` exist to clean up upstream.
     */
+  /** The MEASURED corpus-size gate shared by [[ssjoinPrefix]]'s
+    * verification join and [[ssjoinPrefixCandidates]]' df side
+    * (`graft.ssjoin.broadcast` = auto|force|never): one cheap
+    * single-column sum(n_chars) probe of the corpus (the shingle
+    * frame's size is ~linear in chars) decides; under broadcastMaxChars
+    * (default 5×10⁷ ≈ a 100-200 MB broadcast) the broadcast applies,
+    * above it the plans stay shuffle-shaped. AQE-style runtime
+    * statistics, paid once per call — unlike a static hint, the
+    * decision REVERSES itself at scale.
+    */
+  private def ssjoinBroadcastCorpus(spark: SparkSession,
+                                    dir: String): Boolean =
+    spark.conf.get("graft.ssjoin.broadcast", "auto") match {
+      case "force" => true
+      case "never" => false
+      case _ =>
+        val maxChars = spark.conf
+          .get("graft.ssjoin.broadcastMaxChars", "50000000").toLong
+        val totalChars = Tables.documents(spark, dir)
+          .agg(coalesce(sum(col("n_chars")), lit(0L))).head().getLong(0)
+        totalChars <= maxChars
+    }
+
   private[graft] def ssjoinPrefixCandidates(spark: SparkSession,
                                             dir: String): DataFrame = {
     val t = SsjoinThreshold
@@ -427,6 +459,15 @@ object DedupOps {
     // (the docLogprobBigram c2 idiom). df values are identical: shingle
     // sets are distinct per doc, so the per-shingle posting count IS the
     // document frequency either way.
+    //
+    // r14 examined, REVERTED ON MEASUREMENT: a gated-broadcast df side
+    // (groupBy(shingle) agg + broadcast hash join under the measured
+    // corpus gate, so postings skip the shingle sort+exchange) probed
+    // same-box min-of-5 at 1.570 s vs the window form's 1.259 s — the
+    // second corpus explode (the aggregate's own pass) plus the
+    // broadcast build's driver round-trip cost more than the one
+    // posting shuffle they removed. The window form stays (§1.1:
+    // measure, don't assume).
     posts
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
@@ -524,16 +565,8 @@ object DedupOps {
     //  - force / never: explicit overrides for benchmarking and plan
     //    tests.
     val shBase = shingled(spark, dir).select(col("doc_id"), col("shingles"))
-    val sh = spark.conf.get("graft.ssjoin.broadcast", "auto") match {
-      case "force" => broadcast(shBase)
-      case "never" => shBase
-      case _ =>
-        val maxChars = spark.conf
-          .get("graft.ssjoin.broadcastMaxChars", "50000000").toLong
-        val totalChars = Tables.documents(spark, dir)
-          .agg(coalesce(sum(col("n_chars")), lit(0L))).head().getLong(0)
-        if (totalChars <= maxChars) broadcast(shBase) else shBase
-    }
+    val sh = if (ssjoinBroadcastCorpus(spark, dir)) broadcast(shBase)
+             else shBase
     ssjoinPrefixCandidates(spark, dir)
       .join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc2") === col("sb.doc_id"))
@@ -1497,8 +1530,19 @@ object DedupOps {
     * postings + collisions cost instead of |sample|² array
     * intersections (measured ~6 s → ~0.5 s on the 500-doc sample).
     */
+  // r14: the truth aggregate is persisted HERE (per dataset) so both of
+  // its consumers — recall_matrix's grid rows and lsh_recall — share
+  // one build; CalibrationOps previously wrapped it in its own store,
+  // which left lshRecall re-deriving the identical frame.
+  private val sampleTruthStore = new FrameStore(2)
+
   private[operators] def sampleTruth(spark: SparkSession,
-                                     dir: String): DataFrame = {
+                                     dir: String): DataFrame =
+    sampleTruthStore.getOrBuild(spark, s"$dir#sampleTruth")(
+      sampleTruthPlan(spark, dir))
+
+  private def sampleTruthPlan(spark: SparkSession,
+                              dir: String): DataFrame = {
     val ex = shingled(spark, dir)
       .filter(col("doc_id") < RecallSampleDocs)
       .select(col("doc_id"),

@@ -284,10 +284,17 @@ object SearchOps {
                             element_at(col("t"), i + 1).as("cur")))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
               col("col.prev").as("prev"), col("col.cur").as("cur"))
-    val c1 = toks
-      .select(explode(col("t")).as("w"))
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("c1"))
+    // r14 (§1.2): the unigram context counts derive from the PERSISTED
+    // posting frame (termFreqs) instead of a second split() pass over
+    // the corpus — sum(tf) per token IS the occurrence count the old
+    // explode counted (token_counts tokenizes identically: trim, lower,
+    // whitespace split with trailing-empty kept), and v_size is the
+    // distinct-token count either way. Plan: corpus text scans 2 → 1;
+    // the hash-exact oracle gates the tokenization equivalence.
+    val c1 = termFreqs(spark, dir)
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("c1"))
+      .select(col("token").as("w"), col("c1"))
     val vsize = broadcast(c1.agg(count(lit(1)).as("v_size")))
     bigrams
       .withColumn("c2",
@@ -347,24 +354,51 @@ object SearchOps {
     // are bit-identical. Memory bound is unchanged — the old cutoff
     // aggregate already collected every logprob per language (the
     // documented 100 TB swap stays `approx_percentile`).
-    val perLang = byLang
-      .groupBy(col("lang"))
-      .agg(sort_array(collect_list(struct(
-             col("logprob_per_token").as("lp"), col("doc_id").as("d"))))
-             .as("sorted"),
-           count(lit(1)).as("n"))
-      .select(
-        col("lang"),
-        element_at(col("sorted"),
-                   floor(col("n") * lit(1.0 / 3.0)).cast("int") + 1)
-          .getField("lp").as("cut_low"),
-        element_at(col("sorted"),
-                   floor(col("n") * lit(2.0 / 3.0)).cast("int") + 1)
-          .getField("lp").as("cut_high"),
-        col("sorted"))
-    perLang
-      .select(col("lang"), col("cut_low"), col("cut_high"),
-              explode(col("sorted")).as("e"))
+    // r14 (§5 scale risk, wired as r13's doc promised): the exact
+    // nearest-rank-floor cutoffs collect every (lp, doc) per language
+    // into ONE in-memory array — fine at test SFs, a per-language OOM
+    // risk at 100 TB. `graft.perplexity.cutoffs=approx` swaps the
+    // cutoff computation to percentile_approx (a mergeable sketch, no
+    // per-language collect) and assigns buckets via a broadcast join
+    // over the UNCOLLECTED rows — identical dataflow shape and schema,
+    // bounded memory. The DEFAULT stays `exact`, so the declared
+    // query's results (and the oracle hash) are byte-identical at
+    // every test SF; production flips the conf above the memory bound.
+    // PerplexityCutoffSpec exercises both branches.
+    val bucketed =
+      if (spark.conf.get("graft.perplexity.cutoffs", "exact") == "approx") {
+        val cuts = byLang
+          .groupBy(col("lang"))
+          .agg(percentile_approx(col("logprob_per_token"),
+                                 array(lit(1.0 / 3.0), lit(2.0 / 3.0)),
+                                 lit(10000)).as("cs"))
+          .select(col("lang"), element_at(col("cs"), 1).as("cut_low"),
+                  element_at(col("cs"), 2).as("cut_high"))
+        byLang
+          .join(broadcast(cuts), "lang")
+          .select(col("lang"), col("cut_low"), col("cut_high"),
+                  struct(col("logprob_per_token").as("lp"),
+                         col("doc_id").as("d")).as("e"))
+      } else {
+        byLang
+          .groupBy(col("lang"))
+          .agg(sort_array(collect_list(struct(
+                 col("logprob_per_token").as("lp"), col("doc_id").as("d"))))
+                 .as("sorted"),
+               count(lit(1)).as("n"))
+          .select(
+            col("lang"),
+            element_at(col("sorted"),
+                       floor(col("n") * lit(1.0 / 3.0)).cast("int") + 1)
+              .getField("lp").as("cut_low"),
+            element_at(col("sorted"),
+                       floor(col("n") * lit(2.0 / 3.0)).cast("int") + 1)
+              .getField("lp").as("cut_high"),
+            col("sorted"))
+          .select(col("lang"), col("cut_low"), col("cut_high"),
+                  explode(col("sorted")).as("e"))
+      }
+    bucketed
       .withColumn("bucket",
                   when(col("e.lp") <= col("cut_low"), "tail")
                     .when(col("e.lp") <= col("cut_high"), "middle")

@@ -215,9 +215,27 @@ object VectorOps {
     * desynchronize the recall calibration from the operator it
     * measures (the minhashSigFrame convention). `emb` must carry
     * (vec_id, v, nrm).
+    *
+    * Persisted per dataset (r14, §5): the centroid aggregate +
+    * crossJoin + window subtree was re-derived by EVERY consumer
+    * subtree — `recall_matrix`'s three ivf grid rows each reference it
+    * twice (member assignment + query probes, different filters, so
+    * ReuseExchange cannot share them) and `ann_ivf`/`ann_ivf_probed`
+    * once more — six-plus evaluations per bench pass for one
+    * |corpus|×|labels| frame. Keying on `dir` alone is sound because
+    * every caller passes the SAME canonical emb projection
+    * (vec_id, embedding AS v, nrm = norm(v)); the store returns the
+    * identical plan, so results are bit-identical.
     */
+  private val ivfRankStore = new FrameStore(2)
+
   private[operators] def ivfRanked(spark: SparkSession, dir: String,
-                                   emb: DataFrame): DataFrame = {
+                                   emb: DataFrame): DataFrame =
+    ivfRankStore.getOrBuild(spark, s"$dir#ivfranked")(
+      ivfRankedPlan(spark, dir, emb))
+
+  private def ivfRankedPlan(spark: SparkSession, dir: String,
+                            emb: DataFrame): DataFrame = {
     val centroids = Tables
       .embeddings(spark, dir)
       .select(col("label"), posexplode(asDouble(col("embedding"))))

@@ -228,8 +228,13 @@ class PlanSpec extends SparkSpec {
   test("minhash signature is computed once, before the band explode") {
     // regression guard for the interpreted-expression duplication class:
     // one signature pass per document, carried through Generate as an
-    // attribute — never re-derived per band/element_at reference
-    val op = DedupOps.dedupMinhashLsh(spark, sf("sf0.001"))
+    // attribute — never re-derived per band/element_at reference.
+    // r14: checked on the UNPERSISTED wideband builder — the default
+    // pipeline (dedupMinhashLsh) is now FrameStore-persisted, and the
+    // nested InMemoryRelation print duplicates expression text, which
+    // this count would misread; the wideband variant runs the same
+    // lshScoredPairs builder and guards the same duplication class.
+    val op = DedupOps.dedupMinhashWideband(spark, sf("sf0.001"))
       .queryExecution.optimizedPlan.toString
     assert("minhash_signature".r.findAllIn(op).length == 1)
   }
@@ -479,35 +484,55 @@ class PlanSpec extends SparkSpec {
     // same (dataset, k) → the SAME persisted frame (one pass, FrameStore)
     assert(DedupOps.minhashSigFrame(spark, dir, 16) eq
       DedupOps.minhashSigFrame(spark, dir, 16))
-    def hasSig(p: SparkPlan): Boolean =
-      p.exists(_.expressions.exists(
-        _.exists(_.isInstanceOf[graft.functions.MinHashSigExpr])))
-    // outer traversal: NOT descending into cached relations — every
-    // signature evaluation must live inside an InMemoryRelation
-    def outer(p: SparkPlan): Seq[SparkPlan] = {
+    // cache-LEVEL traversal (r14: the minhash grid counts are
+    // themselves a persisted frame, so the signature scans live one
+    // cache level down): within one level, stop at InMemoryTableScan
+    // boundaries; a level that evaluates the signature must BE a
+    // signature relation's own cached computation — anywhere else is
+    // the duplication this test guards against.
+    def levelNodes(p: SparkPlan): Seq[SparkPlan] = {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case _: InMemoryTableScanExec => Nil
         case _ => p.children
       }
-      p +: kids.flatMap(outer)
+      p +: kids.flatMap(levelNodes)
+    }
+    def sigAtLevel(p: SparkPlan): Boolean = levelNodes(p).exists {
+      case _: AdaptiveSparkPlanExec => false
+      case n => n.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.MinHashSigExpr]))
     }
     val plan = CalibrationOps.recallMatrix(spark, dir)
       .queryExecution.executedPlan
-    val uncached = outer(plan).filter {
-      case _: AdaptiveSparkPlanExec => false
-      case p => p.expressions.exists(
-        _.exists(_.isInstanceOf[graft.functions.MinHashSigExpr]))
-    }
-    assert(uncached.isEmpty, s"signature pass outside the cache:\n$uncached")
-    // the grid's 4 minhash rows reference exactly 2 distinct cached
-    // signature relations (k=16 shared by three band settings, k=32)
-    val sigRelations = outer(plan)
-      .collect { case s: InMemoryTableScanExec if hasSig(s.relation.cachedPlan) =>
-        System.identityHashCode(s.relation.cacheBuilder) }
-    assert(sigRelations.nonEmpty)
-    assert(sigRelations.distinct.size == 2,
-           s"expected 2 shared signature relations, got $sigRelations")
+    // (a) the outer plan — the per-grid-row work that executes on EVERY
+    // call — must never evaluate the signature: that is the original
+    // per-row re-derivation regression class.
+    assert(!sigAtLevel(plan), "signature pass outside every cache")
+    // (b) all signature work reaches the rows through ONE shared cached
+    // counts relation (r14): collect the outer-level cached relations
+    // that TRANSITIVELY contain a signature evaluation (descending
+    // through nested caches) — the four minhash rows must reference the
+    // same one. How the signature scans nest INSIDE it can vary with
+    // store-eviction timing across suites (an evicted sig frame
+    // compiles inline into the counts build — still one pass per
+    // build), so the exact inner relation count is deliberately not
+    // asserted.
+    def sigTransitively(p: SparkPlan): Boolean =
+      sigAtLevel(p) || levelNodes(p).exists {
+        case s: InMemoryTableScanExec => sigTransitively(s.relation.cachedPlan)
+        case _ => false
+      }
+    val sigCarriers = levelNodes(plan)
+      .collect { case s: InMemoryTableScanExec if
+        sigTransitively(s.relation.cachedPlan) => s }
+    assert(sigCarriers.size == 4,
+           s"expected the 4 minhash rows to read a cached counts " +
+             s"relation, got ${sigCarriers.size}")
+    assert(sigCarriers.map(s =>
+             System.identityHashCode(s.relation.cacheBuilder)).distinct.size
+             == 1,
+           "the minhash grid rows must share ONE cached counts relation")
   }
 
   test("ssjoin_prefix broadcast gate is MEASURED, never unconditional") {
